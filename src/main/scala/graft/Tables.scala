@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Access layer for the harness parquet tables (TESTDATA.md).
+  *
+  * All operator queries read through here so that scan-level concerns
+  * (schema, pruning-friendly access, future bucketing/partitioning of a
+  * real deployment) live in one place. At 100 TB these would be
+  * catalog-registered tables partitioned on their natural keys; in the
+  * harness they are single parquet files — `spark.read.parquet` already
+  * gives us predicate pushdown + column pruning via the v1/v2 parquet
+  * source, which is everything these queries need.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame = table(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame = table(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame = table(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame = table(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame = table(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame = table(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
+  /** events.parquet stores `ts` as parquet TIMESTAMP(NANOS), which the
+    * vectorized reader rejects. Read nanos as long (legacy conf), then
+    * surface `ts` as a proper microsecond timestamp — matching DuckDB's
+    * ns→us truncation, so oracle results align.
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    import org.apache.spark.sql.functions._
+    table(s, d, "events")
+      .withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+  }
+  def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+}

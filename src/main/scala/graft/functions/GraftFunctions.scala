@@ -1,0 +1,50 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Engine-portable scalar building blocks.
+  *
+  * Everything here composes built-in `org.apache.spark.sql.functions`
+  * (whole-stage-codegen'd) — no Scala UDFs in the hot path. Each helper
+  * has an exactly-equivalent ANSI/DuckDB SQL form used by the oracle
+  * checks, which is what makes the dedup/fingerprint operators
+  * hash-verifiable across engines.
+  */
+object GraftFunctions {
+
+  /** Portable 60-bit hash: first 15 hex digits of md5, as a Long.
+    * 15 hex digits = 60 bits < 2^63, so the cast never overflows.
+    * DuckDB equivalent: `CAST(('0x' || substr(md5(x),1,15)) AS BIGINT)`.
+    */
+  def hex60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** Seeded variant for minhash families: hash the value with a seed
+    * tag appended. DuckDB: same construction with `||`. */
+  def hex60Seeded(c: Column, seed: Int): Column =
+    hex60(concat(c, lit("#" + seed)))
+
+  /** seq_hasher parity with the reference (P5, app.py:86-94): first 32
+    * decimal digits of the md5 digest interpreted as a 128-bit integer.
+    * Needs BigInteger, so this one is a UDF — used only as an id-mint,
+    * never as a join/filter hot path (joins use [[hex60]]).
+    */
+  val seqHash: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (s: String) =>
+      if (s == null) null
+      else {
+        val hex = java.security.MessageDigest.getInstance("MD5")
+          .digest(s.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+        new java.math.BigInteger(hex, 16).toString.take(32)
+      }
+    }
+
+  /** Whitespace tokenization used by all text operators.
+    * DuckDB: `string_split_regex(trim(x), '\s+')`. */
+  def tokens(c: Column): Column = split(trim(c), "\\s+")
+
+  /** Token count. DuckDB: `len(string_split_regex(trim(x),'\s+'))`. */
+  def tokenCount(c: Column): Column = size(tokens(c))
+}

@@ -1,0 +1,23 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** One verifiable operator query: a Spark implementation plus (when the
+  * semantics are ANSI-SQL-expressible) an equivalent DuckDB oracle SQL
+  * over the same parquet tables. Column names/aliases MUST match between
+  * the two — the driver sorts columns by name before hashing values.
+  */
+final case class QueryDef(
+    name: String,
+    run: (SparkSession, String) => DataFrame,
+    oracle: Option[String])
+
+object QueryDef {
+  def apply(name: String, sql: String)(
+      run: (SparkSession, String) => DataFrame): QueryDef =
+    QueryDef(name, run, Some(sql))
+
+  def noOracle(name: String)(
+      run: (SparkSession, String) => DataFrame): QueryDef =
+    QueryDef(name, run, None)
+}

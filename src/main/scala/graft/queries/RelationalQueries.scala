@@ -1,0 +1,378 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** The reference's relational operator surface (SURVEY.md §2) exercised
+  * over the harness TPC-H-ish tables. Query names carry the §2 operator
+  * ids they cover.
+  *
+  * Scale notes (100 TB discipline):
+  *  - every dimension join (`part`, `nation`, `region`, `supplier`,
+  *    `customer` vs `lineitem`/`orders`) broadcasts the small side;
+  *  - filters/projections are plain Column expressions so Catalyst
+  *    pushes them into the parquet scan;
+  *  - money aggregates run over DECIMAL(18,2) casts — exact, engine-
+  *    portable, and still codegen'd;
+  *  - every query ends in a deterministic ORDER BY so results are
+  *    stable under any row-order-sensitive comparison.
+  */
+object RelationalQueries {
+
+  val all: Seq[QueryDef] = Seq(
+
+    // S7: header CSV scan ≡ schema'd columnar scan + filter + projection,
+    // pushed down to the parquet reader (PushedFilters in explain).
+    QueryDef(
+      "s7_scan_filter_project",
+      """SELECT l_orderkey, l_linenumber, l_quantity
+        |FROM lineitem
+        |WHERE l_shipdate < TIMESTAMP '1997-01-01' AND l_quantity > 45
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .where(col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+          col("l_quantity") > 45)
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+
+    // P1: allele-processable filter ≡ isin + length predicate.
+    QueryDef(
+      "p1_filter_isin",
+      """SELECT c_custkey, c_mktsegment
+        |FROM customer
+        |WHERE c_mktsegment IN ('BUILDING','AUTOMOBILE') AND length(c_name) > 5
+        |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      Tables.customer(s, d)
+        .where(col("c_mktsegment").isin("BUILDING", "AUTOMOBILE") &&
+          length(col("c_name")) > 5)
+        .select("c_custkey", "c_mktsegment")
+        .orderBy("c_custkey")
+    },
+
+    // P2: hard-coded blocklist ≡ NOT IN literal list (constants.py:7-11).
+    QueryDef(
+      "p2_blocklist_notin",
+      """SELECT p_brand, count(*) AS n
+        |FROM part
+        |WHERE p_brand NOT IN ('Brand#11','Brand#22','Brand#33')
+        |GROUP BY p_brand
+        |ORDER BY p_brand""".stripMargin) { (s, d) =>
+      Tables.part(s, d)
+        .where(!col("p_brand").isin("Brand#11", "Brand#22", "Brand#33"))
+        .groupBy("p_brand").agg(count(lit(1)).as("n"))
+        .orderBy("p_brand")
+    },
+
+    // P4: locus/name extraction ≡ split + first token (app.py:603-604).
+    QueryDef(
+      "p4_split_extract",
+      """SELECT split_part(p_type, ' ', 1) AS type_head, count(*) AS n
+        |FROM part
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      Tables.part(s, d)
+        .select(split(col("p_type"), " ").getItem(0).as("type_head"))
+        .groupBy("type_head").agg(count(lit(1)).as("n"))
+        .orderBy("type_head")
+    },
+
+    // P11: regex validation ≡ rlike filter.
+    QueryDef(
+      "p11_regex_filter",
+      """SELECT source, count(*) AS n
+        |FROM documents
+        |WHERE regexp_matches(source, '^src[0-9]$')
+        |GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .where(col("source").rlike("^src[0-9]$"))
+        .groupBy("source").agg(count(lit(1)).as("n"))
+        .orderBy("source")
+    },
+
+    // J1: alignment dict probe ≡ broadcast left join on a small dim.
+    QueryDef(
+      "j1_broadcast_join",
+      """SELECT p.p_brand, sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS revenue,
+        |       count(*) AS n
+        |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |GROUP BY p.p_brand ORDER BY p.p_brand""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(
+          sum(col("l_extendedprice").cast("decimal(18,2)")).as("revenue"),
+          count(lit(1)).as("n"))
+        .orderBy("p_brand")
+    },
+
+    // J4: 3-way natural-key join (GFE↔IPD_Allele↔IPD_Accession shape).
+    QueryDef(
+      "j4_multiway_join",
+      """SELECT r.r_name, n.n_name, count(*) AS n_cust
+        |FROM customer c
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |JOIN region r ON n.n_regionkey = r.r_regionkey
+        |GROUP BY r.r_name, n.n_name
+        |ORDER BY r.r_name, n.n_name""".stripMargin) { (s, d) =>
+      Tables.customer(s, d)
+        .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name", "n_name").agg(count(lit(1)).as("n_cust"))
+        .orderBy("r_name", "n_name")
+    },
+
+    // J7: singleton × relation cartesian (Submitter×GFE, load.cyp:101-111).
+    QueryDef(
+      "j7_cross_singleton",
+      """SELECT r.r_name, t.total_items
+        |FROM region r, (SELECT count(*) AS total_items FROM lineitem) t
+        |ORDER BY r.r_name""".stripMargin) { (s, d) =>
+      val singleton = Tables.lineitem(s, d).agg(count(lit(1)).as("total_items"))
+      Tables.region(s, d).crossJoin(broadcast(singleton))
+        .select("r_name", "total_items")
+        .orderBy("r_name")
+    },
+
+    // J8: the documented 2-hop traversal (allele→GFE→features,
+    // reference.rst:34-37) ≡ customer→orders→lineitem, projected+ordered.
+    QueryDef(
+      "j8_two_hop_traversal",
+      """SELECT c.c_custkey, o.o_orderkey, l.l_linenumber, l.l_partkey
+        |FROM customer c
+        |JOIN orders o ON o.o_custkey = c.c_custkey
+        |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |WHERE c.c_custkey < 20
+        |ORDER BY c.c_custkey, o.o_orderkey, l.l_linenumber""".stripMargin) { (s, d) =>
+      val c = Tables.customer(s, d).where(col("c_custkey") < 20)
+      val o = Tables.orders(s, d)
+      val l = Tables.lineitem(s, d)
+      broadcast(c)
+        .join(o, col("o_custkey") === col("c_custkey"))
+        .join(l, col("l_orderkey") === col("o_orderkey"))
+        .select("c_custkey", "o_orderkey", "l_linenumber", "l_partkey")
+        .orderBy("c_custkey", "o_orderkey", "l_linenumber")
+    },
+
+    // Semi join (EXISTS) — §2.3 "absent in reference" gap, implemented.
+    QueryDef(
+      "j_semi_exists",
+      """SELECT c_custkey FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+        |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      Tables.customer(s, d)
+        .join(
+          Tables.orders(s, d).where(col("o_orderstatus") === "F"),
+          col("o_custkey") === col("c_custkey"), "left_semi")
+        .select("c_custkey").orderBy("c_custkey")
+    },
+
+    // Anti join (NOT EXISTS) — customers with no pending ('P') orders.
+    QueryDef(
+      "j_anti_not_exists",
+      """SELECT c_custkey FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P')
+        |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      Tables.customer(s, d)
+        .join(
+          Tables.orders(s, d).where(col("o_orderstatus") === "P"),
+          col("o_custkey") === col("c_custkey"), "left_anti")
+        .select("c_custkey").orderBy("c_custkey")
+    },
+
+    // A1: node count per label ≡ union-all of per-table counts.
+    QueryDef(
+      "a1_count_by_label",
+      """SELECT 'customer' AS label, count(*) AS n FROM customer
+        |UNION ALL SELECT 'orders', count(*) FROM orders
+        |UNION ALL SELECT 'lineitem', count(*) FROM lineitem
+        |UNION ALL SELECT 'part', count(*) FROM part
+        |UNION ALL SELECT 'supplier', count(*) FROM supplier
+        |ORDER BY label""".stripMargin) { (s, d) =>
+      Seq("customer", "orders", "lineitem", "part", "supplier")
+        .map(t => Tables.table(s, d, t)
+          .agg(count(lit(1)).as("n")).select(lit(t).as("label"), col("n")))
+        .reduce(_ unionAll _)
+        .orderBy("label")
+    },
+
+    // A2: releases histogram ≡ explode(distinct array) → count → order.
+    QueryDef(
+      "a2_explode_histogram",
+      """SELECT token, count(*) AS n
+        |FROM (SELECT unnest(string_split(p_type, ' ')) AS token FROM part)
+        |GROUP BY token ORDER BY token""".stripMargin) { (s, d) =>
+      Tables.part(s, d)
+        .select(explode(split(col("p_type"), " ")).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("n"))
+        .orderBy("token")
+    },
+
+    // A4: releases-array accumulate-merge ≡ sorted distinct collect per key
+    // (load.cyp:94-95), serialized to string for engine-portable compare.
+    QueryDef(
+      "a4_array_merge",
+      """SELECT o_custkey,
+        |       array_to_string(list_sort(list_distinct(list(o_orderpriority))), ',') AS priorities
+        |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin) { (s, d) =>
+      Tables.orders(s, d)
+        .groupBy("o_custkey")
+        .agg(concat_ws(",", array_sort(collect_set(col("o_orderpriority"))))
+          .as("priorities"))
+        .orderBy("o_custkey")
+    },
+
+    // A5: MERGE first-writer-wins upsert ≡ keep first row per natural key
+    // under a deterministic ordering (load.cyp:7,23-31).
+    QueryDef(
+      "a5_merge_first_wins",
+      """SELECT o_custkey, o_orderkey, o_orderstatus FROM (
+        |  SELECT o_custkey, o_orderkey, o_orderstatus,
+        |         row_number() OVER (PARTITION BY o_custkey
+        |                            ORDER BY o_orderdate, o_orderkey) AS rn
+        |  FROM orders) WHERE rn = 1
+        |ORDER BY o_custkey""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      Tables.orders(s, d)
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select("o_custkey", "o_orderkey", "o_orderstatus")
+        .orderBy("o_custkey")
+    },
+
+    // §2.5: accession assignment ≡ dense_rank within a partition.
+    QueryDef(
+      "w_dense_rank",
+      """SELECT s_suppkey,
+        |       dense_rank() OVER (PARTITION BY s_nationkey
+        |                          ORDER BY s_acctbal, s_suppkey) AS rnk
+        |FROM supplier ORDER BY s_suppkey""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("s_nationkey").orderBy("s_acctbal", "s_suppkey")
+      Tables.supplier(s, d)
+        .select(col("s_suppkey"), dense_rank().over(w).as("rnk"))
+        .orderBy("s_suppkey")
+    },
+
+    // Top-k per group (row_number ≤ k) — ranking surface.
+    QueryDef(
+      "w_topk_per_group",
+      """SELECT o_custkey, o_orderkey FROM (
+        |  SELECT o_custkey, o_orderkey,
+        |         row_number() OVER (PARTITION BY o_custkey
+        |                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders) WHERE rn <= 3
+        |ORDER BY o_custkey, o_orderkey""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables.orders(s, d)
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 3)
+        .select("o_custkey", "o_orderkey")
+        .orderBy("o_custkey", "o_orderkey")
+    },
+
+    // O1′–O4′: global sort + limit with deterministic tie-break.
+    QueryDef(
+      "o_sort_limit",
+      """SELECT l_orderkey, l_linenumber, l_extendedprice
+        |FROM lineitem
+        |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+        |LIMIT 10""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+        .limit(10)
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+    },
+
+    // O1: new-release detection ≡ EXCEPT (set difference on keys):
+    // customers active in 1997 that were not active in 1996.
+    QueryDef(
+      "set_except",
+      """SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997
+        |EXCEPT
+        |SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+        |ORDER BY o_custkey""".stripMargin) { (s, d) =>
+      val o = Tables.orders(s, d)
+      o.where(year(col("o_orderdate")) === 1997).select("o_custkey")
+        .except(o.where(year(col("o_orderdate")) === 1996).select("o_custkey"))
+        .orderBy("o_custkey")
+    },
+
+    // O2: set equality check surface ≡ INTERSECT.
+    QueryDef(
+      "set_intersect",
+      """SELECT c_nationkey AS nationkey FROM customer
+        |INTERSECT SELECT s_nationkey AS nationkey FROM supplier
+        |ORDER BY nationkey""".stripMargin) { (s, d) =>
+      Tables.customer(s, d).select(col("c_nationkey").as("nationkey"))
+        .intersect(Tables.supplier(s, d).select(col("s_nationkey").as("nationkey")))
+        .orderBy("nationkey")
+    },
+
+    // §2.8 string scalar pack: upper/substring/concat_ws/regexp_replace/length.
+    QueryDef(
+      "f_string_pack",
+      """SELECT c_custkey,
+        |       upper(c_mktsegment) AS seg_u,
+        |       substr(c_name, 1, 8) AS name8,
+        |       concat_ws('-', c_mktsegment, CAST(c_custkey AS VARCHAR)) AS tagged,
+        |       regexp_replace(c_name, '[0-9]+', '#') AS name_masked,
+        |       length(c_name) AS name_len
+        |FROM customer ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      Tables.customer(s, d).select(
+        col("c_custkey"),
+        upper(col("c_mktsegment")).as("seg_u"),
+        substring(col("c_name"), 1, 8).as("name8"),
+        concat_ws("-", col("c_mktsegment"), col("c_custkey").cast("string")).as("tagged"),
+        regexp_replace(col("c_name"), "[0-9]+", "#").as("name_masked"),
+        length(col("c_name")).as("name_len")
+      ).orderBy("c_custkey")
+    },
+
+    // §2.8 date scalar pack: extraction + grouping on event time.
+    QueryDef(
+      "f_date_pack",
+      """SELECT year(o_orderdate) AS y, month(o_orderdate) AS m,
+        |       count(*) AS n, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+        |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+      Tables.orders(s, d)
+        .groupBy(year(col("o_orderdate")).as("y"), month(col("o_orderdate")).as("m"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).as("total"))
+        .orderBy("y", "m")
+    },
+
+    // §2.8 JSON decode: extract key from the props JSON column.
+    QueryDef(
+      "f_json_extract",
+      """SELECT json_extract_string(props, '$.k') AS k, count(*) AS n
+        |FROM events GROUP BY 1 ORDER BY CAST(k AS BIGINT)""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .select(get_json_object(col("props"), "$.k").as("k"))
+        .groupBy("k").agg(count(lit(1)).as("n"))
+        .orderBy(col("k").cast("long"))
+    },
+
+    // GFE-name construction (introduction.rst:33-38): locus + 'w' +
+    // ordered dash-joined accessions ≡ ordered string_agg per group.
+    QueryDef(
+      "gfe_name_agg",
+      """SELECT l_orderkey,
+        |       concat('O', 'w', string_agg(CAST(l_linenumber AS VARCHAR), '-'
+        |                                   ORDER BY l_linenumber)) AS gfe_name
+        |FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_orderkey")
+        .agg(concat(lit("O"), lit("w"),
+          concat_ws("-",
+            transform(
+              array_sort(collect_list(col("l_linenumber"))),
+              x => x.cast("string")))).as("gfe_name"))
+        .orderBy("l_orderkey")
+    }
+  )
+}
