@@ -9,7 +9,8 @@ object SparkEntry {
 
   /** All operator queries, each with an optional DuckDB oracle. */
   def allDefs: Seq[QueryDef] =
-    RelationalQueries.all
+    RelationalQueries.all ++ TextQueries.all ++ DedupQueries.all ++
+      SimilarityQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * TPC-H Q1 shape: scan → pushed filter → hash agg → order. */

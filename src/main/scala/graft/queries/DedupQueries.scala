@@ -1,0 +1,204 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.GraftFunctions._
+import graft.queries.TextQueries.shingles
+
+/** Deduplication operators over `documents` — exact, MinHash+LSH,
+  * n-gram Jaccard, and SimHash (builder brief: first-class training-data
+  * pipeline ops).
+  *
+  * Scale design (the 100 TB story):
+  *  - Exact dedup is a hash-groupBy on a 60-bit content hash — one
+  *    shuffle on a fixed-width key, never on the raw text.
+  *  - MinHash/LSH: signatures are computed per-row with codegen'd
+  *    higher-order functions (no UDF, no shuffle), then candidates come
+  *    from a self-equi-join on (band_index, band_key) — Spark shuffles
+  *    both sides on the band key, so each executor only compares docs
+  *    that collide in a band. Quadratic blow-up is bounded per bucket,
+  *    the classic LSH contract.
+  *  - Exact-Jaccard verification happens only on LSH candidates; the
+  *    Jaccard test itself is integer cross-multiplication (2*|∩| ≥ |∪|),
+  *    so the oracle comparison is exact.
+  *  - SimHash: 32-bit signature via bit-vote aggregation, near-dup pairs
+  *    by Hamming distance on xor — pairs are blocked on the top-16-bit
+  *    prefix so the self-join is an equi-join, not a cross join.
+  */
+object DedupQueries {
+
+  /** Shared DuckDB CTE: doc_id + distinct 3-word shingle list. */
+  private val shingleCte: String =
+    """WITH w AS (SELECT doc_id, string_split_regex(trim(text),'\s+') AS w FROM documents),
+      |sh AS (SELECT doc_id,
+      |         list_distinct(list_transform(generate_series(1, greatest(len(w)-2,1)),
+      |                                      i -> array_to_string(w[i:i+2], ' '))) AS sh
+      |       FROM w)""".stripMargin
+
+  /** DuckDB equivalent of [[graft.functions.GraftFunctions.hex60]]. */
+  private def duckHex60(x: String): String =
+    s"CAST(('0x' || substr(md5($x),1,15)) AS BIGINT)"
+
+  private val nHashes = 8 // minhash signature width
+  private val nBands = 4 // bands of 2 rows each
+
+  /** Spark-side doc_id + distinct-shingles frame. */
+  private def shingled(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), shingles(tokens(col("text"))).as("sh"))
+
+  val all: Seq[QueryDef] = Seq(
+
+    // Exact dedup: group on content hash, survivor = min doc_id.
+    // At scale this is THE cheap pass: shuffle 8-byte keys, not text.
+    QueryDef(
+      "d_exact_dedup",
+      s"""SELECT ${duckHex60("text")} AS content_fp,
+        |       min(doc_id) AS survivor_id, count(*) AS n_copies
+        |FROM documents
+        |GROUP BY 1 ORDER BY survivor_id""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .groupBy(hex60(col("text")).as("content_fp"))
+        .agg(min(col("doc_id")).as("survivor_id"), count(lit(1)).as("n_copies"))
+        .orderBy("survivor_id")
+    },
+
+    // MinHash + LSH banding: 8 seeded minhashes over 3-word shingles,
+    // 4 bands × 2 rows; candidate pairs share ≥1 band bucket.
+    QueryDef(
+      "d_minhash_lsh", {
+        val sig = (1 to nHashes).map(j =>
+          s"list_min(list_transform(sh, x -> ${duckHex60(s"x || '#$j'")})) AS m$j")
+          .mkString(", ")
+        val bands = (0 until nBands).map(b =>
+          s"SELECT doc_id, $b AS band, CAST(m${2 * b + 1} AS VARCHAR) || ':' || CAST(m${2 * b + 2} AS VARCHAR) AS bk FROM sig")
+          .mkString(" UNION ALL ")
+        s"""$shingleCte,
+        |sig AS (SELECT doc_id, $sig FROM sh),
+        |bands AS ($bands)
+        |SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+        |FROM bands a JOIN bands b ON a.band = b.band AND a.bk = b.bk
+        |                         AND a.doc_id < b.doc_id
+        |ORDER BY d1, d2""".stripMargin
+      }) { (s, d) =>
+      val sig = shingled(s, d).select(
+        col("doc_id") +: (1 to nHashes).map(j =>
+          array_min(transform(col("sh"),
+            x => hex60(concat(x, lit(s"#$j"))))).as(s"m$j")): _*)
+      // Materialize the signature table before the self-join: otherwise
+      // Catalyst collapses the projection into both join sides and
+      // recomputes all 8 minhashes per *candidate pair* instead of per
+      // doc. At scale this is a real table written once (fixed-width,
+      // ~100 bytes/doc regardless of doc size) and joined twice.
+      val bands = sig.select(
+        col("doc_id"),
+        posexplode(array((0 until nBands).map(b =>
+          concat_ws(":", col(s"m${2 * b + 1}"), col(s"m${2 * b + 2}"))): _*))
+          .as(Seq("band", "bk")))
+        .cache()
+      bands.as("a")
+        .join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.bk") === col("b.bk") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+        .distinct()
+        .orderBy("d1", "d2")
+    },
+
+    // n-gram Jaccard near-dup: block on the k=1 minhash (docs sharing
+    // their min shingle hash), verify with exact set Jaccard ≥ 0.5 via
+    // integer cross-multiplication — no float compare anywhere.
+    QueryDef(
+      "d_jaccard_pairs",
+      s"""$shingleCte,
+        |blk AS (SELECT doc_id, sh,
+        |          list_min(list_transform(sh, x -> ${duckHex60("x || '#0'")})) AS bk
+        |        FROM sh)
+        |SELECT d1, d2, inter_cnt, union_cnt FROM (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2,
+        |         len(list_intersect(a.sh, b.sh)) AS inter_cnt,
+        |         len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS union_cnt
+        |  FROM blk a JOIN blk b ON a.bk = b.bk AND a.doc_id < b.doc_id)
+        |WHERE 2 * inter_cnt >= union_cnt
+        |ORDER BY d1, d2""".stripMargin) { (s, d) =>
+      // Materialized for the same reason as d_minhash_lsh: the shingle
+      // set + blocking key must be computed once per doc, not once per
+      // candidate pair on each side of the self-join.
+      val blk = shingled(s, d).select(
+        col("doc_id"), col("sh"),
+        array_min(transform(col("sh"),
+          x => hex60(concat(x, lit("#0"))))).as("bk"))
+        .cache()
+      blk.as("a")
+        .join(blk.as("b"),
+          col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"))
+        .select(
+          col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+          size(array_intersect(col("a.sh"), col("b.sh"))).as("inter_cnt"),
+          (size(col("a.sh")) + size(col("b.sh")) -
+            size(array_intersect(col("a.sh"), col("b.sh")))).as("union_cnt"))
+        .where(col("inter_cnt") * 2 >= col("union_cnt"))
+        .orderBy("d1", "d2")
+    },
+
+    // SimHash: 32-bit signature — majority vote per bit over shingle
+    // hashes. Whole computation is nested higher-order functions on one
+    // row: zero shuffle, fully codegen'd.
+    QueryDef(
+      "d_simhash",
+      s"""$shingleCte,
+        |hs AS (SELECT doc_id,
+        |         list_transform(sh, x -> ${duckHex60("x")}) AS hs FROM sh)
+        |SELECT doc_id,
+        |       list_sum(list_transform(generate_series(0,31), b ->
+        |         CASE WHEN 2 * len(list_filter(hs, h -> (h >> b) & 1 = 1)) > len(hs)
+        |              THEN (1::BIGINT << b) ELSE 0 END)) AS simhash
+        |FROM hs ORDER BY doc_id""".stripMargin) { (s, d) =>
+      // The Scala DSL's shiftleft/shiftright only accept Int shift
+      // amounts; the SQL forms accept expressions — same codegen'd
+      // Catalyst ShiftLeft/ShiftRight underneath.
+      shingled(s, d)
+        .select(col("doc_id"),
+          transform(col("sh"), x => hex60(x)).as("hs"))
+        .select(col("doc_id"),
+          expr("""aggregate(sequence(0, 31), 0L, (acc, b) ->
+                 acc + CASE WHEN 2 * size(filter(hs, h -> (shiftright(h, b) & 1) = 1)) > size(hs)
+                            THEN shiftleft(CAST(1 AS BIGINT), b) ELSE 0L END)""")
+            .as("simhash"))
+        .orderBy("doc_id")
+    },
+
+    // Embedding-cosine near-dup: pairs above a similarity threshold.
+    // Exact-verify shape; the scale path buckets by sign-LSH prefix
+    // first (see v_ann_ivf for the cell-probe variant).
+    QueryDef(
+      "d_embedding_neardup",
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+        |SELECT a.vec_id AS v1, b.vec_id AS v2,
+        |       round(list_dot_product(a.v, b.v) /
+        |             (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) AS sim
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |WHERE round(list_dot_product(a.v, b.v) /
+        |            (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) >= 0.4
+        |ORDER BY v1, v2""".stripMargin) { (s, d) =>
+      val e = Tables.embeddings(s, d).select(
+        col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      // Normalized vectors materialized once — without this the double
+      // cast + norm aggregate re-runs per pair inside the O(n²) join.
+      val withNorm = e.withColumn("nrm", sqrt(aggregate(col("v"), lit(0.0d),
+        (acc, x) => acc + x * x))).cache()
+      withNorm.as("a")
+        .join(broadcast(withNorm.as("b")), col("a.vec_id") < col("b.vec_id"))
+        .select(
+          col("a.vec_id").as("v1"), col("b.vec_id").as("v2"),
+          round(
+            aggregate(zip_with(col("a.v"), col("b.v"), (x, y) => x * y),
+              lit(0.0d), (acc, x) => acc + x) / (col("a.nrm") * col("b.nrm")),
+            4).as("sim"))
+        .where(col("sim") >= 0.4)
+        .orderBy("v1", "v2")
+    }
+  )
+}

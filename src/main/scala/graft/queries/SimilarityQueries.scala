@@ -1,0 +1,158 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Similarity search over the `embeddings` table (`Array[Float]`, 64-d).
+  *
+  * Two tiers, per the builder brief:
+  *  - `v_cosine_topk` — brute-force cosine top-k: the exactness baseline.
+  *    Queries are broadcast (tiny side), so the big side streams through
+  *    a map + per-query top-k window; at 100 TB this is the "re-rank"
+  *    stage, never the full-corpus scan.
+  *  - `v_ann_ivf` — IVF cell-probe: corpus vectors are assigned to their
+  *    nearest of K fixed centroids (one broadcast join + argmin), queries
+  *    probe their P nearest cells, and exact scoring runs only inside
+  *    probed cells. The cell assignment is the partitioning story: at
+  *    scale the corpus is written bucketed by cell_id, so a probe touches
+  *    P/K of the data.
+  *
+  * All dot products are built-in higher-order functions (`zip_with` +
+  * `aggregate`) over DOUBLE — codegen'd, no UDFs. Similarities are
+  * rounded to 4 decimals before any comparison/ranking so results are
+  * bit-stable across engines (ties broken by vec_id).
+  */
+object SimilarityQueries {
+
+  private[queries] def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
+
+  /** embeddings as (vec_id, v: array<double>, nrm), materialized: the
+    * corpus is referenced 2-4× per query (queries side, corpus side,
+    * assign, re-rank) and Catalyst would otherwise recompute the cast +
+    * norm per reference — at scale this is the stored, pre-normalized
+    * vector table every ANN system keeps. */
+  private def vecs(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+      .cache()
+
+  private val duckVecs =
+    "SELECT vec_id, embedding::DOUBLE[] AS v, sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm FROM embeddings"
+
+  private val nQueries = 8 // query set: vec_id < 8
+  private val topK = 10
+  private val nCentroids = 16 // IVF: centroids = vec_id < 16
+  private val nProbe = 4 // cells probed per query
+  private val ivfK = 5 // neighbors returned per query
+
+  val all: Seq[QueryDef] = Seq(
+
+    // Brute-force cosine top-k, the exact baseline.
+    QueryDef(
+      "v_cosine_topk",
+      s"""WITH e AS ($duckVecs),
+        |q AS (SELECT * FROM e WHERE vec_id < $nQueries),
+        |scored AS (
+        |  SELECT q.vec_id AS q_id, e.vec_id AS n_id,
+        |         round(list_dot_product(q.v, e.v) / (q.nrm * e.nrm), 4) AS sim
+        |  FROM q JOIN e ON q.vec_id <> e.vec_id)
+        |SELECT q_id, n_id, sim FROM (
+        |  SELECT q_id, n_id, sim,
+        |         row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rn
+        |  FROM scored)
+        |WHERE rn <= $topK ORDER BY q_id, n_id""".stripMargin) { (s, d) =>
+      val e = vecs(s, d)
+      val q = e.where(col("vec_id") < nQueries)
+      val scored = broadcast(q.as("q"))
+        .join(e.as("e"), col("q.vec_id") =!= col("e.vec_id"))
+        .select(
+          col("q.vec_id").as("q_id"), col("e.vec_id").as("n_id"),
+          round(dot(col("q.v"), col("e.v")) / (col("q.nrm") * col("e.nrm")), 4)
+            .as("sim"))
+      val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("n_id"))
+      scored.withColumn("rn", row_number().over(w))
+        .where(col("rn") <= topK)
+        .select("q_id", "n_id", "sim")
+        .orderBy("q_id", "n_id")
+    },
+
+    // IVF cell-probe ANN: assign → probe → exact-score within cells.
+    QueryDef(
+      "v_ann_ivf",
+      s"""WITH e AS ($duckVecs),
+        |c AS (SELECT vec_id AS c_id, v AS cv, nrm AS cnrm FROM e WHERE vec_id < $nCentroids),
+        |assign AS (
+        |  SELECT vec_id, c_id AS cell_id FROM (
+        |    SELECT e.vec_id, c.c_id,
+        |           row_number() OVER (PARTITION BY e.vec_id
+        |             ORDER BY round(list_dot_product(e.v, c.cv) / (e.nrm * c.cnrm), 4) DESC, c.c_id) AS rn
+        |    FROM e, c) WHERE rn = 1),
+        |q AS (SELECT * FROM e WHERE vec_id < $nQueries),
+        |probe AS (
+        |  SELECT q_id, c_id AS cell_id FROM (
+        |    SELECT q.vec_id AS q_id, c.c_id,
+        |           row_number() OVER (PARTITION BY q.vec_id
+        |             ORDER BY round(list_dot_product(q.v, c.cv) / (q.nrm * c.cnrm), 4) DESC, c.c_id) AS rn
+        |    FROM q, c) WHERE rn <= $nProbe),
+        |cand AS (
+        |  SELECT p.q_id, a.vec_id AS n_id
+        |  FROM probe p JOIN assign a ON a.cell_id = p.cell_id
+        |  WHERE p.q_id <> a.vec_id)
+        |SELECT q_id, n_id, sim FROM (
+        |  SELECT cand.q_id, cand.n_id,
+        |         round(list_dot_product(q.v, e.v) / (q.nrm * e.nrm), 4) AS sim,
+        |         row_number() OVER (PARTITION BY cand.q_id
+        |           ORDER BY round(list_dot_product(q.v, e.v) / (q.nrm * e.nrm), 4) DESC, cand.n_id) AS rn
+        |  FROM cand JOIN q ON q.vec_id = cand.q_id
+        |            JOIN e ON e.vec_id = cand.n_id)
+        |WHERE rn <= $ivfK ORDER BY q_id, n_id""".stripMargin) { (s, d) =>
+      val e = vecs(s, d)
+      val c = e.where(col("vec_id") < nCentroids)
+        .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cnrm"))
+      def simTo(v: Column, n: Column): Column =
+        round(dot(v, col("cv")) / (n * col("cnrm")), 4)
+      // assign every corpus vector to its nearest centroid (broadcast K)
+      val wAssign = Window.partitionBy("vec_id")
+        .orderBy(col("csim").desc, col("c_id"))
+      val assign = e.crossJoin(broadcast(c))
+        .select(col("vec_id"), col("c_id"), simTo(col("v"), col("nrm")).as("csim"))
+        .withColumn("rn", row_number().over(wAssign))
+        .where(col("rn") === 1)
+        .select(col("vec_id"), col("c_id").as("cell_id"))
+      // queries probe their nProbe nearest cells
+      val q = e.where(col("vec_id") < nQueries)
+      val probe = q.crossJoin(broadcast(c))
+        .select(col("vec_id").as("q_id"), col("c_id"),
+          simTo(col("v"), col("nrm")).as("csim"))
+        .withColumn("rn",
+          row_number().over(Window.partitionBy("q_id")
+            .orderBy(col("csim").desc, col("c_id"))))
+        .where(col("rn") <= nProbe)
+        .select(col("q_id"), col("c_id").as("cell_id"))
+      // exact score only inside probed cells
+      val cand = broadcast(probe)
+        .join(assign, "cell_id")
+        .where(col("q_id") =!= col("vec_id"))
+        .select(col("q_id"), col("vec_id").as("n_id"))
+      val scored = cand
+        .join(broadcast(q.select(col("vec_id").as("q_id"),
+          col("v").as("qv"), col("nrm").as("qnrm"))), "q_id")
+        .join(e.select(col("vec_id").as("n_id"),
+          col("v").as("nv"), col("nrm").as("nnrm")), "n_id")
+        .select(col("q_id"), col("n_id"),
+          round(dot(col("qv"), col("nv")) / (col("qnrm") * col("nnrm")), 4)
+            .as("sim"))
+      scored.withColumn("rn",
+        row_number().over(Window.partitionBy("q_id")
+          .orderBy(col("sim").desc, col("n_id"))))
+        .where(col("rn") <= ivfK)
+        .select("q_id", "n_id", "sim")
+        .orderBy("q_id", "n_id")
+    }
+  )
+}

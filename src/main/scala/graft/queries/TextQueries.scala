@@ -1,0 +1,141 @@
+package graft.queries
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.GraftFunctions._
+
+/** Text-analysis operators over the `documents` table — the language-ID /
+  * quality-scoring / token-counting / fingerprinting surface a large-scale
+  * training-data pipeline needs (builder brief; extensions beyond the
+  * reference surface, SURVEY.md §7.1 step 8).
+  *
+  * Scale notes: every operator here is a narrow per-row map (no shuffle
+  * except the final presentation ORDER BY); all scoring is integer
+  * arithmetic or md5-based hashing composed from built-in functions, so
+  * the whole stage is whole-stage-codegen'd and engine-portable (each
+  * query has an exact DuckDB oracle — no floats in the hot comparisons).
+  */
+object TextQueries {
+
+  /** 3-word shingles of a token-array column (distinct set). */
+  def shingles(w: Column): Column =
+    array_distinct(transform(
+      sequence(lit(1), greatest(size(w) - 2, lit(1))),
+      i => concat_ws(" ", slice(w, i, lit(3)))))
+
+  // Pseudo-language marker sets drawn from the harness vocab.
+  private val markers: Seq[(String, Seq[String])] = Seq(
+    "biz" -> Seq("customer", "order", "part", "line", "value"),
+    "db" -> Seq("table", "scan", "join", "hash", "merge", "sort", "filter"),
+    "en" -> Seq("the", "a", "fast", "slow", "big", "small"),
+    "sys" -> Seq("spark", "stream", "batch", "window", "vector", "column"))
+
+  private def markerSql(words: Seq[String]): String =
+    words.map(w => s"'$w'").mkString("[", ",", "]")
+
+  val all: Seq[QueryDef] = Seq(
+
+    // Token counting: whitespace tokens + distinct-token vocabulary size.
+    QueryDef(
+      "t_token_count",
+      """SELECT doc_id,
+        |       len(string_split_regex(trim(text),'\s+')) AS n_tokens,
+        |       len(list_distinct(string_split_regex(trim(text),'\s+'))) AS n_uniq,
+        |       n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val toks = tokens(col("text"))
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        size(toks).as("n_tokens"),
+        size(array_distinct(toks)).as("n_uniq"),
+        col("n_chars")
+      ).orderBy("doc_id")
+    },
+
+    // Quality scoring: integer-only heuristics (length band, stopword
+    // density via cross-multiplication, type/token diversity) so the
+    // verdict is exact across engines.
+    QueryDef(
+      "t_quality",
+      """SELECT doc_id, n_tokens, stop_cnt, n_uniq,
+        |       CASE WHEN n_tokens >= 20 AND n_tokens <= 200
+        |                 AND stop_cnt * 4 <= n_tokens
+        |                 AND n_uniq * 5 >= n_tokens THEN 1 ELSE 0 END AS is_quality
+        |FROM (
+        |  SELECT doc_id,
+        |         len(toks) AS n_tokens,
+        |         len(list_filter(toks, t -> list_contains(['the','a'], t))) AS stop_cnt,
+        |         len(list_distinct(toks)) AS n_uniq
+        |  FROM (SELECT doc_id, string_split_regex(trim(text),'\s+') AS toks
+        |        FROM documents))
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val toks = tokens(col("text"))
+      Tables.documents(s, d)
+        .select(
+          col("doc_id"),
+          size(toks).as("n_tokens"),
+          size(filter(toks, t => t.isin("the", "a"))).as("stop_cnt"),
+          size(array_distinct(toks)).as("n_uniq"))
+        .withColumn("is_quality",
+          when(col("n_tokens") >= 20 && col("n_tokens") <= 200 &&
+            col("stop_cnt") * 4 <= col("n_tokens") &&
+            col("n_uniq") * 5 >= col("n_tokens"), lit(1)).otherwise(lit(0)))
+        .orderBy("doc_id")
+    },
+
+    // Language ID: n-gram/marker-word heuristic — count hits per marker
+    // set, argmax with alphabetical tie-break. Integer votes → exact.
+    QueryDef(
+      "t_lang_id", {
+        val scores = markers.map { case (l, ws) =>
+          s"len(list_filter(toks, t -> list_contains(${markerSql(ws)}, t))) AS s_$l"
+        }.mkString(",\n        |         ")
+        s"""SELECT doc_id,
+        |       CASE WHEN s_biz >= s_db AND s_biz >= s_en AND s_biz >= s_sys THEN 'biz'
+        |            WHEN s_db >= s_en AND s_db >= s_sys THEN 'db'
+        |            WHEN s_en >= s_sys THEN 'en'
+        |            ELSE 'sys' END AS pred_lang
+        |FROM (
+        |  SELECT doc_id,
+        |         $scores
+        |  FROM (SELECT doc_id, string_split_regex(trim(text),'\\s+') AS toks
+        |        FROM documents))
+        |ORDER BY doc_id""".stripMargin
+      }) { (s, d) =>
+      val toks = tokens(col("text"))
+      val scored = Tables.documents(s, d).select(
+        col("doc_id") +: markers.map { case (l, ws) =>
+          size(filter(toks, t => t.isin(ws: _*))).as(s"s_$l")
+        }: _*)
+      scored.select(
+        col("doc_id"),
+        when(col("s_biz") >= col("s_db") && col("s_biz") >= col("s_en") &&
+          col("s_biz") >= col("s_sys"), lit("biz"))
+          .when(col("s_db") >= col("s_en") && col("s_db") >= col("s_sys"), lit("db"))
+          .when(col("s_en") >= col("s_sys"), lit("en"))
+          .otherwise(lit("sys")).as("pred_lang")
+      ).orderBy("doc_id")
+    },
+
+    // Document fingerprinting: whole-doc content hash (dedup key) plus
+    // min-shingle rolling fingerprint (the k=1 minhash).
+    QueryDef(
+      "t_fingerprint",
+      """SELECT doc_id,
+        |       CAST(('0x' || substr(md5(lower(trim(text))),1,15)) AS BIGINT) AS content_fp,
+        |       list_min(list_transform(
+        |         list_distinct(list_transform(generate_series(1, greatest(len(w)-2,1)),
+        |                                      i -> array_to_string(w[i:i+2], ' '))),
+        |         x -> CAST(('0x' || substr(md5(x),1,15)) AS BIGINT))) AS min_shingle_fp
+        |FROM (SELECT doc_id, text, string_split_regex(trim(text),'\s+') AS w FROM documents)
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val w = tokens(col("text"))
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        hex60(lower(trim(col("text")))).as("content_fp"),
+        array_min(transform(shingles(w), x => hex60(x))).as("min_shingle_fp")
+      ).orderBy("doc_id")
+    }
+  )
+}
