@@ -1,0 +1,39 @@
+package graft.gfe
+
+/** Static domain constants mirroring the reference build's configuration
+  * (gfe-db/pipeline/jobs/build/src/constants.py:7-30).
+  */
+object GfeConstants {
+
+  /** Alleles excluded from every build (constants.py:7-11). */
+  val skipAlleles: Seq[String] = Seq(
+    "HLA-DRB5*01:11", "HLA-DRB5*01:12", "HLA-DRB5*01:13",
+    "HLA-DRB5*02:03", "HLA-DRB5*02:04", "HLA-DRB5*02:05",
+    "HLA-DRB5*01:01:02", "HLA-DRB5*01:03", "HLA-DRB5*01:05",
+    "HLA-DRB5*01:06", "HLA-DRB5*01:07", "HLA-DRB5*01:09",
+    "HLA-DRB5*01:10N", "HLA-C*05:208N", "HLA-C*05:206")
+
+  /** Loci the build processes (constants.py:13-15). The processable
+    * filter also admits bare "DRB5" descriptions (app.py:606-608). */
+  val hlaLoci: Seq[String] = Seq(
+    "HLA-A", "HLA-B", "HLA-C", "HLA-DRB1", "HLA-DQB1",
+    "HLA-DPB1", "HLA-DQA1", "HLA-DPA1", "HLA-DRB3",
+    "HLA-DRB4", "HLA-DRB5")
+
+  /** ARD reduction groups computed at build (constants.py:30). Note the
+    * loader only materializes G and lg onto IPD_Allele (load.cyp:66-83);
+    * lgx rows are built but never loaded — we preserve that behavior. */
+  val ardGroups: Seq[String] = Seq("G", "lg", "lgx")
+
+  /** Minimum processable sequence length (exclusive, app.py:609-610). */
+  val minSeqLen: Int = 5
+
+  /** "3560" -> "3.56.0"; "31240"-style 4-digit bodies -> "3.124.0"
+    * (app.py:550-555: 3-digit vs longer release strings). */
+  def formatRelease(v: String): String =
+    if (v.length == 4) s"${v.take(1)}.${v.slice(1, 3)}.${v.drop(3)}"
+    else s"${v.take(1)}.${v.slice(1, v.length - 1)}.${v.takeRight(1)}"
+
+  /** Inverse of [[formatRelease]] (load.cyp:94-95 `replace(...,".","")`). */
+  def compactRelease(v: String): String = v.replace(".", "")
+}

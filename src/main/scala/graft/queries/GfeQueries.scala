@@ -1,0 +1,49 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.gfe.GfeBuild
+import graft.graph.{GraphLoad, GraphQueries}
+import graft.ingest.ImgtFlatFile
+
+/** The reference's own domain surface (SURVEY.md §3) run end-to-end on
+  * the bundled two-release IMGT fixture: flat-file scan → build
+  * relations → graph MERGE → validation/traversal queries.
+  *
+  * These are not DuckDB-expressible (the input is an EMBL flat file,
+  * not a parquet table), so they carry no oracle — the driver records
+  * rows>0; the exact semantics are golden-tested in
+  * GfeBuildSpec/GraphLoadSpec (17-feature traversal shape, accession
+  * stability, MERGE policies).
+  */
+object GfeQueries {
+
+  private def build(s: SparkSession, rel: String,
+      reg: Option[DataFrame] = None): GfeBuild.BuildResult =
+    GfeBuild.run(s,
+      ImgtFlatFile.fromText(s, ImgtFlatFile.resourceText(s"/graft/hla.$rel.dat")),
+      rel, registry = reg)
+
+  private def graph(s: SparkSession): GraphLoad.Graph = {
+    val r1 = build(s, "3560")
+    val r2 = build(s, "3570", Some(r1.registry))
+    GraphLoad.loadAll(s, Seq(
+      ("3560", r1.gfeSequences, r1.allFeatures, r1.allGroups),
+      ("3570", r2.gfeSequences, r2.allFeatures, r2.allGroups)))
+  }
+
+  val all: Seq[QueryDef] = Seq(
+    // S1+P1-P8+J3+§2.5: full build of one release.
+    QueryDef.noOracle("gfe_build_sequences")((s, _) =>
+      build(s, "3560").gfeSequences.orderBy("hla_name")),
+    QueryDef.noOracle("gfe_build_features")((s, _) =>
+      build(s, "3560").allFeatures.orderBy("hla_name", "term", "rank")),
+    // A1: per-label node counts over the merged two-release graph.
+    QueryDef.noOracle("gfe_graph_label_counts")((s, _) =>
+      GraphQueries.labelCounts(graph(s))),
+    // A2: releases histogram over HAS_IPD_ALLELE.
+    QueryDef.noOracle("gfe_releases_histogram")((s, _) =>
+      GraphQueries.releasesHistogram(graph(s))),
+    // J8: the documented 2-hop traversal (17-row golden shape).
+    QueryDef.noOracle("gfe_allele_features")((s, _) =>
+      GraphQueries.alleleFeatures(graph(s), "HLA-A*01:01:01:01")))
+}

@@ -1,0 +1,112 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.gfe.{GfeBuild, GfeConstants}
+import graft.ingest.ImgtFlatFile
+
+class GfeBuildSpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.spark
+
+  def release(rel: String): GfeBuild.BuildResult = {
+    val ds = ImgtFlatFile.fromText(spark,
+      ImgtFlatFile.resourceText(s"/graft/hla.$rel.dat"))
+    GfeBuild.run(spark, ds, rel)
+  }
+  lazy val r3560 = release("3560")
+
+  test("release formatting round-trips (P9)") {
+    assert(GfeConstants.formatRelease("3560") == "3.56.0")
+    assert(GfeConstants.formatRelease("31240") == "3.124.0")
+    assert(GfeConstants.compactRelease("3.56.0") == "3560")
+  }
+
+  test("processable filter drops blocklist, short and unknown-locus (P1/P2)") {
+    val names = r3560.gfeSequences.select("hla_name").collect().map(_.getString(0))
+    assert(names.length == 9)
+    assert(!names.contains("HLA-C*05:206"), "blocklisted")
+    assert(!names.contains("HLA-A*99:99"), "len <= 5")
+    assert(!names.contains("ZZZ*01:01"), "unknown locus")
+  }
+
+  test("gfe_sequences carries seq_id (P5 md5-int) and length") {
+    val row = r3560.gfeSequences
+      .where(col("hla_name") === "HLA-A*01:01:01:01").collect().head
+    assert(row.getAs[String]("acc_name") == "HLA00001")
+    assert(row.getAs[Long]("length") == 321L)
+    val seqId = row.getAs[String]("seq_id")
+    assert(seqId.length == 32 && seqId.forall(_.isDigit))
+    assert(row.getAs[String]("imgt_release") == "3.56.0")
+  }
+
+  test("first-seen accession numbering within (locus, term, rank)") {
+    // Baseline allele is first in the file: every feature sequence is
+    // first-seen -> all accessions 1 -> 17 dash-joined ones.
+    val gfe1 = r3560.gfeSequences
+      .where(col("hla_name") === "HLA-A*01:01:01:01")
+      .select("gfe_name").collect().head.getString(0)
+    assert(gfe1 == "HLA-Aw" + Seq.fill(17)("1").mkString("-"))
+    // Second allele differs only in 5'UTR -> leading accession 2.
+    val gfe2 = r3560.gfeSequences
+      .where(col("hla_name") === "HLA-A*01:01:01:02")
+      .select("gfe_name").collect().head.getString(0)
+    assert(gfe2 == "HLA-Aw2-" + Seq.fill(16)("1").mkString("-"))
+  }
+
+  test("all_features: 17 rows per full allele, uppercased terms, fk columns") {
+    val af = r3560.allFeatures
+    assert(af.where(col("hla_name") === "HLA-A*01:01:01:01").count() == 17)
+    val terms = af.select("term").distinct().collect().map(_.getString(0)).toSet
+    assert(terms == Set("FIVE_PRIME_UTR", "EXON", "INTRON", "THREE_PRIME_UTR"))
+    assert(af.where(col("hash_code") =!= "none").count() == 0)
+  }
+
+  test("all_cds present iff CDS+translation; missing CDS -> error row") {
+    assert(r3560.allCds.count() == 8) // 9 processable - 1 CDS-less
+    val errs = r3560.errors.collect()
+    assert(errs.length == 1)
+    assert(errs.head.getAs[String]("hla_name") == "HLA-A*03:01")
+    // partial-write semantics: the failed allele still has its other rows
+    assert(r3560.gfeSequences.where(col("hla_name") === "HLA-A*03:01").count() == 1)
+  }
+
+  test("all_groups: one row per (allele, ard group); unreduced -> empty strings") {
+    assert(r3560.allGroups.count() == 9 * 3)
+    assert(r3560.allGroups.where(col("ard_id") =!= "").count() == 0)
+    // with a reduction table, matching rows carry the group id
+    import spark.implicits._
+    val ard = Seq(("HLA-A*01:01:01:01", "G", "HLA-A*01:01:01G"))
+      .toDF("hla_name", "ard_name", "ard_id")
+    val ds = ImgtFlatFile.fromText(spark,
+      ImgtFlatFile.resourceText("/graft/hla.3560.dat"))
+    val withArd = GfeBuild.run(spark, ds, "3560", ard = Some(ard))
+    val g = withArd.allGroups
+      .where(col("hla_name") === "HLA-A*01:01:01:01" && col("ard_name") === "G")
+      .collect()
+    assert(g.length == 1 && g.head.getAs[String]("ard_id") == "HLA-A*01:01:01G")
+  }
+
+  test("accession registry is stable across releases (SURVEY §7.4.1)") {
+    val r3570 = {
+      val ds = ImgtFlatFile.fromText(spark,
+        ImgtFlatFile.resourceText("/graft/hla.3570.dat"))
+      GfeBuild.run(spark, ds, "3570", registry = Some(r3560.registry))
+    }
+    // unchanged allele keeps its GFE name bit-for-bit
+    def name(r: GfeBuild.BuildResult, hla: String) =
+      r.gfeSequences.where(col("hla_name") === hla)
+        .select("gfe_name").collect().head.getString(0)
+    assert(name(r3570, "HLA-A*01:01:01:01") == name(r3560, "HLA-A*01:01:01:01"))
+    assert(name(r3570, "HLA-A*01:01:01:02") == name(r3560, "HLA-A*01:01:01:02"))
+    // new exon1 variant gets max+1 within (HLA-A, EXON, 1):
+    // 3560 saw v0 (acc 1) and v2 (acc 2) -> v9 must be 3.
+    val n13 = name(r3570, "HLA-A*01:03")
+    assert(n13 == "HLA-Aw1-3-" + Seq.fill(15)("1").mkString("-"), n13)
+    // registry only ever grows
+    assert(r3570.registry.count() > r3560.registry.count())
+    val dup = r3570.registry.groupBy("locus", "term", "rank", "sequence")
+      .count().where(col("count") > 1).count()
+    assert(dup == 0)
+  }
+}

@@ -1,0 +1,90 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.gfe.GfeBuild
+import graft.graph.{GraphLoad, GraphQueries}
+import graft.ingest.ImgtFlatFile
+
+class GraphLoadSpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.spark
+
+  lazy val graph: GraphLoad.Graph = {
+    val r1 = GfeBuild.run(spark, ImgtFlatFile.fromText(spark,
+      ImgtFlatFile.resourceText("/graft/hla.3560.dat")), "3560")
+    val r2 = GfeBuild.run(spark, ImgtFlatFile.fromText(spark,
+      ImgtFlatFile.resourceText("/graft/hla.3570.dat")), "3570",
+      registry = Some(r1.registry))
+    GraphLoad.loadAll(spark, Seq(
+      ("3560", r1.gfeSequences, r1.allFeatures, r1.allGroups),
+      ("3570", r2.gfeSequences, r2.allFeatures, r2.allGroups)))
+  }
+
+  test("vertices MERGE by natural key (A5): unique keys per label") {
+    assert(GraphQueries.validateConstraints(graph).isEmpty)
+    // 3570 adds 2 new alleles -> 9 + 2 distinct GFE names (all fixture
+    // alleles have distinct feature sets -> distinct GFEs)
+    assert(graph.gfe.count() == 11)
+    assert(graph.ipdAllele.count() == 11)
+    assert(graph.submitter.count() == 1)
+  }
+
+  test("HAS_IPD_ALLELE releases accumulate sorted distinct (A4)") {
+    val rels = graph.hasIpdAllele
+      .where(col("dst") === "HLA-A*01:01:01:01")
+      .select("releases").collect().head.getSeq[Int](0)
+    assert(rels == Seq(3560, 3570))
+    val only3560 = graph.hasIpdAllele
+      .where(col("dst") === "HLA-C*01:02")
+      .select("releases").collect().head.getSeq[Int](0)
+    assert(only3560 == Seq(3560))
+  }
+
+  test("HAS_IPD_ACCESSION release is first-write-wins") {
+    val rel = graph.hasIpdAccession
+      .where(col("dst") === "HLA00001")
+      .select("release").collect().head.getString(0)
+    assert(rel == "3.56.0")
+  }
+
+  test("validation aggregations (A1-A3)") {
+    val counts = GraphQueries.labelCounts(graph).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts("GFE") == 11 && counts("Submitter") == 1)
+    assert(counts("IPD_Accession") == 11)
+    val hist = GraphQueries.releasesHistogram(graph).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(hist(3560) == 9 && hist(3570) == 4)
+    val acc = GraphQueries.accessionReleaseCounts(graph).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(acc("3.56.0") == 9 && acc("3.57.0") == 2)
+  }
+
+  test("2-hop traversal golden: 17 (term, rank) rows for a full allele (J8)") {
+    val fs = GraphQueries.alleleFeatures(graph, "HLA-A*01:01:01:01").collect()
+    assert(fs.length == 17)
+    assert(fs.map(r => (r.getAs[String]("term"), r.getAs[Int]("rank"))).toSeq ==
+      (Seq(("EXON", 1), ("EXON", 2), ("EXON", 3), ("EXON", 4), ("EXON", 5),
+        ("EXON", 6), ("EXON", 7), ("EXON", 8)) ++
+        Seq(("FIVE_PRIME_UTR", 1)) ++
+        (1 to 7).map(r => ("INTRON", r)) ++
+        Seq(("THREE_PRIME_UTR", 1))))
+  }
+
+  test("HAS_SEQUENCE joins via seq_id hash, not the raw string (§4)") {
+    assert(graph.hasSequence.count() == graph.gfe.count())
+    // every edge endpoint resolves
+    val dangling = graph.hasSequence.join(graph.sequence,
+      graph.hasSequence("dst") === graph.sequence("name"), "left_anti").count()
+    assert(dangling == 0)
+  }
+
+  test("graph snapshot round-trip (S10)") {
+    val dir = java.nio.file.Files.createTempDirectory("graphstore").toString
+    GraphLoad.write(graph, dir)
+    val restored = GraphLoad.read(spark, dir)
+    assert(restored.gfe.count() == graph.gfe.count())
+    assert(restored.hasIpdAllele.count() == graph.hasIpdAllele.count())
+  }
+}
