@@ -182,20 +182,19 @@ object DedupQueries {
         |WHERE round(list_dot_product(a.v, b.v) /
         |            (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) >= 0.4
         |ORDER BY v1, v2""".stripMargin) { (s, d) =>
+      graft.functions.NativeFunctions.register(s)
+      def dot(a: Column, b: Column) = call_udf("graft_dot", a, b)
       val e = Tables.embeddings(s, d).select(
         col("vec_id"),
         transform(col("embedding"), x => x.cast("double")).as("v"))
       // Normalized vectors materialized once — without this the double
-      // cast + norm aggregate re-runs per pair inside the O(n²) join.
-      val withNorm = e.withColumn("nrm", sqrt(aggregate(col("v"), lit(0.0d),
-        (acc, x) => acc + x * x))).cache()
+      // cast + norm re-runs per pair inside the O(n²) join.
+      val withNorm = e.withColumn("nrm", sqrt(dot(col("v"), col("v")))).cache()
       withNorm.as("a")
         .join(broadcast(withNorm.as("b")), col("a.vec_id") < col("b.vec_id"))
         .select(
           col("a.vec_id").as("v1"), col("b.vec_id").as("v2"),
-          round(
-            aggregate(zip_with(col("a.v"), col("b.v"), (x, y) => x * y),
-              lit(0.0d), (acc, x) => acc + x) / (col("a.nrm") * col("b.nrm")),
+          round(dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")),
             4).as("sim"))
         .where(col("sim") >= 0.4)
         .orderBy("v1", "v2")

@@ -23,13 +23,24 @@ object GfeQueries {
       ImgtFlatFile.fromText(s, ImgtFlatFile.resourceText(s"/graft/hla.$rel.dat")),
       rel, registry = reg)
 
-  private def graph(s: SparkSession): GraphLoad.Graph = {
-    val r1 = build(s, "3560")
-    val r2 = build(s, "3570", Some(r1.registry))
-    GraphLoad.loadAll(s, Seq(
-      ("3560", r1.gfeSequences, r1.allFeatures, r1.allGroups),
-      ("3570", r2.gfeSequences, r2.allFeatures, r2.allGroups)))
-  }
+  // The fixture graph is immutable per session — memoize so each
+  // driver-contract query doesn't re-run the two-release pipeline.
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, GraphLoad.Graph]()
+
+  private def graph(s: SparkSession): GraphLoad.Graph =
+    cache.computeIfAbsent(s, _ => {
+      val r1 = build(s, "3560")
+      val r2 = build(s, "3570", Some(r1.registry))
+      val g = GraphLoad.loadAll(s, Seq(
+        ("3560", r1.gfeSequences, r1.allFeatures, r1.allGroups),
+        ("3570", r2.gfeSequences, r2.allFeatures, r2.allGroups)))
+      GraphLoad.Graph(
+        g.gfe.cache(), g.sequence.cache(), g.feature.cache(),
+        g.ipdAllele.cache(), g.ipdAccession.cache(), g.submitter,
+        g.hasIpdAllele.cache(), g.hasIpdAccession.cache(), g.submitted,
+        g.hasSequence.cache(), g.hasFeature.cache())
+    })
 
   val all: Seq[QueryDef] = Seq(
     // S1+P1-P8+J3+§2.5: full build of one release.

@@ -26,20 +26,25 @@ import graft.Tables
   */
 object SimilarityQueries {
 
+  /** Native codegen'd dot product (graft.functions.DotProduct) — the
+    * HOF form (`aggregate(zip_with(...))`) allocates an intermediate
+    * array per pair, which dominates O(n²) similarity joins. */
   private[queries] def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
+    call_udf("graft_dot", a, b)
 
   /** embeddings as (vec_id, v: array<double>, nrm), materialized: the
     * corpus is referenced 2-4× per query (queries side, corpus side,
     * assign, re-rank) and Catalyst would otherwise recompute the cast +
     * norm per reference — at scale this is the stored, pre-normalized
     * vector table every ANN system keeps. */
-  private def vecs(s: SparkSession, d: String): DataFrame =
+  private def vecs(s: SparkSession, d: String): DataFrame = {
+    graft.functions.NativeFunctions.register(s)
     Tables.embeddings(s, d)
       .select(col("vec_id"),
         transform(col("embedding"), x => x.cast("double")).as("v"))
       .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
       .cache()
+  }
 
   private val duckVecs =
     "SELECT vec_id, embedding::DOUBLE[] AS v, sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm FROM embeddings"

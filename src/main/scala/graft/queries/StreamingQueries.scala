@@ -1,0 +1,56 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.streaming.EventStreams
+
+/** Event-time operators over `events`, defined once and runnable both
+  * as batch (these oracle-checked entries) and as Structured Streaming
+  * jobs (EventStreamsSpec proves plan parity via a real readStream →
+  * memory-sink run).
+  *
+  * Money-ish sums go through DECIMAL(18,2) so the oracle hash compare
+  * is exact regardless of double summation order.
+  */
+object StreamingQueries {
+
+  val all: Seq[QueryDef] = Seq(
+
+    // Tumbling 1-hour event-time window per event_type (the streaming
+    // windowed agg; watermark is a no-op on batch input).
+    QueryDef(
+      "st_window_agg",
+      """SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+        |       event_type, count(*) AS n,
+        |       sum(CAST(value AS DECIMAL(18,2))) AS total_value
+        |FROM events GROUP BY 1, 2
+        |ORDER BY window_start, event_type""".stripMargin) { (s, d) =>
+      EventStreams.windowedCounts(
+        Tables.events(s, d).withColumn("value",
+          col("value").cast("decimal(18,2)")))
+        .orderBy("window_start", "event_type")
+    },
+
+    // Gap-based sessionization (30-min inactivity): gaps-and-islands.
+    QueryDef(
+      "st_sessionize",
+      """SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+        |       CAST(count(*) AS INT) AS n_events,
+        |       sum(CAST(value AS DECIMAL(18,2))) AS total_value
+        |FROM (
+        |  SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+        |                                   ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM (
+        |    SELECT user_id, ts, value,
+        |           CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |                  OR epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) > 1800
+        |                THEN 1 ELSE 0 END AS new_session
+        |    FROM events))
+        |GROUP BY user_id, session_id
+        |ORDER BY user_id, session_start""".stripMargin) { (s, d) =>
+      EventStreams.sessionizeBatch(
+        Tables.events(s, d).withColumn("value",
+          col("value").cast("decimal(18,2)")))
+        .orderBy("user_id", "session_start")
+    })
+}

@@ -1,0 +1,71 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.streaming.EventStreams
+
+/** Proves the event-time transforms are streaming-safe: the same
+  * logical plan, run through a real `readStream` (AvailableNow +
+  * memory sink), matches the batch result.
+  */
+class EventStreamsSpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.spark
+  val sfDir = "/root/testdata/sf0.001"
+
+  test("windowed agg: streaming result == batch result") {
+    // decimal sums -> exact equality regardless of accumulation order
+    def prep(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("value", col("value").cast("decimal(18,2)"))
+
+    val batch = EventStreams.windowedCounts(prep(Tables.events(spark, sfDir)))
+      .orderBy("window_start", "event_type")
+      .collect()
+
+    val streamed = EventStreams.runAsStream(
+      spark, s"$sfDir/events.parquet",
+      df => EventStreams.windowedCounts(prep(
+        // nanos timestamps arrive as long under the legacy conf
+        df.withColumn("ts", timestamp_micros(expr("ts DIV 1000"))))),
+      // Complete mode: emit every window at the final trigger (Append
+      // would withhold windows newer than the final watermark).
+      "win_agg_stream", org.apache.spark.sql.streaming.OutputMode.Complete())
+      .orderBy("window_start", "event_type")
+      .collect()
+
+    assert(streamed.nonEmpty)
+    assert(streamed.toSeq == batch.toSeq)
+  }
+
+  test("sessionization: streamed closed sessions == batch sessions minus open tails") {
+    import spark.implicits._
+    val events = Tables.events(spark, sfDir)
+    val batch = EventStreams.sessionizeBatch(events)
+      .select("user_id", "session_start", "session_end", "n_events")
+      .collect().toSet
+
+    val streamed = EventStreams.runAsStream(
+      spark, s"$sfDir/events.parquet",
+      df => EventStreams.sessionizeStream(
+        df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+          .as[EventStreams.Event]).toDF(),
+      "sess_stream")
+      .select("user_id", "session_start", "session_end", "n_events")
+      .collect().toSet
+
+    // single-batch source -> every closed (non-final) session is
+    // emitted inline; each user's last session may stay open in state.
+    val lastPerUser = {
+      val w = Window.partitionBy("user_id").orderBy(col("session_start").desc)
+      EventStreams.sessionizeBatch(events)
+        .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+        .select("user_id", "session_start", "session_end", "n_events")
+        .collect().toSet
+    }
+    assert(streamed.nonEmpty)
+    assert(streamed.subsetOf(batch), "every streamed session is a batch session")
+    assert((batch -- streamed).subsetOf(lastPerUser),
+      "only per-user open tails may be missing from the stream")
+  }
+}
