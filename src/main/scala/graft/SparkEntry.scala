@@ -10,7 +10,8 @@ object SparkEntry {
   /** All operator queries, each with an optional DuckDB oracle. */
   def allDefs: Seq[QueryDef] =
     RelationalQueries.all ++ TextQueries.all ++ DedupQueries.all ++
-      SimilarityQueries.all ++ GfeQueries.all ++ StreamingQueries.all
+      SimilarityQueries.all ++ GfeQueries.all ++ StreamingQueries.all ++
+      MultimodalQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * TPC-H Q1 shape: scan → pushed filter → hash agg → order. */

@@ -48,6 +48,44 @@ object DedupQueries {
     Tables.documents(s, d)
       .select(col("doc_id"), shingles(tokens(col("text"))).as("sh"))
 
+  /** LSH candidate pairs (d1 < d2) — the shared core of
+    * d_minhash_lsh and d_dup_clusters. */
+  private def lshPairs(s: SparkSession, d: String): DataFrame = {
+    val sig = shingled(s, d).select(
+      col("doc_id") +: (1 to nHashes).map(j =>
+        array_min(transform(col("sh"),
+          x => hex60(concat(x, lit(s"#$j"))))).as(s"m$j")): _*)
+    // Materialize before the self-join (see d_minhash_lsh note).
+    val bands = sig.select(
+      col("doc_id"),
+      posexplode(array((0 until nBands).map(b =>
+        concat_ws(":", col(s"m${2 * b + 1}"), col(s"m${2 * b + 2}"))): _*))
+        .as(Seq("band", "bk")))
+      .cache()
+    bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bk") === col("b.bk") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .distinct()
+  }
+
+  /** Shared DuckDB CTE text for the LSH candidate pairs. */
+  private def lshPairsSql: String = {
+    val sig = (1 to nHashes).map(j =>
+      s"list_min(list_transform(sh, x -> ${duckHex60(s"x || '#$j'")})) AS m$j")
+      .mkString(", ")
+    val bands = (0 until nBands).map(b =>
+      s"SELECT doc_id, $b AS band, CAST(m${2 * b + 1} AS VARCHAR) || ':' || CAST(m${2 * b + 2} AS VARCHAR) AS bk FROM sig")
+      .mkString(" UNION ALL ")
+    s"""$shingleCte,
+      |sig AS (SELECT doc_id, $sig FROM sh),
+      |bands AS ($bands),
+      |pairs AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+      |          FROM bands a JOIN bands b ON a.band = b.band AND a.bk = b.bk
+      |                                   AND a.doc_id < b.doc_id)""".stripMargin
+  }
+
   val all: Seq[QueryDef] = Seq(
 
     // Exact dedup: group on content hash, survivor = min doc_id.
@@ -66,44 +104,39 @@ object DedupQueries {
 
     // MinHash + LSH banding: 8 seeded minhashes over 3-word shingles,
     // 4 bands × 2 rows; candidate pairs share ≥1 band bucket.
+    // The signature table is materialized before the self-join:
+    // otherwise Catalyst collapses the projection into both join sides
+    // and recomputes all 8 minhashes per *candidate pair* instead of
+    // per doc. At scale it's a real table written once (fixed-width,
+    // ~100 bytes/doc regardless of doc size) and joined twice.
     QueryDef(
-      "d_minhash_lsh", {
-        val sig = (1 to nHashes).map(j =>
-          s"list_min(list_transform(sh, x -> ${duckHex60(s"x || '#$j'")})) AS m$j")
-          .mkString(", ")
-        val bands = (0 until nBands).map(b =>
-          s"SELECT doc_id, $b AS band, CAST(m${2 * b + 1} AS VARCHAR) || ':' || CAST(m${2 * b + 2} AS VARCHAR) AS bk FROM sig")
-          .mkString(" UNION ALL ")
-        s"""$shingleCte,
-        |sig AS (SELECT doc_id, $sig FROM sh),
-        |bands AS ($bands)
-        |SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-        |FROM bands a JOIN bands b ON a.band = b.band AND a.bk = b.bk
-        |                         AND a.doc_id < b.doc_id
-        |ORDER BY d1, d2""".stripMargin
-      }) { (s, d) =>
-      val sig = shingled(s, d).select(
-        col("doc_id") +: (1 to nHashes).map(j =>
-          array_min(transform(col("sh"),
-            x => hex60(concat(x, lit(s"#$j"))))).as(s"m$j")): _*)
-      // Materialize the signature table before the self-join: otherwise
-      // Catalyst collapses the projection into both join sides and
-      // recomputes all 8 minhashes per *candidate pair* instead of per
-      // doc. At scale this is a real table written once (fixed-width,
-      // ~100 bytes/doc regardless of doc size) and joined twice.
-      val bands = sig.select(
-        col("doc_id"),
-        posexplode(array((0 until nBands).map(b =>
-          concat_ws(":", col(s"m${2 * b + 1}"), col(s"m${2 * b + 2}"))): _*))
-          .as(Seq("band", "bk")))
-        .cache()
-      bands.as("a")
-        .join(bands.as("b"),
-          col("a.band") === col("b.band") && col("a.bk") === col("b.bk") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-        .distinct()
-        .orderBy("d1", "d2")
+      "d_minhash_lsh",
+      s"""$lshPairsSql
+        |SELECT d1, d2 FROM pairs ORDER BY d1, d2""".stripMargin) { (s, d) =>
+      lshPairs(s, d).orderBy("d1", "d2")
+    },
+
+    // Duplicate clusters: connected components over the LSH candidate
+    // pairs (GraphX Pregel; DuckDB oracle = recursive transitive
+    // closure with min-label convergence — same fixpoint).
+    QueryDef(
+      "d_dup_clusters",
+      s"""${lshPairsSql.replaceFirst("^WITH ", "WITH RECURSIVE ")},
+        |und AS (SELECT CAST(d1 AS VARCHAR) AS a, CAST(d2 AS VARCHAR) AS b FROM pairs
+        |        UNION SELECT CAST(d2 AS VARCHAR), CAST(d1 AS VARCHAR) FROM pairs),
+        |reach(n, m) AS (
+        |  SELECT DISTINCT a, a FROM und
+        |  UNION
+        |  SELECT r.n, u.b FROM reach r JOIN und u ON r.m = u.a)
+        |SELECT n AS doc_id, min(m) AS component
+        |FROM reach GROUP BY n ORDER BY doc_id""".stripMargin) { (s, d) =>
+      graft.graph.GraphAlgorithms.connectedComponents(
+        lshPairs(s, d)
+          .select(col("d1").cast("string").as("d1"),
+            col("d2").cast("string").as("d2")),
+        "d1", "d2")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
     },
 
     // n-gram Jaccard near-dup: block on the k=1 minhash (docs sharing

@@ -56,5 +56,15 @@ object GfeQueries {
       GraphQueries.releasesHistogram(graph(s))),
     // J8: the documented 2-hop traversal (17-row golden shape).
     QueryDef.noOracle("gfe_allele_features")((s, _) =>
-      GraphQueries.alleleFeatures(graph(s), "HLA-A*01:01:01:01")))
+      GraphQueries.alleleFeatures(graph(s), "HLA-A*01:01:01:01")),
+    // GDS parity: PageRank over the GFE→Feature bipartite edges.
+    QueryDef.noOracle("gfe_pagerank")((s, _) => {
+      import org.apache.spark.sql.functions._
+      val edges = graph(s).hasFeature.select(
+        col("src"),
+        concat_ws(":", col("locus"), col("term"), col("rank"),
+          col("accession")).as("dst"))
+      graft.graph.GraphAlgorithms.pageRank(edges, "src", "dst")
+        .orderBy(col("rank").desc, col("id")).limit(20)
+    }))
 }

@@ -1,0 +1,43 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.graph.GraphAlgorithms
+
+class GraphAlgorithmsSpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("connected components: transitive closure with min-label ids") {
+    val pairs = Seq(
+      ("a", "b"), ("b", "c"), // component a
+      ("x", "y"), // component x
+      ("m", "n"), ("n", "o"), ("o", "m") // cycle, component m
+    ).toDF("d1", "d2")
+    val cc = GraphAlgorithms.connectedComponents(pairs, "d1", "d2")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(cc == Map(
+      "a" -> "a", "b" -> "a", "c" -> "a",
+      "x" -> "x", "y" -> "x",
+      "m" -> "m", "n" -> "m", "o" -> "m"))
+  }
+
+  test("pagerank: sinks rank below hubs, ranks deterministic") {
+    // star: everything points at "hub"
+    val edges = Seq(("s1", "hub"), ("s2", "hub"), ("s3", "hub"))
+      .toDF("src", "dst")
+    val pr = GraphAlgorithms.pageRank(edges, "src", "dst")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(pr("hub") > pr("s1"))
+    assert(pr("s1") == pr("s2") && pr("s2") == pr("s3"))
+    val again = GraphAlgorithms.pageRank(edges, "src", "dst")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(pr == again)
+  }
+
+  test("label propagation assigns every vertex a community") {
+    val pairs = Seq(("a", "b"), ("c", "d")).toDF("d1", "d2")
+    val lp = GraphAlgorithms.labelPropagation(pairs, "d1", "d2").collect()
+    assert(lp.length == 4)
+  }
+}
