@@ -1,0 +1,88 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Regression guards for the physical plans — the 100 TB discipline,
+  * enforced: filters/projections must reach the parquet scan, small
+  * dimensions must broadcast, aggregates must have a map-side partial
+  * phase, and whole-stage codegen must cover the hot operators. A
+  * change that silently degrades any of these fails the suite.
+  */
+class PlanQualitySpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.spark
+  val sfDir = "/root/testdata/sf0.001"
+
+  /** Final (post-AQE) physical plan: execute first, then render —
+    * the pre-execution adaptive plan hides codegen stage boundaries. */
+  private def finalPlan(df: org.apache.spark.sql.DataFrame): String = {
+    df.collect()
+    // keep only the final adaptive plan (the trailing "Initial Plan"
+    // section would double-count operators)
+    df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+  }
+
+  /** `*(n)` prefixes mark whole-stage-codegen stages in compact plans. */
+  private def hasCodegen(plan: String): Boolean =
+    "\\*\\(\\d+\\)".r.findFirstIn(plan).nonEmpty
+
+  private def planOf(name: String): String =
+    finalPlan(SparkEntry.queries(name)(spark, sfDir))
+
+  test("filters and column pruning reach the parquet scan (s7)") {
+    val plan = planOf("s7_scan_filter_project")
+    assert(plan.contains("PushedFilters: ["), plan.take(2000))
+    assert(plan.contains("LessThan(l_shipdate"), "shipdate filter must push down")
+    // (pushed-filter lists are truncated in toString; GreaterThan is
+    // the quantity predicate — the only other non-null filter)
+    assert(plan.contains("GreaterThan"), "quantity filter must push down")
+    // pruned read schema: only the 4 referenced columns
+    val readSchema = plan.linesIterator
+      .find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("l_comment"),
+      "scan must not read unreferenced columns")
+  }
+
+  test("small dimension joins broadcast (j1, j4)") {
+    assert(planOf("j1_broadcast_join").contains("BroadcastHashJoin"))
+    val j4 = planOf("j4_multiway_join")
+    assert("BroadcastHashJoin".r.findAllIn(j4).length == 2,
+      "both nation and region joins must broadcast")
+  }
+
+  test("semi/anti joins use join strategies, not subquery rewrites") {
+    assert(planOf("j_semi_exists").contains("LeftSemi"))
+    assert(planOf("j_anti_not_exists").contains("LeftAnti"))
+  }
+
+  test("aggregations run partial (map-side) then final (entry Q1 shape)") {
+    val plan = finalPlan(SparkEntry.entry(spark))
+    assert(plan.contains("partial_sum"), "expect map-side partial aggregate")
+    assert("HashAggregate".r.findAllIn(plan).length >= 2,
+      "expect partial + final hash aggregate")
+    assert(hasCodegen(plan), "agg pipeline must codegen")
+  }
+
+  test("native graft_dot stays inside whole-stage codegen (v_cosine_topk)") {
+    val plan = planOf("v_cosine_topk")
+    assert(plan.contains("graft_dot"), "native expression must be in the plan")
+    assert(!plan.contains("BatchEvalPython"))
+    assert(hasCodegen(plan))
+  }
+
+  test("exact dedup shuffles the 60-bit key, not raw text (d_exact_dedup)") {
+    val plan = planOf("d_exact_dedup")
+    // partial agg computes min/count before the exchange
+    val exchangeIdx = plan.indexOf("Exchange hashpartitioning")
+    assert(exchangeIdx > 0, "grouped agg must hash-partition")
+    assert(plan.contains("partial_min") || plan.contains("partial_count"),
+      "map-side combine must run before the shuffle")
+  }
+
+  test("top-k per group computes rank before the presentation sort") {
+    val plan = planOf("w_topk_per_group")
+    assert(plan.contains("RunningWindowFunction") || plan.contains("Window"),
+      "window operator expected")
+  }
+}
