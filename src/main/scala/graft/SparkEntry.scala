@@ -27,9 +27,14 @@ object SparkEntry {
       .orderBy("l_returnflag", "l_linestatus")
   }
 
-  /** One entry per implemented operator from SURVEY.md §2. */
+  /** One entry per implemented operator from SURVEY.md §2. Native
+    * graft expressions are registered on the session before any query
+    * builds (idempotent). */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    allDefs.map(q => q.name -> q.run).toMap
+    allDefs.map(q => q.name -> { (s: SparkSession, d: String) =>
+      graft.functions.NativeFunctions.register(s)
+      q.run(s, d)
+    }).toMap
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

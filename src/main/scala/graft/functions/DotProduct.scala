@@ -77,7 +77,10 @@ object NativeFunctions {
       Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
-      (children: Seq[Expression]) => DotProduct(children(0), children(1))))
+      (children: Seq[Expression]) => DotProduct(children(0), children(1))),
+    (FunctionIdentifier("graft_hex60"),
+      new ExpressionInfo(classOf[Hex60].getName, "graft_hex60"),
+      (children: Seq[Expression]) => Hex60(children(0))))
 
   /** Idempotent session-level registration (works without the
     * spark.sql.extensions config, e.g. under an existing session). */

@@ -16,9 +16,13 @@ object GraftFunctions {
   /** Portable 60-bit hash: first 15 hex digits of md5, as a Long.
     * 15 hex digits = 60 bits < 2^63, so the cast never overflows.
     * DuckDB equivalent: `CAST(('0x' || substr(md5(x),1,15)) AS BIGINT)`.
+    *
+    * Runs on the native [[Hex60]] expression (registered by
+    * [[graft.SparkEntry.queries]] / [[NativeFunctions.register]]) —
+    * same bits as `conv(substring(md5(c),1,15),16,10)::long` without
+    * the hex-string render and string base conversion.
     */
-  def hex60(c: Column): Column =
-    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+  def hex60(c: Column): Column = call_udf("graft_hex60", c)
 
   /** Seeded variant for minhash families: hash the value with a seed
     * tag appended. DuckDB: same construction with `||`. */

@@ -121,20 +121,23 @@ object GfeBuild {
 
     // Stable first-seen index = file order (splits are offset-ordered),
     // the same order the reference streams alleles to the service.
-    val indexed = alleles.rdd.zipWithIndex.toDS()
+    // ONE zipWithIndex pass, cached — features and CDS derive from it
+    // without re-parsing the scan.
+    val indexedRecs = alleles.rdd.zipWithIndex.toDS().cache()
+
+    val indexed = indexedRecs
       .select(col("_2").as("idx"), col("_1").as("rec"))
       .select(
         col("idx"),
         col("rec.accession").as("acc_name"),
         col("rec.description").as("description"),
-        col("rec.sequence").as("sequence"),
-        col("rec.features").as("features"))
+        col("rec.sequence").as("sequence"))
       .withColumn("hla_name", split(col("description"), ",").getItem(0))
       .withColumn("locus", split(col("hla_name"), "\\*").getItem(0))
       .cache()
 
     // P6: feature explosion (typed flatMap — record-local, no shuffle).
-    val feats = alleles.rdd.zipWithIndex.flatMap { case (r, i) =>
+    val feats = indexedRecs.flatMap { case (r, i) =>
       Features.extract(r).map(f =>
         (i, r.accession, r.hlaName, r.locus, f.term.toUpperCase, f.rank, f.sequence))
     }.toDF("idx", "acc_name", "hla_name", "locus", "term", "rank", "sequence")
@@ -216,7 +219,7 @@ object GfeBuild {
     // all_cds (app.py:345-368) + error channel (app.py:630-639: a
     // missing CDS/translation raises per-allele; earlier relations keep
     // the allele's rows — same partial-write semantics as the loop).
-    val cdsRaw = alleles.rdd.zipWithIndex.map { case (r, i) =>
+    val cdsRaw = indexedRecs.map { case (r, i) =>
       val cds = Features.extractCds(r)
       (i, cds.map(_._1).orNull, cds.map(_._2).orNull)
     }.toDF("idx", "bp_sequence", "aa_sequence")

@@ -33,6 +33,13 @@ object GraphAlgorithms {
       .toDF("id", "vid")
   }
 
+  /** Iterative Pregel rounds multiply per-partition scheduling cost;
+    * size the edge partitioning to the derived graph, not to the
+    * (much larger) source's parallelism. ~1M edges/partition. */
+  private def graphParallelism(edgeCount: Long, spark: SparkSession): Int =
+    math.max(2, math.min(spark.sparkContext.defaultParallelism,
+      (edgeCount / 1000000L).toInt + 1))
+
   /** Connected components over an undirected string-keyed pair list.
     * Returns (id, component) where component = min member id
     * (lexicographic) of the cluster — a stable cluster label. */
@@ -40,17 +47,92 @@ object GraphAlgorithms {
     val spark = pairs.sparkSession
     import spark.implicits._
     val vids = vertexIds(pairs, src, dst).cache()
-    val edgeRdd = pairs
+    val edgeDf = pairs
       .join(vids.withColumnRenamed("id", src).withColumnRenamed("vid", "svid"), src)
       .join(vids.withColumnRenamed("id", dst).withColumnRenamed("vid", "dvid"), dst)
       .select("svid", "dvid")
-      .rdd.map(r => Edge(r.getLong(0), r.getLong(1), ()))
+      .cache()
+    val p = graphParallelism(edgeDf.count(), spark)
+    val edgeRdd = edgeDf.rdd.coalesce(p)
+      .map(r => Edge(r.getLong(0), r.getLong(1), ()))
     val graph = XGraph.fromEdges(edgeRdd, ())
     val cc = graph.connectedComponents().vertices.toDF("vid", "cvid")
     // component label = min original id within the component
     val labeled = cc.join(vids, "vid").select(col("id"), col("cvid"))
     val repr = labeled.groupBy("cvid").agg(min(col("id")).as("component"))
     labeled.join(repr, "cvid").select("id", "component")
+  }
+
+  /** DataFrame-native connected components: iterative min-label
+    * propagation to fixpoint (label(v) ← min over N(v) ∪ {v}),
+    * converging in O(component diameter) rounds — dedup clusters from
+    * LSH candidates are near-cliques, so 2-4 rounds in practice.
+    *
+    * Same result as [[connectedComponents]] (cross-checked in
+    * GraphAlgorithmsSpec); preferred in pipelines because every round
+    * is a plain shuffle-join/agg that Catalyst+AQE size automatically,
+    * with none of Pregel's per-round fixed cost.
+    */
+  def connectedComponentsDF(pairs: DataFrame, src: String, dst: String,
+      maxIter: Int = 30, localThreshold: Long = 1000000L): DataFrame = {
+    // Adaptive fast path: LSH bounds the candidate-pair list to a tiny
+    // fraction of the corpus. Below the threshold, union-find on the
+    // collected pairs beats any distributed loop (each Pregel/join
+    // round costs more than the whole problem); above it, fall through
+    // to the distributed fixpoint. The *input* to this operator is
+    // already the reduced pair list, never the raw data.
+    val spark = pairs.sparkSession
+    val edgesSmall = pairs.select(col(src).cast("string"), col(dst).cast("string"))
+      .cache()
+    if (edgesSmall.count() <= localThreshold) {
+      import spark.implicits._
+      val parent = scala.collection.mutable.HashMap.empty[String, String]
+      def find(x: String): String = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) { val nxt = parent(c); parent(c) = r; c = nxt }
+        r
+      }
+      edgesSmall.collect().foreach { row =>
+        val (a, b) = (row.getString(0), row.getString(1))
+        parent.getOrElseUpdate(a, a)
+        parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(ra) = rb
+      }
+      val byRoot = parent.keys.toSeq.groupBy(find)
+      val rows = byRoot.valuesIterator.flatMap { members =>
+        val label = members.min
+        members.map(m => (m, label))
+      }.toSeq
+      return spark.createDataset(rows).toDF("id", "component")
+    }
+    val und = edgesSmall.toDF("a", "b")
+      .unionByName(edgesSmall.toDF("b", "a").select(col("a"), col("b")))
+      .cache()
+    var labels = und.select(col("a").as("id")).distinct()
+      .withColumn("component", col("id")).cache()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val nbrMin = und.join(labels.withColumnRenamed("id", "b"), "b")
+        .groupBy(col("a").as("id")).agg(min("component").as("nbr"))
+      val next = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("component"), coalesce(col("nbr"), col("component")))
+            .as("component"))
+        .localCheckpoint(eager = true) // truncate the iterative lineage
+      val changed = next
+        .join(labels.withColumnRenamed("component", "old"), "id")
+        .where(col("component") =!= col("old")).limit(1).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      i += 1
+    }
+    und.unpersist()
+    labels
   }
 
   /** PageRank over a directed string-keyed edge list.
@@ -62,11 +144,14 @@ object GraphAlgorithms {
     val spark = edges.sparkSession
     import spark.implicits._
     val vids = vertexIds(edges, src, dst).cache()
-    val edgeRdd = edges
+    val edgeDf = edges
       .join(vids.withColumnRenamed("id", src).withColumnRenamed("vid", "svid"), src)
       .join(vids.withColumnRenamed("id", dst).withColumnRenamed("vid", "dvid"), dst)
       .select("svid", "dvid")
-      .rdd.map(r => Edge(r.getLong(0), r.getLong(1), 1.0))
+      .cache()
+    val p = graphParallelism(edgeDf.count(), spark)
+    val edgeRdd = edgeDf.rdd.coalesce(p)
+      .map(r => Edge(r.getLong(0), r.getLong(1), 1.0))
     val graph = XGraph.fromEdges(edgeRdd, 1.0)
       .partitionBy(org.apache.spark.graphx.PartitionStrategy.EdgePartition2D)
     val ranks = graph.staticPageRank(iterations, resetProb)
@@ -81,11 +166,14 @@ object GraphAlgorithms {
     val spark = pairs.sparkSession
     import spark.implicits._
     val vids = vertexIds(pairs, src, dst).cache()
-    val edgeRdd = pairs
+    val edgeDf = pairs
       .join(vids.withColumnRenamed("id", src).withColumnRenamed("vid", "svid"), src)
       .join(vids.withColumnRenamed("id", dst).withColumnRenamed("vid", "dvid"), dst)
       .select("svid", "dvid")
-      .rdd.map(r => Edge(r.getLong(0), r.getLong(1), ()))
+      .cache()
+    val p = graphParallelism(edgeDf.count(), spark)
+    val edgeRdd = edgeDf.rdd.coalesce(p)
+      .map(r => Edge(r.getLong(0), r.getLong(1), ()))
     val graph = XGraph.fromEdges(edgeRdd, ())
     val labels = org.apache.spark.graphx.lib.LabelPropagation
       .run(graph, iterations).vertices.toDF("vid", "label")

