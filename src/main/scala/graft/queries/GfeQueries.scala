@@ -17,11 +17,21 @@ import graft.ingest.ImgtFlatFile
   */
 object GfeQueries {
 
+  // Build results memoized per (session, release): GfeBuild caches its
+  // intermediates, so re-invoking it would rebuild fresh plans and
+  // re-execute the pipeline per driver-contract query.
+  private val buildCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), GfeBuild.BuildResult]()
+
+  /** NOTE: the cache key ignores `reg` — fine here because each
+    * release is only ever built with one registry lineage (3560 from
+    * empty, 3570 from 3560). */
   private def build(s: SparkSession, rel: String,
       reg: Option[DataFrame] = None): GfeBuild.BuildResult =
-    GfeBuild.run(s,
-      ImgtFlatFile.fromText(s, ImgtFlatFile.resourceText(s"/graft/hla.$rel.dat")),
-      rel, registry = reg)
+    buildCache.computeIfAbsent((s, rel), _ =>
+      GfeBuild.run(s,
+        ImgtFlatFile.fromText(s, ImgtFlatFile.resourceText(s"/graft/hla.$rel.dat")),
+        rel, registry = reg))
 
   // The fixture graph is immutable per session — memoize so each
   // driver-contract query doesn't re-run the two-release pipeline.
