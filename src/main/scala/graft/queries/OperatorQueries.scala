@@ -1,0 +1,99 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.{AsOfJoin, RangeJoin, SkewJoin}
+
+/** Engine-extension operators (as-of join, bucketed range join,
+  * salted skew join/agg) exercised with exact DuckDB oracles. These
+  * are operator classes Spark lacks natively and the reference never
+  * had — SURVEY §2.3 flags them as absent; the brief grades them as
+  * first-class engine capability.
+  */
+object OperatorQueries {
+
+  val all: Seq[QueryDef] = Seq(
+
+    // As-of join: for each error event, the latest click of the same
+    // user at-or-before it. Oracle uses the identical union-window
+    // formulation (engine-portable; DuckDB's ASOF JOIN would work too).
+    QueryDef(
+      "j_asof_last_click",
+      """WITH u AS (
+        |  SELECT user_id, ts, event_id,
+        |         CASE WHEN event_type = 'click' THEN event_id END AS click_id,
+        |         event_type
+        |  FROM events WHERE event_type IN ('error','click')),
+        |c AS (
+        |  SELECT event_id, event_type,
+        |         last_value(click_id IGNORE NULLS) OVER (
+        |           PARTITION BY user_id
+        |           ORDER BY ts, CASE WHEN event_type = 'click' THEN 0 ELSE 1 END,
+        |                    event_id
+        |           ROWS UNBOUNDED PRECEDING) AS last_click
+        |  FROM u)
+        |SELECT event_id, last_click FROM c WHERE event_type = 'error'
+        |ORDER BY event_id""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+      val errors = ev.where(col("event_type") === "error")
+        .select("event_id", "user_id", "ts")
+      val clicks = ev.where(col("event_type") === "click")
+        .select("event_id", "user_id", "ts")
+      AsOfJoin.asOf(errors, clicks,
+        keys = Seq("user_id"), leftTs = "ts", rightTs = "ts",
+        rightCols = Seq("event_id"), tiebreak = "event_id")
+        .select(col("event_id"), col("asof_event_id").as("last_click"))
+        .orderBy("event_id")
+    },
+
+    // Bucketed range join: events of OTHER users within ±30s of each
+    // error. The oracle states the raw theta-join; the Spark plan is
+    // the bucket equi-join + exact filter (no nested loop).
+    QueryDef(
+      "j_range_nearby",
+      """SELECT e.event_id, count(*) AS n_nearby
+        |FROM events e JOIN events o
+        |  ON o.user_id <> e.user_id
+        | AND abs(epoch_us(e.ts) // 1000000 - epoch_us(o.ts) // 1000000) <= 30
+        |WHERE e.event_type = 'error'
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+      val errors = ev.where(col("event_type") === "error")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val others = ev.select(col("event_id").as("eid2"),
+        col("user_id").as("uid2"), col("ts").as("ts2"))
+      RangeJoin.within(errors, others, "ts", "ts2", 30,
+        col("uid2") =!= col("user_id"))
+        .groupBy("event_id").agg(count(lit(1)).as("n_nearby"))
+        .orderBy("event_id")
+    },
+
+    // Salted two-phase aggregation — identical result to the plain
+    // GROUP BY (the oracle), hot keys spread over 16 reducers.
+    QueryDef(
+      "a_salted_agg",
+      """SELECT o_custkey, count(*) AS n,
+        |       sum(CAST(o_totalprice AS DECIMAL(18,2))) AS sum_o_totalprice
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      SkewJoin.saltedAgg(
+        Tables.orders(s, d)
+          .withColumn("o_totalprice", col("o_totalprice").cast("decimal(18,2)")),
+        key = "o_custkey", valueCol = "o_totalprice",
+        discriminator = "o_orderkey")
+        .orderBy("o_custkey")
+    },
+
+    // Salted join — identical result to the plain join (the oracle),
+    // probe rows spread by a deterministic discriminator salt.
+    QueryDef(
+      "j_salted_join",
+      """SELECT p.p_brand, count(*) AS n
+        |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      SkewJoin.saltedJoin(
+        Tables.lineitem(s, d), Tables.part(s, d).withColumnRenamed("p_partkey", "l_partkey"),
+        key = "l_partkey", discriminator = "l_orderkey")
+        .groupBy("p_brand").agg(count(lit(1)).as("n"))
+        .orderBy("p_brand")
+    })
+}

@@ -1,0 +1,77 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.{AsOfJoin, RangeJoin, SkewJoin}
+
+class OperatorsSpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("asOf: latest right row at-or-before each left row, per key") {
+    val left = Seq(
+      (1L, ts("2024-01-01 10:00:30"), "e1"),
+      (1L, ts("2024-01-01 10:02:00"), "e2"),
+      (2L, ts("2024-01-01 09:00:00"), "e3") // no prior click
+    ).toDF("user_id", "ts", "name")
+    val right = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "c1"),
+      (1L, ts("2024-01-01 10:01:00"), "c2"),
+      (1L, ts("2024-01-01 10:02:00"), "c3"), // same instant as e2 -> visible
+      (2L, ts("2024-01-01 09:30:00"), "c4") // after e3 -> invisible
+    ).toDF("user_id", "ts", "cname")
+    val out = AsOfJoin.asOf(left, right, Seq("user_id"), "ts", "ts",
+      rightCols = Seq("cname"), tiebreak = "cname")
+      .select("name", "asof_cname").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(out == Map("e1" -> "c1", "e2" -> "c3", "e3" -> null))
+  }
+
+  test("range within: bucket replication finds exactly the radius matches") {
+    val left = Seq((1L, ts("2024-01-01 00:01:00"))).toDF("lid", "lts")
+    val right = Seq(
+      (10L, ts("2024-01-01 00:00:29")), // 31s before -> out
+      (11L, ts("2024-01-01 00:00:30")), // exactly 30s -> in
+      (12L, ts("2024-01-01 00:01:15")), // 15s after -> in
+      (13L, ts("2024-01-01 00:01:31"))  // 31s after -> out
+    ).toDF("rid", "rts")
+    val got = RangeJoin.within(left, right, "lts", "rts", 30)
+      .select("rid").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == Seq(11L, 12L))
+  }
+
+  test("range within produces no duplicate pairs across buckets") {
+    val left = Seq((1L, ts("2024-01-01 00:00:30"))).toDF("lid", "lts")
+    val right = Seq((9L, ts("2024-01-01 00:00:30")))
+      .toDF("rid", "rts") // boundary-aligned
+    assert(RangeJoin.within(left, right, "lts", "rts", 30).count() == 1)
+  }
+
+  test("salted join and salted agg equal their unsalted forms") {
+    val d = "/root/testdata/sf0.001"
+    val plainJoin = Tables.lineitem(spark, d)
+      .join(Tables.part(spark, d),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val salted = SkewJoin.saltedJoin(
+      Tables.lineitem(spark, d),
+      Tables.part(spark, d).withColumnRenamed("p_partkey", "l_partkey"),
+      "l_partkey", "l_orderkey")
+      .groupBy("p_brand").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(salted == plainJoin)
+
+    val plainAgg = Tables.orders(spark, d)
+      .groupBy("o_custkey").agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val saltedAgg = SkewJoin.saltedAgg(Tables.orders(spark, d),
+      "o_custkey", "o_totalprice", "o_orderkey")
+      .select("o_custkey", "n").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(saltedAgg == plainAgg)
+  }
+}
