@@ -102,6 +102,8 @@ object NativeFunctions {
   * cluster — the deployment path for a real multi-executor cluster. */
 class GraftSparkExtensions
     extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
-  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     NativeFunctions.functions.foreach(ext.injectFunction)
+    ext.injectOptimizerRule(_ => graft.plans.SequenceJoinRewrite)
+  }
 }

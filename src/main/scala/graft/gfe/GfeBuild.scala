@@ -94,6 +94,17 @@ object GfeBuild {
       .toDF("locus", "term", "rank", "sequence", "accession")
   }
 
+  /** Persist the accession dictionary (SURVEY §7.4 hard part 1: the
+    * append-only state carried across release builds). Partitioned by
+    * locus — the dictionary join's natural pruning key, so a
+    * single-locus build reads one partition. */
+  def writeRegistry(reg: DataFrame, path: String): Unit =
+    reg.write.mode("overwrite").partitionBy("locus").parquet(path)
+
+  def readRegistry(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+      .select("locus", "term", "rank", "sequence", "accession")
+
   /** Build one release.
     *
     * @param records   parsed allele records (already release-scoped)

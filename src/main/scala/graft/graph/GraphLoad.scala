@@ -173,10 +173,18 @@ object GraphLoad {
       hasIpdAllele, hasIpdAccession, submitted, hasSequence, hasFeature)
   }
 
+  /** Tables partitioned on their pruning key in the store: the big
+    * per-locus tables partition by locus so locus-scoped queries
+    * (the common traversal anchor) read one directory. */
+  private val storePartitioning = Map(
+    "Feature" -> "locus", "Sequence" -> "locus")
+
   /** S10: parquet snapshot of the graph (dump ≡ write, restore ≡ read). */
   def write(g: Graph, dir: String): Unit =
     (g.vertexTables ++ g.edgeTables).foreach { case (name, df) =>
-      df.write.mode("overwrite").parquet(s"$dir/$name")
+      val w = df.write.mode("overwrite")
+      storePartitioning.get(name).fold(w)(c => w.partitionBy(c))
+        .parquet(s"$dir/$name")
     }
 
   def read(spark: SparkSession, dir: String): Graph = {
