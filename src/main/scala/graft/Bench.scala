@@ -26,9 +26,30 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // Reference-headline workload: full-release build + graph load at
+    // 35k alleles (README.md:149 / BASELINE.md: 15-30 min build + >=1h
+    // load on the reference). Corpus generation is memoized on disk
+    // and excluded from the timing. GRAFT_SCALE_ALLELES=0 disables.
+    val scaleN = sys.env.getOrElse("GRAFT_SCALE_ALLELES", "35000").toInt
+    val scale: Map[String, Double] = if (scaleN <= 0) Map.empty else try {
+      val path = graft.gfe.SyntheticRelease.materialize(scaleN)
+      val t0 = System.nanoTime()
+      val r = graft.gfe.GfeBuild.run(spark,
+        graft.ingest.ImgtFlatFile.read(spark, path.toString), "4000")
+      r.allCds.count(); r.errors.count() // materialize every relation
+      val tBuild = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      val g = graft.graph.GraphLoad.loadAll(spark,
+        Seq(("4000", r.gfeSequences, r.allFeatures, r.allGroups)))
+      (g.vertexTables ++ g.edgeTables).values.foreach(_.count())
+      val tLoad = (System.nanoTime() - t1) / 1e9
+      Map(s"gfe_scale_build_$scaleN" -> tBuild,
+        s"gfe_scale_load_$scaleN" -> tLoad)
+    } catch { case _: Throwable => Map(s"gfe_scale_build_$scaleN" -> -1.0) }
+    val all = results ++ scale
+    val qs = all.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = if (all.nonEmpty) all.values.sum else 0.0
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

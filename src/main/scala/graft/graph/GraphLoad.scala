@@ -100,9 +100,11 @@ object GraphLoad {
         pick(r).withColumn("load_seq", lit(i))
       }.reduce(_ unionByName _)
 
+    // Each input relation feeds 2-4 derived tables; cache them so the
+    // upstream build pipeline executes once, not per derived table.
     val seqs = tagged(_._2).cache()
-    val featRel = tagged(_._3)
-    val groups = tagged(_._4)
+    val featRel = tagged(_._3).cache()
+    val groups = tagged(_._4).cache()
 
     // ---- vertices ----
     val gfe = firstWins(seqs.select(col("gfe_name").as("name"),
