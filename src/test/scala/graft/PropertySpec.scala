@@ -1,0 +1,137 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.functions.Hex60
+
+/** Property-style tests (SURVEY §5): hash parity with the reference
+  * formulas, name determinism, accession append-only stability, and
+  * operator equivalence against naive implementations — over
+  * fixed-seed random samples (deterministic CI).
+  */
+class PropertySpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def samples(seed: Long, n: Int): Seq[String] = {
+    val rnd = new scala.util.Random(seed)
+    (0 until n).map { _ =>
+      val len = rnd.nextInt(64)
+      (0 until len).map(_ => (32 + rnd.nextInt(95)).toChar).mkString
+    }
+  }
+
+  test("hex60 == first 15 hex digits of md5 as decimal (reference form)") {
+    for (s <- samples(42L, 300)) {
+      val viaNative = Hex60.hash60(s.getBytes("UTF-8"))
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val viaReference = java.lang.Long.parseLong(hex.take(15), 16)
+      assert(viaNative == viaReference, s"input=$s")
+    }
+  }
+
+  test("seqHash matches the reference md5-int-prefix semantics (P5)") {
+    // app.py:86-94: str(int(md5(seq).hexdigest(), 16))[:32]
+    val inputs = samples(7L, 40).filter(_.nonEmpty)
+    val expected = inputs.map { s =>
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      new java.math.BigInteger(hex, 16).toString.take(32)
+    }
+    val got = inputs.toDF("x")
+      .select(graft.functions.GraftFunctions.seqHash(col("x")))
+      .collect().map(_.getString(0)).toSeq
+    assert(got == expected)
+  }
+
+  test("GFE names are deterministic across repeated builds") {
+    import graft.gfe.GfeBuild
+    import graft.ingest.ImgtFlatFile
+    val text = ImgtFlatFile.resourceText("/graft/hla.3560.dat")
+    def run(): Map[String, String] =
+      GfeBuild.run(spark, ImgtFlatFile.fromText(spark, text), "3560")
+        .gfeSequences.select("hla_name", "gfe_name").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(run() == run())
+  }
+
+  test("accession registry is append-only across random release splits") {
+    import graft.gfe.GfeBuild
+    import graft.ingest.ImgtFlatFile
+    val recs = ImgtFlatFile.parseText(
+      ImgtFlatFile.resourceText("/graft/hla.3560.dat"))
+    val enc = org.apache.spark.sql.Encoders.product[graft.model.AlleleRecord]
+    val rnd = new scala.util.Random(11L)
+    for (_ <- 1 to 3) {
+      val split = 1 + rnd.nextInt(recs.length - 1)
+      val r1 = GfeBuild.run(spark,
+        spark.createDataset(recs.take(split))(enc), "3560")
+      val r2 = GfeBuild.run(spark,
+        spark.createDataset(recs)(enc), "3570",
+        registry = Some(r1.registry))
+      // every (key -> accession) from release 1 survives unchanged
+      val changed = r1.registry.as("a").join(r2.registry.as("b"),
+        Seq("locus", "term", "rank", "sequence"))
+        .where(col("a.accession") =!= col("b.accession")).count()
+      assert(changed == 0, s"split=$split")
+      assert(r2.registry.count() >= r1.registry.count())
+    }
+  }
+
+  test("asOf equals the naive latest-at-or-before lookup") {
+    val rnd = new scala.util.Random(23L)
+    for (round <- 1 to 5) {
+      val leftRows = (0 until 1 + rnd.nextInt(25))
+        .map(_ => (1L + rnd.nextInt(3), rnd.nextInt(50).toLong))
+      val rightRows = (0 until 1 + rnd.nextInt(25))
+        .map(_ => (1L + rnd.nextInt(3), rnd.nextInt(50).toLong))
+      val left = leftRows.zipWithIndex
+        .map { case ((k, t), i) => (k, new java.sql.Timestamp(t * 1000), i.toLong) }
+        .toDF("k", "ts", "lid")
+      val right = rightRows.zipWithIndex
+        .map { case ((k, t), i) => (k, new java.sql.Timestamp(t * 1000), i.toLong) }
+        .toDF("k", "ts", "rid")
+      val got = graft.operators.AsOfJoin
+        .asOf(left, right, Seq("k"), "ts", "ts", Seq("rid"), "rid")
+        .select("lid", "asof_rid").collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1)))
+        .toMap
+      val naive = leftRows.zipWithIndex.map { case ((k, t), i) =>
+        val candidates = rightRows.zipWithIndex
+          .filter { case ((rk, rt), _) => rk == k && rt <= t }
+        val best =
+          if (candidates.isEmpty) -1L
+          else candidates.maxBy { case ((_, rt), ri) => (rt, ri.toLong) }._2.toLong
+        i.toLong -> best
+      }.toMap
+      assert(got == naive, s"round=$round")
+    }
+  }
+
+  test("range within equals the naive radius filter") {
+    val rnd = new scala.util.Random(31L)
+    for (round <- 1 to 5) {
+      val leftRows = (0 until 1 + rnd.nextInt(20))
+        .map(i => (i.toLong, rnd.nextInt(300).toLong))
+      val rightRows = (0 until 1 + rnd.nextInt(20))
+        .map(i => (i.toLong, rnd.nextInt(300).toLong))
+      val left = leftRows
+        .map { case (i, t) => (i, new java.sql.Timestamp(t * 1000)) }
+        .toDF("lid", "lts")
+      val right = rightRows
+        .map { case (i, t) => (i, new java.sql.Timestamp(t * 1000)) }
+        .toDF("rid", "rts")
+      val got = graft.operators.RangeJoin.within(left, right, "lts", "rts", 30)
+        .select("lid", "rid").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val naive = (for {
+        (li, lt) <- leftRows
+        (ri, rt) <- rightRows
+        if math.abs(lt - rt) <= 30
+      } yield (li, ri)).toSet
+      assert(got == naive, s"round=$round")
+    }
+  }
+}
