@@ -119,6 +119,16 @@ object EventStreams {
       .drop("session_id")
   }
 
+  /** Streaming exact dedup: watermarked `dropDuplicates` on a key —
+    * the training-pipeline ingest guard (duplicate events/documents
+    * dropped at arrival). State holds one entry per key inside the
+    * watermark horizon; older duplicates age out of state, which is
+    * the documented watermark-dedup contract (bounded state at any
+    * scale). Batch twin: plain `dropDuplicates(keys)`. */
+  def dedupeStream(events: DataFrame, keys: Seq[String]): DataFrame =
+    events.withWatermark("ts", "2 hours")
+      .dropDuplicates(keys :+ "ts")
+
   /** Run a batch-defined transform as a real stream over the same
     * parquet data (Trigger.AvailableNow + memory sink) and return the
     * drained result — proves the logical plan is streaming-safe. */

@@ -38,6 +38,30 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(streamed.toSeq == batch.toSeq)
   }
 
+  test("streaming dedup drops injected duplicates, keeps all originals") {
+    val ev = Tables.events(spark, sfDir)
+    val doubled = ev.unionAll(ev) // every event twice
+    val distinctCount = ev.dropDuplicates("event_id", "ts").count()
+    // batch twin over the doubled input
+    assert(EventStreams.dedupeStream(doubled, Seq("event_id")).count()
+      == distinctCount)
+    // real stream: parquet source reads the file once per union leg
+    val tmp = java.nio.file.Files.createTempDirectory("dedup_src")
+    java.nio.file.Files.createSymbolicLink(
+      tmp.resolve("a.parquet"),
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"))
+    java.nio.file.Files.createSymbolicLink(
+      tmp.resolve("b.parquet"),
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"))
+    val streamed = EventStreams.runAsStream(
+      spark, tmp.toString,
+      df => EventStreams.dedupeStream(
+        df.withColumn("ts", timestamp_micros(expr("ts DIV 1000"))),
+        Seq("event_id")),
+      "dedup_stream")
+    assert(streamed.count() == distinctCount)
+  }
+
   test("sessionization: streamed closed sessions == batch sessions minus open tails") {
     import spark.implicits._
     val events = Tables.events(spark, sfDir)
