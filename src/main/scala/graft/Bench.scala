@@ -21,10 +21,13 @@ object Bench {
           org.apache.spark.sql.functions.expr("o_custkey = c_custkey"))
         .groupBy("c_mktsegment").count().collect()
     } catch { case _: Throwable => () }
+    // Failed queries report -1.0 (not a plausible-looking elapsed) and
+    // are excluded from the headline total.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok = try { fn(spark, sfDir).count(); true }
+      catch { case _: Throwable => false }
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }.toMap
     // Reference-headline workload: full-release build + graph load at
     // 35k alleles (README.md:149 / BASELINE.md: 15-30 min build + >=1h
@@ -49,7 +52,7 @@ object Bench {
     val all = results ++ scale
     val qs = all.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (all.nonEmpty) all.values.sum else 0.0
+    val total = all.values.filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

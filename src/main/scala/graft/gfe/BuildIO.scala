@@ -30,10 +30,11 @@ object BuildIO {
     "all_alignments" -> Seq("label", "seq_id", "gfe_name", "hla_name",
       "length", "rank", "bp_sequence", "aa_sequence", "imgt_release"))
 
-  /** `^<name>.<release>.csv$` (validate_build_output/app.py:201-202). */
+  /** `<name>.<release>.csv` layout check
+    * (validate_build_output/app.py:201-202 — the reference's regex is
+    * a literal with escaped dots, i.e. exact-name equality). */
   def fileNameOk(fileName: String, release: String): Boolean =
-    expectedHeaders.keys.exists(n =>
-      fileName.matches(s"^${java.util.regex.Pattern.quote(s"$n.$release.csv")}$$"))
+    expectedHeaders.keys.exists(n => fileName == s"$n.$release.csv")
 
   private def relations(r: GfeBuild.BuildResult): Map[String, DataFrame] =
     Map(

@@ -57,7 +57,9 @@ object GfeBuild {
     when(term === "FIVE_PRIME_UTR", lit(0))
       .when(term === "EXON", rank * 2 - 1)
       .when(term === "INTRON", rank * 2)
-      .otherwise(lit(Int.MaxValue))
+      .when(term === "THREE_PRIME_UTR", lit(Int.MaxValue))
+      .otherwise(lit(Int.MaxValue - 1)) // match Features.ordinal: unknown
+      // terms sort just before the 3'UTR, by structure not accession
 
   /** Accession-dictionary update (J3/§2.5, SURVEY §7.4 hard part 1).
     *

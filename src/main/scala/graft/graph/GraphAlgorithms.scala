@@ -132,6 +132,11 @@ object GraphAlgorithms {
       i += 1
     }
     und.unpersist()
+    // A partially-converged result would silently split components —
+    // fail loudly; callers raise maxIter (diameter bound) instead.
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponentsDF did not converge in $maxIter rounds; " +
+        "raise maxIter (rounds needed = max component diameter)")
     labels
   }
 

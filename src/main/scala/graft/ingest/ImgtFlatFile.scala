@@ -133,10 +133,13 @@ object ImgtFlatFile {
     }
 
   /** Distributed scan: one splittable text read, records parsed on
-    * executors. */
+    * executors. The separator is "\n//" (not "\n//\n") so CRLF files
+    * split too — their terminator is "\r\n//\r\n", and parseRecord
+    * strips the stray "\r" prefix lines; a mid-line "//" (e.g. in a
+    * URL) never follows a newline directly, so it cannot split. */
   def read(spark: SparkSession, path: String): Dataset[AlleleRecord] = {
     import spark.implicits._
-    spark.read.option("lineSep", "\n//\n").textFile(path)
+    spark.read.option("lineSep", "\n//").textFile(path)
       .flatMap(chunk => parseRecord(chunk))
   }
 

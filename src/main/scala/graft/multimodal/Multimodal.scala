@@ -45,11 +45,14 @@ object Multimodal {
     */
   object StubCodec {
     /** ??? real decode — faked as a seeded byte-mix over the payload:
-      * returns `channels * width * height` floats in [0, 1). */
-    def decode(payload: Array[Byte], meta: MediaMeta): Array[Float] = {
+      * returns `channels * width * height` floats in [0, 1). `seed`
+      * varies the fake content (e.g. per video frame) without copying
+      * the payload. */
+    def decode(payload: Array[Byte], meta: MediaMeta,
+        seed: Long = 0L): Array[Float] = {
       val n = math.max(1, meta.channels * meta.width * meta.height)
       val out = new Array[Float](n)
-      var h = 1125899906842597L // deterministic, payload-derived
+      var h = 1125899906842597L ^ (seed * 0x9E3779B97F4A7C15L)
       var i = 0
       while (i < payload.length) { h = 31 * h + payload(i); i += 1 }
       i = 0
@@ -127,9 +130,9 @@ object Multimodal {
       val n = math.max(1, m.meta.nFrames)
       (0 until math.min(k, n)).map { j =>
         val idx = j * n / math.min(k, n)
-        // frame-seeded decode: payload + frame index
-        val framePayload = m.payload :+ idx.toByte
-        val decoded = StubCodec.decode(framePayload, m.meta)
+        // frame-seeded decode: full frame index as the seed (no byte
+        // wraparound collisions, no payload copy per frame)
+        val decoded = StubCodec.decode(m.payload, m.meta, seed = idx.toLong)
         FrameSample(m.media_id, idx, pool(decoded, dim))
       }
     }

@@ -53,11 +53,21 @@ object DedupQueries {
     * at scale the signature/pair tables are written ONCE and reused by
     * every downstream dedup consumer, so the engine mirrors that
     * instead of re-hashing the corpus per query. */
-  private val pairsCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  // Weak session keys: a stopped session's cached plans must be
+  // collectable, not pinned by this memo forever.
+  private val pairsCache = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, scala.collection.mutable.Map[String, DataFrame]]())
 
-  private def lshPairs(s: SparkSession, d: String): DataFrame =
-    pairsCache.computeIfAbsent((s, d), _ => lshPairsUncached(s, d).cache())
+  private def lshPairs(s: SparkSession, d: String): DataFrame = {
+    val perSession = pairsCache.synchronized {
+      var m = pairsCache.get(s)
+      if (m == null) { m = scala.collection.mutable.Map.empty; pairsCache.put(s, m) }
+      m
+    }
+    perSession.synchronized {
+      perSession.getOrElseUpdate(d, lshPairsUncached(s, d).cache())
+    }
+  }
 
   private def lshPairsUncached(s: SparkSession, d: String): DataFrame = {
     val sig = shingled(s, d).select(

@@ -19,27 +19,48 @@ object GfeQueries {
 
   // Build results memoized per (session, release): GfeBuild caches its
   // intermediates, so re-invoking it would rebuild fresh plans and
-  // re-execute the pipeline per driver-contract query.
-  private val buildCache = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String), GfeBuild.BuildResult]()
+  // re-execute the pipeline per driver-contract query. Weak session
+  // keys keep stopped sessions collectable.
+  private val buildCache = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.mutable.Map[String, GfeBuild.BuildResult]]())
 
   /** NOTE: the cache key ignores `reg` — fine here because each
     * release is only ever built with one registry lineage (3560 from
     * empty, 3570 from 3560). */
   private def build(s: SparkSession, rel: String,
-      reg: Option[DataFrame] = None): GfeBuild.BuildResult =
-    buildCache.computeIfAbsent((s, rel), _ =>
-      GfeBuild.run(s,
-        ImgtFlatFile.fromText(s, ImgtFlatFile.resourceText(s"/graft/hla.$rel.dat")),
-        rel, registry = reg))
+      reg: Option[DataFrame] = None): GfeBuild.BuildResult = {
+    val perSession = buildCache.synchronized {
+      var m = buildCache.get(s)
+      if (m == null) { m = scala.collection.mutable.Map.empty; buildCache.put(s, m) }
+      m
+    }
+    perSession.synchronized {
+      perSession.getOrElseUpdate(rel,
+        GfeBuild.run(s,
+          ImgtFlatFile.fromText(s, ImgtFlatFile.resourceText(s"/graft/hla.$rel.dat")),
+          rel, registry = reg))
+    }
+  }
 
   // The fixture graph is immutable per session — memoize so each
   // driver-contract query doesn't re-run the two-release pipeline.
-  private val cache =
-    new java.util.concurrent.ConcurrentHashMap[SparkSession, GraphLoad.Graph]()
+  // Weak keys: stopped sessions must stay collectable.
+  private val cache = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, GraphLoad.Graph]())
 
   private def graph(s: SparkSession): GraphLoad.Graph =
-    cache.computeIfAbsent(s, _ => {
+    cache.synchronized {
+      val hit = cache.get(s)
+      if (hit != null) hit
+      else {
+        val g = buildGraph(s)
+        cache.put(s, g)
+        g
+      }
+    }
+
+  private def buildGraph(s: SparkSession): GraphLoad.Graph = {
       val r1 = build(s, "3560")
       val r2 = build(s, "3570", Some(r1.registry))
       val g = GraphLoad.loadAll(s, Seq(
@@ -50,7 +71,7 @@ object GfeQueries {
         g.ipdAllele.cache(), g.ipdAccession.cache(), g.submitter,
         g.hasIpdAllele.cache(), g.hasIpdAccession.cache(), g.submitted,
         g.hasSequence.cache(), g.hasFeature.cache())
-    })
+  }
 
   val all: Seq[QueryDef] = Seq(
     // S1+P1-P8+J3+§2.5: full build of one release.

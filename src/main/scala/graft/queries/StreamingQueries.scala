@@ -43,7 +43,7 @@ object StreamingQueries {
         |  FROM (
         |    SELECT user_id, ts, value,
         |           CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
-        |                  OR epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) > 1800
+        |                  OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) > 1800000000
         |                THEN 1 ELSE 0 END AS new_session
         |    FROM events))
         |GROUP BY user_id, session_id

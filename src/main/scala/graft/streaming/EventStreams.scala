@@ -104,9 +104,13 @@ object EventStreams {
     val byUser = Window.partitionBy("user_id").orderBy("ts")
     events
       .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      // microsecond gap arithmetic — cast("long") truncates to seconds
+      // and would disagree with the microsecond streaming path on gaps
+      // that straddle the boundary fractionally
       .withColumn("new_session",
         when(col("prev_ts").isNull ||
-          col("ts").cast("long") - col("prev_ts").cast("long") > 1800, 1)
+          unix_micros(col("ts")) - unix_micros(col("prev_ts")) >
+            1800L * 1000000L, 1)
           .otherwise(0))
       .withColumn("session_id", sum(col("new_session")).over(
         byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
@@ -119,15 +123,18 @@ object EventStreams {
       .drop("session_id")
   }
 
-  /** Streaming exact dedup: watermarked `dropDuplicates` on a key —
-    * the training-pipeline ingest guard (duplicate events/documents
-    * dropped at arrival). State holds one entry per key inside the
-    * watermark horizon; older duplicates age out of state, which is
-    * the documented watermark-dedup contract (bounded state at any
-    * scale). Batch twin: plain `dropDuplicates(keys)`. */
+  /** Streaming exact dedup on the key columns alone — the
+    * training-pipeline ingest guard (duplicate events/documents
+    * dropped at arrival, even when the re-ingested copy carries a
+    * different timestamp). Streaming inputs use
+    * `dropDuplicatesWithinWatermark`, whose state is bounded by the
+    * watermark horizon; batch inputs use the plain key-only
+    * `dropDuplicates(keys)` twin. */
   def dedupeStream(events: DataFrame, keys: Seq[String]): DataFrame =
-    events.withWatermark("ts", "2 hours")
-      .dropDuplicates(keys :+ "ts")
+    if (events.isStreaming)
+      events.withWatermark("ts", "2 hours")
+        .dropDuplicatesWithinWatermark(keys)
+    else events.dropDuplicates(keys)
 
   /** Run a batch-defined transform as a real stream over the same
     * parquet data (Trigger.AvailableNow + memory sink) and return the

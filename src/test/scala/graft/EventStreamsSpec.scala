@@ -41,7 +41,7 @@ class EventStreamsSpec extends AnyFunSuite {
   test("streaming dedup drops injected duplicates, keeps all originals") {
     val ev = Tables.events(spark, sfDir)
     val doubled = ev.unionAll(ev) // every event twice
-    val distinctCount = ev.dropDuplicates("event_id", "ts").count()
+    val distinctCount = ev.dropDuplicates("event_id").count()
     // batch twin over the doubled input
     assert(EventStreams.dedupeStream(doubled, Seq("event_id")).count()
       == distinctCount)

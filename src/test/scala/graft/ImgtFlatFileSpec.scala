@@ -49,6 +49,18 @@ class ImgtFlatFileSpec extends AnyFunSuite {
     assert(cds.extract(a1.sequence) == exonCat)
   }
 
+  test("distributed read splits CRLF-terminated files correctly") {
+    import java.nio.file.{Files, Paths}
+    val crlf = text.replace("\n", "\r\n")
+    val tmp = Files.createTempDirectory("imgt_crlf").resolve("hla.crlf.dat")
+    Files.writeString(tmp, crlf)
+    val ds = ImgtFlatFile.read(TestSpark.spark, tmp.toString)
+    val parsed = ds.collect()
+    assert(parsed.length == records.length, "every record must split")
+    val a1 = parsed.find(_.accession == "HLA00001").get
+    assert(a1.sequence.length == 321, "no cross-record sequence merging")
+  }
+
   test("distributed read matches the pure parser") {
     import java.nio.file.{Files, Paths}
     val tmp = Files.createTempDirectory("imgt").resolve("hla.3560.dat")
