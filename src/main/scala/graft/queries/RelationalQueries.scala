@@ -357,6 +357,77 @@ object RelationalQueries {
         .orderBy(col("k").cast("long"))
     },
 
+    // Rollup (multi-level aggregation in one pass; SURVEY §2.4 notes
+    // the reference lacks grouping sets — engine capability beyond it).
+    // NULL group markers coalesced to 'ALL' for engine-stable compare.
+    QueryDef(
+      "a_rollup",
+      """SELECT coalesce(r.r_name, 'ALL') AS region,
+        |       coalesce(n.n_name, 'ALL') AS nation,
+        |       count(*) AS n_cust
+        |FROM customer c
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |JOIN region r ON n.n_regionkey = r.r_regionkey
+        |GROUP BY ROLLUP(r.r_name, n.n_name)
+        |ORDER BY region, nation""".stripMargin) { (s, d) =>
+      // via spark.sql: the DataFrame rollup trips the ambiguous-self-
+      // join detector on grouping attrs inherited from the join; SQL
+      // name resolution sidesteps the dataset-id tagging. Identical
+      // logical plan (Aggregate with Rollup grouping sets).
+      Tables.customer(s, d).createOrReplaceTempView("graft_rollup_customer")
+      Tables.nation(s, d).createOrReplaceTempView("graft_rollup_nation")
+      Tables.region(s, d).createOrReplaceTempView("graft_rollup_region")
+      s.sql(
+        """SELECT coalesce(r_name, 'ALL') AS region,
+          |       coalesce(n_name, 'ALL') AS nation,
+          |       count(*) AS n_cust
+          |FROM graft_rollup_customer c
+          |JOIN graft_rollup_nation n ON c.c_nationkey = n.n_nationkey
+          |JOIN graft_rollup_region r ON n.n_regionkey = r.r_regionkey
+          |GROUP BY ROLLUP(r_name, n_name)
+          |ORDER BY region, nation""".stripMargin)
+    },
+
+    // Pivot: per-user event counts spread across event-type columns.
+    // Oracle uses the equivalent conditional aggregation.
+    QueryDef(
+      "f_pivot",
+      """SELECT user_id,
+        |       count(*) FILTER (event_type = 'click') AS click,
+        |       count(*) FILTER (event_type = 'error') AS error,
+        |       count(*) FILTER (event_type = 'purchase') AS purchase,
+        |       count(*) FILTER (event_type = 'signup') AS signup,
+        |       count(*) FILTER (event_type = 'view') AS view
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .groupBy("user_id")
+        .pivot("event_type",
+          Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy("user_id")
+    },
+
+    // Exact discrete percentiles (no interpolation, no sketch — the
+    // values are actual rows, so cross-engine compare is exact).
+    QueryDef(
+      "a_percentile_disc",
+      """SELECT c_mktsegment,
+        |       quantile_disc(CAST(o_totalprice AS DECIMAL(18,2)), 0.5) AS p50,
+        |       quantile_disc(CAST(o_totalprice AS DECIMAL(18,2)), 0.9) AS p90
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      Tables.orders(s, d)
+        .join(broadcast(Tables.customer(s, d)),
+          col("o_custkey") === col("c_custkey"))
+        .withColumn("price", col("o_totalprice").cast("decimal(18,2)"))
+        .groupBy("c_mktsegment")
+        .agg(
+          expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY price)").as("p50"),
+          expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY price)").as("p90"))
+        .orderBy("c_mktsegment")
+    },
+
     // GFE-name construction (introduction.rst:33-38): locus + 'w' +
     // ordered dash-joined accessions ≡ ordered string_agg per group.
     QueryDef(
