@@ -43,10 +43,26 @@ object DedupQueries {
   private val nHashes = 8 // minhash signature width
   private val nBands = 4 // bands of 2 rows each
 
-  /** Spark-side doc_id + distinct-shingles frame. */
-  private def shingled(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
-      .select(col("doc_id"), shingles(tokens(col("text"))).as("sh"))
+  /** Spark-side doc_id + distinct-shingles frame — memoized per
+    * (session, dir) with weak session keys: four operators (minhash,
+    * jaccard, simhash, clusters) consume it, and at scale it is the
+    * materialized shingle table every dedup pass shares. */
+  private val shingleCache = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, scala.collection.mutable.Map[String, DataFrame]]())
+
+  private def shingled(s: SparkSession, d: String): DataFrame = {
+    val perSession = shingleCache.synchronized {
+      var m = shingleCache.get(s)
+      if (m == null) { m = scala.collection.mutable.Map.empty; shingleCache.put(s, m) }
+      m
+    }
+    perSession.synchronized {
+      perSession.getOrElseUpdate(d,
+        Tables.documents(s, d)
+          .select(col("doc_id"), shingles(tokens(col("text"))).as("sh"))
+          .cache())
+    }
+  }
 
   /** LSH candidate pairs (d1 < d2) — the shared core of
     * d_minhash_lsh and d_dup_clusters. Memoized per (session, dir):

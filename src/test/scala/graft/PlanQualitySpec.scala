@@ -80,6 +80,19 @@ class PlanQualitySpec extends AnyFunSuite {
       "map-side combine must run before the shuffle")
   }
 
+  test("range join runs as a bucket equi-join, not a nested loop") {
+    val plan = planOf("j_range_nearby")
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      "the |dt|<=r predicate must ride an equi-join on the bucket key")
+  }
+
+  test("as-of join is a single window pass, no join operator at all") {
+    val plan = planOf("j_asof_last_click")
+    assert(plan.contains("Window"))
+    assert(!plan.contains("NestedLoop") && !plan.contains("CartesianProduct"))
+  }
+
   test("top-k per group computes rank before the presentation sort") {
     val plan = planOf("w_topk_per_group")
     assert(plan.contains("RunningWindowFunction") || plan.contains("Window"),
