@@ -189,6 +189,23 @@ object GraphLoad {
         .parquet(s"$dir/$name")
     }
 
+  /** Bucketed variant of the store for the hot traversal tables: GFE
+    * keyed by `name` and HAS_FEATURE keyed by `src` land in the same
+    * bucket layout, so the anchor join of every traversal
+    * (GFE ⨝ HAS_FEATURE) is a zero-shuffle sort-merge join — the
+    * Spark equivalent of the co-located storage a graph engine keeps.
+    * Tables are registered as `<prefix>_gfe` / `<prefix>_has_feature`
+    * in the session catalog (bucketing metadata lives in the
+    * catalog, not the parquet files). */
+  def writeBucketed(g: Graph, prefix: String, buckets: Int = 8): Unit = {
+    g.gfe.write.mode("overwrite")
+      .bucketBy(buckets, "name").sortBy("name")
+      .saveAsTable(s"${prefix}_gfe")
+    g.hasFeature.write.mode("overwrite")
+      .bucketBy(buckets, "src").sortBy("src")
+      .saveAsTable(s"${prefix}_has_feature")
+  }
+
   def read(spark: SparkSession, dir: String): Graph = {
     def t(n: String) = spark.read.parquet(s"$dir/$n")
     Graph(t("GFE"), t("Sequence"), t("Feature"), t("IPD_Allele"),

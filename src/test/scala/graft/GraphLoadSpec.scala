@@ -80,6 +80,26 @@ class GraphLoadSpec extends AnyFunSuite {
     assert(dangling == 0)
   }
 
+  test("bucketed store: traversal anchor join runs with zero shuffle") {
+    GraphLoad.writeBucketed(graph, "bkt", buckets = 4)
+    // disable broadcast so the planner exercises the bucket layout
+    // (fixture tables are tiny; at scale SMJ is the join that matters)
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val g = spark.table("bkt_gfe")
+      val hf = spark.table("bkt_has_feature")
+      val joined = g.join(hf, g("name") === hf("src"))
+      joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      assert(plan.contains("SortMergeJoin"), plan.take(1500))
+      assert(!plan.contains("Exchange"),
+        s"bucket-aligned join must not shuffle:\n${plan.take(1500)}")
+      assert(joined.count() == graph.hasFeature.count())
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
+
   test("graph snapshot round-trip (S10)") {
     val dir = java.nio.file.Files.createTempDirectory("graphstore").toString
     GraphLoad.write(graph, dir)
