@@ -36,10 +36,13 @@ object GfeBuild {
       registry: DataFrame)
 
   /** P1 + P2 + P3: processable filter, blocklist, optional limit
-    * (app.py:597-628). */
+    * (app.py:597-628); `kir = true` admits the KIR loci as well
+    * (constants.py:27 load_loci). */
   def processable(
-      ds: Dataset[AlleleRecord], limit: Option[Int] = None): Dataset[AlleleRecord] = {
-    val loci = GfeConstants.hlaLoci.toSet
+      ds: Dataset[AlleleRecord], limit: Option[Int] = None,
+      kir: Boolean = false): Dataset[AlleleRecord] = {
+    val loci = (GfeConstants.hlaLoci ++
+      (if (kir) GfeConstants.kirLoci else Nil)).toSet
     val skip = GfeConstants.skipAlleles.toSet
     val filtered = ds.filter { r =>
       val locus = r.locus
@@ -126,11 +129,12 @@ object GfeBuild {
       registry: Option[DataFrame] = None,
       ard: Option[DataFrame] = None,
       alignments: Option[DataFrame] = None,
-      limit: Option[Int] = None): BuildResult = {
+      limit: Option[Int] = None,
+      kir: Boolean = false): BuildResult = {
     import spark.implicits._
     val imgtRelease = GfeConstants.formatRelease(release)
 
-    val alleles = processable(records, limit)
+    val alleles = processable(records, limit, kir)
 
     // Stable first-seen index = file order (splits are offset-ordered),
     // the same order the reference streams alleles to the service.
@@ -165,8 +169,18 @@ object GfeBuild {
       Seq("locus", "term", "rank", "sequence"))
 
     // GFE name: ordered accession aggregation per allele
-    // (introduction.rst:33-38). Fixed-width structs only.
-    val names = featsAcc
+    // (introduction.rst:33-38). py-gfe fills the locus structure with
+    // accession 0 for positions the allele lacks (partial sequences),
+    // so every allele of a locus gets one slot per structure position.
+    // Structure derives from the registry — append-only, so it is
+    // stable across releases. Fixed-width structs only.
+    val structure = reg.select("locus", "term", "rank").distinct()
+    val slots = indexed.select(col("idx"), col("locus"))
+      .join(broadcast(structure), Seq("locus"))
+    val names = slots
+      .join(featsAcc.select("idx", "locus", "term", "rank", "accession"),
+        Seq("idx", "locus", "term", "rank"), "left")
+      .withColumn("accession", coalesce(col("accession"), lit(0L)))
       .withColumn("ordinal", ordinalCol(col("term"), col("rank")))
       .groupBy("idx")
       .agg(

@@ -20,6 +20,13 @@ object GfeConstants {
     "HLA-DPB1", "HLA-DQA1", "HLA-DPA1", "HLA-DRB3",
     "HLA-DRB4", "HLA-DRB5")
 
+  /** KIR loci admitted when the build runs with the `-k` flag
+    * (constants.py:19-21, load_loci at :27). */
+  val kirLoci: Seq[String] = Seq(
+    "KIR3DS1", "KIR3DP1", "KIR3DL3", "KIR3DL2", "KIR3DL1",
+    "KIR2DS5", "KIR2DS4", "KIR2DS3", "KIR2DS2", "KIR2DS1",
+    "KIR2DP1", "KIR2DL5B", "KIR2DL5A", "KIR2DL4")
+
   /** ARD reduction groups computed at build (constants.py:30). Note the
     * loader only materializes G and lg onto IPD_Allele (load.cyp:66-83);
     * lgx rows are built but never loaded — we preserve that behavior. */

@@ -87,6 +87,47 @@ class GfeBuildSpec extends AnyFunSuite {
     assert(g.length == 1 && g.head.getAs[String]("ard_id") == "HLA-A*01:01:01G")
   }
 
+  test("partial alleles get accession 0 at missing structure positions") {
+    import spark.implicits._
+    val recs = ImgtFlatFile.parseText(
+      ImgtFlatFile.resourceText("/graft/hla.3560.dat"))
+    val full = recs.find(_.accession == "HLA00001").get
+    val partial = full.copy(
+      accession = "HLAPART1",
+      description = "HLA-A*97:97, Human MHC sequence",
+      // drop intron 3 — a nuc-only-style partial allele
+      features = full.features.filterNot(f =>
+        f.ftype == "intron" && f.number.contains(3)))
+    val enc = org.apache.spark.sql.Encoders.product[graft.model.AlleleRecord]
+    val r = GfeBuild.run(spark, spark.createDataset(Seq(full, partial))(enc), "3560")
+    def name(hla: String) = r.gfeSequences
+      .where(col("hla_name") === hla).select("gfe_name")
+      .collect().head.getString(0)
+    assert(name("HLA-A*01:01:01:01") == "HLA-Aw" + Seq.fill(17)("1").mkString("-"))
+    // slot order: 5'UTR, e1, i1, e2, i2, e3, [i3], e4 ... -> 0 at index 6
+    val expected = ("HLA-Aw" +
+      Seq("1", "1", "1", "1", "1", "1", "0").mkString("-") + "-" +
+      Seq.fill(10)("1").mkString("-"))
+    assert(name("HLA-A*97:97") == expected)
+  }
+
+  test("kir flag admits KIR loci (constants.py:27)") {
+    import spark.implicits._
+    val recs = ImgtFlatFile.parseText(
+      ImgtFlatFile.resourceText("/graft/hla.3560.dat"))
+    val kirRec = recs.find(_.accession == "HLA00001").get.copy(
+      accession = "KIR00001",
+      description = "KIR3DL1*001, Human KIR sequence")
+    val enc = org.apache.spark.sql.Encoders.product[graft.model.AlleleRecord]
+    val ds = spark.createDataset(Seq(kirRec))(enc)
+    assert(GfeBuild.processable(ds).count() == 0, "dropped without -k")
+    assert(GfeBuild.processable(ds, kir = true).count() == 1)
+    val r = GfeBuild.run(spark, ds, "3560", kir = true)
+    val row = r.gfeSequences.collect().head
+    assert(row.getAs[String]("locus") == "KIR3DL1")
+    assert(row.getAs[String]("gfe_name").startsWith("KIR3DL1w"))
+  }
+
   test("accession registry is stable across releases (SURVEY §7.4.1)") {
     val r3570 = {
       val ds = ImgtFlatFile.fromText(spark,
