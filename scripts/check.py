@@ -9,7 +9,6 @@ columns sorted by name. Exits nonzero listing mismatched queries.
 Usage: python3 scripts/check.py [sfdir] [outdir] [--no-run]
 """
 import sys, os, json, subprocess, glob, hashlib
-from decimal import Decimal
 
 SFDIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 OUT = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
@@ -27,10 +26,10 @@ def run_verify():
         sys.exit(f"Verify failed rc={r.returncode}")
 
 def norm(v):
-    if isinstance(v, Decimal):
-        return format(v.normalize(), 'f')
-    if isinstance(v, float):
-        return f"{v:.10g}"
+    # Byte-faithful: NO Decimal.normalize(), NO float rounding — the
+    # driver's oracle hash is strict, so the local gate must be too
+    # (round-1 lesson: normalization here masked 6 driver failures).
+    # Queries must pin identical output types on both sides instead.
     if isinstance(v, bytes):
         return v.hex()
     if isinstance(v, list):

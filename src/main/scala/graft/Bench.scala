@@ -53,7 +53,16 @@ object Bench {
     val qs = all.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = all.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // Contract: the JSON must survive any log wrapping. Belt and
+    // braces — (a) bare line on stdout (run/outputStrategy strips sbt
+    // prefixes), (b) a well-known file the driver (or a human) can read
+    // even if stdout is mangled.
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/graft_bench.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), json + "\n")
+    catch { case _: Throwable => () }
+    println(json)
     spark.stop()
   }
 }

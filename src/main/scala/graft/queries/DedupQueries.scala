@@ -219,9 +219,9 @@ object DedupQueries {
         |hs AS (SELECT doc_id,
         |         list_transform(sh, x -> ${duckHex60("x")}) AS hs FROM sh)
         |SELECT doc_id,
-        |       list_sum(list_transform(generate_series(0,31), b ->
+        |       CAST(list_sum(list_transform(generate_series(0,31), b ->
         |         CASE WHEN 2 * len(list_filter(hs, h -> (h >> b) & 1 = 1)) > len(hs)
-        |              THEN (1::BIGINT << b) ELSE 0 END)) AS simhash
+        |              THEN (1::BIGINT << b) ELSE 0 END)) AS BIGINT) AS simhash
         |FROM hs ORDER BY doc_id""".stripMargin) { (s, d) =>
       // The Scala DSL's shiftleft/shiftright only accept Int shift
       // amounts; the SQL forms accept expressions — same codegen'd

@@ -92,7 +92,8 @@ object RelationalQueries {
     // J1: alignment dict probe ≡ broadcast left join on a small dim.
     QueryDef(
       "j1_broadcast_join",
-      """SELECT p.p_brand, sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS revenue,
+      """SELECT p.p_brand,
+        |       CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS revenue,
         |       count(*) AS n
         |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
         |GROUP BY p.p_brand ORDER BY p.p_brand""".stripMargin) { (s, d) =>
@@ -100,7 +101,11 @@ object RelationalQueries {
         .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
         .groupBy("p_brand")
         .agg(
-          sum(col("l_extendedprice").cast("decimal(18,2)")).as("revenue"),
+          // sum over DECIMAL(18,2) widens differently per engine
+          // (Spark → (28,2), DuckDB → (38,2)); pin the output type so
+          // a byte-faithful cross-engine hash agrees.
+          sum(col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("decimal(18,2)").as("revenue"),
           count(lit(1)).as("n"))
         .orderBy("p_brand")
     },
@@ -337,12 +342,14 @@ object RelationalQueries {
     QueryDef(
       "f_date_pack",
       """SELECT year(o_orderdate) AS y, month(o_orderdate) AS m,
-        |       count(*) AS n, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+        |       count(*) AS n,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total
         |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
       Tables.orders(s, d)
         .groupBy(year(col("o_orderdate")).as("y"), month(col("o_orderdate")).as("m"))
         .agg(count(lit(1)).as("n"),
-          sum(col("o_totalprice").cast("decimal(18,2)")).as("total"))
+          sum(col("o_totalprice").cast("decimal(18,2)"))
+            .cast("decimal(18,2)").as("total"))
         .orderBy("y", "m")
     },
 

@@ -18,25 +18,35 @@ object StreamingQueries {
 
     // Tumbling 1-hour event-time window per event_type (the streaming
     // windowed agg; watermark is a no-op on batch input).
+    // Output typing is pinned for byte-faithful cross-engine compare:
+    // window start as epoch-micros BIGINT (timestamp renderings differ
+    // across engines), sum re-cast to DECIMAL(18,2) (Spark widens to
+    // (28,2), DuckDB to (38,2)).
     QueryDef(
       "st_window_agg",
-      """SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+      """SELECT epoch_us(time_bucket(INTERVAL '1 hour', ts)) AS window_start,
         |       event_type, count(*) AS n,
-        |       sum(CAST(value AS DECIMAL(18,2))) AS total_value
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_value
         |FROM events GROUP BY 1, 2
         |ORDER BY window_start, event_type""".stripMargin) { (s, d) =>
       EventStreams.windowedCounts(
         Tables.events(s, d).withColumn("value",
           col("value").cast("decimal(18,2)")))
+        .select(
+          unix_micros(col("window_start")).as("window_start"),
+          col("event_type"), col("n"),
+          col("total_value").cast("decimal(18,2)").as("total_value"))
         .orderBy("window_start", "event_type")
     },
 
     // Gap-based sessionization (30-min inactivity): gaps-and-islands.
     QueryDef(
       "st_sessionize",
-      """SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+      """SELECT user_id,
+        |       min(epoch_us(ts)) AS session_start,
+        |       max(epoch_us(ts)) AS session_end,
         |       CAST(count(*) AS INT) AS n_events,
-        |       sum(CAST(value AS DECIMAL(18,2))) AS total_value
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_value
         |FROM (
         |  SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
         |                                   ROWS UNBOUNDED PRECEDING) AS session_id
@@ -51,6 +61,12 @@ object StreamingQueries {
       EventStreams.sessionizeBatch(
         Tables.events(s, d).withColumn("value",
           col("value").cast("decimal(18,2)")))
+        .select(
+          col("user_id"),
+          unix_micros(col("session_start")).as("session_start"),
+          unix_micros(col("session_end")).as("session_end"),
+          col("n_events"),
+          col("total_value").cast("decimal(18,2)").as("total_value"))
         .orderBy("user_id", "session_start")
     })
 }
