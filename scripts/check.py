@@ -48,6 +48,8 @@ def main():
     if "--no-run" not in sys.argv:
         run_verify()
     import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
     con = duckdb.connect()
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SFDIR}/{t}.parquet')")
@@ -58,8 +60,18 @@ def main():
         files = glob.glob(f"{pdir}/*.parquet")
         if not files:
             failures.append((name, "no spark output")); continue
-        sp = con.sql(f"SELECT * FROM read_parquet('{pdir}/*.parquet')")
-        scols, srows = sp.columns, sp.fetchall()
+        # Read the Spark side via pyarrow — an INDEPENDENT reader, like
+        # the driver's — so reader-representation divergence (e.g.
+        # parquet decimal columns) shows locally instead of only in the
+        # driver's CORRECTNESS report (round-2 lesson: reading both
+        # sides through DuckDB masked 5 decimal-output failures).
+        tbl = pa.concat_tables([pq.read_table(f) for f in sorted(files)])
+        if any(pa.types.is_decimal(f.type) for f in tbl.schema):
+            failures.append((name, "DECIMAL column in spark output schema "
+                             "(not reader-portable; project as BIGINT cents)"))
+            continue
+        scols = tbl.column_names
+        srows = list(zip(*[c.to_pylist() for c in tbl.columns])) if tbl.num_rows else []
         try:
             du = con.sql(sql)
             dcols, drows = du.columns, du.fetchall()

@@ -16,10 +16,27 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // DecimalType is banned from final output schemas: parquet decimal
+    // columns render differently across readers (pyarrow vs DuckDB),
+    // so the driver's hash compare can never match them even with
+    // byte-identical values (round-2 root cause). Queries must project
+    // money as BIGINT cents instead.
+    def hasDecimal(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+      case _: org.apache.spark.sql.types.DecimalType => true
+      case t: org.apache.spark.sql.types.StructType => t.fields.exists(f => hasDecimal(f.dataType))
+      case t: org.apache.spark.sql.types.ArrayType => hasDecimal(t.elementType)
+      case t: org.apache.spark.sql.types.MapType => hasDecimal(t.keyType) || hasDecimal(t.valueType)
+      case _ => false
+    }
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        val df = fn(spark, sfDir)
+        val dec = df.schema.fields.filter(f => hasDecimal(f.dataType)).map(_.name)
+        if (dec.nonEmpty) throw new IllegalStateException(
+          s"DecimalType in output schema (${dec.mkString(",")}) — " +
+            "not reader-portable; project as BIGINT cents")
+        df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }

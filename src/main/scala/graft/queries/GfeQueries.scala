@@ -66,11 +66,14 @@ object GfeQueries {
       val g = GraphLoad.loadAll(s, Seq(
         ("3560", r1.gfeSequences, r1.allFeatures, r1.allGroups),
         ("3570", r2.gfeSequences, r2.allFeatures, r2.allGroups)))
-      GraphLoad.Graph(
-        g.gfe.cache(), g.sequence.cache(), g.feature.cache(),
-        g.ipdAllele.cache(), g.ipdAccession.cache(), g.submitter,
-        g.hasIpdAllele.cache(), g.hasIpdAccession.cache(), g.submitted,
-        g.hasSequence.cache(), g.hasFeature.cache())
+      // Materialize the whole graph to parquet ONCE (S10 dump), then
+      // serve every query from the snapshot. Lazy .cache() made each
+      // driver-contract query pay the two-release build pipeline again
+      // for whichever vertex tables the previous query didn't touch.
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_fixture_graph").toString
+      GraphLoad.write(g, dir)
+      GraphLoad.read(s, dir)
   }
 
   val all: Seq[QueryDef] = Seq(

@@ -73,17 +73,19 @@ object OperatorQueries {
     QueryDef(
       "a_salted_agg",
       """SELECT o_custkey, count(*) AS n,
-        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_o_totalprice
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS total_cents
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
-      // Two-phase sum widens twice ((18,2)→(28,2)→(38,2)); pin the
-      // final type so the cross-engine hash agrees byte-for-byte.
+      // Two-phase decimal sum stays exact internally; the final
+      // projection is BIGINT cents — decimal columns in the output
+      // parquet are not reader-portable for hash compare.
       SkewJoin.saltedAgg(
         Tables.orders(s, d)
           .withColumn("o_totalprice", col("o_totalprice").cast("decimal(18,2)")),
         key = "o_custkey", valueCol = "o_totalprice",
         discriminator = "o_orderkey")
-        .withColumn("sum_o_totalprice",
-          col("sum_o_totalprice").cast("decimal(18,2)"))
+        .withColumn("total_cents",
+          (col("sum_o_totalprice") * 100).cast("bigint"))
+        .drop("sum_o_totalprice")
         .orderBy("o_custkey")
     },
 

@@ -93,7 +93,7 @@ object RelationalQueries {
     QueryDef(
       "j1_broadcast_join",
       """SELECT p.p_brand,
-        |       CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS revenue,
+        |       CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS revenue_cents,
         |       count(*) AS n
         |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
         |GROUP BY p.p_brand ORDER BY p.p_brand""".stripMargin) { (s, d) =>
@@ -101,11 +101,13 @@ object RelationalQueries {
         .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
         .groupBy("p_brand")
         .agg(
-          // sum over DECIMAL(18,2) widens differently per engine
-          // (Spark → (28,2), DuckDB → (38,2)); pin the output type so
-          // a byte-faithful cross-engine hash agrees.
-          sum(col("l_extendedprice").cast("decimal(18,2)"))
-            .cast("decimal(18,2)").as("revenue"),
+          // Exact DECIMAL(18,2) aggregation internally, but NO decimal
+          // in the final schema: parquet decimal columns render
+          // differently across readers, breaking cross-engine hash
+          // compare even with byte-identical values. BIGINT cents
+          // (decimal × 100 is exact) is reader-portable.
+          (sum(col("l_extendedprice").cast("decimal(18,2)")) * 100)
+            .cast("bigint").as("revenue_cents"),
           count(lit(1)).as("n"))
         .orderBy("p_brand")
     },
@@ -343,13 +345,15 @@ object RelationalQueries {
       "f_date_pack",
       """SELECT year(o_orderdate) AS y, month(o_orderdate) AS m,
         |       count(*) AS n,
-        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS total_cents
         |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
       Tables.orders(s, d)
         .groupBy(year(col("o_orderdate")).as("y"), month(col("o_orderdate")).as("m"))
         .agg(count(lit(1)).as("n"),
-          sum(col("o_totalprice").cast("decimal(18,2)"))
-            .cast("decimal(18,2)").as("total"))
+          // exact decimal sum internally; BIGINT cents in the output
+          // schema (decimal columns are not reader-portable for hashing).
+          (sum(col("o_totalprice").cast("decimal(18,2)")) * 100)
+            .cast("bigint").as("total_cents"))
         .orderBy("y", "m")
     },
 

@@ -20,13 +20,13 @@ object StreamingQueries {
     // windowed agg; watermark is a no-op on batch input).
     // Output typing is pinned for byte-faithful cross-engine compare:
     // window start as epoch-micros BIGINT (timestamp renderings differ
-    // across engines), sum re-cast to DECIMAL(18,2) (Spark widens to
-    // (28,2), DuckDB to (38,2)).
+    // across engines), sums as BIGINT cents (decimal parquet columns
+    // render differently across readers).
     QueryDef(
       "st_window_agg",
       """SELECT epoch_us(time_bucket(INTERVAL '1 hour', ts)) AS window_start,
         |       event_type, count(*) AS n,
-        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_value
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS total_value_cents
         |FROM events GROUP BY 1, 2
         |ORDER BY window_start, event_type""".stripMargin) { (s, d) =>
       EventStreams.windowedCounts(
@@ -35,7 +35,9 @@ object StreamingQueries {
         .select(
           unix_micros(col("window_start")).as("window_start"),
           col("event_type"), col("n"),
-          col("total_value").cast("decimal(18,2)").as("total_value"))
+          // exact decimal sum internally; BIGINT cents in the output
+          // schema (decimal parquet columns aren't reader-portable).
+          (col("total_value") * 100).cast("bigint").as("total_value_cents"))
         .orderBy("window_start", "event_type")
     },
 
@@ -46,7 +48,7 @@ object StreamingQueries {
         |       min(epoch_us(ts)) AS session_start,
         |       max(epoch_us(ts)) AS session_end,
         |       CAST(count(*) AS INT) AS n_events,
-        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_value
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS total_value_cents
         |FROM (
         |  SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
         |                                   ROWS UNBOUNDED PRECEDING) AS session_id
@@ -66,7 +68,7 @@ object StreamingQueries {
           unix_micros(col("session_start")).as("session_start"),
           unix_micros(col("session_end")).as("session_end"),
           col("n_events"),
-          col("total_value").cast("decimal(18,2)").as("total_value"))
+          (col("total_value") * 100).cast("bigint").as("total_value_cents"))
         .orderBy("user_id", "session_start")
     })
 }
