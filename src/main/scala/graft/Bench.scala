@@ -61,7 +61,9 @@ object Bench {
     // even if stdout is mangled.
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/graft_bench.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), json + "\n")
-    catch { case _: Throwable => () }
+    catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[bench] could not write $outFile: $e")
+    }
     println(json)
     spark.stop()
   }

@@ -28,17 +28,36 @@ object Tables {
   def orders(s: SparkSession, d: String): DataFrame = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
   /** events.parquet stores `ts` as parquet TIMESTAMP(NANOS), which the
-    * vectorized reader rejects. Read nanos as long (legacy conf), then
-    * surface `ts` as a proper microsecond timestamp — matching DuckDB's
-    * ns→us truncation, so oracle results align.
-    */
+    * vectorized reader rejects — a direct scan would pay the row-based
+    * reader on EVERY events query. Normalize ONCE per (session, dir):
+    * read nanos as long (legacy conf), truncate to microseconds with
+    * integral DIV (a double quotient rounds the odd microsecond up and
+    * breaks ns→us truncation parity with DuckDB), snapshot to parquet,
+    * and serve every query from the µs snapshot — vectorized scans
+    * with full predicate pushdown. At scale this is the one-time ELT
+    * normalization pass an ingest pipeline runs anyway. */
+  private val eventsCache = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.mutable.Map[String, DataFrame]]())
+
   def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    import org.apache.spark.sql.functions._
-    // integral DIV, not `/` (double) — a double quotient rounds the
-    // odd microsecond up and breaks ns→us truncation parity.
-    table(s, d, "events")
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val perSession = eventsCache.synchronized {
+      var m = eventsCache.get(s)
+      if (m == null) { m = scala.collection.mutable.Map.empty; eventsCache.put(s, m) }
+      m
+    }
+    perSession.synchronized {
+      perSession.getOrElseUpdate(d, {
+        import org.apache.spark.sql.functions._
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft_events_us").toString
+        table(s, d, "events")
+          .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+          .write.mode("overwrite").parquet(dir)
+        s.read.parquet(dir)
+      })
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")

@@ -83,11 +83,15 @@ object NativeFunctions {
       (children: Seq[Expression]) => Hex60(children(0))))
 
   /** Idempotent session-level registration (works without the
-    * spark.sql.extensions config, e.g. under an existing session). */
-  def register(spark: SparkSession): Unit =
+    * spark.sql.extensions config, e.g. under an existing session).
+    * Also installs the sequence-key join rewrite so long-string joins
+    * (registry join-back, HAS_SEQUENCE) lead with the 60-bit hash. */
+  def register(spark: SparkSession): Unit = {
     functions.foreach { case (id, info, builder) =>
       spark.sessionState.functionRegistry.registerFunction(id, info, builder)
     }
+    graft.plans.SequenceJoinRewrite.install(spark)
+  }
 
   /** `graft_dot(a, b)` as a Column, registering on first use. */
   def dot(spark: SparkSession)(a: Column, b: Column): Column = {

@@ -136,11 +136,18 @@ object GfeBuild {
 
     val alleles = processable(records, limit, kir)
 
-    // Stable first-seen index = file order (splits are offset-ordered),
-    // the same order the reference streams alleles to the service.
-    // ONE zipWithIndex pass, cached — features and CDS derive from it
-    // without re-parsing the scan.
-    val indexedRecs = alleles.rdd.zipWithIndex.toDS().cache()
+    // Stable first-seen index = file order: monotonically_increasing_id
+    // is (partitionId << 33) + in-partition offset and file-scan
+    // partition ids follow split order, so ids are non-contiguous but
+    // ORDER-preserving — all first_seen consumers only order/join on
+    // it. Plan-native (unlike rdd.zipWithIndex: an extra count job +
+    // RDD round-trip out of codegen); cached so features and CDS
+    // derive from one assignment.
+    val indexedRecs = alleles
+      .select(struct(col("*")).as("_1"),
+        monotonically_increasing_id().as("_2"))
+      .as[(AlleleRecord, Long)]
+      .cache()
 
     val indexed = indexedRecs
       .select(col("_2").as("idx"), col("_1").as("rec"))
@@ -161,11 +168,17 @@ object GfeBuild {
       .withColumn("first_seen", col("idx"))
       .cache()
 
-    // J3: dictionary update + join back.
+    // J3: dictionary update + join back. NO forced broadcast: the
+    // registry carries full feature sequences, so broadcasting it
+    // pins the whole dictionary in the driver + every executor and
+    // OOMs at 100× scale. Let Catalyst/AQE pick (it still broadcasts
+    // adaptively while the registry is actually small); the
+    // SequenceJoinRewrite rule leads the shuffle comparison with the
+    // fixed-width 60-bit sequence hash.
     val reg = updateRegistry(
       registry.getOrElse(emptyRegistry(spark)), feats).cache()
 
-    val featsAcc = feats.join(broadcast(reg),
+    val featsAcc = feats.join(reg,
       Seq("locus", "term", "rank", "sequence"))
 
     // GFE name: ordered accession aggregation per allele
@@ -258,13 +271,25 @@ object GfeBuild {
         col("bp_sequence"),
         GraftFunctions.seqHash(col("aa_sequence")).as("aa_seq_id"),
         col("aa_sequence"))
+    // Error rows mirror the reference NDJSON shape (app.py:631-639):
+    // allele_id/release/error plus index (enumeration position —
+    // order-preserving, non-contiguous at scale), stack_trace (the
+    // raise site; ours is the relational classifier, not a Python
+    // traceback), and a data struct of the parsed record metadata
+    // (the subset of allele_error_fields we genuinely carry).
     val errors = cdsRaw.where(col("bp_sequence").isNull)
-      .join(withGfe.select("idx", "acc_name", "hla_name"), Seq("idx"))
+      .join(withGfe.select("idx", "acc_name", "hla_name", "description"),
+        Seq("idx"))
       .select(
         col("acc_name").as("allele_id"),
         col("hla_name"),
         lit(release).as("release"),
-        lit("missing CDS translation").as("error"))
+        lit("missing CDS translation").as("error"),
+        col("idx").as("index"),
+        lit("graft.gfe.Features.extractCds: no CDS feature with translation")
+          .as("stack_trace"),
+        struct(col("acc_name").as("id"),
+          col("description").as("description")).as("data"))
 
     // all_alignments (app.py:269-321): broadcast left join on
     // (locus, hla_name); absent alignment → no row. rank is the

@@ -19,18 +19,49 @@ import org.apache.spark.sql.functions._
   */
 object SkewJoin {
 
-  /** Salted inner equi-join on `key`. `discriminator` must be a
-    * high-cardinality column on `left` (used to spread rows
-    * deterministically — no rand(), so retries/AQE replays are safe).
+  /** Salted inner equi-join on `key`, frequency-gated: only keys
+    * measured hotter than `hotFactor` × the mean key frequency are
+    * salted (build-side replication is paid only where the skew is);
+    * everything else goes through the plain join, and the two results
+    * union. With no hot keys this IS the plain join plus one cheap
+    * map-side-combined count over the probe keys.
+    *
+    * `discriminator` must be a high-cardinality column on `left`
+    * (used to spread rows deterministically — no rand(), so
+    * retries/AQE replays are safe). The hot-key set is collected to
+    * the driver (bounded by `maxHotKeys`) — hot keys are by
+    * definition few, or salting is the wrong tool.
     */
   def saltedJoin(
       left: DataFrame, right: DataFrame, key: String,
-      discriminator: String, salts: Int = 16): DataFrame = {
-    val l = left.withColumn("__salt",
-      pmod(hash(col(discriminator)), lit(salts)))
-    val r = right.withColumn("__salt",
-      explode(sequence(lit(0), lit(salts - 1))))
-    l.join(r, Seq(key, "__salt")).drop("__salt")
+      discriminator: String, salts: Int = 16,
+      hotFactor: Double = 4.0, maxHotKeys: Int = 10000): DataFrame = {
+    val freq = left.groupBy(col(key)).agg(count(lit(1)).as("__cnt"))
+    val stats = freq.agg(
+      sum(col("__cnt")).as("total"), count(lit(1)).as("nkeys")).head
+    val nKeys = math.max(stats.getLong(1), 1L)
+    // a key below salts×2 rows gains nothing from spreading over
+    // `salts` reducers, whatever the mean says
+    val threshold = math.max(
+      hotFactor * stats.getLong(0) / nKeys, (salts * 2).toDouble)
+    val hot = freq.where(col("__cnt") >= threshold)
+      .orderBy(col("__cnt").desc).limit(maxHotKeys)
+      .select(key).collect().map(_.get(0))
+
+    if (hot.isEmpty) left.join(right, Seq(key))
+    else {
+      val isHot = col(key).isin(hot.toIndexedSeq: _*)
+      val hotJoined = left.where(isHot)
+        .withColumn("__salt", pmod(hash(col(discriminator)), lit(salts)))
+        .join(right.where(isHot)
+          .withColumn("__salt", explode(sequence(lit(0), lit(salts - 1)))),
+          Seq(key, "__salt"))
+        .drop("__salt")
+      // inner equi-join never matches null keys, so dropping them from
+      // both branches (isin/!isin are null on null input) is lossless
+      val plain = left.where(!isHot).join(right.where(!isHot), Seq(key))
+      hotJoined.unionByName(plain)
+    }
   }
 
   /** Salted two-phase count+sum aggregation on `key`. */

@@ -174,38 +174,34 @@ object DedupQueries {
         .orderBy("doc_id")
     },
 
-    // n-gram Jaccard near-dup: block on the k=1 minhash (docs sharing
-    // their min shingle hash), verify with exact set Jaccard ≥ 0.5 via
-    // integer cross-multiplication — no float compare anywhere.
+    // n-gram Jaccard near-dup: exact set Jaccard ≥ 0.5 (integer
+    // cross-multiplication, no float compare) verified ONLY over the
+    // banded-LSH candidate pairs. Earlier rounds blocked on the single
+    // k=1 min-shingle hash — a popular min-shingle collects an
+    // unbounded block and the within-block compare is quadratic; the
+    // banded join bounds the per-bucket width (the LSH contract) and
+    // the signature/pair tables are shared with d_minhash_lsh /
+    // d_dup_clusters instead of re-hashing the corpus.
     QueryDef(
       "d_jaccard_pairs",
-      s"""$shingleCte,
-        |blk AS (SELECT doc_id, sh,
-        |          list_min(list_transform(sh, x -> ${duckHex60("x || '#0'")})) AS bk
-        |        FROM sh)
+      s"""$lshPairsSql
         |SELECT d1, d2, inter_cnt, union_cnt FROM (
-        |  SELECT a.doc_id AS d1, b.doc_id AS d2,
+        |  SELECT p.d1, p.d2,
         |         len(list_intersect(a.sh, b.sh)) AS inter_cnt,
         |         len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS union_cnt
-        |  FROM blk a JOIN blk b ON a.bk = b.bk AND a.doc_id < b.doc_id)
+        |  FROM pairs p JOIN sh a ON a.doc_id = p.d1
+        |               JOIN sh b ON b.doc_id = p.d2)
         |WHERE 2 * inter_cnt >= union_cnt
         |ORDER BY d1, d2""".stripMargin) { (s, d) =>
-      // Materialized for the same reason as d_minhash_lsh: the shingle
-      // set + blocking key must be computed once per doc, not once per
-      // candidate pair on each side of the self-join.
-      val blk = shingled(s, d).select(
-        col("doc_id"), col("sh"),
-        array_min(transform(col("sh"),
-          x => hex60(concat(x, lit("#0"))))).as("bk"))
-        .cache()
-      blk.as("a")
-        .join(blk.as("b"),
-          col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"))
+      val sh = shingled(s, d)
+      lshPairs(s, d)
+        .join(sh.select(col("doc_id").as("d1"), col("sh").as("sh1")), Seq("d1"))
+        .join(sh.select(col("doc_id").as("d2"), col("sh").as("sh2")), Seq("d2"))
         .select(
-          col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
-          size(array_intersect(col("a.sh"), col("b.sh"))).as("inter_cnt"),
-          (size(col("a.sh")) + size(col("b.sh")) -
-            size(array_intersect(col("a.sh"), col("b.sh")))).as("union_cnt"))
+          col("d1"), col("d2"),
+          size(array_intersect(col("sh1"), col("sh2"))).as("inter_cnt"),
+          (size(col("sh1")) + size(col("sh2")) -
+            size(array_intersect(col("sh1"), col("sh2")))).as("union_cnt"))
         .where(col("inter_cnt") * 2 >= col("union_cnt"))
         .orderBy("d1", "d2")
     },
@@ -252,12 +248,11 @@ object DedupQueries {
         |ORDER BY v1, v2""".stripMargin) { (s, d) =>
       graft.functions.NativeFunctions.register(s)
       def dot(a: Column, b: Column) = call_udf("graft_dot", a, b)
-      val e = Tables.embeddings(s, d).select(
-        col("vec_id"),
-        transform(col("embedding"), x => x.cast("double")).as("v"))
-      // Normalized vectors materialized once — without this the double
-      // cast + norm re-runs per pair inside the O(n²) join.
-      val withNorm = e.withColumn("nrm", sqrt(dot(col("v"), col("v")))).cache()
+      // Shared pre-normalized vector table (SimilarityQueries.vecs):
+      // materialized once per (session, dir) — the cast + norm must not
+      // re-run per pair inside the O(n²) join, and per-call .cache()
+      // would leak a new InMemoryRelation per invocation.
+      val withNorm = SimilarityQueries.vecs(s, d)
       withNorm.as("a")
         .join(broadcast(withNorm.as("b")), col("a.vec_id") < col("b.vec_id"))
         .select(

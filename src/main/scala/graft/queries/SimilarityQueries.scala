@@ -36,14 +36,29 @@ object SimilarityQueries {
     * corpus is referenced 2-4× per query (queries side, corpus side,
     * assign, re-rank) and Catalyst would otherwise recompute the cast +
     * norm per reference — at scale this is the stored, pre-normalized
-    * vector table every ANN system keeps. */
-  private def vecs(s: SparkSession, d: String): DataFrame = {
-    graft.functions.NativeFunctions.register(s)
-    Tables.embeddings(s, d)
-      .select(col("vec_id"),
-        transform(col("embedding"), x => x.cast("double")).as("v"))
-      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
-      .cache()
+    * vector table every ANN system keeps. Memoized per (session, dir)
+    * with weak session keys — calling .cache() on a fresh DataFrame
+    * per invocation would pin a new InMemoryRelation each call. */
+  private val vecsCache = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.mutable.Map[String, DataFrame]]())
+
+  private[queries] def vecs(s: SparkSession, d: String): DataFrame = {
+    val perSession = vecsCache.synchronized {
+      var m = vecsCache.get(s)
+      if (m == null) { m = scala.collection.mutable.Map.empty; vecsCache.put(s, m) }
+      m
+    }
+    perSession.synchronized {
+      perSession.getOrElseUpdate(d, {
+        graft.functions.NativeFunctions.register(s)
+        Tables.embeddings(s, d)
+          .select(col("vec_id"),
+            transform(col("embedding"), x => x.cast("double")).as("v"))
+          .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+          .cache()
+      })
+    }
   }
 
   private val duckVecs =

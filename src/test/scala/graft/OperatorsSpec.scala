@@ -74,4 +74,30 @@ class OperatorsSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(saltedAgg == plainAgg)
   }
+
+  test("frequency-gated salting: hot keys take the salted path, result identical") {
+    // key 1 carries half the probe side (≫ 4× mean); keys 2..101 are cold
+    val left = (1 to 10000).map(i =>
+      (if (i % 2 == 0) 1L else (i % 100).toLong + 2, i.toLong))
+      .toDF("k", "disc")
+    val right = (1 to 200).map(i => (i.toLong, s"v$i")).toDF("k", "payload")
+    val plain = left.join(right, Seq("k"))
+      .groupBy("k").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val salted = SkewJoin.saltedJoin(left, right, "k", "disc")
+      .groupBy("k").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(salted == plain)
+    assert(plain(1L) == 5000L, "skewed key must be present in the result")
+  }
+
+  test("cold-key-only salted join degenerates to the plain join (no replication)") {
+    val left = (1 to 1000).map(i => ((i % 100).toLong, i.toLong)).toDF("k", "disc")
+    val right = (1 to 100).map(i => (i.toLong, s"v$i")).toDF("k", "payload")
+    val out = SkewJoin.saltedJoin(left, right, "k", "disc")
+    // uniform keys → no key clears the gate → single plain join, no union
+    assert(!out.queryExecution.optimizedPlan.toString.contains("Union"),
+      "uniform input must not pay the salted branch")
+    assert(out.count() == left.where(col("k") >= 1).count())
+  }
 }

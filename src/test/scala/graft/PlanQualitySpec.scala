@@ -98,4 +98,24 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(plan.contains("RunningWindowFunction") || plan.contains("Window"),
       "window operator expected")
   }
+
+  test("events queries scan the µs snapshot, not the nanos-as-long legacy path") {
+    val df = Tables.events(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("graft_events_us"),
+      "events must be served from the converted snapshot")
+    assert(!plan.toLowerCase.contains("timestamp_micros"),
+      "no per-query ns→µs conversion should remain in the plan")
+  }
+
+  test("LSH banding bounds the per-doc candidate fan-out (d_jaccard blocking)") {
+    import org.apache.spark.sql.functions._
+    val pairs = SparkEntry.queries("d_minhash_lsh")(spark, sfDir)
+    val maxDeg = pairs
+      .select(explode(array(col("d1"), col("d2"))).as("doc"))
+      .groupBy("doc").agg(count(lit(1)).as("deg"))
+      .agg(max(col("deg"))).head.getLong(0)
+    assert(maxDeg <= 64,
+      s"a candidate block grew quadratic (max per-doc fan-out $maxDeg)")
+  }
 }
