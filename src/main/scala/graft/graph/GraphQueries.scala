@@ -56,10 +56,10 @@ object GraphQueries {
       .select(col("src").as("gfe_name"), col("releases"))
       .orderBy("gfe_name")
 
-  /** SHOW CONSTRAINTS parity: validate declared key invariants
-    * (create_constraints.cyp:1-6, init.cyp:5). Returns violated
-    * constraint names — empty means healthy. */
-  def validateConstraints(g: GraphLoad.Graph): Seq[String] = {
+  /** SHOW CONSTRAINTS parity: each declared key invariant
+    * (create_constraints.cyp:1-6, init.cyp:5) with its violation
+    * status. */
+  def constraintStatus(g: GraphLoad.Graph): Seq[(String, Boolean)] = {
     def dup(df: DataFrame, keys: Seq[String]): Boolean =
       df.groupBy(keys.map(col): _*).count().where(col("count") > 1)
         .limit(1).count() > 0
@@ -70,7 +70,18 @@ object GraphQueries {
       "ipd_accession_name_unique" -> dup(g.ipdAccession, Seq("name")),
       "submitter_email_unique" -> dup(g.submitter, Seq("email")),
       "feature_composite_unique" ->
-        dup(g.feature, Seq("locus", "rank", "term", "accession", "sequence"))
-    ).collect { case (name, violated) if violated => name }
+        dup(g.feature, Seq("locus", "rank", "term", "accession", "sequence")))
+  }
+
+  /** Violated constraint names — empty means healthy. */
+  def validateConstraints(g: GraphLoad.Graph): Seq[String] =
+    constraintStatus(g).collect { case (name, violated) if violated => name }
+
+  /** The constraint check as a relation (one row per constraint), for
+    * the driver-contract surface. */
+  def constraintReport(g: GraphLoad.Graph): DataFrame = {
+    val spark = g.gfe.sparkSession
+    import spark.implicits._
+    constraintStatus(g).toDF("constraint_name", "violated")
   }
 }

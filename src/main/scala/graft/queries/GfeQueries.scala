@@ -1,9 +1,9 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.gfe.GfeBuild
+import graft.gfe.{ArdReduction, GfeBuild}
 import graft.graph.{GraphLoad, GraphQueries}
-import graft.ingest.ImgtFlatFile
+import graft.ingest.{ImgtFlatFile, MsfAlignments}
 
 /** The reference's own domain surface (SURVEY.md §3) run end-to-end on
   * the bundled two-release IMGT fixture: flat-file scan → build
@@ -25,6 +25,13 @@ object GfeQueries {
     new java.util.WeakHashMap[SparkSession,
       scala.collection.mutable.Map[String, GfeBuild.BuildResult]]())
 
+  /** The fixture MSF alignments (one A-locus gen + prot pair — the
+    * reference's `-a` path, app.py:269-321/run.sh:85-91). */
+  private def fixtureAlignments(s: SparkSession): DataFrame =
+    MsfAlignments.toRelation(s, Map(
+      ("HLA-A", "gen") -> ImgtFlatFile.resourceText("/graft/A_gen.msf"),
+      ("HLA-A", "prot") -> ImgtFlatFile.resourceText("/graft/A_prot.msf")))
+
   /** NOTE: the cache key ignores `reg` — fine here because each
     * release is only ever built with one registry lineage (3560 from
     * empty, 3570 from 3560). */
@@ -36,10 +43,18 @@ object GfeQueries {
       m
     }
     perSession.synchronized {
-      perSession.getOrElseUpdate(rel,
-        GfeBuild.run(s,
-          ImgtFlatFile.fromText(s, ImgtFlatFile.resourceText(s"/graft/hla.$rel.dat")),
-          rel, registry = reg))
+      perSession.getOrElseUpdate(rel, {
+        val recs = ImgtFlatFile.fromText(s,
+          ImgtFlatFile.resourceText(s"/graft/hla.$rel.dat"))
+        // ARD reduction table (J2) derived from the release's allele
+        // names — real values flow into all_groups / IPD_Allele.G/lg.
+        val ard = ArdReduction.fromNames(
+          recs.toDF().select(org.apache.spark.sql.functions
+            .split(org.apache.spark.sql.functions.col("description"), ",")
+            .getItem(0).as("hla_name")))
+        GfeBuild.run(s, recs, rel, registry = reg, ard = Some(ard),
+          alignments = Some(fixtureAlignments(s)))
+      })
     }
   }
 
@@ -82,6 +97,14 @@ object GfeQueries {
       build(s, "3560").gfeSequences.orderBy("hla_name")),
     QueryDef.noOracle("gfe_build_features")((s, _) =>
       build(s, "3560").allFeatures.orderBy("hla_name", "term", "rank")),
+    // S2+J1: alignments end-to-end — the `-a` build path (MSF fixture
+    // broadcast-joined through the build, app.py:269-321).
+    QueryDef.noOracle("gfe_build_alignments")((s, _) =>
+      build(s, "3560").allAlignments.get.orderBy("label", "hla_name")),
+    // J2: all_groups with a real reduction table threaded through —
+    // reduced alleles carry G/lg/lgx ids, unreduced stay empty.
+    QueryDef.noOracle("gfe_build_groups")((s, _) =>
+      build(s, "3560").allGroups.orderBy("hla_name", "ard_name")),
     // A1: per-label node counts over the merged two-release graph.
     QueryDef.noOracle("gfe_graph_label_counts")((s, _) =>
       GraphQueries.labelCounts(graph(s))),
@@ -91,6 +114,23 @@ object GfeQueries {
     // J8: the documented 2-hop traversal (17-row golden shape).
     QueryDef.noOracle("gfe_allele_features")((s, _) =>
       GraphQueries.alleleFeatures(graph(s), "HLA-A*01:01:01:01")),
+    // GFE history (reference.rst:88-96) — the reference's second
+    // documented analytical query: GFE names of an allele with the
+    // releases each was observed in (array serialized for a stable
+    // parquet dump).
+    QueryDef.noOracle("gfe_history")((s, _) => {
+      import org.apache.spark.sql.functions._
+      GraphQueries.gfeHistory(graph(s), "HLA-A*01:01:01:01")
+        .withColumn("releases", concat_ws(",", col("releases")))
+    }),
+    // A3: HAS_IPD_ACCESSION release counts
+    // (execute_validation_queries/app.py:79).
+    QueryDef.noOracle("gfe_accession_release_counts")((s, _) =>
+      GraphQueries.accessionReleaseCounts(graph(s))),
+    // SHOW CONSTRAINTS parity: per-constraint validation report (6
+    // rows; `violated` must be all-false on a healthy graph).
+    QueryDef.noOracle("gfe_constraints")((s, _) =>
+      GraphQueries.constraintReport(graph(s))),
     // GDS parity: PageRank over the GFE→Feature bipartite edges.
     QueryDef.noOracle("gfe_pagerank")((s, _) => {
       import org.apache.spark.sql.functions._

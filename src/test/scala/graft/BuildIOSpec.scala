@@ -20,6 +20,23 @@ class BuildIOSpec extends AnyFunSuite {
     assert(report.exitCode == 2) // partial: 0 < errors <= 10
   }
 
+  test("all_alignments relation validates with the declared header (S2/J1)") {
+    import graft.ingest.MsfAlignments
+    val rel = MsfAlignments.toRelation(spark, Map(
+      ("HLA-A", "gen") -> ImgtFlatFile.resourceText("/graft/A_gen.msf"),
+      ("HLA-A", "prot") -> ImgtFlatFile.resourceText("/graft/A_prot.msf")))
+    val withAl = GfeBuild.run(spark,
+      ImgtFlatFile.fromText(spark,
+        ImgtFlatFile.resourceText("/graft/hla.3560.dat")), "3560",
+      alignments = Some(rel))
+    val report = BuildIO.validate(withAl, "3560")
+    assert(report.checks.length == 5)
+    val alCheck = report.checks.find(_.name == "all_alignments").get
+    assert(alCheck.headerOk && alCheck.nonEmpty)
+    // 5 in-release A alleles with alignments × 2 align types
+    assert(withAl.allAlignments.get.count() == 10)
+  }
+
   test("exit-code contract: 0 clean, 2 partial, 1 over-budget/invalid") {
     val clean = BuildIO.ValidationReport("3560",
       Seq(BuildIO.RelationCheck("gfe_sequences", true, true)), 0)

@@ -87,6 +87,21 @@ class GfeBuildSpec extends AnyFunSuite {
     assert(g.length == 1 && g.head.getAs[String]("ard_id") == "HLA-A*01:01:01G")
   }
 
+  test("ArdReduction: G/lg/lgx per ≥3-field allele, 2-field stays unreduced (J2)") {
+    import spark.implicits._
+    val names = Seq("HLA-A*01:01:01:01", "HLA-A*01:02", "HLA-B*07:02:01")
+      .toDF("hla_name")
+    val red = graft.gfe.ArdReduction.fromNames(names).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getString(2)).toMap
+    // 2 reducible alleles × 3 groups
+    assert(red.size == 6)
+    assert(red(("HLA-A*01:01:01:01", "G")) == "HLA-A*01:01:01G")
+    assert(red(("HLA-A*01:01:01:01", "lg")) == "HLA-A*01:01g")
+    assert(red(("HLA-A*01:01:01:01", "lgx")) == "HLA-A*01:01")
+    assert(red(("HLA-B*07:02:01", "G")) == "HLA-B*07:02:01G")
+    assert(!red.keySet.exists(_._1 == "HLA-A*01:02"), "2-field unreduced")
+  }
+
   test("partial alleles get accession 0 at missing structure positions") {
     import spark.implicits._
     val recs = ImgtFlatFile.parseText(

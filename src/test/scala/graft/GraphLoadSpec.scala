@@ -100,6 +100,33 @@ class GraphLoadSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
   }
 
+  test("IPD_Allele G/lg from groups rows; lgx built but never loaded (J2)") {
+    import graft.gfe.ArdReduction
+    val r1 = GfeBuild.run(spark, ImgtFlatFile.fromText(spark,
+      ImgtFlatFile.resourceText("/graft/hla.3560.dat")), "3560",
+      ard = Some(ArdReduction.fromNames(
+        ImgtFlatFile.fromText(spark,
+          ImgtFlatFile.resourceText("/graft/hla.3560.dat"))
+          .toDF().select(split(col("description"), ",")
+            .getItem(0).as("hla_name")))))
+    // lgx rows exist in the BUILD relation (constants.py:30)...
+    assert(r1.allGroups.where(col("ard_name") === "lgx" &&
+      col("ard_id") =!= "").count() > 0)
+    val g = GraphLoad.loadAll(spark,
+      Seq(("3560", r1.gfeSequences, r1.allFeatures, r1.allGroups)))
+    // ...but the LOADED vertex only carries G and lg (load.cyp:66-83)
+    assert(g.ipdAllele.columns.contains("G"))
+    assert(g.ipdAllele.columns.contains("lg"))
+    assert(!g.ipdAllele.columns.contains("lgx"))
+    val a1 = g.ipdAllele.where(col("name") === "HLA-A*01:01:01:01")
+      .collect().head
+    assert(a1.getAs[String]("G") == "HLA-A*01:01:01G")
+    assert(a1.getAs[String]("lg") == "HLA-A*01:01g")
+    // 2-field allele stays unreduced → null group ids (left join miss)
+    val a2 = g.ipdAllele.where(col("name") === "HLA-A*01:02").collect().head
+    assert(a2.getAs[String]("G") == null)
+  }
+
   test("graph snapshot round-trip (S10)") {
     val dir = java.nio.file.Files.createTempDirectory("graphstore").toString
     GraphLoad.write(graph, dir)
