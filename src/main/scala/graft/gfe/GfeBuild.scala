@@ -44,13 +44,17 @@ object GfeBuild {
     val loci = (GfeConstants.hlaLoci ++
       (if (kir) GfeConstants.kirLoci else Nil)).toSet
     val skip = GfeConstants.skipAlleles.toSet
-    val filtered = ds.filter { r =>
+    // limit BEFORE the filter: the reference breaks its enumeration at
+    // `idx == limit` over the raw record stream (app.py:598-600), so a
+    // limited build sees the first N records, not the first N
+    // processable alleles.
+    val limited = limit.fold(ds)(n => ds.limit(n))
+    limited.filter { r =>
       val locus = r.locus
       (loci.contains(locus) || locus == "DRB5") &&
         r.sequence.length > GfeConstants.minSeqLen &&
         !skip.contains(r.hlaName)
     }
-    limit.fold(filtered)(n => filtered.limit(n))
   }
 
   /** Structural ordinal of a feature within the GFE name

@@ -35,11 +35,13 @@ object GfeConstants {
   /** Minimum processable sequence length (exclusive, app.py:609-610). */
   val minSeqLen: Int = 5
 
-  /** "3560" -> "3.56.0"; "31240"-style 4-digit bodies -> "3.124.0"
-    * (app.py:550-555: 3-digit vs longer release strings). */
+  /** "390" -> "3.9.0"; everything longer is char-indexed
+    * `d[0].d[1:3].d[3]` (app.py:551-556) — so "3560" -> "3.56.0" and a
+    * 5-digit "31240" -> "3.12.4", dropping the 5th char exactly like
+    * the reference does. */
   def formatRelease(v: String): String =
-    if (v.length == 4) s"${v.take(1)}.${v.slice(1, 3)}.${v.drop(3)}"
-    else s"${v.take(1)}.${v.slice(1, v.length - 1)}.${v.takeRight(1)}"
+    if (v.length == 3) s"${v(0)}.${v(1)}.${v(2)}"
+    else s"${v.take(1)}.${v.slice(1, 3)}.${v(3)}"
 
   /** Inverse of [[formatRelease]] (load.cyp:94-95 `replace(...,".","")`). */
   def compactRelease(v: String): String = v.replace(".", "")

@@ -233,32 +233,65 @@ object DedupQueries {
         .orderBy("doc_id")
     },
 
-    // Embedding-cosine near-dup: pairs above a similarity threshold.
-    // Exact-verify shape; the scale path buckets by sign-LSH prefix
-    // first (see v_ann_ivf for the cell-probe variant).
+    // Embedding-cosine near-dup with sign-LSH banded blocking: each
+    // vector gets an 8-bit sign signature against 8 fixed hyperplanes
+    // (the first 8 corpus vectors — deterministic, no RNG), banded
+    // 4×2 exactly like the minhash LSH; candidate pairs share ≥1
+    // band bucket, and ONLY candidates pay the exact cosine verify.
+    // This replaces the earlier all-pairs O(n²) self-join — the
+    // blocked plan is the one that survives 100 TB (bands shuffle on
+    // a 2-bit-key equi-join; per-bucket width is bounded).
     QueryDef(
       "d_embedding_neardup",
-      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
-        |SELECT a.vec_id AS v1, b.vec_id AS v2,
-        |       round(list_dot_product(a.v, b.v) /
-        |             (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) AS sim
-        |FROM e a JOIN e b ON a.vec_id < b.vec_id
-        |WHERE round(list_dot_product(a.v, b.v) /
-        |            (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) >= 0.4
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+        |                  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+        |           FROM embeddings),
+        |p AS (SELECT vec_id AS pid, v AS pv FROM e WHERE vec_id < 8),
+        |bits AS (SELECT e.vec_id, p.pid,
+        |           CASE WHEN round(list_dot_product(e.v, p.pv), 4) >= 0
+        |                THEN 1 ELSE 0 END AS bit
+        |         FROM e, p),
+        |bands AS (SELECT vec_id, pid // 2 AS band,
+        |            sum(bit * (CASE WHEN pid % 2 = 0 THEN 1 ELSE 2 END)) AS bk
+        |          FROM bits GROUP BY 1, 2),
+        |cand AS (SELECT DISTINCT a.vec_id AS v1, b.vec_id AS v2
+        |         FROM bands a JOIN bands b
+        |           ON a.band = b.band AND a.bk = b.bk AND a.vec_id < b.vec_id)
+        |SELECT v1, v2, sim FROM (
+        |  SELECT c.v1, c.v2,
+        |         round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) AS sim
+        |  FROM cand c JOIN e a ON a.vec_id = c.v1 JOIN e b ON b.vec_id = c.v2)
+        |WHERE sim >= 0.4
         |ORDER BY v1, v2""".stripMargin) { (s, d) =>
       graft.functions.NativeFunctions.register(s)
       def dot(a: Column, b: Column) = call_udf("graft_dot", a, b)
       // Shared pre-normalized vector table (SimilarityQueries.vecs):
-      // materialized once per (session, dir) — the cast + norm must not
-      // re-run per pair inside the O(n²) join, and per-call .cache()
-      // would leak a new InMemoryRelation per invocation.
-      val withNorm = SimilarityQueries.vecs(s, d)
-      withNorm.as("a")
-        .join(broadcast(withNorm.as("b")), col("a.vec_id") < col("b.vec_id"))
-        .select(
-          col("a.vec_id").as("v1"), col("b.vec_id").as("v2"),
-          round(dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")),
-            4).as("sim"))
+      // materialized once per (session, dir).
+      val e = SimilarityQueries.vecs(s, d)
+      val planes = e.where(col("vec_id") < 8)
+        .select(col("vec_id").as("pid"), col("v").as("pv"))
+      val bits = e.crossJoin(broadcast(planes))
+        .select(col("vec_id"), col("pid"),
+          when(round(dot(col("v"), col("pv")), 4) >= 0, 1).otherwise(0)
+            .as("bit"))
+      val bands = bits
+        .groupBy(col("vec_id"), expr("pid DIV 2").as("band"))
+        .agg(sum(col("bit") *
+          when(pmod(col("pid"), lit(2)) === 0, 1).otherwise(2)).as("bk"))
+      val cand = bands.as("a")
+        .join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.bk") === col("b.bk") &&
+            col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("v1"), col("b.vec_id").as("v2"))
+        .distinct()
+      cand
+        .join(e.select(col("vec_id").as("v1"), col("v").as("av"),
+          col("nrm").as("anrm")), Seq("v1"))
+        .join(e.select(col("vec_id").as("v2"), col("v").as("bv"),
+          col("nrm").as("bnrm")), Seq("v2"))
+        .select(col("v1"), col("v2"),
+          round(dot(col("av"), col("bv")) / (col("anrm") * col("bnrm")), 4)
+            .as("sim"))
         .where(col("sim") >= 0.4)
         .orderBy("v1", "v2")
     }

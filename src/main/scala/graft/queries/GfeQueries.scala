@@ -85,9 +85,18 @@ object GfeQueries {
       // serve every query from the snapshot. Lazy .cache() made each
       // driver-contract query pay the two-release build pipeline again
       // for whichever vertex tables the previous query didn't touch.
+      // Fixture tables are tiny — coalesce(1) so each of the 11 writes
+      // is one task/file instead of 32 (production snapshots keep
+      // their partitioning; this is the small-graph path).
+      val c = GraphLoad.Graph(
+        g.gfe.coalesce(1), g.sequence.coalesce(1), g.feature.coalesce(1),
+        g.ipdAllele.coalesce(1), g.ipdAccession.coalesce(1),
+        g.submitter.coalesce(1), g.hasIpdAllele.coalesce(1),
+        g.hasIpdAccession.coalesce(1), g.submitted.coalesce(1),
+        g.hasSequence.coalesce(1), g.hasFeature.coalesce(1))
       val dir = java.nio.file.Files
         .createTempDirectory("graft_fixture_graph").toString
-      GraphLoad.write(g, dir)
+      GraphLoad.write(c, dir)
       GraphLoad.read(s, dir)
   }
 
@@ -131,6 +140,20 @@ object GfeQueries {
     // rows; `violated` must be all-false on a healthy graph).
     QueryDef.noOracle("gfe_constraints")((s, _) =>
       GraphQueries.constraintReport(graph(s))),
+    // Generic motif traversal (the ad-hoc Cypher-path surface): the
+    // documented 2-hop re-expressed through Motif.path must reproduce
+    // the 17-row golden shape.
+    QueryDef.noOracle("gfe_motif_2hop")((s, _) => {
+      import org.apache.spark.sql.functions._
+      import graft.graph.Motif
+      Motif.path(graph(s), Seq(
+        Motif.Hop("HAS_IPD_ALLELE", reverse = true),
+        Motif.Hop("HAS_FEATURE")))
+        .where(col("n0") === "HLA-A*01:01:01:01")
+        .select(col("e1_term").as("term"), col("e1_rank").as("rank"))
+        .dropDuplicates("term", "rank")
+        .orderBy("term", "rank")
+    }),
     // GDS parity: PageRank over the GFE→Feature bipartite edges.
     QueryDef.noOracle("gfe_pagerank")((s, _) => {
       import org.apache.spark.sql.functions._

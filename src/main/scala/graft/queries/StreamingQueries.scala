@@ -41,6 +41,20 @@ object StreamingQueries {
         .orderBy("window_start", "event_type")
     },
 
+    // Streaming exact dedup (ingest guard): batch twin of
+    // dropDuplicatesWithinWatermark — key-only distinct; the streaming
+    // path itself is proven by EventStreamsSpec's readStream run.
+    QueryDef(
+      "st_dedup",
+      """SELECT DISTINCT user_id, event_type FROM events
+        |ORDER BY user_id, event_type""".stripMargin) { (s, d) =>
+      EventStreams.dedupeStream(
+        Tables.events(s, d).select("user_id", "event_type", "ts"),
+        Seq("user_id", "event_type"))
+        .select("user_id", "event_type")
+        .orderBy("user_id", "event_type")
+    },
+
     // Gap-based sessionization (30-min inactivity): gaps-and-islands.
     QueryDef(
       "st_sessionize",

@@ -16,10 +16,29 @@ class GfeBuildSpec extends AnyFunSuite {
   }
   lazy val r3560 = release("3560")
 
-  test("release formatting round-trips (P9)") {
+  test("release formatting matches the reference char-indexing (P9)") {
+    assert(GfeConstants.formatRelease("390") == "3.9.0")
     assert(GfeConstants.formatRelease("3560") == "3.56.0")
-    assert(GfeConstants.formatRelease("31240") == "3.124.0")
+    // 5-digit versions drop the 5th char, exactly like app.py:556
+    // (f'{v[0]}.{v[1:3]}.{v[3]}') — lossy, and deliberately so.
+    assert(GfeConstants.formatRelease("31240") == "3.12.4")
     assert(GfeConstants.compactRelease("3.56.0") == "3560")
+  }
+
+  test("limit applies to the raw enumeration, before the filter (P3)") {
+    import spark.implicits._
+    val recs = ImgtFlatFile.parseText(
+      ImgtFlatFile.resourceText("/graft/hla.3560.dat"))
+    val enc = org.apache.spark.sql.Encoders.product[graft.model.AlleleRecord]
+    val ds = spark.createDataset(recs)(enc)
+    // the reference breaks at idx == limit over raw records
+    // (app.py:598-600): unprocessable records consume limit budget
+    val firstN = recs.take(12).count(r =>
+      (GfeConstants.hlaLoci.contains(r.locus) || r.locus == "DRB5") &&
+        r.sequence.length > GfeConstants.minSeqLen &&
+        !GfeConstants.skipAlleles.contains(r.hlaName))
+    assert(GfeBuild.processable(ds, limit = Some(12)).count() == firstN)
+    assert(firstN < 12, "fixture must contain unprocessable records in the first 12")
   }
 
   test("processable filter drops blocklist, short and unknown-locus (P1/P2)") {

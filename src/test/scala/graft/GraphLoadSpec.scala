@@ -100,6 +100,25 @@ class GraphLoadSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
   }
 
+  test("Motif.path: generic 2-hop reproduces the fixed-shape traversal golden") {
+    import graft.graph.Motif
+    val viaMotif = Motif.path(graph, Seq(
+      Motif.Hop("HAS_IPD_ALLELE", reverse = true),
+      Motif.Hop("HAS_FEATURE")))
+      .where(col("n0") === "HLA-A*01:01:01:01")
+      .select(col("e1_term").as("term"), col("e1_rank").as("rank"))
+      .dropDuplicates("term", "rank")
+      .orderBy("term", "rank")
+      .collect().map(r => (r.getAs[String]("term"), r.getAs[Int]("rank")))
+    val viaFixed = GraphQueries.alleleFeatures(graph, "HLA-A*01:01:01:01")
+      .collect().map(r => (r.getAs[String]("term"), r.getAs[Int]("rank")))
+    assert(viaMotif.toSeq == viaFixed.toSeq && viaMotif.length == 17)
+    // attributes of every hop surface with the e{i}_ prefix
+    val cols = Motif.path(graph,
+      Seq(Motif.Hop("HAS_IPD_ACCESSION"))).columns.toSet
+    assert(cols == Set("n0", "n1", "e0_release"))
+  }
+
   test("IPD_Allele G/lg from groups rows; lgx built but never loaded (J2)") {
     import graft.gfe.ArdReduction
     val r1 = GfeBuild.run(spark, ImgtFlatFile.fromText(spark,
