@@ -234,25 +234,28 @@ object DedupQueries {
     },
 
     // Embedding-cosine near-dup with sign-LSH banded blocking: each
-    // vector gets an 8-bit sign signature against 8 fixed hyperplanes
-    // (the first 8 corpus vectors — deterministic, no RNG), banded
-    // 4×2 exactly like the minhash LSH; candidate pairs share ≥1
+    // vector gets a 16-bit sign signature against 16 fixed hyperplanes
+    // (the first 16 corpus vectors — deterministic, no RNG), banded
+    // 4×4 exactly like the minhash LSH; candidate pairs share ≥1
     // band bucket, and ONLY candidates pay the exact cosine verify.
-    // This replaces the earlier all-pairs O(n²) self-join — the
-    // blocked plan is the one that survives 100 TB (bands shuffle on
-    // a 2-bit-key equi-join; per-bucket width is bounded).
+    // This replaces the earlier all-pairs O(n²) self-join. 4-bit
+    // bands = 16 buckets each, so the within-bucket compare is n²/16
+    // per band with ~95% recall at true near-dup similarity (≥0.9);
+    // at larger corpora the knob is bits-per-band (buckets must grow
+    // with n), not a different plan shape.
     QueryDef(
       "d_embedding_neardup",
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
         |                  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
         |           FROM embeddings),
-        |p AS (SELECT vec_id AS pid, v AS pv FROM e WHERE vec_id < 8),
+        |p AS (SELECT vec_id AS pid, v AS pv FROM e WHERE vec_id < 16),
         |bits AS (SELECT e.vec_id, p.pid,
         |           CASE WHEN round(list_dot_product(e.v, p.pv), 4) >= 0
         |                THEN 1 ELSE 0 END AS bit
         |         FROM e, p),
-        |bands AS (SELECT vec_id, pid // 2 AS band,
-        |            sum(bit * (CASE WHEN pid % 2 = 0 THEN 1 ELSE 2 END)) AS bk
+        |bands AS (SELECT vec_id, pid // 4 AS band,
+        |            sum(bit * (CASE pid % 4 WHEN 0 THEN 1 WHEN 1 THEN 2
+        |                                    WHEN 2 THEN 4 ELSE 8 END)) AS bk
         |          FROM bits GROUP BY 1, 2),
         |cand AS (SELECT DISTINCT a.vec_id AS v1, b.vec_id AS v2
         |         FROM bands a JOIN bands b
@@ -268,16 +271,19 @@ object DedupQueries {
       // Shared pre-normalized vector table (SimilarityQueries.vecs):
       // materialized once per (session, dir).
       val e = SimilarityQueries.vecs(s, d)
-      val planes = e.where(col("vec_id") < 8)
+      val planes = e.where(col("vec_id") < 16)
         .select(col("vec_id").as("pid"), col("v").as("pv"))
       val bits = e.crossJoin(broadcast(planes))
         .select(col("vec_id"), col("pid"),
           when(round(dot(col("v"), col("pv")), 4) >= 0, 1).otherwise(0)
             .as("bit"))
       val bands = bits
-        .groupBy(col("vec_id"), expr("pid DIV 2").as("band"))
+        .groupBy(col("vec_id"), expr("pid DIV 4").as("band"))
         .agg(sum(col("bit") *
-          when(pmod(col("pid"), lit(2)) === 0, 1).otherwise(2)).as("bk"))
+          when(pmod(col("pid"), lit(4)) === 0, 1)
+            .when(pmod(col("pid"), lit(4)) === 1, 2)
+            .when(pmod(col("pid"), lit(4)) === 2, 4)
+            .otherwise(8)).as("bk"))
       val cand = bands.as("a")
         .join(bands.as("b"),
           col("a.band") === col("b.band") && col("a.bk") === col("b.bk") &&

@@ -108,6 +108,25 @@ class PlanQualitySpec extends AnyFunSuite {
       "no per-query ns→µs conversion should remain in the plan")
   }
 
+  test("embedding near-dup verifies banded candidates only, no all-pairs join") {
+    val plan = planOf("d_embedding_neardup")
+    assert(!plan.contains("CartesianProduct"))
+    // the only non-equi join allowed is the bounded 16-row hyperplane
+    // broadcast (its subtree renders once per side of the bands
+    // self-join); the candidate join itself must ride (band, bk) keys
+    assert("BroadcastNestedLoopJoin".r.findAllIn(plan).length <= 2,
+      plan.take(2000))
+    assert(plan.contains("BroadcastHashJoin [band") ||
+      plan.contains("SortMergeJoin [band") ||
+      "HashJoin \\[band".r.findFirstIn(plan).nonEmpty,
+      "candidate generation must be an equi-join on the band keys")
+  }
+
+  test("jaccard verify consumes the banded candidate pairs, not a self-join") {
+    val plan = planOf("d_jaccard_pairs")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoop"))
+  }
+
   test("LSH banding bounds the per-doc candidate fan-out (d_jaccard blocking)") {
     import org.apache.spark.sql.functions._
     val pairs = SparkEntry.queries("d_minhash_lsh")(spark, sfDir)
