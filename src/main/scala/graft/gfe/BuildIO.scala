@@ -54,8 +54,10 @@ object BuildIO {
         .csv(s"$outDir/$name.$release.csv")
     }
     r.errors
+      // millisecond precision: the reference writes
+      // datetime.utcnow().isoformat()[:-3] (app.py:632)
       .withColumn("timestamp", date_format(current_timestamp(),
-        "yyyy-MM-dd'T'HH:mm:ss"))
+        "yyyy-MM-dd'T'HH:mm:ss.SSS"))
       .write.mode("overwrite").json(s"$outDir/errors.$release.ndjson")
   }
 

@@ -295,12 +295,14 @@ object GfeBuild {
         struct(col("acc_name").as("id"),
           col("description").as("description")).as("data"))
 
-    // all_alignments (app.py:269-321): broadcast left join on
-    // (locus, hla_name); absent alignment → no row. rank is the
-    // reference's hard-coded "0" (app.py:296).
+    // all_alignments (app.py:269-321): join on (locus, hla_name);
+    // absent alignment → no row. rank is the reference's hard-coded
+    // "0" (app.py:296). NOT force-broadcast: alignment strings are
+    // kilobases per allele, so the table grows with the catalog —
+    // AQE broadcasts it only while it is actually small.
     val allAlignments = alignments.map { al =>
       withGfe.select("gfe_name", "hla_name", "locus")
-        .join(broadcast(al), Seq("locus", "hla_name"))
+        .join(al, Seq("locus", "hla_name"))
         .select(
           col("label"),
           GraftFunctions.seqHash(col("alignment")).as("seq_id"),

@@ -97,8 +97,10 @@ object RelationalQueries {
         |       count(*) AS n
         |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
         |GROUP BY p.p_brand ORDER BY p.p_brand""".stripMargin) { (s, d) =>
+      // no forced broadcast: part grows with SF (unlike nation/region);
+      // AQE broadcasts it while it is actually small
       Tables.lineitem(s, d)
-        .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
+        .join(Tables.part(s, d), col("l_partkey") === col("p_partkey"))
         .groupBy("p_brand")
         .agg(
           // Exact DECIMAL(18,2) aggregation internally, but NO decimal
@@ -428,8 +430,9 @@ object RelationalQueries {
         |       quantile_disc(CAST(o_totalprice AS DECIMAL(18,2)), 0.9) AS p90
         |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
         |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      // customer grows with SF — AQE picks broadcast while small
       Tables.orders(s, d)
-        .join(broadcast(Tables.customer(s, d)),
+        .join(Tables.customer(s, d),
           col("o_custkey") === col("c_custkey"))
         .withColumn("price", col("o_totalprice").cast("decimal(18,2)"))
         .groupBy("c_mktsegment")

@@ -110,6 +110,29 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("frequency-gated salted join equals the plain join over random skews") {
+    val rnd = new scala.util.Random(47L)
+    for (round <- 1 to 4) {
+      // zipf-ish: key 1 hot with probability ramping per round
+      val hotShare = 0.2 + 0.2 * round
+      val leftRows = (0 until 400).map { i =>
+        val k = if (rnd.nextDouble() < hotShare) 1L else 2L + rnd.nextInt(30)
+        (k, i.toLong)
+      }
+      val rightRows = (1 to 40).map(k => (k.toLong, s"p$k"))
+      val left = leftRows.toDF("k", "disc")
+      val right = rightRows.toDF("k", "payload")
+      val plain = left.join(right, Seq("k"))
+        .groupBy("k").count().collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val salted = graft.operators.SkewJoin
+        .saltedJoin(left, right, "k", "disc", salts = 4, hotFactor = 2.0)
+        .groupBy("k").count().collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(salted == plain, s"round=$round hotShare=$hotShare")
+    }
+  }
+
   test("range within equals the naive radius filter") {
     val rnd = new scala.util.Random(31L)
     for (round <- 1 to 5) {
