@@ -55,6 +55,27 @@ object StreamingQueries {
         .orderBy("user_id", "event_type")
     },
 
+    // Stream-stream interval join (view→click attribution within 30
+    // minutes). Batch twin of the watermarked symmetric hash join; the
+    // streaming path is proven by EventStreamsSpec's readStream run.
+    // Timestamps leave as epoch-micros BIGINT; the oracle compares in
+    // epoch_us too, so both engines test the µs-truncated instant.
+    QueryDef(
+      "st_stream_join",
+      """SELECT v.user_id, v.event_id AS view_id, c.event_id AS click_id,
+        |       epoch_us(v.ts) AS view_ts, epoch_us(c.ts) AS click_ts
+        |FROM events v JOIN events c ON v.user_id = c.user_id
+        |WHERE v.event_type = 'view' AND c.event_type = 'click'
+        |  AND epoch_us(c.ts) >= epoch_us(v.ts)
+        |  AND epoch_us(c.ts) - epoch_us(v.ts) <= 1800000000
+        |ORDER BY v.user_id, view_id, click_id""".stripMargin) { (s, d) =>
+      EventStreams.attributedClicks(Tables.events(s, d))
+        .select(col("user_id"), col("view_id"), col("click_id"),
+          unix_micros(col("view_ts")).as("view_ts"),
+          unix_micros(col("click_ts")).as("click_ts"))
+        .orderBy("user_id", "view_id", "click_id")
+    },
+
     // Gap-based sessionization (30-min inactivity): gaps-and-islands.
     QueryDef(
       "st_sessionize",

@@ -123,6 +123,33 @@ object EventStreams {
       .drop("session_id")
   }
 
+  /** Event-time interval join: each click attributed to every view by
+    * the same user within the preceding `horizon` (impressions×clicks,
+    * the canonical stream-stream join). One definition serves batch
+    * and streaming inputs: `withWatermark` is a no-op on batch, and on
+    * streams the time-range predicate on the two watermarked event-time
+    * columns is what lets Spark's symmetric hash join evict state —
+    * each view is held for horizon + watermark, each click for the
+    * watermark alone, both partitioned on the `user_id` equi-key (one
+    * shuffle per side, state co-located with the key). */
+  def attributedClicks(events: DataFrame,
+      horizon: String = "30 minutes"): DataFrame = {
+    val views = events.where(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("view_id"),
+        col("ts").as("view_ts"))
+      .withWatermark("view_ts", "2 hours")
+    val clicks = events.where(col("event_type") === "click")
+      .select(col("user_id").as("click_user_id"),
+        col("event_id").as("click_id"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", "2 hours")
+    views.join(clicks,
+      col("user_id") === col("click_user_id") &&
+        col("click_ts") >= col("view_ts") &&
+        col("click_ts") <= col("view_ts") + expr(s"INTERVAL $horizon"))
+      .select(col("user_id"), col("view_id"), col("click_id"),
+        col("view_ts"), col("click_ts"))
+  }
+
   /** Streaming exact dedup on the key columns alone — the
     * training-pipeline ingest guard (duplicate events/documents
     * dropped at arrival, even when the re-ingested copy carries a

@@ -62,6 +62,27 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(streamed.count() == distinctCount)
   }
 
+  test("stream-stream interval join: streaming result == batch result") {
+    val batch = EventStreams.attributedClicks(Tables.events(spark, sfDir))
+      .orderBy("user_id", "view_id", "click_id")
+      .collect()
+
+    // One readStream source filtered twice — a genuine stream-stream
+    // self-join through the symmetric hash join operator. Inner join:
+    // matches emit as both sides arrive; no rows withheld by the final
+    // watermark, so Append drains the complete result.
+    val streamed = EventStreams.runAsStream(
+      spark, s"$sfDir/events.parquet",
+      df => EventStreams.attributedClicks(
+        df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))),
+      "attr_click_stream")
+      .orderBy("user_id", "view_id", "click_id")
+      .collect()
+
+    assert(batch.nonEmpty)
+    assert(streamed.toSeq == batch.toSeq)
+  }
+
   test("sessionization: streamed closed sessions == batch sessions minus open tails") {
     import spark.implicits._
     val events = Tables.events(spark, sfDir)
