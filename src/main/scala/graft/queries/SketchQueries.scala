@@ -1,0 +1,54 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Sketch aggregations — the scale substitute for exact distinct
+  * counts and quantiles. Exact `count(DISTINCT x)` expands every row
+  * per aggregate and reshuffles the full key space; a sketch is
+  * fixed-size mergeable state with a map-side partial per partition,
+  * so the shuffle carries kilobytes per group regardless of input
+  * size. `hll_union_agg` additionally makes the state reusable: shard-
+  * or release-level sketches persist once and merge on demand, the
+  * pattern for incremental distinct counts across a growing corpus.
+  *
+  * Estimates are engine-specific, so these carry no DuckDB oracle
+  * (driver records rows>0); SketchSpec bounds each estimate against
+  * the exact answer computed on the same data.
+  */
+object SketchQueries {
+
+  val all: Seq[QueryDef] = Seq(
+
+    // Per-type distinct users: HLL++ (approx_count_distinct) and the
+    // Datasketches HLL estimate side by side.
+    QueryDef.noOracle("a_hll_distinct")((s, d) =>
+      Tables.events(s, d)
+        .groupBy("event_type")
+        .agg(
+          approx_count_distinct(col("user_id")).as("users_approx"),
+          hll_sketch_estimate(hll_sketch_agg(col("user_id")))
+            .as("users_sketch"))
+        .orderBy("event_type")),
+
+    // Mergeable path: build per-shard sketches first (in production:
+    // persisted per release/partition), then union — distinct counts
+    // without ever re-reading the shards together.
+    QueryDef.noOracle("a_hll_union")((s, d) =>
+      Tables.events(s, d)
+        .withColumn("shard", pmod(col("event_id"), lit(4)))
+        .groupBy("shard", "event_type")
+        .agg(hll_sketch_agg(col("user_id")).as("sk"))
+        .groupBy("event_type")
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("users"))
+        .orderBy("event_type")),
+
+    // Quantile sketch (Greenwald-Khanna): p50/p90/p99 of value per
+    // event_type in one pass, rank error bounded by 1/accuracy.
+    QueryDef.noOracle("a_approx_quantile")((s, d) =>
+      Tables.events(s, d)
+        .groupBy("event_type")
+        .agg(percentile_approx(col("value"),
+          array(lit(0.5), lit(0.9), lit(0.99)), lit(10000)).as("q"))
+        .orderBy("event_type")))
+}

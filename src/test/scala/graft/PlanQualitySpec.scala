@@ -51,6 +51,17 @@ class PlanQualitySpec extends AnyFunSuite {
       "both nation and region joins must broadcast")
   }
 
+  test("stream-join batch twin is an equi-join with pushed type filters") {
+    val plan = planOf("st_stream_join")
+    // user_id equi-key must drive a hash/merge join; the time range is
+    // a post-join filter, never a nested-loop or cartesian fallback
+    assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoop"),
+      plan.take(2000))
+    assert(plan.contains("EqualTo(event_type,view)") &&
+      plan.contains("EqualTo(event_type,click)"),
+      "event_type filters must push to the parquet scans")
+  }
+
   test("semi/anti joins use join strategies, not subquery rewrites") {
     assert(planOf("j_semi_exists").contains("LeftSemi"))
     assert(planOf("j_anti_not_exists").contains("LeftAnti"))
