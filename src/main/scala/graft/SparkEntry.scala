@@ -11,7 +11,8 @@ object SparkEntry {
   def allDefs: Seq[QueryDef] =
     RelationalQueries.all ++ TextQueries.all ++ DedupQueries.all ++
       SimilarityQueries.all ++ GfeQueries.all ++ StreamingQueries.all ++
-      MultimodalQueries.all ++ OperatorQueries.all ++ SketchQueries.all
+      MultimodalQueries.all ++ OperatorQueries.all ++ SketchQueries.all ++
+      SampleQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * TPC-H Q1 shape: scan → pushed filter → hash agg → order. */

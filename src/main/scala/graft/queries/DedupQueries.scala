@@ -300,6 +300,39 @@ object DedupQueries {
             .as("sim"))
         .where(col("sim") >= 0.4)
         .orderBy("v1", "v2")
+    },
+
+    // Benchmark decontamination: flag every corpus document sharing an
+    // exact word-shingle with the benchmark slice (source = 'src0'
+    // stands in for the eval set). Scale shape: the benchmark shingle
+    // set is tiny next to the corpus, so it broadcasts as 60-bit
+    // hashes — the corpus side streams map-side through the hash join,
+    // ZERO shuffle of corpus text or shingles; n_hits aggregates on
+    // doc_id only. Reuses the shared memoized shingle table.
+    QueryDef(
+      "d_decontaminate",
+      s"""$shingleCte,
+        |docsh AS (SELECT s.doc_id, d.source, unnest(s.sh) AS g
+        |          FROM sh s JOIN documents d ON s.doc_id = d.doc_id),
+        |bench AS (SELECT DISTINCT ${duckHex60("g")} AS gh
+        |          FROM docsh WHERE source = 'src0'),
+        |corp AS (SELECT doc_id, ${duckHex60("g")} AS gh
+        |         FROM docsh WHERE source <> 'src0')
+        |SELECT doc_id, count(*) AS n_hits
+        |FROM corp JOIN bench USING (gh)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val src = Tables.documents(s, d).select("doc_id", "source")
+      val sh = shingled(s, d).join(src, "doc_id")
+      val bench = sh.where(col("source") === "src0")
+        .select(explode(col("sh")).as("g"))
+        .select(hex60(col("g")).as("gh")).distinct()
+      sh.where(col("source") =!= "src0")
+        .select(col("doc_id"), explode(col("sh")).as("g"))
+        .select(col("doc_id"), hex60(col("g")).as("gh"))
+        .join(broadcast(bench), "gh")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_hits"))
+        .orderBy("doc_id")
     }
   )
 }

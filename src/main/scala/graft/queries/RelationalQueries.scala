@@ -426,8 +426,8 @@ object RelationalQueries {
     QueryDef(
       "a_percentile_disc",
       """SELECT c_mktsegment,
-        |       quantile_disc(CAST(o_totalprice AS DECIMAL(18,2)), 0.5) AS p50,
-        |       quantile_disc(CAST(o_totalprice AS DECIMAL(18,2)), 0.9) AS p90
+        |       CAST(quantile_disc(CAST(o_totalprice AS DECIMAL(18,2)), 0.5) * 100 AS BIGINT) AS p50_cents,
+        |       CAST(quantile_disc(CAST(o_totalprice AS DECIMAL(18,2)), 0.9) * 100 AS BIGINT) AS p90_cents
         |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
         |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
       // customer grows with SF — AQE picks broadcast while small
@@ -439,6 +439,14 @@ object RelationalQueries {
         .agg(
           expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY price)").as("p50"),
           expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY price)").as("p90"))
+        // Spark's percentile_disc returns DOUBLE while DuckDB's
+        // quantile_disc keeps DECIMAL — a trailing-zero value then
+        // renders differently per reader (sf0.1 caught '249308.0' vs
+        // '249308.00'). BIGINT cents on both sides; round() first
+        // because double*100 can land a hair under the integer.
+        .select(col("c_mktsegment"),
+          round(col("p50") * 100, 0).cast("bigint").as("p50_cents"),
+          round(col("p90") * 100, 0).cast("bigint").as("p90_cents"))
         .orderBy("c_mktsegment")
     },
 
