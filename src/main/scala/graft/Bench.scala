@@ -20,13 +20,14 @@ object Bench {
         .join(spark.read.parquet(s"$w/customer.parquet"),
           org.apache.spark.sql.functions.expr("o_custkey = c_custkey"))
         .groupBy("c_mktsegment").count().collect()
-    } catch { case _: Throwable => () }
+    } catch { case scala.util.control.NonFatal(_) => () }
     // Failed queries report -1.0 (not a plausible-looking elapsed) and
     // are excluded from the headline total.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true }
-      catch { case _: Throwable => false }
+      catch { case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] $name failed: $e"); false }
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }.toMap
     // Reference-headline workload: full-release build + graph load at
@@ -48,7 +49,10 @@ object Bench {
       val tLoad = (System.nanoTime() - t1) / 1e9
       Map(s"gfe_scale_build_$scaleN" -> tBuild,
         s"gfe_scale_load_$scaleN" -> tLoad)
-    } catch { case _: Throwable => Map(s"gfe_scale_build_$scaleN" -> -1.0) }
+    } catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[bench] scale workload failed: $e")
+      Map(s"gfe_scale_build_$scaleN" -> -1.0)
+    }
     val all = results ++ scale
     val qs = all.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
