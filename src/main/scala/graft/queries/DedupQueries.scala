@@ -42,6 +42,8 @@ object DedupQueries {
 
   private val nHashes = 8 // minhash signature width
   private val nBands = 4 // bands of 2 rows each
+  private val dfCap = 20 // stop-gram doc-frequency bound for aligned runs
+  private val minRun = 8 // aligned trigrams required to flag a shared span
 
   /** Spark-side doc_id + distinct-shingles frame — memoized per
     * (session, dir) with weak session keys: four operators (minhash,
@@ -333,6 +335,51 @@ object DedupQueries {
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_hits"))
         .orderBy("doc_id")
+    },
+
+    // Approximate substring dedup (the suffix-array family, re-expressed
+    // relationally): doc pairs sharing >= minRun POSITION-ALIGNED token
+    // trigrams at one offset — i.e. a long shared span, not just shared
+    // vocabulary. Scale shape: positional shingles carry (doc_id, pos,
+    // 60-bit hash) — fixed-width rows, never raw text; ubiquitous
+    // trigrams (doc-frequency > dfCap) are dropped BEFORE the self-join,
+    // which is what bounds the equi-join blocks (a stop-gram filter —
+    // high-df grams carry no dedup signal, exactly the skew that would
+    // otherwise go quadratic). The pair aggregation groups on
+    // (d1, d2, offset), so partial aggregation combines map-side.
+    QueryDef(
+      "d_substring_runs",
+      s"""WITH w AS (SELECT doc_id, string_split_regex(trim(text),'\\s+') AS w FROM documents),
+        |pos AS (SELECT doc_id, i AS p, ${duckHex60("array_to_string(w[i:i+2], ' ')")} AS gh
+        |        FROM w, unnest(generate_series(1, greatest(len(w)-2,1))) AS t(i)),
+        |df AS (SELECT gh FROM pos GROUP BY gh HAVING count(DISTINCT doc_id) <= $dfCap),
+        |rare AS (SELECT pos.* FROM pos JOIN df USING (gh))
+        |SELECT a.doc_id AS d1, b.doc_id AS d2,
+        |       CAST(a.p - b.p AS BIGINT) AS off, count(*) AS n_aligned
+        |FROM rare a JOIN rare b ON a.gh = b.gh AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2, 3 HAVING count(*) >= $minRun
+        |ORDER BY d1, d2, off""".stripMargin) { (s, d) =>
+      val w = tokens(col("text"))
+      val pos = Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(transform(
+            sequence(lit(1), greatest(size(w) - 2, lit(1))),
+            i => struct(i.as("p"),
+              hex60(concat_ws(" ", slice(w, i, lit(3)))).as("gh")))).as("e"))
+        .select(col("doc_id"), col("e.p").as("p"), col("e.gh").as("gh"))
+      val rareGrams = pos.groupBy("gh")
+        .agg(countDistinct(col("doc_id")).as("ndoc"))
+        .where(col("ndoc") <= dfCap).select("gh")
+      val rare = pos.join(rareGrams, "gh")
+      rare.as("a")
+        .join(rare.as("b"),
+          col("a.gh") === col("b.gh") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(
+          col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+          (col("a.p") - col("b.p")).cast("bigint").as("off"))
+        .agg(count(lit(1)).as("n_aligned"))
+        .where(col("n_aligned") >= minRun)
+        .orderBy("d1", "d2", "off")
     }
   )
 }

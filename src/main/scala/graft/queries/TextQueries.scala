@@ -136,6 +136,36 @@ object TextQueries {
         hex60(lower(trim(col("text")))).as("content_fp"),
         array_min(transform(shingles(w), x => hex60(x))).as("min_shingle_fp")
       ).orderBy("doc_id")
+    },
+
+    // Repetition signal (the Gopher-style quality gate): per document,
+    // total vs distinct trigram counts and the most-repeated trigram's
+    // frequency — all exact integers, the downstream filter divides.
+    // Scale shape: each document explodes inside its own input
+    // partition, so the (doc_id, gram) partial aggregation completes
+    // map-side and only the tiny per-doc triple ever shuffles.
+    QueryDef(
+      "t_repetition",
+      """WITH w AS (SELECT doc_id, string_split_regex(trim(text),'\s+') AS w FROM documents),
+        |x AS (SELECT doc_id, unnest(list_transform(generate_series(1, greatest(len(w)-2,1)),
+        |                                           i -> array_to_string(w[i:i+2], ' '))) AS g
+        |      FROM w),
+        |freq AS (SELECT doc_id, g, count(*) AS c FROM x GROUP BY 1, 2)
+        |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_grams,
+        |       count(*) AS n_distinct, max(c) AS max_rep
+        |FROM freq GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val w = tokens(col("text"))
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(transform(
+            sequence(lit(1), greatest(size(w) - 2, lit(1))),
+            i => concat_ws(" ", slice(w, i, lit(3))))).as("g"))
+        .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg(sum(col("c")).as("n_grams"),
+          count(lit(1)).as("n_distinct"),
+          max(col("c")).as("max_rep"))
+        .orderBy("doc_id")
     }
   )
 }

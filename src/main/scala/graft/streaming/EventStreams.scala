@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
 
@@ -162,6 +162,16 @@ object EventStreams {
       events.withWatermark("ts", "2 hours")
         .dropDuplicatesWithinWatermark(keys)
     else events.dropDuplicates(keys)
+
+  /** Stream-static enrichment: join the (possibly streaming) event feed
+    * against a static dimension table. The static side is broadcast
+    * into every micro-batch task — NO streaming state, no watermark,
+    * and because Spark re-plans the static side per batch a
+    * slowly-changing dimension picks up updates between batches. This
+    * is the canonical shape for attaching user/customer attributes to
+    * an event stream at ingest. */
+  def enrich(events: DataFrame, dim: DataFrame, joinExpr: Column): DataFrame =
+    events.join(broadcast(dim), joinExpr)
 
   /** Run a batch-defined transform as a real stream over the same
     * parquet data (Trigger.AvailableNow + memory sink) and return the

@@ -83,6 +83,29 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(streamed.toSeq == batch.toSeq)
   }
 
+  test("stream-static enrichment: streaming result == batch result") {
+    val dim = Tables.customer(spark, sfDir).select("c_custkey", "c_mktsegment")
+    def enriched(df: org.apache.spark.sql.DataFrame) =
+      EventStreams.enrich(df, dim, col("user_id") === col("c_custkey"))
+        .groupBy("c_mktsegment", "event_type")
+        .agg(count(lit(1)).as("n"))
+
+    val batch = enriched(Tables.events(spark, sfDir))
+      .orderBy("c_mktsegment", "event_type").collect()
+
+    // Static side re-broadcast per micro-batch; the stream side carries
+    // an unwatermarked aggregate, so Complete mode drains full state.
+    val streamed = EventStreams.runAsStream(
+      spark, s"$sfDir/events.parquet",
+      df => enriched(df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))),
+      "enrich_stream",
+      org.apache.spark.sql.streaming.OutputMode.Complete())
+      .orderBy("c_mktsegment", "event_type").collect()
+
+    assert(batch.nonEmpty)
+    assert(streamed.toSeq == batch.toSeq)
+  }
+
   test("sessionization: streamed closed sessions == batch sessions minus open tails") {
     import spark.implicits._
     val events = Tables.events(spark, sfDir)

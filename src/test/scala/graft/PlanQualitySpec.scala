@@ -148,4 +148,34 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(maxDeg <= 64,
       s"a candidate block grew quadratic (max per-doc fan-out $maxDeg)")
   }
+
+  test("substring-run dedup: equi-join on gram hash, no cartesian, map-side combine") {
+    val plan = planOf("d_substring_runs")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoop"),
+      "the positional self-join must ride the gh equi-key")
+    assert(plan.contains("partial_count"),
+      "the (d1,d2,off) aggregation must combine map-side")
+  }
+
+  test("stream-static enrichment broadcasts the dimension (st_enrich)") {
+    val plan = planOf("st_enrich")
+    assert(plan.contains("BroadcastHashJoin"),
+      "the customer dim must broadcast — no shuffle of the event feed")
+  }
+
+  test("quantized top-k stays integral and codegen'd (v_quantized_topk)") {
+    val plan = planOf("v_quantized_topk")
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("BatchEvalPython"))
+    assert(hasCodegen(plan), "HOF dot product must stay in codegen")
+  }
+
+  test("event windows share one user_id shuffle (w_lead_lag, w_moving_sum)") {
+    for (q <- Seq("w_lead_lag", "w_moving_sum")) {
+      val plan = planOf(q)
+      assert("Exchange hashpartitioning".r.findAllIn(plan).length == 1,
+        s"$q: both window functions must ride a single user_id exchange")
+      assert(plan.contains("Window"), s"$q: window operator expected")
+    }
+  }
 }
