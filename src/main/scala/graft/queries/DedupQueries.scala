@@ -52,6 +52,36 @@ object DedupQueries {
   private val shingleCache = java.util.Collections.synchronizedMap(
     new java.util.WeakHashMap[SparkSession, scala.collection.mutable.Map[String, DataFrame]]())
 
+  /** Positional trigram table (doc_id, p, gh) — memoized per
+    * (session, dir): the aligned-run query references it three times
+    * (df filter + both self-join sides), and at scale it is the
+    * materialized positional index a substring-dedup pass writes once.
+    * Without the memo the explode + 60-bit hash re-evaluates per
+    * reference. */
+  private val positionalCache = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, scala.collection.mutable.Map[String, DataFrame]]())
+
+  private[queries] def positional(s: SparkSession, d: String): DataFrame = {
+    val perSession = positionalCache.synchronized {
+      var m = positionalCache.get(s)
+      if (m == null) { m = scala.collection.mutable.Map.empty; positionalCache.put(s, m) }
+      m
+    }
+    perSession.synchronized {
+      perSession.getOrElseUpdate(d, {
+        val w = tokens(col("text"))
+        Tables.documents(s, d)
+          .select(col("doc_id"),
+            explode(transform(
+              sequence(lit(1), greatest(size(w) - 2, lit(1))),
+              i => struct(i.as("p"),
+                hex60(concat_ws(" ", slice(w, i, lit(3)))).as("gh")))).as("e"))
+          .select(col("doc_id"), col("e.p").as("p"), col("e.gh").as("gh"))
+          .cache()
+      })
+    }
+  }
+
   private def shingled(s: SparkSession, d: String): DataFrame = {
     val perSession = shingleCache.synchronized {
       var m = shingleCache.get(s)
@@ -359,14 +389,7 @@ object DedupQueries {
         |FROM rare a JOIN rare b ON a.gh = b.gh AND a.doc_id < b.doc_id
         |GROUP BY 1, 2, 3 HAVING count(*) >= $minRun
         |ORDER BY d1, d2, off""".stripMargin) { (s, d) =>
-      val w = tokens(col("text"))
-      val pos = Tables.documents(s, d)
-        .select(col("doc_id"),
-          explode(transform(
-            sequence(lit(1), greatest(size(w) - 2, lit(1))),
-            i => struct(i.as("p"),
-              hex60(concat_ws(" ", slice(w, i, lit(3)))).as("gh")))).as("e"))
-        .select(col("doc_id"), col("e.p").as("p"), col("e.gh").as("gh"))
+      val pos = positional(s, d)
       val rareGrams = pos.groupBy("gh")
         .agg(countDistinct(col("doc_id")).as("ndoc"))
         .where(col("ndoc") <= dfCap).select("gh")

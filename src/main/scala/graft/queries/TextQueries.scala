@@ -141,26 +141,28 @@ object TextQueries {
     // Repetition signal (the Gopher-style quality gate): per document,
     // total vs distinct trigram counts and the most-repeated trigram's
     // frequency — all exact integers, the downstream filter divides.
-    // Scale shape: each document explodes inside its own input
-    // partition, so the (doc_id, gram) partial aggregation completes
-    // map-side and only the tiny per-doc triple ever shuffles.
+    // Scale shape: grams are counted by their 60-bit hash, never the
+    // string — fixed-width group keys, and since both engines apply the
+    // SAME md5-derived hash a (vanishingly unlikely) collision changes
+    // both sides identically, so the compare stays exact. Each document
+    // explodes inside its own input partition, so the (doc_id, gh)
+    // partial aggregation completes map-side and only the tiny per-doc
+    // triple ever shuffles.
     QueryDef(
       "t_repetition",
       """WITH w AS (SELECT doc_id, string_split_regex(trim(text),'\s+') AS w FROM documents),
-        |x AS (SELECT doc_id, unnest(list_transform(generate_series(1, greatest(len(w)-2,1)),
-        |                                           i -> array_to_string(w[i:i+2], ' '))) AS g
+        |x AS (SELECT doc_id, CAST(('0x' || substr(md5(unnest(list_transform(
+        |               generate_series(1, greatest(len(w)-2,1)),
+        |               i -> array_to_string(w[i:i+2], ' ')))),1,15)) AS BIGINT) AS gh
         |      FROM w),
-        |freq AS (SELECT doc_id, g, count(*) AS c FROM x GROUP BY 1, 2)
+        |freq AS (SELECT doc_id, gh, count(*) AS c FROM x GROUP BY 1, 2)
         |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_grams,
         |       count(*) AS n_distinct, max(c) AS max_rep
         |FROM freq GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
-      val w = tokens(col("text"))
-      Tables.documents(s, d)
-        .select(col("doc_id"),
-          explode(transform(
-            sequence(lit(1), greatest(size(w) - 2, lit(1))),
-            i => concat_ws(" ", slice(w, i, lit(3))))).as("g"))
-        .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+      // Shares the dedup pass's positional trigram index — per
+      // (doc_id, gh) occurrence counts are exactly its row counts.
+      DedupQueries.positional(s, d)
+        .groupBy("doc_id", "gh").agg(count(lit(1)).as("c"))
         .groupBy("doc_id")
         .agg(sum(col("c")).as("n_grams"),
           count(lit(1)).as("n_distinct"),
