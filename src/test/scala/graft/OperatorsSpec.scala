@@ -100,4 +100,57 @@ class OperatorsSpec extends AnyFunSuite {
       "uniform input must not pay the salted branch")
     assert(out.count() == left.where(col("k") >= 1).count())
   }
+
+  val sfDir = "/root/testdata/sf0.001"
+
+  test("substring-run dedup equals a naive positional comparison") {
+    // Naive driver-side recomputation: positional trigrams, doc-frequency
+    // stop filter at 20, aligned counts per (pair, offset), keep >= 8 —
+    // the same constants the query pins.
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1).trim.split("\\s+").toSeq)
+    val grams = docs.map { case (id, w) =>
+      val n = math.max(w.length - 2, 1)
+      id -> (1 to n).map(i => w.slice(i - 1, math.min(i + 2, w.length)).mkString(" "))
+    }
+    val docFreq = grams.flatMap { case (id, gs) => gs.distinct.map(_ -> id) }
+      .groupBy(_._1).map { case (g, xs) => g -> xs.length }
+    val rare: String => Boolean = g => docFreq(g) <= 20
+    val naive = (for {
+      (d1, g1) <- grams
+      (d2, g2) <- grams
+      if d1 < d2
+    } yield {
+      val counts = scala.collection.mutable.Map.empty[Long, Long]
+      val byGram = g2.zipWithIndex.filter(x => rare(x._1))
+        .groupBy(_._1).view.mapValues(_.map(_._2 + 1)).toMap
+      g1.zipWithIndex.foreach { case (g, i0) =>
+        if (rare(g)) byGram.getOrElse(g, Nil).foreach { p2 =>
+          val off = (i0 + 1).toLong - p2
+          counts(off) = counts.getOrElse(off, 0L) + 1
+        }
+      }
+      counts.collect { case (off, n) if n >= 8 => (d1, d2, off, n) }
+    }).flatten.sortBy(t => (t._1, t._2, t._3))
+    val got = SparkEntry.queries("d_substring_runs")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == naive.toSeq)
+  }
+
+  test("quantized top-k recalls most of the exact cosine top-k") {
+    def topSets(name: String): Map[Long, Set[Long]] =
+      SparkEntry.queries(name)(spark, sfDir).collect()
+        .map(r => r.getLong(0) -> r.getLong(1))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val exact = topSets("v_cosine_topk")
+    val quant = topSets("v_quantized_topk")
+    assert(quant.keySet == exact.keySet)
+    val recalls = exact.map { case (q, ex) =>
+      (quant(q) & ex).size.toDouble / ex.size
+    }
+    assert(recalls.forall(_ >= 0.4),
+      s"a query fell below 4/10 recall: $recalls")
+    assert(recalls.sum / recalls.size >= 0.6,
+      s"mean recall too low: ${recalls.sum / recalls.size}")
+  }
 }
