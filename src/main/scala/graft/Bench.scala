@@ -45,7 +45,18 @@ object Bench {
       val t1 = System.nanoTime()
       val g = graft.graph.GraphLoad.loadAll(spark,
         Seq(("4000", r.gfeSequences, r.allFeatures, r.allGroups)))
-      (g.vertexTables ++ g.edgeTables).values.foreach(_.count())
+      // Materialize all 11 tables as concurrent jobs — the shared
+      // upstream is cached inside loadAll, so the scheduler overlaps
+      // the independent per-table tails instead of paying 11 job
+      // latencies back-to-back.
+      locally {
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.duration.Duration
+        import scala.concurrent.ExecutionContext.Implicits.global
+        val jobs = (g.vertexTables ++ g.edgeTables).values.toSeq
+          .map(df => Future(df.count()))
+        jobs.foreach(Await.result(_, Duration.Inf))
+      }
       val tLoad = (System.nanoTime() - t1) / 1e9
       Map(s"gfe_scale_build_$scaleN" -> tBuild,
         s"gfe_scale_load_$scaleN" -> tLoad)
