@@ -70,13 +70,14 @@ object DedupQueries {
     perSession.synchronized {
       perSession.getOrElseUpdate(d, {
         val w = tokens(col("text"))
+        // 0-based p (vs the oracle's 1-based) is immaterial: positions
+        // only ever appear as same-base differences (offsets).
         Tables.documents(s, d)
           .select(col("doc_id"),
-            explode(transform(
+            posexplode(transform(
               sequence(lit(1), greatest(size(w) - 2, lit(1))),
-              i => struct(i.as("p"),
-                hex60(concat_ws(" ", slice(w, i, lit(3)))).as("gh")))).as("e"))
-          .select(col("doc_id"), col("e.p").as("p"), col("e.gh").as("gh"))
+              i => hex60(concat_ws(" ", slice(w, i, lit(3))))))
+              .as(Seq("p", "gh")))
           .cache()
       })
     }
@@ -372,17 +373,18 @@ object DedupQueries {
     // trigrams at one offset — i.e. a long shared span, not just shared
     // vocabulary. Scale shape: positional shingles carry (doc_id, pos,
     // 60-bit hash) — fixed-width rows, never raw text; ubiquitous
-    // trigrams (doc-frequency > dfCap) are dropped BEFORE the self-join,
-    // which is what bounds the equi-join blocks (a stop-gram filter —
-    // high-df grams carry no dedup signal, exactly the skew that would
-    // otherwise go quadratic). The pair aggregation groups on
-    // (d1, d2, offset), so partial aggregation combines map-side.
+    // trigrams (corpus occurrences > dfCap) are dropped BEFORE the
+    // self-join, which is what bounds the equi-join blocks (a stop-gram
+    // filter — high-frequency grams carry no dedup signal, exactly the
+    // skew that would otherwise go quadratic; a plain count, so the
+    // filter aggregation itself combines map-side). The pair
+    // aggregation groups on (d1, d2, offset) and combines map-side too.
     QueryDef(
       "d_substring_runs",
       s"""WITH w AS (SELECT doc_id, string_split_regex(trim(text),'\\s+') AS w FROM documents),
         |pos AS (SELECT doc_id, i AS p, ${duckHex60("array_to_string(w[i:i+2], ' ')")} AS gh
         |        FROM w, unnest(generate_series(1, greatest(len(w)-2,1))) AS t(i)),
-        |df AS (SELECT gh FROM pos GROUP BY gh HAVING count(DISTINCT doc_id) <= $dfCap),
+        |df AS (SELECT gh FROM pos GROUP BY gh HAVING count(*) <= $dfCap),
         |rare AS (SELECT pos.* FROM pos JOIN df USING (gh))
         |SELECT a.doc_id AS d1, b.doc_id AS d2,
         |       CAST(a.p - b.p AS BIGINT) AS off, count(*) AS n_aligned
@@ -391,8 +393,8 @@ object DedupQueries {
         |ORDER BY d1, d2, off""".stripMargin) { (s, d) =>
       val pos = positional(s, d)
       val rareGrams = pos.groupBy("gh")
-        .agg(countDistinct(col("doc_id")).as("ndoc"))
-        .where(col("ndoc") <= dfCap).select("gh")
+        .agg(count(lit(1)).as("nocc"))
+        .where(col("nocc") <= dfCap).select("gh")
       val rare = pos.join(rareGrams, "gh")
       rare.as("a")
         .join(rare.as("b"),

@@ -104,18 +104,18 @@ class OperatorsSpec extends AnyFunSuite {
   val sfDir = "/root/testdata/sf0.001"
 
   test("substring-run dedup equals a naive positional comparison") {
-    // Naive driver-side recomputation: positional trigrams, doc-frequency
-    // stop filter at 20, aligned counts per (pair, offset), keep >= 8 —
-    // the same constants the query pins.
+    // Naive driver-side recomputation: positional trigrams, stop-gram
+    // filter at 20 corpus occurrences, aligned counts per (pair,
+    // offset), keep >= 8 — the same constants the query pins.
     val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getString(1).trim.split("\\s+").toSeq)
     val grams = docs.map { case (id, w) =>
       val n = math.max(w.length - 2, 1)
       id -> (1 to n).map(i => w.slice(i - 1, math.min(i + 2, w.length)).mkString(" "))
     }
-    val docFreq = grams.flatMap { case (id, gs) => gs.distinct.map(_ -> id) }
-      .groupBy(_._1).map { case (g, xs) => g -> xs.length }
-    val rare: String => Boolean = g => docFreq(g) <= 20
+    val gramFreq = grams.flatMap { case (_, gs) => gs }
+      .groupBy(identity).map { case (g, xs) => g -> xs.length }
+    val rare: String => Boolean = g => gramFreq(g) <= 20
     val naive = (for {
       (d1, g1) <- grams
       (d2, g2) <- grams
