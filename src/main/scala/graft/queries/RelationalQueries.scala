@@ -451,6 +451,30 @@ object RelationalQueries {
           |ORDER BY region, nation""".stripMargin)
     },
 
+    // Explicit grouping sets (two independent dimensions in one pass —
+    // one shuffle instead of a per-dimension query each; the Spark 4
+    // Dataset.groupingSets API). NULL markers coalesced for
+    // engine-stable compare; user_id stringified so both marker
+    // columns order lexicographically on both engines.
+    QueryDef(
+      "a_grouping_sets",
+      """SELECT coalesce(event_type, 'ALL') AS event_type,
+        |       coalesce(CAST(user_id AS VARCHAR), 'ALL') AS user_id,
+        |       count(*) AS n
+        |FROM events GROUP BY GROUPING SETS ((event_type), (user_id))
+        |ORDER BY event_type, user_id""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .groupingSets(
+          Seq(Seq(col("event_type")), Seq(col("user_id"))),
+          col("event_type"), col("user_id"))
+        .agg(count(lit(1)).as("n"))
+        .select(
+          coalesce(col("event_type"), lit("ALL")).as("event_type"),
+          coalesce(col("user_id").cast("string"), lit("ALL")).as("user_id"),
+          col("n"))
+        .orderBy("event_type", "user_id")
+    },
+
     // Pivot: per-user event counts spread across event-type columns.
     // Oracle uses the equivalent conditional aggregation.
     QueryDef(
