@@ -190,6 +190,31 @@ object RelationalQueries {
         .select("c_custkey").orderBy("c_custkey")
     },
 
+    // Full-outer merge: positive-balance customers vs per-customer
+    // order counts — unmatched rows survive from BOTH sides (filtered
+    // customers with orders keep a NULL segment; order-less customers
+    // keep a NULL count). Equi-keyed, so it shuffles once per side —
+    // never a nested loop.
+    QueryDef(
+      "j_full_outer",
+      """SELECT coalesce(c.c_custkey, o.o_custkey) AS custkey,
+        |       c.c_mktsegment, o.n_orders
+        |FROM (SELECT c_custkey, c_mktsegment FROM customer WHERE c_acctbal >= 0) c
+        |FULL OUTER JOIN (SELECT o_custkey, count(*) AS n_orders
+        |                 FROM orders GROUP BY 1) o
+        |ON c.c_custkey = o.o_custkey
+        |ORDER BY custkey""".stripMargin) { (s, d) =>
+      val c = Tables.customer(s, d).where(col("c_acctbal") >= 0)
+        .select("c_custkey", "c_mktsegment")
+      val o = Tables.orders(s, d).groupBy("o_custkey")
+        .agg(count(lit(1)).as("n_orders"))
+      c.join(o, col("c_custkey") === col("o_custkey"), "full_outer")
+        .select(
+          coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+          col("c_mktsegment"), col("n_orders"))
+        .orderBy("custkey")
+    },
+
     // A1: node count per label ≡ union-all of per-table counts.
     QueryDef(
       "a1_count_by_label",

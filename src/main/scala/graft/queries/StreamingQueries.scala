@@ -96,6 +96,38 @@ object StreamingQueries {
         .orderBy("c_mktsegment", "event_type")
     },
 
+    // Native session_window sessionization — the same 30-min-gap
+    // sessions as st_sessionize but through Spark's built-in merging
+    // session operator (streaming-capable state, one shuffle on the
+    // user key). window.end is EXCLUSIVE (last event + gap), so the
+    // oracle adds the gap to max(ts).
+    QueryDef(
+      "st_session_window",
+      """SELECT user_id,
+        |       min(epoch_us(ts)) AS session_start,
+        |       max(epoch_us(ts)) + 1800000000 AS session_end,
+        |       CAST(count(*) AS INT) AS n_events
+        |FROM (
+        |  SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+        |                                   ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM (
+        |    SELECT user_id, ts,
+        |           CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |                  OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) > 1800000000
+        |                THEN 1 ELSE 0 END AS new_session
+        |    FROM events))
+        |GROUP BY user_id, session_id
+        |ORDER BY user_id, session_start""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)).cast("int").as("n_events"))
+        .select(col("user_id"),
+          unix_micros(col("session_window.start")).as("session_start"),
+          unix_micros(col("session_window.end")).as("session_end"),
+          col("n_events"))
+        .orderBy("user_id", "session_start")
+    },
+
     // Gap-based sessionization (30-min inactivity): gaps-and-islands.
     QueryDef(
       "st_sessionize",

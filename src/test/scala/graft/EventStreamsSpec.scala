@@ -106,6 +106,38 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(streamed.toSeq == batch.toSeq)
   }
 
+  test("session_window: streamed closed sessions == batch sessions minus open tails") {
+    def sessions(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)).cast("int").as("n_events"))
+        .select(col("user_id"),
+          unix_micros(col("session_window.start")).as("session_start"),
+          unix_micros(col("session_window.end")).as("session_end"),
+          col("n_events"))
+
+    val batch = sessions(Tables.events(spark, sfDir)).collect().toSet
+
+    // Append + zero-delay watermark: the final AvailableNow batch
+    // advances the watermark to max(ts), emitting every session whose
+    // (exclusive, gap-padded) end precedes it; later sessions stay in
+    // state. That boundary is recomputable exactly from the batch.
+    val streamed = EventStreams.runAsStream(
+      spark, s"$sfDir/events.parquet",
+      df => sessions(
+        df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+          .withWatermark("ts", "0 seconds")),
+      "session_window_stream")
+      .select("user_id", "session_start", "session_end", "n_events")
+      .collect().toSet
+
+    val maxTs = Tables.events(spark, sfDir)
+      .agg(max(unix_micros(col("ts")))).head.getLong(0)
+    val closed = batch.filter(_.getLong(2) <= maxTs)
+    assert(streamed.nonEmpty)
+    assert(streamed == closed,
+      "streamed sessions must be exactly the watermark-closed batch sessions")
+  }
+
   test("sessionization: streamed closed sessions == batch sessions minus open tails") {
     import spark.implicits._
     val events = Tables.events(spark, sfDir)
