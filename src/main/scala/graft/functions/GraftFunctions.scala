@@ -38,10 +38,14 @@ object GraftFunctions {
     udf { (s: String) =>
       if (s == null) null
       else {
-        val hex = java.security.MessageDigest.getInstance("MD5")
-          .digest(s.getBytes("UTF-8"))
-          .map("%02x".format(_)).mkString
-        new java.math.BigInteger(hex, 16).toString.take(32)
+        // BigInteger(1, bytes) == BigInteger(hexString, 16): both read
+        // the digest as an unsigned big-endian 128-bit integer — skip
+        // the per-row hex-string detour (reuses Hex60's thread-local
+        // digest; long reference sequences make the digest itself the
+        // dominant cost, but the allocation churn still matters at
+        // 35k+ alleles/build).
+        val d = Hex60.md5(s.getBytes("UTF-8"))
+        new java.math.BigInteger(1, d).toString.take(32)
       }
     }
 

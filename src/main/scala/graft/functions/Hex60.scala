@@ -45,11 +45,16 @@ object Hex60 {
     ThreadLocal.withInitial[java.security.MessageDigest](() =>
       java.security.MessageDigest.getInstance("MD5"))
 
-  /** Top 60 bits of md5(bytes) as a non-negative long. */
-  def hash60(bytes: Array[Byte]): Long = {
+  /** Full md5 digest via the thread-local instance. */
+  def md5(bytes: Array[Byte]): Array[Byte] = {
     val md = digests.get()
     md.reset()
-    val d = md.digest(bytes)
+    md.digest(bytes)
+  }
+
+  /** Top 60 bits of md5(bytes) as a non-negative long. */
+  def hash60(bytes: Array[Byte]): Long = {
+    val d = md5(bytes)
     var v = 0L
     var i = 0
     while (i < 8) { v = (v << 8) | (d(i) & 0xFFL); i += 1 }
