@@ -164,14 +164,16 @@ object EventStreams {
     else events.dropDuplicates(keys)
 
   /** Stream-static enrichment: join the (possibly streaming) event feed
-    * against a static dimension table. The static side is broadcast
-    * into every micro-batch task — NO streaming state, no watermark,
-    * and because Spark re-plans the static side per batch a
+    * against a static dimension table — NO streaming state, no
+    * watermark, and because Spark re-plans the static side per batch a
     * slowly-changing dimension picks up updates between batches. This
     * is the canonical shape for attaching user/customer attributes to
-    * an event stream at ingest. */
+    * an event stream at ingest. No forced broadcast: Catalyst
+    * broadcasts the dim adaptively while it is actually small, and a
+    * dimension that outgrows the threshold must take the shuffle path
+    * rather than OOM the driver. */
   def enrich(events: DataFrame, dim: DataFrame, joinExpr: Column): DataFrame =
-    events.join(broadcast(dim), joinExpr)
+    events.join(dim, joinExpr)
 
   /** Run a batch-defined transform as a real stream over the same
     * parquet data (Trigger.AvailableNow + memory sink) and return the
