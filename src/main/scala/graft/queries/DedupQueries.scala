@@ -44,6 +44,7 @@ object DedupQueries {
   private val nBands = 4 // bands of 2 rows each
   private val dfCap = 20 // stop-gram doc-frequency bound for aligned runs
   private val minRun = 8 // aligned trigrams required to flag a shared span
+  private val contamHits = 10 // benchmark shingle hits that disqualify a doc
 
   /** Spark-side doc_id + distinct-shingles frame — memoized per
     * (session, dir) with weak session keys: four operators (minhash,
@@ -405,6 +406,58 @@ object DedupQueries {
         .agg(count(lit(1)).as("n_aligned"))
         .where(col("n_aligned") >= minRun)
         .orderBy("d1", "d2", "off")
+    },
+
+    // End-to-end corpus curation — the composed training-data pipeline:
+    // exact dedup (keep the lowest doc_id per content fingerprint) →
+    // benchmark decontamination (drop docs with >= 10 shingle hits on
+    // the src0 eval slice) → quality gate (token-count band) →
+    // deterministic 50% hash sample. Every stage is one of this
+    // module's operators; the composition stays a single declarative
+    // plan, so Catalyst shares the documents scan and the memoized
+    // shingle table across stages — the pipeline costs one corpus
+    // pass plus the dedup/decon aggregations, not 4 reads.
+    QueryDef(
+      "pipe_curation",
+      s"""$shingleCte,
+        |keep1 AS (SELECT min(doc_id) AS doc_id
+        |          FROM documents GROUP BY md5(lower(trim(text)))),
+        |bench AS (SELECT DISTINCT unnest(s.sh) AS g
+        |          FROM sh s JOIN documents d USING (doc_id) WHERE d.source = 'src0'),
+        |hits AS (SELECT s.doc_id, count(*) AS n_hits
+        |         FROM (SELECT doc_id, unnest(sh) AS g FROM sh) s
+        |         JOIN bench USING (g)
+        |         JOIN documents d2 ON s.doc_id = d2.doc_id AND d2.source <> 'src0'
+        |         GROUP BY s.doc_id),
+        |quality AS (SELECT doc_id FROM w WHERE len(w) BETWEEN 30 AND 90),
+        |sampled AS (SELECT doc_id FROM documents WHERE substr(md5(text),1,1) < '8')
+        |SELECT d.doc_id, d.lang
+        |FROM documents d
+        |JOIN keep1 USING (doc_id) JOIN quality USING (doc_id) JOIN sampled USING (doc_id)
+        |LEFT JOIN hits USING (doc_id)
+        |WHERE d.source <> 'src0' AND coalesce(n_hits, 0) < $contamHits
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val srcOf = docs.select("doc_id", "source")
+      val keep1 = docs.groupBy(md5(lower(trim(col("text")))).as("fp"))
+        .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
+      val sh = shingled(s, d).join(srcOf, "doc_id")
+      val bench = sh.where(col("source") === "src0")
+        .select(explode(col("sh")).as("g")).distinct()
+      val hits = sh.where(col("source") =!= "src0")
+        .select(col("doc_id"), explode(col("sh")).as("g"))
+        .join(bench, "g")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+      val quality = docs
+        .where(size(tokens(col("text"))).between(30, 90)).select("doc_id")
+      val sampled = docs
+        .where(substring(md5(col("text")), 1, 1) < "8").select("doc_id")
+      docs.where(col("source") =!= "src0")
+        .join(keep1, "doc_id").join(quality, "doc_id").join(sampled, "doc_id")
+        .join(hits, Seq("doc_id"), "left")
+        .where(coalesce(col("n_hits"), lit(0L)) < contamHits)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
     }
   )
 }
