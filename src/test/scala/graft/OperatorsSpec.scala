@@ -137,6 +137,20 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got == naive.toSeq)
   }
 
+  test("IVF cell-probe ANN recalls most of the exact cosine top-k") {
+    val exactTop5 = SparkEntry.queries("v_cosine_topk")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1).view.mapValues(
+        _.sortBy(t => (-t._3, t._2)).take(5).map(_._2).toSet).toMap
+    val ivf = SparkEntry.queries("v_ann_ivf")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(ivf.keySet == exactTop5.keySet)
+    val recalls = exactTop5.map { case (q, ex) => (ivf(q) & ex).size.toDouble / ex.size }
+    assert(recalls.sum / recalls.size >= 0.5,
+      s"probing 4/16 cells should keep mean recall >= 0.5: $recalls")
+  }
+
   test("quantized top-k recalls most of the exact cosine top-k") {
     def topSets(name: String): Map[Long, Set[Long]] =
       SparkEntry.queries(name)(spark, sfDir).collect()
