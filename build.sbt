@@ -15,6 +15,10 @@ run / fork := true
 // prefixes) so line-oriented consumers (the driver's bench-JSON parse)
 // see e.g. Bench's single JSON line bare on stdout.
 run / outputStrategy := Some(StdoutOutput)
+// Drop the trailing "[success] Total time: …" line: the driver
+// recovers Bench's JSON from the tail of the captured output, and
+// every char printed after the JSON line shrinks what remains of it.
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
@@ -30,5 +34,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 28g default on the 128 GiB bench host: at 8g the unified-memory
+  // storage pool was 4.6 GiB and the 79-query bench evicted the shared
+  // derived-table caches (shingles, vectors, graph snapshot) mid-run,
+  // inflating later queries with recompute thrash.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "28g")}",
 )

@@ -28,6 +28,17 @@ object Verify {
       case t: org.apache.spark.sql.types.MapType => hasDecimal(t.keyType) || hasDecimal(t.valueType)
       case _ => false
     }
+    // Array/map/struct output columns are likewise banned: the driver
+    // sorts every result (even rows-only ones) through pandas, where
+    // they materialize as ndarray/dict — unhashable, and the whole
+    // round's entry errors out (r3: a_approx_quantile). Project scalar
+    // columns (element_at / concat_ws / to_json) instead.
+    def nested(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+      case _: org.apache.spark.sql.types.ArrayType => true
+      case _: org.apache.spark.sql.types.MapType => true
+      case _: org.apache.spark.sql.types.StructType => true
+      case _ => false
+    }
     SparkEntry.queries.foreach { case (name, fn) =>
       try {
         val df = fn(spark, sfDir)
@@ -35,6 +46,10 @@ object Verify {
         if (dec.nonEmpty) throw new IllegalStateException(
           s"DecimalType in output schema (${dec.mkString(",")}) — " +
             "not reader-portable; project as BIGINT cents")
+        val nst = df.schema.fields.filter(f => nested(f.dataType)).map(_.name)
+        if (nst.nonEmpty) throw new IllegalStateException(
+          s"nested-typed output column (${nst.mkString(",")}) — " +
+            "unhashable in the driver's compare; project scalars")
         df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
       } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")

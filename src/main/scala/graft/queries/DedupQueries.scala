@@ -422,13 +422,14 @@ object DedupQueries {
       s"""$shingleCte,
         |keep1 AS (SELECT min(doc_id) AS doc_id
         |          FROM documents GROUP BY md5(lower(trim(text)))),
-        |bench AS (SELECT DISTINCT unnest(s.sh) AS g
-        |          FROM sh s JOIN documents d USING (doc_id) WHERE d.source = 'src0'),
-        |hits AS (SELECT s.doc_id, count(*) AS n_hits
-        |         FROM (SELECT doc_id, unnest(sh) AS g FROM sh) s
-        |         JOIN bench USING (g)
-        |         JOIN documents d2 ON s.doc_id = d2.doc_id AND d2.source <> 'src0'
-        |         GROUP BY s.doc_id),
+        |docsh AS (SELECT s.doc_id, d.source, ${duckHex60("g")} AS gh
+        |          FROM (SELECT doc_id, unnest(sh) AS g FROM sh) s
+        |          JOIN documents d USING (doc_id)),
+        |bench AS (SELECT DISTINCT gh FROM docsh WHERE source = 'src0'),
+        |hits AS (SELECT doc_id, count(*) AS n_hits
+        |         FROM docsh JOIN bench USING (gh)
+        |         WHERE source <> 'src0'
+        |         GROUP BY doc_id),
         |quality AS (SELECT doc_id FROM w WHERE len(w) BETWEEN 30 AND 90),
         |sampled AS (SELECT doc_id FROM documents WHERE substr(md5(text),1,1) < '8')
         |SELECT d.doc_id, d.lang
@@ -441,12 +442,18 @@ object DedupQueries {
       val srcOf = docs.select("doc_id", "source")
       val keep1 = docs.groupBy(md5(lower(trim(col("text")))).as("fp"))
         .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
+      // Same shape as d_decontaminate: the tiny benchmark set joins as
+      // broadcast 60-bit hashes — the corpus side streams map-side, no
+      // shuffle of shingle text (the raw-string join this replaced
+      // shuffled every exploded corpus shingle both ways).
       val sh = shingled(s, d).join(srcOf, "doc_id")
       val bench = sh.where(col("source") === "src0")
-        .select(explode(col("sh")).as("g")).distinct()
+        .select(explode(col("sh")).as("g"))
+        .select(hex60(col("g")).as("gh")).distinct()
       val hits = sh.where(col("source") =!= "src0")
         .select(col("doc_id"), explode(col("sh")).as("g"))
-        .join(bench, "g")
+        .select(col("doc_id"), hex60(col("g")).as("gh"))
+        .join(broadcast(bench), "gh")
         .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
       val quality = docs
         .where(size(tokens(col("text"))).between(30, 90)).select("doc_id")

@@ -64,6 +64,12 @@ object GfeQueries {
   private val cache = java.util.Collections.synchronizedMap(
     new java.util.WeakHashMap[SparkSession, GraphLoad.Graph]())
 
+  /** Materialize the fixture graph snapshot (untimed bench warm-up).
+    * The one-time two-release build + parquet dump is a *load* cost —
+    * measured by gfe_scale_build/load — not a query cost; without this
+    * hook whichever gfe_* query ran first absorbed ~13 s of it. */
+  def warm(s: SparkSession): Unit = { graph(s); () }
+
   private def graph(s: SparkSession): GraphLoad.Graph =
     cache.synchronized {
       val hit = cache.get(s)

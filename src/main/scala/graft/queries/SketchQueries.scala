@@ -44,11 +44,18 @@ object SketchQueries {
         .orderBy("event_type")),
 
     // Quantile sketch (Greenwald-Khanna): p50/p90/p99 of value per
-    // event_type in one pass, rank error bounded by 1/accuracy.
+    // event_type in one pass, rank error bounded by 1/accuracy. The
+    // sketch is computed once; the three ranks are projected as scalar
+    // columns (an array-typed output column is unhashable by the
+    // driver's result compare — r3 lesson).
     QueryDef.noOracle("a_approx_quantile")((s, d) =>
       Tables.events(s, d)
         .groupBy("event_type")
         .agg(percentile_approx(col("value"),
           array(lit(0.5), lit(0.9), lit(0.99)), lit(10000)).as("q"))
+        .select(col("event_type"),
+          element_at(col("q"), 1).as("p50"),
+          element_at(col("q"), 2).as("p90"),
+          element_at(col("q"), 3).as("p99"))
         .orderBy("event_type")))
 }
