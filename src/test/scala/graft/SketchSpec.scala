@@ -59,7 +59,7 @@ class SketchSpec extends AnyFunSuite {
     assert(approx.nonEmpty)
     approx.foreach { r =>
       val t = r.getString(0)
-      val q = r.getSeq[Double](1)
+      val q = (1 to 3).map(r.getDouble)
       val Vector(lo50, hi50, lo90, hi90, lo99, hi99) = exact(t)
       assert(q(0) >= lo50 && q(0) <= hi50, s"$t p50=${q(0)} not in [$lo50,$hi50]")
       assert(q(1) >= lo90 && q(1) <= hi90, s"$t p90=${q(1)} not in [$lo90,$hi90]")
