@@ -73,7 +73,13 @@ object DedupQueries {
         val w = tokens(col("text"))
         // 0-based p (vs the oracle's 1-based) is immaterial: positions
         // only ever appear as same-base differences (offsets).
+        // Repartition first: index-build parallelism must come from the
+        // shuffle, not the input split count — the corpus file may be a
+        // single small split (here: 1.5 MB → 1 partition → the whole
+        // hash-explode ran on one core), while the per-row compute is
+        // the expensive part at every scale.
         Tables.documents(s, d)
+          .repartition(col("doc_id"))
           .select(col("doc_id"),
             posexplode(transform(
               sequence(lit(1), greatest(size(w) - 2, lit(1))),
@@ -92,7 +98,9 @@ object DedupQueries {
     }
     perSession.synchronized {
       perSession.getOrElseUpdate(d,
+        // Same split-vs-compute decoupling as `positional`.
         Tables.documents(s, d)
+          .repartition(col("doc_id"))
           .select(col("doc_id"), shingles(tokens(col("text"))).as("sh"))
           .cache())
     }
@@ -393,9 +401,14 @@ object DedupQueries {
         |GROUP BY 1, 2, 3 HAVING count(*) >= $minRun
         |ORDER BY d1, d2, off""".stripMargin) { (s, d) =>
       val pos = positional(s, d)
+      // Lower bound 2: a gram with one corpus occurrence cannot form a
+      // pair, and on mostly-unique text that is the bulk of the index —
+      // filtering it out here empties most of the self-join input
+      // without changing the result (the upper bound is the stop-gram
+      // skew cap; the lower bound is pure dead weight removal).
       val rareGrams = pos.groupBy("gh")
         .agg(count(lit(1)).as("nocc"))
-        .where(col("nocc") <= dfCap).select("gh")
+        .where(col("nocc").between(2, dfCap)).select("gh")
       val rare = pos.join(rareGrams, "gh")
       rare.as("a")
         .join(rare.as("b"),
