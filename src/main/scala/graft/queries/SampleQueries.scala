@@ -36,6 +36,36 @@ object SampleQueries {
         .orderBy("doc_id")
     },
 
+    // Temperature resampling (the mixture-flattening pass of an LLM
+    // data pipeline): keep a doc of stratum ℓ with probability
+    // sqrt(n_min/n_ℓ) — expected kept counts sqrt(n_ℓ·n_min), i.e.
+    // temperature τ=2 between proportional and uniform. The accept
+    // test is exact integer cross-multiplication on a 20-bit content
+    // hash (u < sqrt(n_min/n_ℓ) ⇔ h²·n_ℓ < n_min·2^40), so both
+    // engines decide identically — no float pow/sqrt, no RNG. Scale
+    // shape: the stratum histogram is a tiny map-side-combined agg
+    // broadcast back; the accept test is scan-local.
+    QueryDef(
+      "smp_temperature",
+      """WITH cnt AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+        |mn AS (SELECT min(n) AS n_min FROM cnt)
+        |SELECT d.doc_id, d.lang
+        |FROM documents d JOIN cnt USING (lang) CROSS JOIN mn
+        |WHERE (CAST(('0x' || substr(md5(d.text),1,15)) AS BIGINT) >> 40)
+        |      * (CAST(('0x' || substr(md5(d.text),1,15)) AS BIGINT) >> 40)
+        |      * cnt.n < mn.n_min * (1::BIGINT << 40)
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      import graft.functions.GraftFunctions.hex60
+      val docs = Tables.documents(s, d)
+      val cnt = docs.groupBy("lang").agg(count(lit(1)).as("n"))
+      val mn = cnt.agg(min(col("n")).as("n_min"))
+      val h20 = shiftright(hex60(col("text")), 40)
+      docs.join(broadcast(cnt), "lang").crossJoin(broadcast(mn))
+        .where(h20 * h20 * col("n") < col("n_min") * lit(1L << 40))
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    },
+
     QueryDef(
       "smp_stratified",
       """SELECT lang, doc_id, rn FROM (

@@ -138,6 +138,26 @@ object TextQueries {
       ).orderBy("doc_id")
     },
 
+    // BPE-ish token counting: the token-budget estimator splits on
+    // letter runs / digit runs / single punctuation marks (the shape of
+    // a byte-pair pre-tokenizer's regex) rather than whitespace, and
+    // reports both counts side by side. Pure per-row regex scan —
+    // codegen'd, shuffle-free; both engines run the same RE2-class
+    // pattern so the counts compare exactly.
+    QueryDef(
+      "t_bpe_count",
+      """SELECT doc_id,
+        |       len(string_split_regex(trim(text),'\s+')) AS n_ws,
+        |       len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS n_bpe
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        size(tokens(col("text"))).as("n_ws"),
+        size(regexp_extract_all(col("text"),
+          lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))).as("n_bpe")
+      ).orderBy("doc_id")
+    },
+
     // Repetition signal (the Gopher-style quality gate): per document,
     // total vs distinct trigram counts and the most-repeated trigram's
     // frequency — all exact integers, the downstream filter divides.
