@@ -49,10 +49,14 @@ object GraftFunctions {
       }
     }
 
-  /** Whitespace tokenization used by all text operators.
-    * DuckDB: `string_split_regex(trim(x), '\s+')`. */
-  def tokens(c: Column): Column = split(trim(c), "\\s+")
+  /** Whitespace tokenization used by all text operators. The class is
+    * spelled out rather than written `\s` because Java's `\s` includes
+    * vertical tab (\x0B) while DuckDB's RE2 `\s` does not — an explicit
+    * `[ \t\n\x0B\f\r]` (exactly Java's set) splits identically on both
+    * engines for any input byte.
+    * DuckDB: `string_split_regex(trim(x), '[ \t\n\x0B\f\r]+')`. */
+  def tokens(c: Column): Column = split(trim(c), "[ \\t\\n\\x0B\\f\\r]+")
 
-  /** Token count. DuckDB: `len(string_split_regex(trim(x),'\s+'))`. */
+  /** Token count. DuckDB: `len(string_split_regex(trim(x),'[ \t\n\x0B\f\r]+'))`. */
   def tokenCount(c: Column): Column = size(tokens(c))
 }

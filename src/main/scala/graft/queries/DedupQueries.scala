@@ -30,7 +30,7 @@ object DedupQueries {
 
   /** Shared DuckDB CTE: doc_id + distinct 3-word shingle list. */
   private val shingleCte: String =
-    """WITH w AS (SELECT doc_id, string_split_regex(trim(text),'\s+') AS w FROM documents),
+    """WITH w AS (SELECT doc_id, string_split_regex(trim(text),'[ \t\n\x0B\f\r]+') AS w FROM documents),
       |sh AS (SELECT doc_id,
       |         list_distinct(list_transform(generate_series(1, greatest(len(w)-2,1)),
       |                                      i -> array_to_string(w[i:i+2], ' '))) AS sh
@@ -390,7 +390,7 @@ object DedupQueries {
     // aggregation groups on (d1, d2, offset) and combines map-side too.
     QueryDef(
       "d_substring_runs",
-      s"""WITH w AS (SELECT doc_id, string_split_regex(trim(text),'\\s+') AS w FROM documents),
+      s"""WITH w AS (SELECT doc_id, string_split_regex(trim(text),'[ \\t\\n\\x0B\\f\\r]+') AS w FROM documents),
         |pos AS (SELECT doc_id, i AS p, ${duckHex60("array_to_string(w[i:i+2], ' ')")} AS gh
         |        FROM w, unnest(generate_series(1, greatest(len(w)-2,1))) AS t(i)),
         |df AS (SELECT gh FROM pos GROUP BY gh HAVING count(*) <= $dfCap),

@@ -40,28 +40,38 @@ object SampleQueries {
     // data pipeline): keep a doc of stratum ℓ with probability
     // sqrt(n_min/n_ℓ) — expected kept counts sqrt(n_ℓ·n_min), i.e.
     // temperature τ=2 between proportional and uniform. The accept
-    // test is exact integer cross-multiplication on a 20-bit content
-    // hash (u < sqrt(n_min/n_ℓ) ⇔ h²·n_ℓ < n_min·2^40), so both
-    // engines decide identically — no float pow/sqrt, no RNG. Scale
-    // shape: the stratum histogram is a tiny map-side-combined agg
-    // broadcast back; the accept test is scan-local.
+    // test compares a 20-bit content hash against a PER-STRATUM integer
+    // threshold thr_ℓ = floor(sqrt(n_min/n_ℓ)·2^20) computed once in
+    // the tiny stratum aggregate — the per-row test never multiplies by
+    // n_ℓ, so nothing overflows however large a stratum grows (the
+    // earlier h²·n_ℓ < n_min·2^40 form wrapped signed 64-bit past ~2^23
+    // docs per stratum: Spark wraps silently, DuckDB raises — engines
+    // diverge). sqrt/division/floor are correctly-rounded IEEE double
+    // ops fed identical BIGINTs, so both engines derive the identical
+    // threshold; the per-row compare is integer-exact. Scale shape: the
+    // stratum histogram is a tiny map-side-combined agg broadcast back;
+    // the accept test is scan-local.
     QueryDef(
       "smp_temperature",
       """WITH cnt AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
-        |mn AS (SELECT min(n) AS n_min FROM cnt)
+        |mn AS (SELECT min(n) AS n_min FROM cnt),
+        |thr AS (SELECT lang,
+        |               CAST(floor(sqrt(CAST(n_min AS DOUBLE) / n) * (1::BIGINT << 20)) AS BIGINT) AS thr
+        |        FROM cnt CROSS JOIN mn)
         |SELECT d.doc_id, d.lang
-        |FROM documents d JOIN cnt USING (lang) CROSS JOIN mn
-        |WHERE (CAST(('0x' || substr(md5(d.text),1,15)) AS BIGINT) >> 40)
-        |      * (CAST(('0x' || substr(md5(d.text),1,15)) AS BIGINT) >> 40)
-        |      * cnt.n < mn.n_min * (1::BIGINT << 40)
+        |FROM documents d JOIN thr USING (lang)
+        |WHERE (CAST(('0x' || substr(md5(d.text),1,15)) AS BIGINT) >> 40) < thr.thr
         |ORDER BY doc_id""".stripMargin) { (s, d) =>
       import graft.functions.GraftFunctions.hex60
       val docs = Tables.documents(s, d)
       val cnt = docs.groupBy("lang").agg(count(lit(1)).as("n"))
       val mn = cnt.agg(min(col("n")).as("n_min"))
+      val thr = cnt.crossJoin(mn).select(
+        col("lang"),
+        floor(sqrt(col("n_min").cast("double") / col("n")) * lit(1L << 20)).as("thr"))
       val h20 = shiftright(hex60(col("text")), 40)
-      docs.join(broadcast(cnt), "lang").crossJoin(broadcast(mn))
-        .where(h20 * h20 * col("n") < col("n_min") * lit(1L << 40))
+      docs.join(broadcast(thr), "lang")
+        .where(h20 < col("thr"))
         .select("doc_id", "lang")
         .orderBy("doc_id")
     },

@@ -40,8 +40,8 @@ object TextQueries {
     QueryDef(
       "t_token_count",
       """SELECT doc_id,
-        |       len(string_split_regex(trim(text),'\s+')) AS n_tokens,
-        |       len(list_distinct(string_split_regex(trim(text),'\s+'))) AS n_uniq,
+        |       len(string_split_regex(trim(text),'[ \t\n\x0B\f\r]+')) AS n_tokens,
+        |       len(list_distinct(string_split_regex(trim(text),'[ \t\n\x0B\f\r]+'))) AS n_uniq,
         |       n_chars
         |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
       val toks = tokens(col("text"))
@@ -67,7 +67,7 @@ object TextQueries {
         |         len(toks) AS n_tokens,
         |         len(list_filter(toks, t -> list_contains(['the','a'], t))) AS stop_cnt,
         |         len(list_distinct(toks)) AS n_uniq
-        |  FROM (SELECT doc_id, string_split_regex(trim(text),'\s+') AS toks
+        |  FROM (SELECT doc_id, string_split_regex(trim(text),'[ \t\n\x0B\f\r]+') AS toks
         |        FROM documents))
         |ORDER BY doc_id""".stripMargin) { (s, d) =>
       val toks = tokens(col("text"))
@@ -99,7 +99,7 @@ object TextQueries {
         |FROM (
         |  SELECT doc_id,
         |         $scores
-        |  FROM (SELECT doc_id, string_split_regex(trim(text),'\\s+') AS toks
+        |  FROM (SELECT doc_id, string_split_regex(trim(text),'[ \\t\\n\\x0B\\f\\r]+') AS toks
         |        FROM documents))
         |ORDER BY doc_id""".stripMargin
       }) { (s, d) =>
@@ -128,7 +128,7 @@ object TextQueries {
         |         list_distinct(list_transform(generate_series(1, greatest(len(w)-2,1)),
         |                                      i -> array_to_string(w[i:i+2], ' '))),
         |         x -> CAST(('0x' || substr(md5(x),1,15)) AS BIGINT))) AS min_shingle_fp
-        |FROM (SELECT doc_id, text, string_split_regex(trim(text),'\s+') AS w FROM documents)
+        |FROM (SELECT doc_id, text, string_split_regex(trim(text),'[ \t\n\x0B\f\r]+') AS w FROM documents)
         |ORDER BY doc_id""".stripMargin) { (s, d) =>
       val w = tokens(col("text"))
       Tables.documents(s, d).select(
@@ -147,14 +147,14 @@ object TextQueries {
     QueryDef(
       "t_bpe_count",
       """SELECT doc_id,
-        |       len(string_split_regex(trim(text),'\s+')) AS n_ws,
-        |       len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS n_bpe
+        |       len(string_split_regex(trim(text),'[ \t\n\x0B\f\r]+')) AS n_ws,
+        |       len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 \t\n\x0B\f\r]')) AS n_bpe
         |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
       Tables.documents(s, d).select(
         col("doc_id"),
         size(tokens(col("text"))).as("n_ws"),
         size(regexp_extract_all(col("text"),
-          lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))).as("n_bpe")
+          lit("[a-z]+|[0-9]+|[^a-z0-9 \\t\\n\\x0B\\f\\r]"), lit(0))).as("n_bpe")
       ).orderBy("doc_id")
     },
 
@@ -170,7 +170,7 @@ object TextQueries {
     // triple ever shuffles.
     QueryDef(
       "t_repetition",
-      """WITH w AS (SELECT doc_id, string_split_regex(trim(text),'\s+') AS w FROM documents),
+      """WITH w AS (SELECT doc_id, string_split_regex(trim(text),'[ \t\n\x0B\f\r]+') AS w FROM documents),
         |x AS (SELECT doc_id, CAST(('0x' || substr(md5(unnest(list_transform(
         |               generate_series(1, greatest(len(w)-2,1)),
         |               i -> array_to_string(w[i:i+2], ' ')))),1,15)) AS BIGINT) AS gh
