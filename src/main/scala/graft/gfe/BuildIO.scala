@@ -53,12 +53,10 @@ object BuildIO {
       df.write.mode("overwrite").option("header", true)
         .csv(s"$outDir/$name.$release.csv")
     }
-    r.errors
-      // millisecond precision: the reference writes
-      // datetime.utcnow().isoformat()[:-3] (app.py:632)
-      .withColumn("timestamp", date_format(current_timestamp(),
-        "yyyy-MM-dd'T'HH:mm:ss.SSS"))
-      .write.mode("overwrite").json(s"$outDir/errors.$release.ndjson")
+    // The errors relation already carries the reference's per-row
+    // timestamp column (GfeBuild stamps it at build time, mirroring
+    // app.py:632's datetime.utcnow().isoformat()[:-3]).
+    r.errors.write.mode("overwrite").json(s"$outDir/errors.$release.ndjson")
   }
 
   /** S7/S9: all-string scan of a written relation (explicit schema —

@@ -275,16 +275,20 @@ object GfeBuild {
         col("bp_sequence"),
         GraftFunctions.seqHash(col("aa_sequence")).as("aa_seq_id"),
         col("aa_sequence"))
-    // Error rows mirror the reference NDJSON shape (app.py:631-639):
-    // allele_id/release/error plus index (enumeration position —
-    // order-preserving, non-contiguous at scale), stack_trace (the
-    // raise site; ours is the relational classifier, not a Python
-    // traceback), and a data struct of the parsed record metadata
-    // (the subset of allele_error_fields we genuinely carry).
+    // Error rows mirror the reference NDJSON shape (app.py:630-639):
+    // timestamp (UTC ISO-8601 to millis, matching
+    // datetime.utcnow().isoformat()[:-3]), allele_id/release/error plus
+    // index (enumeration position — order-preserving, non-contiguous at
+    // scale), stack_trace (the raise site; ours is the relational
+    // classifier, not a Python traceback), and a data struct of the
+    // parsed record metadata (the subset of allele_error_fields we
+    // genuinely carry).
     val errors = cdsRaw.where(col("bp_sequence").isNull)
       .join(withGfe.select("idx", "acc_name", "hla_name", "description"),
         Seq("idx"))
       .select(
+        date_format(current_timestamp(), "yyyy-MM-dd'T'HH:mm:ss.SSS")
+          .as("timestamp"),
         col("acc_name").as("allele_id"),
         col("hla_name"),
         lit(release).as("release"),

@@ -25,11 +25,14 @@ object GfeQueries {
     new java.util.WeakHashMap[SparkSession,
       scala.collection.mutable.Map[String, GfeBuild.BuildResult]]())
 
-  /** The fixture MSF alignments (one A-locus gen + prot pair — the
-    * reference's `-a` path, app.py:269-321/run.sh:85-91). */
+  /** The fixture MSF alignments — the reference's `-a` path downloads
+    * all three `{loc}_{gen,nuc,prot}.msf` per locus
+    * (get_alignments.sh:16-65; labels app.py:273-279), so the fixture
+    * threads all three labels end-to-end. */
   private def fixtureAlignments(s: SparkSession): DataFrame =
     MsfAlignments.toRelation(s, Map(
       ("HLA-A", "gen") -> ImgtFlatFile.resourceText("/graft/A_gen.msf"),
+      ("HLA-A", "nuc") -> ImgtFlatFile.resourceText("/graft/A_nuc.msf"),
       ("HLA-A", "prot") -> ImgtFlatFile.resourceText("/graft/A_prot.msf")))
 
   /** NOTE: the cache key ignores `reg` — fine here because each

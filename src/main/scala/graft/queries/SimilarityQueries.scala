@@ -227,8 +227,10 @@ object SimilarityQueries {
     // delivers. Training is one-time index build (memoized; at scale a
     // sampled fit + stored index); probing stays broadcast-only.
     // Estimates are engine-specific → no DuckDB oracle; OperatorsSpec
-    // bounds recall against the exact cosine baseline and asserts it
-    // is at least that of the untrained-centroid IVF.
+    // asserts absolute mean recall >= 0.5 against the exact cosine
+    // baseline and > the random-partition expectation (nProbe/nCells).
+    // (v_ann_ivf is NOT a fair yardstick: its fixture centroids make
+    // every query its own centroid, trivially co-locating neighbors.)
     QueryDef.noOracle("v_ann_kmeans") { (s, d) =>
       val e = vecs(s, d)
       val (assign, centroids) = kmeansIndex(s, d)

@@ -86,6 +86,10 @@ class GfeBuildSpec extends AnyFunSuite {
     val errs = r3560.errors.collect()
     assert(errs.length == 1)
     assert(errs.head.getAs[String]("hla_name") == "HLA-A*03:01")
+    // reference parity (app.py:632): per-row UTC timestamp, ISO-8601
+    // truncated to milliseconds
+    assert(errs.head.getAs[String]("timestamp")
+      .matches("""\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}\.\d{3}"""))
     // partial-write semantics: the failed allele still has its other rows
     assert(r3560.gfeSequences.where(col("hla_name") === "HLA-A*03:01").count() == 1)
   }

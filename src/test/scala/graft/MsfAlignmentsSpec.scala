@@ -43,19 +43,27 @@ class MsfAlignmentsSpec extends AnyFunSuite {
   test("all_alignments relation: broadcast join, PROT in aa_sequence (J1)") {
     val rel = MsfAlignments.toRelation(spark, Map(
       ("HLA-A", "gen") -> msf,
+      ("HLA-A", "nuc") -> msf,
       ("HLA-A", "prot") -> msf))
     val ds = ImgtFlatFile.fromText(spark,
       ImgtFlatFile.resourceText("/graft/hla.3560.dat"))
     val res = GfeBuild.run(spark, ds, "3560", alignments = Some(rel))
     val al = res.allAlignments.get.cache()
-    // two fixture alleles have alignments, × 2 align types
-    assert(al.count() == 4)
+    // two fixture alleles have alignments, × 3 align types
+    // (the reference downloads {loc}_{gen,nuc,prot}.msf —
+    // get_alignments.sh:16-65)
+    assert(al.count() == 6)
     val gen = al.where(col("label") === "GEN_ALIGN" &&
       col("hla_name") === "HLA-A*01:01:01:01").collect().head
     assert(gen.getAs[String]("bp_sequence").nonEmpty)
     assert(gen.getAs[String]("aa_sequence") == "")
     assert(gen.getAs[String]("rank") == "0")
     assert(gen.getAs[Long]("length") == 24L)
+    // NUC_ALIGN is nucleotide: flows to bp_sequence like GEN_ALIGN
+    val nuc = al.where(col("label") === "NUC_ALIGN" &&
+      col("hla_name") === "HLA-A*01:01:01:01").collect().head
+    assert(nuc.getAs[String]("bp_sequence").nonEmpty)
+    assert(nuc.getAs[String]("aa_sequence") == "")
     val prot = al.where(col("label") === "PROT_ALIGN" &&
       col("hla_name") === "HLA-A*01:01:01:01").collect().head
     assert(prot.getAs[String]("aa_sequence").nonEmpty)

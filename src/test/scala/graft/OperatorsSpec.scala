@@ -151,7 +151,7 @@ class OperatorsSpec extends AnyFunSuite {
       s"probing 4/16 cells should keep mean recall >= 0.5: $recalls")
   }
 
-  test("k-means IVF recall matches or beats the untrained-centroid IVF") {
+  test("k-means IVF recall beats the random-partition baseline") {
     val exactTop5 = SparkEntry.queries("v_cosine_topk")(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
       .groupBy(_._1).view.mapValues(
