@@ -165,6 +165,53 @@ object GraphAlgorithms {
       .select(col("id"), round(col("rank"), scale).as("rank"))
   }
 
+  /** DataFrame-native BFS / unweighted single-source shortest path
+    * (GDS `gds.bfs` / `gds.shortestPath` capability parity —
+    * template.yaml:262-263 ships the plugin unrestricted; no scripted
+    * calls exist, so the parity target is capability).
+    *
+    * Returns (id, distance) for every vertex reachable from `sources`
+    * within `maxDepth` hops (sources at distance 0). Level-synchronous
+    * frontier expansion: each round is ONE equi-join (frontier ⨝
+    * edges, shuffled on the fixed-width vertex id) + an anti-join
+    * against the visited set — plain Catalyst/AQE-sized shuffles, no
+    * Pregel fixed cost, same rationale as [[connectedComponentsDF]].
+    * Work per round is O(edges incident to the frontier); the visited
+    * anti-join keeps the frontier monotonically shrinking, so total
+    * work is O(E) over the run. `localCheckpoint` truncates the
+    * iterative lineage (round k's plan would otherwise embed all
+    * k-1 predecessors).
+    */
+  def shortestPathsDF(edges: DataFrame, src: String, dst: String,
+      sources: Seq[String], maxDepth: Int = 30,
+      directed: Boolean = false): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    require(sources.nonEmpty, "at least one source vertex required")
+    val e = edges.select(col(src).cast("string").as("a"),
+      col(dst).cast("string").as("b"))
+    val und = (if (directed) e
+      else e.unionByName(e.select(col("b").as("a"), col("a").as("b"))))
+      .cache()
+    var visited = sources.distinct.toDF("id")
+      .withColumn("distance", lit(0))
+      .localCheckpoint(eager = true)
+    var frontier = visited
+    var depth = 0
+    while (depth < maxDepth && frontier.limit(1).count() > 0) {
+      depth += 1
+      val next = und.join(frontier.withColumnRenamed("id", "a"), "a")
+        .select(col("b").as("id")).distinct()
+        .join(visited, Seq("id"), "left_anti")
+        .withColumn("distance", lit(depth))
+        .localCheckpoint(eager = true)
+      visited = visited.unionByName(next).localCheckpoint(eager = true)
+      frontier = next
+    }
+    und.unpersist()
+    visited
+  }
+
   /** Label propagation communities (GDS parity; k iterations). */
   def labelPropagation(pairs: DataFrame, src: String, dst: String,
       iterations: Int = 5): DataFrame = {

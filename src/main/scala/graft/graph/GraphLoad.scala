@@ -105,6 +105,15 @@ object GraphLoad {
     val seqs = tagged(_._2).cache()
     val featRel = tagged(_._3).cache()
     val groups = tagged(_._4).cache()
+    // Populate the shared caches NOW, serially. The derived tables are
+    // materialized as concurrent jobs (write / Bench), and a lazily-
+    // populated cache under concurrent first access is a stampede:
+    // every job blocks on the same BlockManager partition locks while
+    // the upstream build pipeline computes, and per-table times become
+    // scheduling noise (measured 6 s vs 28 s for identical work). One
+    // count each runs the upstream exactly once, then the fan-out
+    // reads hot cache.
+    seqs.count(); featRel.count(); groups.count()
 
     // ---- vertices ----
     val gfe = firstWins(seqs.select(col("gfe_name").as("name"),

@@ -172,5 +172,21 @@ object GfeQueries {
           col("accession")).as("dst"))
       graft.graph.GraphAlgorithms.pageRank(edges, "src", "dst")
         .orderBy(col("rank").desc, col("id")).limit(20)
+    }),
+    // GDS parity: BFS / unweighted shortest path from an allele over
+    // the HAS_IPD_ALLELE ∪ HAS_FEATURE edges (undirected): distance 1
+    // = the allele's GFE nodes, distance 2 = their features + alleles
+    // sharing a GFE, distance 3 = GFEs sharing one of those features.
+    QueryDef.noOracle("gfe_bfs_distance")((s, _) => {
+      import org.apache.spark.sql.functions._
+      val g = graph(s)
+      val edges = g.hasIpdAllele.select(col("src"), col("dst"))
+        .unionByName(g.hasFeature.select(
+          col("src"),
+          concat_ws(":", col("locus"), col("term"), col("rank"),
+            col("accession")).as("dst")))
+      graft.graph.GraphAlgorithms
+        .shortestPathsDF(edges, "src", "dst", Seq("HLA-A*01:01:01:01"))
+        .orderBy("distance", "id")
     }))
 }

@@ -57,4 +57,31 @@ class GraphAlgorithmsSpec extends AnyFunSuite {
     val lp = GraphAlgorithms.labelPropagation(pairs, "d1", "d2").collect()
     assert(lp.length == 4)
   }
+
+  test("BFS shortest paths: golden distances, undirected vs directed") {
+    //   a — b — c — d   (chain)      g — h (disconnected)
+    //   a — e — d       (shortcut)
+    val edges = Seq(
+      ("a", "b"), ("b", "c"), ("c", "d"),
+      ("a", "e"), ("e", "d"),
+      ("g", "h")
+    ).toDF("s", "t")
+    def toMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    val und = toMap(GraphAlgorithms.shortestPathsDF(edges, "s", "t", Seq("a")))
+    // d is 2 via e (not 3 via the chain); g/h unreachable → absent
+    assert(und == Map("a" -> 0, "b" -> 1, "e" -> 1, "c" -> 2, "d" -> 2))
+    // directed: edges only flow s→t, so from "d" nothing is reachable
+    val dir = toMap(GraphAlgorithms.shortestPathsDF(
+      edges, "s", "t", Seq("d"), directed = true))
+    assert(dir == Map("d" -> 0))
+    // maxDepth truncates the expansion (not an error)
+    val shallow = toMap(GraphAlgorithms.shortestPathsDF(
+      edges, "s", "t", Seq("a"), maxDepth = 1))
+    assert(shallow == Map("a" -> 0, "b" -> 1, "e" -> 1))
+    // multi-source: distance = min over sources
+    val multi = toMap(GraphAlgorithms.shortestPathsDF(
+      edges, "s", "t", Seq("a", "d")))
+    assert(multi("c") == 1 && multi("b") == 1 && multi("e") == 1)
+  }
 }
