@@ -21,7 +21,9 @@ class SketchSpec extends AnyFunSuite {
   test("HLL estimates are within 10% of exact distinct counts") {
     val exact = exactDistinct
     val est = SparkEntry.queries("a_hll_distinct")(spark, sfDir).collect()
-    assert(est.nonEmpty)
+    // every group present — a dropped group would otherwise pass the
+    // per-row bound vacuously
+    assert(est.map(_.getString(0)).toSet == exact.keySet)
     est.foreach { r =>
       val (t, acd, hll) = (r.getString(0), r.getLong(1), r.getLong(2))
       val e = exact(t).toDouble
@@ -33,6 +35,7 @@ class SketchSpec extends AnyFunSuite {
   test("sharded sketch union estimates the same distinct counts") {
     val exact = exactDistinct
     val est = SparkEntry.queries("a_hll_union")(spark, sfDir).collect()
+    assert(est.map(_.getString(0)).toSet == exact.keySet)
     est.foreach { r =>
       val (t, n) = (r.getString(0), r.getLong(1))
       val e = exact(t).toDouble
@@ -56,7 +59,7 @@ class SketchSpec extends AnyFunSuite {
       .collect()
       .map(r => r.getString(0) -> (1 to 6).map(r.getDouble).toVector).toMap
     val approx = SparkEntry.queries("a_approx_quantile")(spark, sfDir).collect()
-    assert(approx.nonEmpty)
+    assert(approx.map(_.getString(0)).toSet == exact.keySet)
     approx.foreach { r =>
       val t = r.getString(0)
       val q = (1 to 3).map(r.getDouble)
