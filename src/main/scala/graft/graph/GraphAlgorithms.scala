@@ -212,6 +212,61 @@ object GraphAlgorithms {
     visited
   }
 
+  /** Per-vertex triangle counts over an undirected string-keyed edge
+    * list (GDS `gds.triangleCount` parity) — every vertex of the
+    * input graph, 0 for vertices in no triangle.
+    *
+    * Degree-ordered orientation (the classic one-round MR triangle
+    * algorithm): each edge points from its (degree, id)-smaller
+    * endpoint to the larger, so every triangle is enumerated exactly
+    * once from its minimum vertex AND the wedge fan-out of any vertex
+    * is bounded by its out-degree in the oriented graph — O(√E) for
+    * arbitrary graphs. An id-only orientation would let one low-id
+    * hub generate a quadratic wedge set; ordering by degree first is
+    * what makes the self-join survive skew at scale. The order key is
+    * a (degree, id) struct compared lexicographically — no global
+    * row-numbering shuffle needed.
+    */
+  def triangleCountsDF(pairs: DataFrame, src: String, dst: String): DataFrame = {
+    val e0 = pairs
+      .select(col(src).cast("string").as("x"), col(dst).cast("string").as("y"))
+      .where(col("x") =!= col("y"))
+      .select(least(col("x"), col("y")).as("x"), greatest(col("x"), col("y")).as("y"))
+      .distinct()
+      .cache()
+    val deg = e0.select(col("x").as("id"))
+      .unionByName(e0.select(col("y").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+      .cache()
+    val withDeg = e0
+      .join(deg.select(col("id").as("x"), col("deg").as("dx")), "x")
+      .join(deg.select(col("id").as("y"), col("deg").as("dy")), "y")
+    val oriented = withDeg.select(
+      when(struct(col("dx"), col("x")) < struct(col("dy"), col("y")),
+        struct(col("x").as("s"), col("y").as("t"),
+          struct(col("dy").as("d"), col("y").as("v")).as("tk")))
+        .otherwise(
+          struct(col("y").as("s"), col("x").as("t"),
+            struct(col("dx").as("d"), col("x").as("v")).as("tk")))
+        .as("e"))
+      .select(col("e.s").as("s"), col("e.t").as("t"), col("e.tk").as("tk"))
+      .cache()
+    // Wedges from each triangle's minimum vertex; the closing edge
+    // (v, w) with tk_v < tk_w is oriented v→w by construction, so one
+    // equi-join closes it.
+    val wedges = oriented.as("p").join(oriented.as("q"),
+      col("p.s") === col("q.s") && col("p.tk") < col("q.tk"))
+      .select(col("p.s").as("u"), col("p.t").as("v"), col("q.t").as("w"))
+    val tris = wedges.join(
+      oriented.select(col("s").as("v"), col("t").as("w")), Seq("v", "w"))
+    val counts = tris.select(col("u").as("id"))
+      .unionByName(tris.select(col("v").as("id")))
+      .unionByName(tris.select(col("w").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("n_tri"))
+    deg.select(col("id")).join(counts, Seq("id"), "left")
+      .select(col("id"), coalesce(col("n_tri"), lit(0L)).as("n_tri"))
+  }
+
   /** Label propagation communities (GDS parity; k iterations). */
   def labelPropagation(pairs: DataFrame, src: String, dst: String,
       iterations: Int = 5): DataFrame = {

@@ -216,6 +216,36 @@ object DedupQueries {
         .orderBy("doc_id")
     },
 
+    // Triangle counts over the LSH candidate-pair graph (GDS
+    // triangleCount parity, fully oracled): a dup-cluster density
+    // signal — near-clique clusters have high per-doc triangle
+    // counts, chains/stars have none. Spark side enumerates each
+    // triangle once via degree-ordered orientation
+    // (GraphAlgorithms.triangleCountsDF); the oracle uses the simpler
+    // id-orientation — per-vertex triangle counts are
+    // orientation-invariant, so the results are identical.
+    QueryDef(
+      "d_dup_triangles",
+      s"""$lshPairsSql,
+        |tri AS (SELECT e1.d1 AS a, e1.d2 AS b, e2.d2 AS c
+        |        FROM pairs e1
+        |        JOIN pairs e2 ON e2.d1 = e1.d2
+        |        JOIN pairs e3 ON e3.d1 = e1.d1 AND e3.d2 = e2.d2),
+        |verts AS (SELECT DISTINCT d1 AS id FROM pairs
+        |          UNION SELECT DISTINCT d2 FROM pairs),
+        |cnt AS (SELECT id, count(*) AS n_tri FROM (
+        |          SELECT a AS id FROM tri
+        |          UNION ALL SELECT b FROM tri
+        |          UNION ALL SELECT c FROM tri) GROUP BY 1)
+        |SELECT v.id AS doc_id, COALESCE(cnt.n_tri, 0) AS n_tri
+        |FROM verts v LEFT JOIN cnt ON v.id = cnt.id
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      graft.graph.GraphAlgorithms
+        .triangleCountsDF(lshPairs(s, d), "d1", "d2")
+        .select(col("id").cast("long").as("doc_id"), col("n_tri"))
+        .orderBy("doc_id")
+    },
+
     // n-gram Jaccard near-dup: exact set Jaccard ≥ 0.5 (integer
     // cross-multiplication, no float compare) verified ONLY over the
     // banded-LSH candidate pairs. Earlier rounds blocked on the single

@@ -58,6 +58,21 @@ class GraphAlgorithmsSpec extends AnyFunSuite {
     assert(lp.length == 4)
   }
 
+  test("triangle counts: golden K4 + wedge + duplicate/reversed edges") {
+    // K4 on {a,b,c,d}: 4 triangles, each vertex in 3 of them.
+    // Wedge x-y-z closes no triangle. Duplicate and reversed edges
+    // must not inflate counts (canonicalized + distinct).
+    val k4 = for (Seq(u, v) <- Seq("a", "b", "c", "d").combinations(2).toSeq)
+      yield (u, v)
+    val edges = (k4 ++ Seq(("x", "y"), ("y", "z"), ("b", "a"), ("a", "b")))
+      .toDF("s", "t")
+    val got = GraphAlgorithms.triangleCountsDF(edges, "s", "t")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map(
+      "a" -> 3, "b" -> 3, "c" -> 3, "d" -> 3,
+      "x" -> 0, "y" -> 0, "z" -> 0))
+  }
+
   test("BFS shortest paths: golden distances, undirected vs directed") {
     //   a — b — c — d   (chain)      g — h (disconnected)
     //   a — e — d       (shortcut)
