@@ -188,6 +188,57 @@ object TextQueries {
           count(lit(1)).as("n_distinct"),
           max(col("c")).as("max_rep"))
         .orderBy("doc_id")
+    },
+
+    // PII detection + redaction (the scrubbing pass every
+    // training-data pipeline runs before anything else): count and
+    // replace emails / IPv4s / phone numbers. Patterns live in the
+    // Java-regex ∩ RE2 common subset (char classes + bounded repeats,
+    // no backrefs/lookaround) so both engines match byte-identically.
+    // The synthetic corpus carries no PII, so both sides derive the
+    // SAME deterministic PII-bearing text from doc_id first — the
+    // operator mechanics (match counts, global replacement, length
+    // accounting) are what's validated. Scan-local per-row map, no
+    // shuffle, fully codegen'd.
+    QueryDef(
+      "t_redact",
+      """WITH pii AS (SELECT doc_id,
+        |  text || ' contact doc' || CAST(doc_id AS VARCHAR)
+        |       || '@example.com from 10.' || CAST(doc_id % 200 AS VARCHAR)
+        |       || '.0.' || CAST(doc_id % 250 AS VARCHAR)
+        |       || ' call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+        |       || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS txt
+        |  FROM documents)
+        |SELECT doc_id,
+        |       len(regexp_extract_all(txt, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+        |       len(regexp_extract_all(txt, '([0-9]{1,3}\.){3}[0-9]{1,3}')) AS n_ips,
+        |       len(regexp_extract_all(txt, '[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS n_phones,
+        |       length(regexp_replace(regexp_replace(regexp_replace(txt,
+        |         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |         '([0-9]{1,3}\.){3}[0-9]{1,3}', '<IP>', 'g'),
+        |         '[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g')) AS red_len
+        |FROM pii ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val ipRe = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+      val phoneRe = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+      val txt = concat(col("text"),
+        lit(" contact doc"), col("doc_id").cast("string"),
+        lit("@example.com from 10."), (col("doc_id") % 200).cast("string"),
+        lit(".0."), (col("doc_id") % 250).cast("string"),
+        lit(" call 555-"), lpad((col("doc_id") % 1000).cast("string"), 3, "0"),
+        lit("-"), lpad((col("doc_id") % 10000).cast("string"), 4, "0"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), txt.as("txt"))
+        .select(
+          col("doc_id"),
+          regexp_count(col("txt"), lit(emailRe)).cast("long").as("n_emails"),
+          regexp_count(col("txt"), lit(ipRe)).cast("long").as("n_ips"),
+          regexp_count(col("txt"), lit(phoneRe)).cast("long").as("n_phones"),
+          length(regexp_replace(regexp_replace(regexp_replace(col("txt"),
+            emailRe, "<EMAIL>"),
+            ipRe, "<IP>"),
+            phoneRe, "<PHONE>")).cast("long").as("red_len"))
+        .orderBy("doc_id")
     }
   )
 }

@@ -208,4 +208,27 @@ class OperatorsSpec extends AnyFunSuite {
     assert(recalls.sum / recalls.size >= 0.6,
       s"mean recall too low: ${recalls.sum / recalls.size}")
   }
+
+  test("PII redaction counts every injected match and leaves no residue") {
+    val out = SparkEntry.queries("t_redact")(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    // Every row had exactly one email / one IP / one phone injected, and
+    // the source corpus carries none of its own — so the detector must
+    // count at least one of each, and row-for-row the redacted length
+    // must differ from a PII-free text by the token/match size delta.
+    assert(out.forall(r => r.getLong(r.fieldIndex("n_emails")) >= 1L))
+    assert(out.forall(r => r.getLong(r.fieldIndex("n_ips")) >= 1L))
+    assert(out.forall(r => r.getLong(r.fieldIndex("n_phones")) >= 1L))
+    // Directly assert no-residue on a hand-built worst case: PII tokens
+    // adjacent to punctuation and at string edges.
+    val txt = "a.b+c%d@sub.example.co, 192.168.0.1;555-123-4567 end x@y.io"
+    val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val ipRe = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+    val phoneRe = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+    val red = Seq(txt).toDF("txt")
+      .select(regexp_replace(regexp_replace(regexp_replace(col("txt"),
+        emailRe, "<EMAIL>"), ipRe, "<IP>"), phoneRe, "<PHONE>").as("r"))
+      .head().getString(0)
+    assert(red == "<EMAIL>, <IP>;<PHONE> end <EMAIL>", red)
+  }
 }
