@@ -267,6 +267,49 @@ object GraphAlgorithms {
       .select(col("id"), coalesce(col("n_tri"), lit(0L)).as("n_tri"))
   }
 
+  /** Neighbor-set Jaccard for every vertex pair sharing ≥1 neighbor
+    * (GDS `gds.nodeSimilarity` parity — the undirected Jaccard core;
+    * similarity cutoffs/topK are the caller's filter over the exact
+    * integer counts returned here, so no float ever enters the plan).
+    *
+    * Shape: one wedge self-join on the shared-neighbor key, one
+    * count aggregate, two degree joins — all fixed-width columns.
+    * The wedge fan-out is Σ deg(n)² over wedge centers, so hubs are
+    * the scale hazard; `maxDegree` is GDS's `upperDegreeCutoff` — it
+    * drops vertices above the cap from the computation entirely
+    * (LSH-derived pair graphs are already band-width-bounded, so the
+    * default no-op cap is safe there).
+    *
+    * Returns (a, b, inter_cnt, union_cnt) with a < b, string keys.
+    */
+  def nodeSimilarityDF(pairs: DataFrame, src: String, dst: String,
+      maxDegree: Long = Long.MaxValue): DataFrame = {
+    val e0 = pairs
+      .select(col(src).cast("string").as("x"), col(dst).cast("string").as("y"))
+      .where(col("x") =!= col("y"))
+      .select(least(col("x"), col("y")).as("x"), greatest(col("x"), col("y")).as("y"))
+      .distinct()
+    val und = e0.select(col("x").as("n"), col("y").as("m"))
+      .unionByName(e0.select(col("y").as("n"), col("x").as("m")))
+      .cache()
+    val deg0 = und.groupBy("n").agg(count(lit(1)).as("deg"))
+    val deg = (if (maxDegree == Long.MaxValue) deg0
+               else deg0.where(col("deg") <= maxDegree)).cache()
+    val kept =
+      if (maxDegree == Long.MaxValue) und
+      else und.join(deg.select("n"), Seq("n"), "left_semi")
+        .join(deg.select(col("n").as("m")), Seq("m"), "left_semi")
+    val wedges = kept.as("u1").join(kept.as("u2"),
+        col("u1.n") === col("u2.n") && col("u1.m") < col("u2.m"))
+      .groupBy(col("u1.m").as("a"), col("u2.m").as("b"))
+      .agg(count(lit(1)).as("inter_cnt"))
+    wedges
+      .join(deg.select(col("n").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("n").as("b"), col("deg").as("db")), "b")
+      .select(col("a"), col("b"), col("inter_cnt"),
+        (col("da") + col("db") - col("inter_cnt")).as("union_cnt"))
+  }
+
   /** Label propagation communities (GDS parity; k iterations). */
   def labelPropagation(pairs: DataFrame, src: String, dst: String,
       iterations: Int = 5): DataFrame = {

@@ -246,6 +246,40 @@ object DedupQueries {
         .orderBy("doc_id")
     },
 
+    // Neighbor-set similarity over the LSH candidate-pair graph (GDS
+    // nodeSimilarity parity, fully oracled): docs whose DUPLICATE
+    // NEIGHBORHOODS overlap (Jaccard ≥ 0.3 over neighbor sets) even
+    // when the docs themselves never paired — the classic "same
+    // cluster, different band" signal. Integer cross-multiplied
+    // cutoff, so no float compare on either engine; wedge fan-out is
+    // band-width-bounded by the LSH contract (arbitrary graphs use
+    // the maxDegree / upperDegreeCutoff knob).
+    QueryDef(
+      "d_node_similarity",
+      s"""$lshPairsSql,
+        |und AS (SELECT d1 AS n, d2 AS m FROM pairs
+        |        UNION SELECT d2, d1 FROM pairs),
+        |deg AS (SELECT n, count(*) AS deg FROM und GROUP BY n),
+        |wedge AS (SELECT u1.m AS a, u2.m AS b, count(*) AS inter_cnt
+        |          FROM und u1 JOIN und u2 ON u1.n = u2.n AND u1.m < u2.m
+        |          GROUP BY 1, 2)
+        |SELECT w.a AS d1, w.b AS d2, w.inter_cnt,
+        |       da.deg + db.deg - w.inter_cnt AS union_cnt
+        |FROM wedge w JOIN deg da ON da.n = w.a JOIN deg db ON db.n = w.b
+        |WHERE 10 * w.inter_cnt >= 3 * (da.deg + db.deg - w.inter_cnt)
+        |ORDER BY d1, d2""".stripMargin) { (s, d) =>
+      graft.graph.GraphAlgorithms
+        .nodeSimilarityDF(lshPairs(s, d), "d1", "d2")
+        .where(col("inter_cnt") * 10 >= col("union_cnt") * 3)
+        // nodeSimilarityDF orders the pair lexicographically on the
+        // string key ("10" < "2"); the oracle orders numerically —
+        // re-order on the long form (pair membership is unchanged).
+        .select(least(col("a").cast("long"), col("b").cast("long")).as("d1"),
+          greatest(col("a").cast("long"), col("b").cast("long")).as("d2"),
+          col("inter_cnt"), col("union_cnt"))
+        .orderBy("d1", "d2")
+    },
+
     // n-gram Jaccard near-dup: exact set Jaccard ≥ 0.5 (integer
     // cross-multiplication, no float compare) verified ONLY over the
     // banded-LSH candidate pairs. Earlier rounds blocked on the single

@@ -73,6 +73,33 @@ class GraphAlgorithmsSpec extends AnyFunSuite {
       "x" -> 0, "y" -> 0, "z" -> 0))
   }
 
+  test("node similarity: golden neighbor-set Jaccard + degree cutoff") {
+    // u and v share {n1,n2,n3}; u additionally sees w. Exact sets:
+    //   N(u)={n1,n2,n3,w} N(v)={n1,n2,n3} N(ni)={u,v} N(w)={u}
+    // Duplicate/reversed edge (n1,u) must not inflate counts.
+    val edges = Seq(
+      ("u", "n1"), ("u", "n2"), ("u", "n3"), ("u", "w"),
+      ("v", "n1"), ("v", "n2"), ("v", "n3"), ("n1", "u")
+    ).toDF("s", "t")
+    def toMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect()
+        .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3)))
+        .toMap
+    val got = toMap(GraphAlgorithms.nodeSimilarityDF(edges, "s", "t"))
+    assert(got == Map(
+      ("u", "v") -> (3L, 4L), // J = 0.75
+      ("n1", "n2") -> (2L, 2L), ("n1", "n3") -> (2L, 2L),
+      ("n2", "n3") -> (2L, 2L), // exact twins, J = 1
+      ("n1", "w") -> (1L, 2L), ("n2", "w") -> (1L, 2L),
+      ("n3", "w") -> (1L, 2L))) // share only u, J = 0.5
+    // upperDegreeCutoff parity: maxDegree=3 drops hub u entirely;
+    // kept vertices keep their FULL degrees (GDS semantics).
+    val capped = toMap(GraphAlgorithms.nodeSimilarityDF(edges, "s", "t", maxDegree = 3))
+    assert(capped == Map(
+      ("n1", "n2") -> (1L, 3L), ("n1", "n3") -> (1L, 3L),
+      ("n2", "n3") -> (1L, 3L)))
+  }
+
   test("BFS shortest paths: golden distances, undirected vs directed") {
     //   a — b — c — d   (chain)      g — h (disconnected)
     //   a — e — d       (shortcut)
