@@ -43,6 +43,39 @@ object SketchQueries {
         .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("users"))
         .orderBy("event_type")),
 
+    // Count-min heavy hitters: token frequencies estimated from ONE
+    // fixed-size mergeable sketch (eps=0.1%, δ=1%) instead of an
+    // exact corpus-wide (token, count) aggregation. The sketch is
+    // built distributed — map-side partials merge up a tree — and is
+    // kilobytes regardless of corpus size, so at 100 TB it's the
+    // only part that moves; per-shard sketches would persist and
+    // merge exactly like a_hll_union's. The exact counts alongside
+    // exist to pick the probe set and let SketchSpec assert the CMS
+    // contract (est ≥ true, est ≤ true + eps·N w.h.p.); the 25-token
+    // probe loop is driver-side by design — probing a sketch IS a
+    // driver/serving-side operation, like the bounded hot-key set in
+    // SkewJoin.
+    QueryDef.noOracle("a_cms_topk") { (s, d) =>
+      val tokens = Tables.documents(s, d)
+        .select(explode(split(col("text"), " ", -1)).as("token"))
+        .where(col("token") =!= "")
+      val skBytes = tokens
+        .agg(expr("count_min_sketch(token, 0.001d, 0.99d, 42)"))
+        .head().getAs[Array[Byte]](0)
+      val cms = org.apache.spark.util.sketch.CountMinSketch
+        .readFrom(new java.io.ByteArrayInputStream(skBytes))
+      val top = tokens.groupBy("token")
+        .agg(count(lit(1)).as("n_exact"))
+        .orderBy(col("n_exact").desc, col("token"))
+        .limit(25).collect()
+      import s.implicits._
+      top.toSeq
+        .map(r => (r.getString(0), r.getLong(1),
+          cms.estimateCount(r.getString(0))))
+        .toDF("token", "n_exact", "n_cms")
+        .orderBy(col("n_exact").desc, col("token"))
+    },
+
     // Quantile sketch (Greenwald-Khanna): p50/p90/p99 of value per
     // event_type in one pass, rank error bounded by 1/accuracy. The
     // sketch is computed once; the three ranks are projected as scalar

@@ -190,6 +190,31 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // Corpus vocabulary top-k: the explode → two-stage count → top-k
+    // shape vocabulary building runs at full-corpus scale. The
+    // explode fans out to one row per token, but partial aggregation
+    // folds each partition to its local vocab before the shuffle, so
+    // the exchange carries (token, count) pairs — vocabulary-sized,
+    // not corpus-sized — and the final top-k is a TakeOrdered, never
+    // a global sort. Ties at rank k break on the token itself, so the
+    // result SET is deterministic across engines.
+    QueryDef(
+      "t_vocab_topk",
+      """SELECT token, count(*) AS n_occ
+        |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        |WHERE token <> ''
+        |GROUP BY token
+        |ORDER BY n_occ DESC, token
+        |LIMIT 25""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select(explode(split(col("text"), " ", -1)).as("token"))
+        .where(col("token") =!= "")
+        .groupBy("token")
+        .agg(count(lit(1)).as("n_occ"))
+        .orderBy(col("n_occ").desc, col("token"))
+        .limit(25)
+    },
+
     // PII detection + redaction (the scrubbing pass every
     // training-data pipeline runs before anything else): count and
     // replace emails / IPv4s / phone numbers. Patterns live in the

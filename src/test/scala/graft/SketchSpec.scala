@@ -43,6 +43,22 @@ class SketchSpec extends AnyFunSuite {
     }
   }
 
+  test("count-min estimates obey the CMS contract against exact counts") {
+    val rows = SparkEntry.queries("a_cms_topk")(spark, sfDir).collect()
+    assert(rows.length == 25)
+    val totalTokens = Tables.documents(spark, sfDir)
+      .select(explode(split(col("text"), " ", -1)).as("token"))
+      .where(col("token") =!= "").count()
+    val slack = math.ceil(0.001 * totalTokens).toLong
+    rows.foreach { r =>
+      val (t, exact, est) = (r.getString(0), r.getLong(1), r.getLong(2))
+      // CMS never undercounts; overcount bounded by eps·N (w.h.p. —
+      // deterministic here: fixed seed, fixed corpus)
+      assert(est >= exact, s"$t cms=$est < exact=$exact")
+      assert(est <= exact + slack, s"$t cms=$est > exact=$exact + $slack")
+    }
+  }
+
   test("approx quantiles land within the adjacent exact rank window") {
     // rank error <= n/accuracy; with accuracy=10000 and fixture-sized
     // groups that is sub-one-rank, but assert the engine's actual
