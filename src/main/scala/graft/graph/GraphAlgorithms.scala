@@ -212,6 +212,55 @@ object GraphAlgorithms {
     visited
   }
 
+  /** DataFrame-native weighted single-source shortest path (GDS
+    * `gds.shortestPath.dijkstra` capability parity). Non-negative
+    * integer weights; returns (id, dist) for every vertex reachable
+    * from `sources` (sources at dist 0).
+    *
+    * Bellman-Ford relaxation with convergence early-exit: each round
+    * is one equi-join (current distances ⨝ edges, shuffled on the
+    * fixed-width vertex id) + a min-aggregate — no priority queue,
+    * which is the right trade distributed: a global PQ serializes on
+    * the driver, while whole-frontier relaxation is embarrassingly
+    * parallel and settles in (shortest-path hop diameter) rounds.
+    * Each round's plan is checkpoint-truncated. `maxIter` is the
+    * Bellman-Ford bound — exact once maxIter ≥ V−1 (or the hop
+    * diameter, usually far smaller); rounds stop as soon as no
+    * distance improves.
+    */
+  def weightedShortestPathsDF(edges: DataFrame, src: String, dst: String,
+      weight: String, sources: Seq[String], maxIter: Int = 64,
+      directed: Boolean = false): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    require(sources.nonEmpty, "at least one source vertex required")
+    val e = edges.select(col(src).cast("string").as("a"),
+      col(dst).cast("string").as("b"), col(weight).cast("long").as("w"))
+    val und = (if (directed) e
+      else e.unionByName(e.select(col("b").as("a"), col("a").as("b"), col("w"))))
+      .cache()
+    var dist = sources.distinct.toDF("id")
+      .withColumn("dist", lit(0L))
+      .localCheckpoint(eager = true)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      i += 1
+      val relaxed = und.join(dist.withColumnRenamed("id", "a"), "a")
+        .select(col("b").as("id"), (col("dist") + col("w")).as("dist"))
+        .unionByName(dist)
+        .groupBy("id").agg(min("dist").as("dist"))
+        .localCheckpoint(eager = true)
+      converged = relaxed.as("n")
+        .join(dist.as("o"), col("n.id") === col("o.id"), "left")
+        .where(col("o.dist").isNull || col("n.dist") < col("o.dist"))
+        .limit(1).count() == 0
+      dist = relaxed
+    }
+    und.unpersist()
+    dist
+  }
+
   /** Per-vertex triangle counts over an undirected string-keyed edge
     * list (GDS `gds.triangleCount` parity) — every vertex of the
     * input graph, 0 for vertices in no triangle.

@@ -246,6 +246,65 @@ object DedupQueries {
         .orderBy("doc_id")
     },
 
+    // Weighted shortest path over the LSH candidate-pair graph (GDS
+    // shortestPath.dijkstra parity, fully oracled): edge weight =
+    // shingle-set symmetric difference + 1 (an integer dissimilarity
+    // distance — identical docs cost 1, distant near-dups more).
+    // Multi-source from every dup-cluster's seed (its min-label
+    // vertex, the same label d_dup_clusters assigns), so every vertex
+    // gets "how far, in accumulated content drift, is this doc from
+    // its cluster seed" — the survivor-selection signal a dedup pass
+    // ranks on. Spark side is DF-native Bellman-Ford with convergence
+    // early-exit; the oracle enumerates paths recursively with the
+    // same V−1 hop bound (pair graph carries ~49 vertices at sf0.01,
+    // so 64 bounds both sides exactly). Seeds are lexicographic min
+    // labels on BOTH engines (component ids are strings).
+    QueryDef(
+      "d_dup_shortest_path",
+      s"""${lshPairsSql.replaceFirst("^WITH ", "WITH RECURSIVE ")},
+        |wp AS (SELECT p.d1, p.d2,
+        |         len(a.sh) + len(b.sh) - 2*len(list_intersect(a.sh, b.sh)) + 1 AS w
+        |       FROM pairs p JOIN sh a ON a.doc_id = p.d1
+        |                    JOIN sh b ON b.doc_id = p.d2),
+        |und AS (SELECT d1 AS a, d2 AS b, w FROM wp
+        |        UNION ALL SELECT d2, d1, w FROM wp),
+        |undv AS (SELECT CAST(a AS VARCHAR) AS a, CAST(b AS VARCHAR) AS b FROM und),
+        |reach(n, m) AS (
+        |  SELECT DISTINCT a, a FROM undv
+        |  UNION
+        |  SELECT r.n, u.b FROM reach r JOIN undv u ON r.m = u.a),
+        |srcs AS (SELECT DISTINCT CAST(min_m AS BIGINT) AS s FROM (
+        |           SELECT n, min(m) AS min_m FROM reach GROUP BY n)),
+        |walk(n, dist, hops) AS (
+        |  SELECT s, CAST(0 AS BIGINT), 0 FROM srcs
+        |  UNION
+        |  SELECT u.b, walk.dist + u.w, walk.hops + 1
+        |  FROM walk JOIN und u ON walk.n = u.a
+        |  WHERE walk.hops < 64)
+        |SELECT n AS doc_id, min(dist) AS dist
+        |FROM walk GROUP BY n ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val sh = shingled(s, d)
+      val pairs = lshPairs(s, d)
+      val wp = pairs
+        .join(sh.select(col("doc_id").as("d1"), col("sh").as("sh1")), Seq("d1"))
+        .join(sh.select(col("doc_id").as("d2"), col("sh").as("sh2")), Seq("d2"))
+        .select(col("d1"), col("d2"),
+          (size(col("sh1")) + size(col("sh2"))
+            - size(array_intersect(col("sh1"), col("sh2"))) * 2 + 1)
+            .cast("long").as("w"))
+      // Cluster seeds = distinct component labels; bounded by the
+      // cluster count (the `sources` parameter's own contract).
+      val seeds = graft.graph.GraphAlgorithms.connectedComponentsDF(
+        pairs.select(col("d1").cast("string").as("d1"),
+          col("d2").cast("string").as("d2")), "d1", "d2")
+        .select("component").distinct()
+        .collect().map(_.getString(0)).toSeq
+      graft.graph.GraphAlgorithms
+        .weightedShortestPathsDF(wp, "d1", "d2", "w", seeds)
+        .select(col("id").cast("long").as("doc_id"), col("dist"))
+        .orderBy("doc_id")
+    },
+
     // Neighbor-set similarity over the LSH candidate-pair graph (GDS
     // nodeSimilarity parity, fully oracled): docs whose DUPLICATE
     // NEIGHBORHOODS overlap (Jaccard ≥ 0.3 over neighbor sets) even

@@ -73,6 +73,35 @@ class GraphAlgorithmsSpec extends AnyFunSuite {
       "x" -> 0, "y" -> 0, "z" -> 0))
   }
 
+  test("weighted shortest path: lightest path beats fewest hops") {
+    //  a --10-- b      direct hop costs 10;
+    //  a -1- c -1- d -1- b   the 3-hop detour costs 3.
+    //  f isolated via g (weight 5), h unreachable.
+    val edges = Seq(
+      ("a", "b", 10L), ("a", "c", 1L), ("c", "d", 1L), ("d", "b", 1L),
+      ("f", "g", 5L)
+    ).toDF("s", "t", "w")
+    def toMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = toMap(GraphAlgorithms.weightedShortestPathsDF(
+      edges, "s", "t", "w", Seq("a")))
+    assert(got == Map("a" -> 0, "c" -> 1, "d" -> 2, "b" -> 3))
+    // directed: edges flow s→t only, so nothing reaches back to "a"
+    // and b is still cheapest via the chain
+    val dir = toMap(GraphAlgorithms.weightedShortestPathsDF(
+      edges, "s", "t", "w", Seq("b"), directed = true))
+    assert(dir == Map("b" -> 0))
+    // multi-source takes the min over sources
+    val multi = toMap(GraphAlgorithms.weightedShortestPathsDF(
+      edges, "s", "t", "w", Seq("a", "b")))
+    assert(multi("d") == 1 && multi("c") == 1 && multi("b") == 0)
+    // maxIter bounds the relaxation rounds: one round from "a" only
+    // settles the direct neighbors (b via the 10-edge, c via the 1)
+    val one = toMap(GraphAlgorithms.weightedShortestPathsDF(
+      edges, "s", "t", "w", Seq("a"), maxIter = 1))
+    assert(one == Map("a" -> 0, "b" -> 10, "c" -> 1))
+  }
+
   test("node similarity: golden neighbor-set Jaccard + degree cutoff") {
     // u and v share {n1,n2,n3}; u additionally sees w. Exact sets:
     //   N(u)={n1,n2,n3,w} N(v)={n1,n2,n3} N(ni)={u,v} N(w)={u}
