@@ -215,6 +215,70 @@ object TextQueries {
         .limit(25)
     },
 
+    // TF-IDF-style relevance: each doc's top-3 most characteristic
+    // terms, scored tf·(scaled 1/df) with INTEGER division on both
+    // engines (`div` / `//`) so the ranking hashes identically — the
+    // log() of textbook tf-idf is monotone in 1/df per fixed tf, and
+    // a float score could never oracle byte-exact. Shapes at scale:
+    // explode → (doc,token) partial-agg; the df table is vocab-sized
+    // (broadcast-able); the top-3 window partitions on doc_id — the
+    // natural data-parallel key. Rank ties break on the token.
+    QueryDef(
+      "t_tfidf_topterms",
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |             FROM documents),
+        |tf AS (SELECT doc_id, token, count(*) AS tf
+        |       FROM tok WHERE token <> '' GROUP BY 1, 2),
+        |df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+        |scored AS (SELECT tf.doc_id, tf.token,
+        |                  (tf.tf * 1000000) // df.df AS score,
+        |                  row_number() OVER (PARTITION BY tf.doc_id
+        |                    ORDER BY (tf.tf * 1000000) // df.df DESC, tf.token) AS rk
+        |           FROM tf JOIN df USING (token))
+        |SELECT doc_id, token, score FROM scored WHERE rk <= 3
+        |ORDER BY doc_id, token""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val tok = Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ", -1)).as("token"))
+        .where(col("token") =!= "")
+      val tf = tok.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      val dfT = tf.groupBy("token").agg(count(lit(1)).as("df"))
+      val w = Window.partitionBy("doc_id")
+        .orderBy(col("score").desc, col("token"))
+      tf.join(dfT, "token")
+        .withColumn("score", expr("tf * 1000000 div df"))
+        .withColumn("rk", row_number().over(w))
+        .where(col("rk") <= 3)
+        .select("doc_id", "token", "score")
+        .orderBy("doc_id", "token")
+    },
+
+    // Conjunctive keyword search: the inverted-index access path —
+    // restrict the posting scan to the query terms (a pushed-down IN
+    // over the token column), then docs matching ALL terms via a
+    // count-distinct-equals-k group. At scale the token filter prunes
+    // the posting table to the query terms' lists before anything
+    // shuffles; no per-doc full-text rescan.
+    QueryDef(
+      "t_keyword_search",
+      """SELECT doc_id FROM (
+        |  SELECT DISTINCT doc_id, token
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |        FROM documents)
+        |  WHERE token IN ('spark', 'stream', 'window'))
+        |GROUP BY doc_id HAVING count(*) = 3
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val terms = Seq("spark", "stream", "window")
+      Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ", -1)).as("token"))
+        .where(col("token").isin(terms: _*))
+        .distinct()
+        .groupBy("doc_id").agg(count(lit(1)).as("n"))
+        .where(col("n") === terms.length)
+        .select("doc_id")
+        .orderBy("doc_id")
+    },
+
     // PII detection + redaction (the scrubbing pass every
     // training-data pipeline runs before anything else): count and
     // replace emails / IPv4s / phone numbers. Patterns live in the
