@@ -157,4 +157,57 @@ class PropertySpec extends AnyFunSuite {
       assert(got == naive, s"round=$round")
     }
   }
+
+  test("weighted shortest path equals Floyd-Warshall on random graphs") {
+    val rnd = new scala.util.Random(91L)
+    for (round <- 1 to 5) {
+      val n = 6 + rnd.nextInt(5)
+      val edges = (0 until n * 2)
+        .map(_ => (rnd.nextInt(n), rnd.nextInt(n), 1L + rnd.nextInt(9)))
+        .filter { case (a, b, _) => a != b }
+      val INF = Long.MaxValue / 4
+      val dm = Array.fill(n, n)(INF)
+      for (i <- 0 until n) dm(i)(i) = 0L
+      for ((a, b, w) <- edges; if w < dm(a)(b)) { dm(a)(b) = w; dm(b)(a) = w }
+      for (k <- 0 until n; i <- 0 until n; j <- 0 until n)
+        if (dm(i)(k) + dm(k)(j) < dm(i)(j)) dm(i)(j) = dm(i)(k) + dm(k)(j)
+      val expected = (0 until n).filter(j => dm(0)(j) < INF)
+        .map(j => s"v$j" -> dm(0)(j)).toMap
+      val got = graft.graph.GraphAlgorithms.weightedShortestPathsDF(
+        edges.map { case (a, b, w) => (s"v$a", s"v$b", w) }.toDF("s", "t", "w"),
+        "s", "t", "w", Seq("v0"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got == expected, s"round=$round edges=$edges")
+    }
+  }
+
+  test("node similarity equals brute-force neighbor-set Jaccard") {
+    val rnd = new scala.util.Random(17L)
+    for (round <- 1 to 5) {
+      val n = 5 + rnd.nextInt(5)
+      val edges = (0 until n * 2)
+        .map(_ => (rnd.nextInt(n), rnd.nextInt(n)))
+        .filter { case (a, b) => a != b }
+        .map { case (a, b) => (s"v$a", s"v$b") }
+        .distinct
+      val nbr = scala.collection.mutable.Map.empty[String, Set[String]]
+      for ((a, b) <- edges) {
+        nbr(a) = nbr.getOrElse(a, Set.empty) + b
+        nbr(b) = nbr.getOrElse(b, Set.empty) + a
+      }
+      val verts = nbr.keys.toSeq.sorted
+      val expected = (for {
+        i <- verts.indices; j <- (i + 1) until verts.length
+        a = verts(i); b = verts(j)
+        inter = (nbr(a) & nbr(b)).size if inter > 0
+      } yield (a, b) ->
+        ((inter.toLong, (nbr(a) | nbr(b)).size.toLong))).toMap
+      val got = graft.graph.GraphAlgorithms
+        .nodeSimilarityDF(edges.toDF("s", "t"), "s", "t")
+        .collect()
+        .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getLong(3))))
+        .toMap
+      assert(got == expected, s"round=$round edges=$edges")
+    }
+  }
 }
