@@ -170,6 +170,51 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(hasCodegen(plan), "HOF dot product must stay in codegen")
   }
 
+  test("vocab top-k is a TakeOrdered over a partial-agg'd shuffle, not a global sort") {
+    val plan = planOf("t_vocab_topk")
+    assert(plan.contains("TakeOrderedAndProject"),
+      "orderBy+limit must compile to top-k, never a full sort")
+    assert(plan.contains("partial_count"),
+      "per-partition vocab must fold before the exchange")
+  }
+
+  test("tf-idf joins and windows on equi-keys, no nested loop") {
+    val plan = planOf("t_tfidf_topterms")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoop"))
+    assert(plan.contains("Window"), "top-3 rank must be a window, not a self-join")
+  }
+
+  test("keyword search prunes postings with the IN filter before grouping") {
+    val plan = planOf("t_keyword_search")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoop"))
+    // The IN over query terms must apply in the scan/explode stage —
+    // textually BELOW the deepest Exchange (plans print root-first),
+    // i.e. the posting stream is pruned before anything shuffles.
+    val belowDeepestExchange = plan.substring(plan.lastIndexOf("Exchange"))
+    assert(belowDeepestExchange.contains("IN (spark,stream,window)"),
+      "term filter must sit under every shuffle")
+    // and the scan reads only the two referenced columns
+    val readSchema = plan.linesIterator
+      .find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("struct<doc_id:bigint,text:string>"),
+      s"scan must be pruned to (doc_id, text): $readSchema")
+  }
+
+  test("node similarity and shortest path stay on equi-joins") {
+    for (q <- Seq("d_node_similarity", "d_dup_shortest_path")) {
+      val plan = planOf(q)
+      assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoop"),
+        s"$q must ride equi-keys only")
+    }
+  }
+
+  test("PII redaction is scan-local: no exchange except the presentation sort") {
+    val plan = planOf("t_redact")
+    assert("Exchange hashpartitioning".r.findAllIn(plan).isEmpty,
+      "per-row redaction must not hash-shuffle")
+    assert(hasCodegen(plan), "regex pipeline must stay in codegen")
+  }
+
   test("event windows share one user_id shuffle (w_lead_lag, w_moving_sum)") {
     for (q <- Seq("w_lead_lag", "w_moving_sum")) {
       val plan = planOf(q)
