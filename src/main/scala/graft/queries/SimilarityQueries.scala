@@ -115,7 +115,103 @@ object SimilarityQueries {
     }
   }
 
+  private val pqSubspaces = 8 // 64-d → 8 sub-vectors of 8 dims
+  private val pqCodes = 16 // codewords per subspace (4-bit codes)
+  private val pqRerank = 64 // ADC survivors re-ranked exactly
+
+  /** Trained product-quantization index, memoized per (session, dir)
+    * like [[kmeansIndex]]: per-subspace codebooks (fit once on unit
+    * sub-vectors so ADC inner products approximate cosine) and the
+    * corpus code table. At scale the code table IS the artifact: 8
+    * 4-bit codes per vector — a 64× compression of float64 — stored
+    * alongside the corpus and scanned instead of it. Returns
+    * (codes: vec_id, subspace, code; codebook: subspace, code, cv). */
+  private val pqCache = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.mutable.Map[String, (DataFrame, DataFrame)]]())
+
+  private def pqIndex(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val perSession = pqCache.synchronized {
+      var m = pqCache.get(s)
+      if (m == null) { m = scala.collection.mutable.Map.empty; pqCache.put(s, m) }
+      m
+    }
+    perSession.synchronized {
+      perSession.getOrElseUpdate(d, {
+        import org.apache.spark.ml.clustering.KMeans
+        import org.apache.spark.ml.functions.array_to_vector
+        val e = vecs(s, d)
+        val dim = 8 // dims per subspace
+        val fitted = (0 until pqSubspaces).map { j =>
+          val feats = e.select(col("vec_id"),
+            array_to_vector(
+              slice(transform(col("v"), x => x / col("nrm")), j * dim + 1, dim))
+              .as("features"))
+          val model = new KMeans()
+            .setK(pqCodes).setSeed(42L + j).setMaxIter(10)
+            .fit(feats)
+          val codesJ = model.transform(feats)
+            .select(col("vec_id"), lit(j).as("subspace"),
+              col("prediction").as("code"))
+          val bookJ = model.clusterCenters.zipWithIndex.toSeq
+            .map { case (c, i) => (j, i, c.toArray) }
+          (codesJ, bookJ)
+        }
+        val codes = fitted.map(_._1).reduce(_ unionByName _).cache()
+        val codebook = s.createDataFrame(fitted.flatMap(_._2))
+          .toDF("subspace", "code", "cv").cache()
+        (codes, codebook)
+      })
+    }
+  }
+
   val all: Seq[QueryDef] = Seq(
+
+    // Product-quantization ANN (the classic 100 TB vector tier):
+    // corpus vectors live as 8 codebook codes (64× smaller than the
+    // floats), each query builds a 8×16-entry inner-product table
+    // against the codebooks (broadcast — ~1k rows for the whole query
+    // batch), and the asymmetric-distance scores are ONE scan of the
+    // code table + a map-side-combined sum; the floats are touched
+    // only to re-rank the pqRerank survivors exactly. No oracle (the
+    // index is engine-specific); OperatorsSpec bounds recall against
+    // the exact cosine baseline and the random expectation.
+    QueryDef.noOracle("v_pq_topk") { (s, d) =>
+      val e = vecs(s, d)
+      val (codes, codebook) = pqIndex(s, d)
+      val dim = 8
+      val q = e.where(col("vec_id") < nQueries)
+      val qsub = q.select(col("vec_id").as("q_id"),
+        posexplode(transform(sequence(lit(0), lit(pqSubspaces - 1)),
+          j => slice(transform(col("v"), x => x / col("nrm")),
+            j * dim + lit(1), lit(dim))))
+          .as(Seq("subspace", "qv")))
+      val dtable = qsub.join(broadcast(codebook), "subspace")
+        .select(col("q_id"), col("subspace"), col("code"),
+          dot(col("qv"), col("cv")).as("part"))
+      val approx = codes
+        .join(broadcast(dtable), Seq("subspace", "code"))
+        .where(col("q_id") =!= col("vec_id"))
+        .groupBy(col("q_id"), col("vec_id").as("n_id"))
+        .agg(sum("part").as("adc"))
+        .withColumn("rn", row_number().over(Window.partitionBy("q_id")
+          .orderBy(col("adc").desc, col("n_id"))))
+        .where(col("rn") <= pqRerank)
+        .select("q_id", "n_id")
+      approx
+        .join(broadcast(q.select(col("vec_id").as("q_id"),
+          col("v").as("qv"), col("nrm").as("qnrm"))), "q_id")
+        .join(e.select(col("vec_id").as("n_id"),
+          col("v").as("nv"), col("nrm").as("nnrm")), "n_id")
+        .select(col("q_id"), col("n_id"),
+          round(dot(col("qv"), col("nv")) / (col("qnrm") * col("nnrm")), 4)
+            .as("sim"))
+        .withColumn("rn", row_number().over(Window.partitionBy("q_id")
+          .orderBy(col("sim").desc, col("n_id"))))
+        .where(col("rn") <= topK)
+        .select("q_id", "n_id", "sim")
+        .orderBy("q_id", "n_id")
+    },
 
     // Brute-force cosine top-k, the exact baseline.
     QueryDef(
