@@ -359,6 +359,89 @@ object RelationalQueries {
         .orderBy("user_id", "event_id")
     },
 
+    // Strict-order funnel (view → click after it → purchase after
+    // that): the conversion operator of event analytics. Each stage
+    // is a min-timestamp aggregate gated by the previous stage's
+    // instant — an equi-join on user_id with a range conjunct, never
+    // a sequence scan per user. All four frames shuffle on the SAME
+    // user_id key, so at scale AQE reuses one exchange layout; stage
+    // verdicts are integers (µs instants compared, never emitted).
+    QueryDef(
+      "w_funnel_stages",
+      """WITH v AS (SELECT user_id, min(ts) AS t1 FROM events
+        |           WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+        |      JOIN v ON e.user_id = v.user_id AND e.ts > v.t1
+        |      WHERE e.event_type = 'click' GROUP BY 1),
+        |p AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+        |      JOIN c ON e.user_id = c.user_id AND e.ts > c.t2
+        |      WHERE e.event_type = 'purchase' GROUP BY 1),
+        |u AS (SELECT DISTINCT user_id FROM events)
+        |SELECT u.user_id,
+        |       CASE WHEN p.user_id IS NOT NULL THEN 3
+        |            WHEN c.user_id IS NOT NULL THEN 2
+        |            WHEN v.user_id IS NOT NULL THEN 1 ELSE 0 END AS stage
+        |FROM u LEFT JOIN v ON u.user_id = v.user_id
+        |       LEFT JOIN c ON u.user_id = c.user_id
+        |       LEFT JOIN p ON u.user_id = p.user_id
+        |ORDER BY u.user_id""".stripMargin) { (s, d) =>
+      val e = Tables.events(s, d)
+      def stageAfter(evType: String, prev: org.apache.spark.sql.DataFrame,
+          prevTs: String, outTs: String) =
+        e.where(col("event_type") === evType).as("e")
+          .join(prev.as("p"),
+            col("e.user_id") === col("p.user_id") &&
+              col("e.ts") > col(s"p.$prevTs"))
+          .select(col("e.user_id").as("user_id"), col("e.ts").as("ts"))
+          .groupBy("user_id").agg(min("ts").as(outTs))
+      val v = e.where(col("event_type") === "view")
+        .groupBy("user_id").agg(min("ts").as("t1"))
+      val c = stageAfter("click", v, "t1", "t2")
+      val p = stageAfter("purchase", c, "t2", "t3")
+      e.select("user_id").distinct()
+        .join(v.select(col("user_id"), lit(1).as("s1")), Seq("user_id"), "left")
+        .join(c.select(col("user_id"), lit(2).as("s2")), Seq("user_id"), "left")
+        .join(p.select(col("user_id"), lit(3).as("s3")), Seq("user_id"), "left")
+        .select(col("user_id"),
+          coalesce(col("s3"), col("s2"), col("s1"), lit(0)).as("stage"))
+        .orderBy("user_id")
+    },
+
+    // Weekly cohort retention: users bucketed by signup week, counted
+    // per week-offset of later activity — the cohort matrix every
+    // growth dashboard renders. Week arithmetic stays integral
+    // (date difference div 7) so the offsets hash identically; the
+    // activity frame is distinct-per-(user, week) BEFORE the join, so
+    // the join input is bounded by users × weeks, not raw events.
+    QueryDef(
+      "w_retention_cohorts",
+      """WITH f AS (SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
+        |           FROM events WHERE event_type = 'signup' GROUP BY 1),
+        |a AS (SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS activity_week
+        |      FROM events)
+        |SELECT f.cohort_week, (a.activity_week - f.cohort_week) // 7 AS week_offset,
+        |       count(DISTINCT f.user_id) AS n_users
+        |FROM f JOIN a ON f.user_id = a.user_id
+        |WHERE a.activity_week >= f.cohort_week
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+      val e = Tables.events(s, d)
+      val f = e.where(col("event_type") === "signup")
+        .groupBy("user_id").agg(min("ts").as("t0"))
+        .select(col("user_id"),
+          to_date(date_trunc("week", col("t0"))).as("cohort_week"))
+      val a = e.select(col("user_id"),
+        to_date(date_trunc("week", col("ts"))).as("activity_week"))
+        .distinct()
+      f.join(a, "user_id")
+        .where(col("activity_week") >= col("cohort_week"))
+        .select(col("cohort_week"),
+          expr("datediff(activity_week, cohort_week) div 7").as("week_offset"),
+          col("user_id"))
+        .groupBy("cohort_week", "week_offset")
+        .agg(count_distinct(col("user_id")).as("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    },
+
     // O1′–O4′: global sort + limit with deterministic tie-break.
     QueryDef(
       "o_sort_limit",
