@@ -96,12 +96,14 @@ object Bench {
         }
         (tBuild, (System.nanoTime() - t1) / 1e9)
       }
-      // Two untimed warm iterations first: nothing has warmed the JVM
-      // yet at this point, and the first 35k run pays ~12-25 s of
+      // Three untimed warm iterations first: nothing has warmed the
+      // JVM yet at this point, and the first 35k run pays ~12-25 s of
       // JIT/codegen (that, not the plan, was the 30 s "build" outlier
-      // across rounds 4/5); the second still carries compilation tail
-      // (~1.5× steady state).
-      for (w <- 0 until 2) {
+      // across rounds 4/5). Dbg telemetry (round 6) shows the
+      // compilation tail reaches through iteration ~2 (15.5 → 9.7 →
+      // 5-7.5 s steady, GC flat at <250 ms throughout), so two
+      // warm-ups left the first timed run at the tail's edge.
+      for (w <- 0 until 3) {
         val (wb, wl) = iteration()
         System.err.println(f"[bench] scale warm-up $w: build $wb%.2f s, load $wl%.2f s")
       }
