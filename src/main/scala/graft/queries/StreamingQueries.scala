@@ -55,6 +55,30 @@ object StreamingQueries {
         .orderBy("user_id", "event_type")
     },
 
+    // Streaming strict-order funnel milestones: one row per user per
+    // stage reached (view=1 → click=2 → purchase=3), stamped with the
+    // stage's event-time instant. Batch twin of
+    // EventStreams.funnelStream (flatMapGroupsWithState, 24-byte
+    // per-user state, inline Append emission); the streaming path is
+    // proven by EventStreamsSpec's readStream run.
+    QueryDef(
+      "st_funnel",
+      """WITH v AS (SELECT user_id, min(ts) AS t1 FROM events
+        |           WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+        |      JOIN v ON e.user_id = v.user_id AND e.ts > v.t1
+        |      WHERE e.event_type = 'click' GROUP BY 1),
+        |p AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+        |      JOIN c ON e.user_id = c.user_id AND e.ts > c.t2
+        |      WHERE e.event_type = 'purchase' GROUP BY 1)
+        |SELECT user_id, 1 AS stage, epoch_us(t1) AS at_us FROM v
+        |UNION ALL SELECT user_id, 2, epoch_us(t2) FROM c
+        |UNION ALL SELECT user_id, 3, epoch_us(t3) FROM p
+        |ORDER BY user_id, stage""".stripMargin) { (s, d) =>
+      EventStreams.funnelBatch(Tables.events(s, d))
+        .orderBy("user_id", "stage")
+    },
+
     // Stream-stream interval join (view→click attribution within 30
     // minutes). Batch twin of the watermarked symmetric hash join; the
     // streaming path is proven by EventStreamsSpec's readStream run.

@@ -123,6 +123,71 @@ object EventStreams {
       .drop("session_id")
   }
 
+  final case class FunnelState(t1: Long, t2: Long, t3: Long) // -1 = unset
+
+  final case class FunnelOut(user_id: Long, stage: Int, at_us: Long)
+
+  /** Streaming strict-order funnel (view → click after it → purchase
+    * after that): emits one row per user per milestone, the moment the
+    * stage is first reached — the CEP-style "conversion happened"
+    * signal a pipeline alerts on. State is three epoch-µs longs per
+    * user (24 bytes — never the events themselves), updated by a pure
+    * transition function; emission is inline (Append), so no timeout
+    * machinery holds results back at end-of-stream. Exact against
+    * [[funnelBatch]] under per-user event-time-ordered delivery (each
+    * micro-batch is sorted before the state transition; cross-batch
+    * ordering is the watermark contract). */
+  def funnelStream(events: Dataset[Event]): Dataset[FunnelOut] = {
+    import events.sparkSession.implicits._
+    events
+      .filter(e => e.event_type == "view" || e.event_type == "click" ||
+        e.event_type == "purchase")
+      .withWatermark("ts", "2 hours")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, FunnelOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[FunnelState]) =>
+          var s = state.getOption.getOrElse(FunnelState(-1L, -1L, -1L))
+          val out = scala.collection.mutable.ArrayBuffer.empty[FunnelOut]
+          for (e <- rows.toSeq.sortBy(e => (micros(e.ts), e.event_id))) {
+            val t = micros(e.ts)
+            e.event_type match {
+              case "view" if s.t1 < 0 =>
+                s = s.copy(t1 = t); out += FunnelOut(userId, 1, t)
+              case "click" if s.t1 >= 0 && s.t2 < 0 && t > s.t1 =>
+                s = s.copy(t2 = t); out += FunnelOut(userId, 2, t)
+              case "purchase" if s.t2 >= 0 && s.t3 < 0 && t > s.t2 =>
+                s = s.copy(t3 = t); out += FunnelOut(userId, 3, t)
+              case _ =>
+            }
+          }
+          state.update(s)
+          out.iterator
+      }
+  }
+
+  /** Batch twin of [[funnelStream]]: each stage instant is a
+    * min-timestamp aggregate gated on the previous stage's instant
+    * (strict >, same as the stream's transition guard). */
+  def funnelBatch(events: DataFrame): DataFrame = {
+    def gated(evType: String, prev: DataFrame, prevTs: String, outTs: String) =
+      events.where(col("event_type") === evType).as("e")
+        .join(prev.as("p"),
+          col("e.user_id") === col("p.user_id") &&
+            col("e.ts") > col(s"p.$prevTs"))
+        .select(col("e.user_id").as("user_id"), col("e.ts").as("ts"))
+        .groupBy("user_id").agg(min("ts").as(outTs))
+    val v = events.where(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ts").as("t1"))
+    val c = gated("click", v, "t1", "t2")
+    val p = gated("purchase", c, "t2", "t3")
+    v.select(col("user_id"), lit(1).as("stage"), unix_micros(col("t1")).as("at_us"))
+      .unionByName(c.select(col("user_id"), lit(2).as("stage"),
+        unix_micros(col("t2")).as("at_us")))
+      .unionByName(p.select(col("user_id"), lit(3).as("stage"),
+        unix_micros(col("t3")).as("at_us")))
+  }
+
   /** Event-time interval join: each click attributed to every view by
     * the same user within the preceding `horizon` (impressions×clicks,
     * the canonical stream-stream join). One definition serves batch

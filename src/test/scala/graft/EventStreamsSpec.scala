@@ -138,6 +138,24 @@ class EventStreamsSpec extends AnyFunSuite {
       "streamed sessions must be exactly the watermark-closed batch sessions")
   }
 
+  test("funnel milestones: streaming result == batch twin exactly") {
+    import spark.implicits._
+    val events = Tables.events(spark, sfDir)
+    val batch = EventStreams.funnelBatch(events)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val streamed = EventStreams.runAsStream(
+      spark, s"$sfDir/events.parquet",
+      df => EventStreams.funnelStream(
+        df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+          .as[EventStreams.Event]).toDF(),
+      "funnel_stream")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    // inline Append emission: no timeout residue, so the streamed set
+    // is the complete batch answer, not a closed-subset
+    assert(streamed.nonEmpty)
+    assert(streamed == batch)
+  }
+
   test("sessionization: streamed closed sessions == batch sessions minus open tails") {
     import spark.implicits._
     val events = Tables.events(spark, sfDir)
