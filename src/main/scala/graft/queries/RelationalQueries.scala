@@ -442,6 +442,59 @@ object RelationalQueries {
         .orderBy("cohort_week", "week_offset")
     },
 
+    // Distribution-rank window family: ntile quartiles, percent_rank,
+    // cume_dist over order totals per market segment... one window
+    // spec serves all three functions (single shuffle + sort). The
+    // float ranks are safe to hash cross-engine: both engines compute
+    // the same (rank−1)/(n−1) and rank/n divisions of identical
+    // integers, and IEEE-754 binary64 division is uniquely defined.
+    QueryDef(
+      "w_rank_family",
+      """SELECT o_orderkey,
+        |       ntile(4) OVER w AS quartile,
+        |       percent_rank() OVER w AS pct_rank,
+        |       cume_dist() OVER w AS cume
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_orderpriority")
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      Tables.orders(s, d)
+        .select(col("o_orderkey"),
+          ntile(4).over(w).as("quartile"),
+          percent_rank().over(w).as("pct_rank"),
+          cume_dist().over(w).as("cume"))
+        .orderBy("o_orderkey")
+    },
+
+    // Next-event transition counts (the Markov matrix of the event
+    // stream): lag the per-user ordered type, then count (prev, next)
+    // pairs — the session-flow fingerprint behavior analytics feeds
+    // on. Shares the exact window key/order of w_lead_lag, and the
+    // transition aggregate is map-side partial over a 25-cell domain.
+    QueryDef(
+      "w_next_event",
+      """SELECT prev_type, event_type, count(*) AS n FROM (
+        |  SELECT event_type,
+        |         lag(event_type) OVER (PARTITION BY user_id
+        |           ORDER BY epoch_us(ts), event_id) AS prev_type
+        |  FROM events)
+        |WHERE prev_type IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("us"), col("event_id"))
+      Tables.events(s, d)
+        .withColumn("us", unix_micros(col("ts")))
+        .select(col("event_type"),
+          lag(col("event_type"), 1).over(w).as("prev_type"))
+        .where(col("prev_type").isNotNull)
+        .groupBy("prev_type", "event_type")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("prev_type", "event_type")
+    },
+
     // O1′–O4′: global sort + limit with deterministic tie-break.
     QueryDef(
       "o_sort_limit",
