@@ -59,29 +59,36 @@ object GraphQueries {
   /** SHOW CONSTRAINTS parity: each declared key invariant
     * (create_constraints.cyp:1-6, init.cyp:5) with its violation
     * status. */
-  def constraintStatus(g: GraphLoad.Graph): Seq[(String, Boolean)] = {
-    def dup(df: DataFrame, keys: Seq[String]): Boolean =
-      df.groupBy(keys.map(col): _*).count().where(col("count") > 1)
-        .limit(1).count() > 0
-    Seq(
-      "gfe_name_unique" -> dup(g.gfe, Seq("name")),
-      "sequence_name_unique" -> dup(g.sequence, Seq("name")),
-      "ipd_allele_name_unique" -> dup(g.ipdAllele, Seq("name")),
-      "ipd_accession_name_unique" -> dup(g.ipdAccession, Seq("name")),
-      "submitter_email_unique" -> dup(g.submitter, Seq("email")),
-      "feature_composite_unique" ->
-        dup(g.feature, Seq("locus", "rank", "term", "accession", "sequence")))
-  }
+  def constraintStatus(g: GraphLoad.Graph): Seq[(String, Boolean)] =
+    constraintReport(g).collect()
+      .map(r => r.getString(0) -> r.getBoolean(1)).toSeq
 
   /** Violated constraint names — empty means healthy. */
   def validateConstraints(g: GraphLoad.Graph): Seq[String] =
     constraintStatus(g).collect { case (name, violated) if violated => name }
 
   /** The constraint check as a relation (one row per constraint), for
-    * the driver-contract surface. */
+    * the driver-contract surface. All six invariants evaluate as ONE
+    * unioned lazy plan — a single Spark job when materialized, where
+    * six eager per-constraint counts paid 12 job round-trips per
+    * check (and gave transient scheduler hiccups a 12-job window to
+    * inflate the bench: measured once at 7.5 s vs the 0.9 s steady
+    * state). */
   def constraintReport(g: GraphLoad.Graph): DataFrame = {
-    val spark = g.gfe.sparkSession
-    import spark.implicits._
-    constraintStatus(g).toDF("constraint_name", "violated")
+    def dup(name: String, df: DataFrame, keys: Seq[String]): DataFrame =
+      df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("c"))
+        .where(col("c") > 1).limit(1)
+        .agg(count(lit(1)).as("viol"))
+        .select(lit(name).as("constraint_name"),
+          (col("viol") > 0).as("violated"))
+    Seq(
+      dup("gfe_name_unique", g.gfe, Seq("name")),
+      dup("sequence_name_unique", g.sequence, Seq("name")),
+      dup("ipd_allele_name_unique", g.ipdAllele, Seq("name")),
+      dup("ipd_accession_name_unique", g.ipdAccession, Seq("name")),
+      dup("submitter_email_unique", g.submitter, Seq("email")),
+      dup("feature_composite_unique", g.feature,
+        Seq("locus", "rank", "term", "accession", "sequence")))
+      .reduce(_ unionByName _)
   }
 }
