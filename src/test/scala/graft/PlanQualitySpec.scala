@@ -215,6 +215,26 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(hasCodegen(plan), "regex pipeline must stay in codegen")
   }
 
+  test("PQ ANN scans the code table once against a broadcast ADC table") {
+    val plan = planOf("v_pq_topk")
+    assert(!plan.contains("CartesianProduct"), plan.take(1500))
+    // the distance table (queries × codebooks, ~1k rows) must be the
+    // broadcast side of the code-table join — the corpus-sized code
+    // scan can never shuffle for it
+    assert(plan.contains("BroadcastHashJoin"),
+      "ADC table must broadcast-join the code table")
+    assert(plan.contains("partial_sum"),
+      "ADC sum must combine map-side before the (q_id, n_id) exchange")
+  }
+
+  test("funnel stages ride user_id equi-joins with range conjuncts only") {
+    for (q <- Seq("w_funnel_stages", "st_funnel")) {
+      val plan = planOf(q)
+      assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoop"),
+        s"$q: stage gating must be a user_id equi-join, never a loop join")
+    }
+  }
+
   test("event windows share one user_id shuffle (w_lead_lag, w_moving_sum)") {
     for (q <- Seq("w_lead_lag", "w_moving_sum")) {
       val plan = planOf(q)
