@@ -581,6 +581,34 @@ object RelationalQueries {
         .orderBy(col("k").cast("long"))
     },
 
+    // Malformed-record routing (the ingest guard): parse a JSON
+    // column, pass clean rows through and route unparseable ones to
+    // the reject side — the same side-channel contract as the
+    // reference's NDJSON error sink (S6), applied to arbitrary feeds.
+    // The synthetic corpus carries no corruption, so every 7th row is
+    // deterministically mangled first (leading brace dropped) on BOTH
+    // engines; the verdict is a scan-local per-row map. Spark's
+    // get_json_object returns NULL on malformed input; DuckDB errors,
+    // so its side gates extraction behind json_valid — same verdict.
+    QueryDef(
+      "s_corrupt_routing",
+      """SELECT event_id,
+        |       CASE WHEN (CASE WHEN json_valid(c) THEN json_extract_string(c, '$.k') END) IS NULL
+        |            THEN 'rejected' ELSE 'ok' END AS status
+        |FROM (SELECT event_id,
+        |             CASE WHEN event_id % 7 = 0 THEN substr(props, 2) ELSE props END AS c
+        |      FROM events)
+        |ORDER BY event_id""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .withColumn("c",
+          when(pmod(col("event_id"), lit(7)) === 0,
+            expr("substring(props, 2)")).otherwise(col("props")))
+        .select(col("event_id"),
+          when(get_json_object(col("c"), "$.k").isNull, lit("rejected"))
+            .otherwise(lit("ok")).as("status"))
+        .orderBy("event_id")
+    },
+
     // Rollup (multi-level aggregation in one pass; SURVEY §2.4 notes
     // the reference lacks grouping sets — engine capability beyond it).
     // NULL group markers coalesced to 'ALL' for engine-stable compare.
