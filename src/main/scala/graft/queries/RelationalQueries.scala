@@ -495,6 +495,29 @@ object RelationalQueries {
         .orderBy("prev_type", "event_type")
     },
 
+    // Z-order (Morton) layout key: the multi-dimensional clustering
+    // sort every lakehouse table layout uses for min/max file
+    // skipping — rows close in BOTH (user, time-bucket) sort
+    // adjacently, so either predicate prunes files (a linear sort
+    // serves only one dimension). Pure codegen'd bit arithmetic, no
+    // UDF; the oracle evaluates the bit-identical ANSI expression.
+    // OperatorsSpec proves the locality claim quantitatively.
+    QueryDef(
+      "o_zorder_layout",
+      s"""SELECT event_id,
+        |       ${graft.operators.ZOrder.zvalueSql(
+              "user_id", "epoch_us(ts) // 60000000", 16)} AS zv
+        |FROM events
+        |ORDER BY zv, event_id""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .select(col("event_id"),
+          graft.operators.ZOrder.zvalue(
+            col("user_id"),
+            expr("unix_micros(ts) div 60000000"), // exact integer division
+            16).as("zv"))
+        .orderBy("zv", "event_id")
+    },
+
     // O1′–O4′: global sort + limit with deterministic tie-break.
     QueryDef(
       "o_sort_limit",

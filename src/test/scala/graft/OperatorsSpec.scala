@@ -228,6 +228,40 @@ class OperatorsSpec extends AnyFunSuite {
       s"mean recall too low: ${recalls.sum / recalls.size}")
   }
 
+  test("z-order: golden Morton codes and measurably better 2-D locality") {
+    import graft.operators.ZOrder
+    // golden 4x4 grid: x on even bits, y on odd -> the classic Z curve
+    val grid = (for (x <- 0 to 3; y <- 0 to 3) yield (x, y)).toDF("x", "y")
+    val got = grid.select(col("x"), col("y"),
+      ZOrder.zvalue(col("x"), col("y"), 2).as("z"))
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(got((0, 0)) == 0 && got((1, 0)) == 1 && got((0, 1)) == 2 &&
+      got((1, 1)) == 3 && got((2, 0)) == 4 && got((3, 3)) == 15 &&
+      got((2, 2)) == 12)
+    // locality, exactly: over a 64x64 grid in 64-row chunks ("files"),
+    // a linear sort serves min/max pruning on its own dimension only —
+    // a slab predicate on the OTHER dimension touches all 64 chunks.
+    // The z-layout keeps every slab in 8 chunks (an aligned 8-row slab
+    // is 8 contiguous 8x8 z-blocks).
+    val grid64 = spark.range(64L * 64)
+      .select((col("id") % 64).as("gx"), (col("id") / 64).cast("long").as("gy"),
+        col("id").as("rid"))
+    def chunksTouched(sk: org.apache.spark.sql.Column,
+        pred: org.apache.spark.sql.Column): Long = {
+      import org.apache.spark.sql.expressions.Window
+      grid64.withColumn("sk", sk)
+        .withColumn("pos", row_number().over(
+          Window.orderBy(col("sk"), col("rid"))))
+        .where(pred)
+        .select((col("pos") - 1).divide(64).cast("long")).distinct().count()
+    }
+    val z6 = ZOrder.zvalue(col("gx"), col("gy"), 6)
+    assert(chunksTouched(col("gy"), col("gx") < 8) == 64) // y sort, x slab
+    assert(chunksTouched(col("gx"), col("gy") < 8) == 64) // x sort, y slab
+    assert(chunksTouched(z6, col("gx") < 8) == 8)
+    assert(chunksTouched(z6, col("gy") < 8) == 8)
+  }
+
   test("PII redaction counts every injected match and leaves no residue") {
     val out = SparkEntry.queries("t_redact")(spark, sfDir).collect()
     assert(out.nonEmpty)
