@@ -632,6 +632,51 @@ object RelationalQueries {
         .orderBy("event_id")
     },
 
+    // Table profiling (ANALYZE parity): per-column row/null/distinct
+    // counts and min/max in ONE aggregate pass — Spark computes all
+    // fifteen statistics in a single job (Catalyst expands the three
+    // exact distincts internally) and explodes the summary row into
+    // the per-column relation; no per-column rescan. min/max leave as
+    // VARCHAR so the row schema is uniform (floats are excluded:
+    // double→string rendering differs across engines).
+    QueryDef(
+      "a_profile",
+      """SELECT 'event_id' AS col_name, count(*) AS n,
+        |       count(*) - count(event_id) AS n_null,
+        |       count(DISTINCT event_id) AS n_distinct,
+        |       CAST(min(event_id) AS VARCHAR) AS min_s,
+        |       CAST(max(event_id) AS VARCHAR) AS max_s
+        |FROM events
+        |UNION ALL
+        |SELECT 'event_type', count(*), count(*) - count(event_type),
+        |       count(DISTINCT event_type),
+        |       CAST(min(event_type) AS VARCHAR), CAST(max(event_type) AS VARCHAR)
+        |FROM events
+        |UNION ALL
+        |SELECT 'user_id', count(*), count(*) - count(user_id),
+        |       count(DISTINCT user_id),
+        |       CAST(min(user_id) AS VARCHAR), CAST(max(user_id) AS VARCHAR)
+        |FROM events
+        |ORDER BY col_name""".stripMargin) { (s, d) =>
+      def stats(c: String) = Seq(
+        count(lit(1)).as(s"${c}_n"),
+        (count(lit(1)) - count(col(c))).as(s"${c}_nn"),
+        count_distinct(col(c)).as(s"${c}_nd"),
+        min(col(c)).cast("string").as(s"${c}_min"),
+        max(col(c)).cast("string").as(s"${c}_max"))
+      val cols = Seq("event_id", "event_type", "user_id")
+      val aggs = cols.flatMap(stats)
+      Tables.events(s, d)
+        .agg(aggs.head, aggs.tail: _*)
+        .select(explode(array(cols.map(c => struct(
+          lit(c).as("col_name"), col(s"${c}_n").as("n"),
+          col(s"${c}_nn").as("n_null"), col(s"${c}_nd").as("n_distinct"),
+          col(s"${c}_min").as("min_s"), col(s"${c}_max").as("max_s"))): _*))
+          .as("s"))
+        .select("s.*")
+        .orderBy("col_name")
+    },
+
     // Rollup (multi-level aggregation in one pass; SURVEY §2.4 notes
     // the reference lacks grouping sets — engine capability beyond it).
     // NULL group markers coalesced to 'ALL' for engine-stable compare.
