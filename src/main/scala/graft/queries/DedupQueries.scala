@@ -163,6 +163,82 @@ object DedupQueries {
       |                                   AND a.doc_id < b.doc_id)""".stripMargin
   }
 
+  /** Scored semantic near-dup pairs (v1 < v2, cosine ≥ 0.4 over
+    * sign-LSH banded candidates) — shared by d_embedding_neardup and
+    * d_semantic_survivors. Memoized per (session, dir): at scale the
+    * pair table is written once and every semantic-dedup consumer
+    * joins it. */
+  private val embPairsCache = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, scala.collection.mutable.Map[String, DataFrame]]())
+
+  private def embPairs(s: SparkSession, d: String): DataFrame = {
+    val perSession = embPairsCache.synchronized {
+      var m = embPairsCache.get(s)
+      if (m == null) { m = scala.collection.mutable.Map.empty; embPairsCache.put(s, m) }
+      m
+    }
+    perSession.synchronized {
+      perSession.getOrElseUpdate(d, {
+        graft.functions.NativeFunctions.register(s)
+        def dot(a: Column, b: Column) = call_udf("graft_dot", a, b)
+        // Shared pre-normalized vector table (SimilarityQueries.vecs).
+        val e = SimilarityQueries.vecs(s, d)
+        val planes = e.where(col("vec_id") < 16)
+          .select(col("vec_id").as("pid"), col("v").as("pv"))
+        val bits = e.crossJoin(broadcast(planes))
+          .select(col("vec_id"), col("pid"),
+            when(round(dot(col("v"), col("pv")), 4) >= 0, 1).otherwise(0)
+              .as("bit"))
+        val bands = bits
+          .groupBy(col("vec_id"), expr("pid DIV 4").as("band"))
+          .agg(sum(col("bit") *
+            when(pmod(col("pid"), lit(4)) === 0, 1)
+              .when(pmod(col("pid"), lit(4)) === 1, 2)
+              .when(pmod(col("pid"), lit(4)) === 2, 4)
+              .otherwise(8)).as("bk"))
+        val cand = bands.as("a")
+          .join(bands.as("b"),
+            col("a.band") === col("b.band") && col("a.bk") === col("b.bk") &&
+              col("a.vec_id") < col("b.vec_id"))
+          .select(col("a.vec_id").as("v1"), col("b.vec_id").as("v2"))
+          .distinct()
+        cand
+          .join(e.select(col("vec_id").as("v1"), col("v").as("av"),
+            col("nrm").as("anrm")), Seq("v1"))
+          .join(e.select(col("vec_id").as("v2"), col("v").as("bv"),
+            col("nrm").as("bnrm")), Seq("v2"))
+          .select(col("v1"), col("v2"),
+            round(dot(col("av"), col("bv")) / (col("anrm") * col("bnrm")), 4)
+              .as("sim"))
+          .where(col("sim") >= 0.4)
+          .cache()
+      })
+    }
+  }
+
+  /** Shared DuckDB CTE text for the scored semantic pairs. */
+  private val embPairsSql: String =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+      |                  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+      |           FROM embeddings),
+      |p AS (SELECT vec_id AS pid, v AS pv FROM e WHERE vec_id < 16),
+      |bits AS (SELECT e.vec_id, p.pid,
+      |           CASE WHEN round(list_dot_product(e.v, p.pv), 4) >= 0
+      |                THEN 1 ELSE 0 END AS bit
+      |         FROM e, p),
+      |bands AS (SELECT vec_id, pid // 4 AS band,
+      |            sum(bit * (CASE pid % 4 WHEN 0 THEN 1 WHEN 1 THEN 2
+      |                                    WHEN 2 THEN 4 ELSE 8 END)) AS bk
+      |          FROM bits GROUP BY 1, 2),
+      |cand AS (SELECT DISTINCT a.vec_id AS v1, b.vec_id AS v2
+      |         FROM bands a JOIN bands b
+      |           ON a.band = b.band AND a.bk = b.bk AND a.vec_id < b.vec_id),
+      |spairs AS (SELECT v1, v2, sim FROM (
+      |  SELECT c.v1, c.v2,
+      |         round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) AS sim
+      |  FROM cand c JOIN e a ON a.vec_id = c.v1 JOIN e b ON b.vec_id = c.v2)
+      |WHERE sim >= 0.4)""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
 
     // Exact dedup: group on content hash, survivor = min doc_id.
@@ -410,61 +486,44 @@ object DedupQueries {
     // with n), not a different plan shape.
     QueryDef(
       "d_embedding_neardup",
-      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
-        |                  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
-        |           FROM embeddings),
-        |p AS (SELECT vec_id AS pid, v AS pv FROM e WHERE vec_id < 16),
-        |bits AS (SELECT e.vec_id, p.pid,
-        |           CASE WHEN round(list_dot_product(e.v, p.pv), 4) >= 0
-        |                THEN 1 ELSE 0 END AS bit
-        |         FROM e, p),
-        |bands AS (SELECT vec_id, pid // 4 AS band,
-        |            sum(bit * (CASE pid % 4 WHEN 0 THEN 1 WHEN 1 THEN 2
-        |                                    WHEN 2 THEN 4 ELSE 8 END)) AS bk
-        |          FROM bits GROUP BY 1, 2),
-        |cand AS (SELECT DISTINCT a.vec_id AS v1, b.vec_id AS v2
-        |         FROM bands a JOIN bands b
-        |           ON a.band = b.band AND a.bk = b.bk AND a.vec_id < b.vec_id)
-        |SELECT v1, v2, sim FROM (
-        |  SELECT c.v1, c.v2,
-        |         round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) AS sim
-        |  FROM cand c JOIN e a ON a.vec_id = c.v1 JOIN e b ON b.vec_id = c.v2)
-        |WHERE sim >= 0.4
-        |ORDER BY v1, v2""".stripMargin) { (s, d) =>
-      graft.functions.NativeFunctions.register(s)
-      def dot(a: Column, b: Column) = call_udf("graft_dot", a, b)
-      // Shared pre-normalized vector table (SimilarityQueries.vecs):
-      // materialized once per (session, dir).
-      val e = SimilarityQueries.vecs(s, d)
-      val planes = e.where(col("vec_id") < 16)
-        .select(col("vec_id").as("pid"), col("v").as("pv"))
-      val bits = e.crossJoin(broadcast(planes))
-        .select(col("vec_id"), col("pid"),
-          when(round(dot(col("v"), col("pv")), 4) >= 0, 1).otherwise(0)
-            .as("bit"))
-      val bands = bits
-        .groupBy(col("vec_id"), expr("pid DIV 4").as("band"))
-        .agg(sum(col("bit") *
-          when(pmod(col("pid"), lit(4)) === 0, 1)
-            .when(pmod(col("pid"), lit(4)) === 1, 2)
-            .when(pmod(col("pid"), lit(4)) === 2, 4)
-            .otherwise(8)).as("bk"))
-      val cand = bands.as("a")
-        .join(bands.as("b"),
-          col("a.band") === col("b.band") && col("a.bk") === col("b.bk") &&
-            col("a.vec_id") < col("b.vec_id"))
-        .select(col("a.vec_id").as("v1"), col("b.vec_id").as("v2"))
-        .distinct()
-      cand
-        .join(e.select(col("vec_id").as("v1"), col("v").as("av"),
-          col("nrm").as("anrm")), Seq("v1"))
-        .join(e.select(col("vec_id").as("v2"), col("v").as("bv"),
-          col("nrm").as("bnrm")), Seq("v2"))
-        .select(col("v1"), col("v2"),
-          round(dot(col("av"), col("bv")) / (col("anrm") * col("bnrm")), 4)
-            .as("sim"))
-        .where(col("sim") >= 0.4)
-        .orderBy("v1", "v2")
+      s"""$embPairsSql
+        |SELECT v1, v2, sim FROM spairs ORDER BY v1, v2""".stripMargin) { (s, d) =>
+      embPairs(s, d).orderBy("v1", "v2")
+    },
+
+    // Semantic dedup verdict: connected components over the scored
+    // near-dup pairs (shared table above), survivor = each cluster's
+    // min-label vector; every embedding gets an explicit keep/drop —
+    // the actual output a semantic-dedup pass writes. The oracle
+    // mirrors the min-label fixpoint with a recursive closure over
+    // VARCHAR ids (component labels are lexicographic-min strings on
+    // both engines).
+    QueryDef(
+      "d_semantic_survivors",
+      s"""${embPairsSql.replaceFirst("^WITH ", "WITH RECURSIVE ")},
+        |und AS (SELECT CAST(v1 AS VARCHAR) AS a, CAST(v2 AS VARCHAR) AS b FROM spairs
+        |        UNION SELECT CAST(v2 AS VARCHAR), CAST(v1 AS VARCHAR) FROM spairs),
+        |reach(n, m) AS (
+        |  SELECT DISTINCT a, a FROM und
+        |  UNION
+        |  SELECT r.n, u.b FROM reach r JOIN und u ON r.m = u.a),
+        |comp AS (SELECT n, min(m) AS c FROM reach GROUP BY n)
+        |SELECT e.vec_id,
+        |       (comp.n IS NULL OR comp.c = CAST(e.vec_id AS VARCHAR)) AS keep
+        |FROM embeddings e LEFT JOIN comp ON CAST(e.vec_id AS VARCHAR) = comp.n
+        |ORDER BY e.vec_id""".stripMargin) { (s, d) =>
+      val cc = graft.graph.GraphAlgorithms.connectedComponentsDF(
+        embPairs(s, d)
+          .select(col("v1").cast("string").as("v1"),
+            col("v2").cast("string").as("v2")),
+        "v1", "v2")
+      Tables.embeddings(s, d).select(col("vec_id"))
+        .join(cc.withColumnRenamed("id", "cid"),
+          col("vec_id").cast("string") === col("cid"), "left")
+        .select(col("vec_id"),
+          (col("component").isNull ||
+            col("component") === col("vec_id").cast("string")).as("keep"))
+        .orderBy("vec_id")
     },
 
     // Benchmark decontamination: flag every corpus document sharing an
