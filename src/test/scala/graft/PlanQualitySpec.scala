@@ -235,6 +235,22 @@ class PlanQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("z-order key is scan-local codegen'd bit math (o_zorder_layout)") {
+    val plan = planOf("o_zorder_layout")
+    assert("Exchange hashpartitioning".r.findAllIn(plan).isEmpty,
+      "the Morton code is a per-row map — only the presentation range sort may shuffle")
+    assert(!plan.contains("BatchEvalPython"))
+    assert(hasCodegen(plan), "bit interleave must stay in codegen")
+  }
+
+  test("table profile computes all column stats in one aggregate (a_profile)") {
+    val plan = planOf("a_profile")
+    // one Expand-based multi-distinct aggregate, not three table scans
+    assert("FileScan parquet".r.findAllIn(plan).length <= 1,
+      "profile must not rescan the table per column")
+    assert(plan.contains("partial_"), "stats must combine map-side")
+  }
+
   test("event windows share one user_id shuffle (w_lead_lag, w_moving_sum)") {
     for (q <- Seq("w_lead_lag", "w_moving_sum")) {
       val plan = planOf(q)
