@@ -79,6 +79,26 @@ object StreamingQueries {
         .orderBy("user_id", "stage")
     },
 
+    // Per-key rate limiting: first event per (user, type) per hour —
+    // the alert/notification throttle. Batch twin of
+    // EventStreams.throttleStream, which rides Spark 4's
+    // transformWithState (RocksDB ValueState, one long per key); the
+    // streaming path is proven by EventStreamsSpec's readStream run.
+    QueryDef(
+      "st_throttle",
+      """SELECT user_id, event_type, bucket_us, event_id FROM (
+        |  SELECT user_id, event_type,
+        |         (epoch_us(ts) // 3600000000) * 3600000000 AS bucket_us, event_id,
+        |         row_number() OVER (PARTITION BY user_id, event_type,
+        |                              epoch_us(ts) // 3600000000
+        |                            ORDER BY epoch_us(ts), event_id) AS rn
+        |  FROM events)
+        |WHERE rn = 1
+        |ORDER BY user_id, event_type, bucket_us""".stripMargin) { (s, d) =>
+      EventStreams.throttleBatch(Tables.events(s, d))
+        .orderBy("user_id", "event_type", "bucket_us")
+    },
+
     // Stream-stream interval join (view→click attribution within 30
     // minutes). Batch twin of the watermarked symmetric hash join; the
     // streaming path is proven by EventStreamsSpec's readStream run.

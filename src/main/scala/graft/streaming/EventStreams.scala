@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, Trigger, ValueState}
 
 /** Structured Streaming surface over the `events` table.
   *
@@ -186,6 +186,62 @@ object EventStreams {
         unix_micros(col("t2")).as("at_us")))
       .unionByName(p.select(col("user_id"), lit(3).as("stage"),
         unix_micros(col("t3")).as("at_us")))
+  }
+
+  final case class ThrottleOut(
+      user_id: Long, event_type: String, bucket_us: Long, event_id: Long)
+
+  /** Per-key rate limiter on Spark 4's `transformWithState` (the
+    * arbitrary-stateful successor to flatMapGroupsWithState, RocksDB-
+    * backed): pass only the FIRST event per (user, type) per 1-hour
+    * event-time bucket. State is ONE long per key (the last emitted
+    * bucket) in a `ValueState` — production deployments bound it with
+    * the API's native TTL instead of timers. Exact against
+    * [[throttleBatch]] under per-user event-time-ordered delivery
+    * (batches sort before the transition, as in [[funnelStream]]). */
+  private class ThrottleProcessor
+      extends StatefulProcessor[(Long, String), Event, ThrottleOut] {
+    @transient private var lastBucket: ValueState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      lastBucket = getHandle.getValueState[Long]("lastBucket",
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+    override def handleInputRows(key: (Long, String), rows: Iterator[Event],
+        timerValues: TimerValues): Iterator[ThrottleOut] = {
+      val sorted = rows.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+      val out = scala.collection.mutable.ArrayBuffer.empty[ThrottleOut]
+      var last = if (lastBucket.exists()) lastBucket.get() else Long.MinValue
+      for (e <- sorted) {
+        val b = Math.floorDiv(micros(e.ts), 3600000000L)
+        if (b > last) {
+          last = b
+          out += ThrottleOut(key._1, key._2, b * 3600000000L, e.event_id)
+        }
+      }
+      lastBucket.update(last)
+      out.iterator
+    }
+  }
+
+  def throttleStream(events: Dataset[Event]): Dataset[ThrottleOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(e => (e.user_id, e.event_type))
+      .transformWithState(new ThrottleProcessor,
+        TimeMode.None(), OutputMode.Append())
+  }
+
+  /** Batch twin of [[throttleStream]]: first event per
+    * (user, type, hour bucket), deterministic (ts, event_id) order. */
+  def throttleBatch(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id", "event_type", "bucket_us")
+      .orderBy(col("us"), col("event_id"))
+    events
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("bucket_us", expr("us div 3600000000") * lit(3600000000L))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select("user_id", "event_type", "bucket_us", "event_id")
   }
 
   /** Event-time interval join: each click attributed to every view by

@@ -156,6 +156,38 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("throttle (transformWithState): streaming result == batch twin exactly") {
+    import spark.implicits._
+    val events = Tables.events(spark, sfDir)
+    val batch = EventStreams.throttleBatch(events)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    // transformWithState requires the RocksDB state store provider
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val streamed = EventStreams.runAsStream(
+        spark, s"$sfDir/events.parquet",
+        df => EventStreams.throttleStream(
+          df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+            .as[EventStreams.Event]).toDF(),
+        "throttle_stream")
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      assert(streamed.nonEmpty)
+      assert(streamed == batch)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("sessionization: streamed closed sessions == batch sessions minus open tails") {
     import spark.implicits._
     val events = Tables.events(spark, sfDir)
