@@ -1,5 +1,10 @@
 package graft.multimodal
 
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import java.nio.{ByteBuffer, ByteOrder}
+import javax.imageio.ImageIO
+
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -7,14 +12,17 @@ import org.apache.spark.sql.functions._
   * with typed metadata (brief: first-class training-data pipeline
   * surface).
   *
-  * The Spark-side plumbing is real — schema, per-partition batch
-  * iteration (the JVM analogue of `mapInPandas` batches), fixed-width
-  * tensor/embedding outputs, deterministic frame sampling. The codec
-  * itself is STUBBED (this container has no image/audio libraries):
-  * [[StubCodec.decode]] produces a deterministic fake tensor from the
-  * payload bytes, so every downstream operator (resize, pooling,
-  * embedding, frame sampling) is exercised with stable, testable
-  * values. Swapping in a real codec changes ONLY StubCodec.
+  * The codecs are REAL and pure-JDK — no new dependencies:
+  *   - images: `javax.imageio` (PNG and BMP are both encoded in the
+  *     fixture and sniffed+decoded format-agnostically);
+  *   - audio: RIFF/WAVE PCM-16 mono, parsed via
+  *     `javax.sound.sampled.AudioSystem`;
+  *   - video: a length-prefixed container of per-frame PNG payloads
+  *     ([[VideoCodec]]), each frame an independent `imageio` decode.
+  * [[StubCodec]] survives only as the documented fallback for payload
+  * formats the JDK cannot decode (e.g. JPEG2000, MP4) — it produces a
+  * deterministic fake tensor so the pipeline degrades gracefully
+  * instead of failing on exotic blobs.
   *
   * Scale notes: payloads never shuffle — decode/featurize run in the
   * scan stage via `mapPartitions`; only fixed-width embeddings
@@ -39,15 +47,144 @@ object Multimodal {
   final case class FrameSample(
       media_id: Long, frame_index: Int, frame_embedding: Array[Float])
 
-  /** STUB CODEC — deterministic fake decode.
-    * Real deployment: replace with an actual image/audio decoder
-    * (e.g. javax.imageio / ffmpeg bindings); signatures stay fixed.
+  /** Image encode/decode on `javax.imageio`. Decode is format-agnostic
+    * (ImageIO sniffs PNG/BMP/JPEG/GIF from the payload bytes); both
+    * PNG and BMP round-trip RGB losslessly, so decoded pixel values
+    * are exact.
+    */
+  object ImageCodec {
+    /** Encode row-major packed-RGB ints (0xRRGGBB) to `format`
+      * ("png" | "bmp") bytes. */
+    def encode(rgb: Array[Int], w: Int, h: Int, format: String): Array[Byte] = {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      img.setRGB(0, 0, w, h, rgb, 0, w)
+      val bos = new ByteArrayOutputStream()
+      ImageIO.write(img, format, bos)
+      bos.toByteArray
+    }
+
+    /** Decode any ImageIO-supported payload to
+      * `(width, height, row-major HxWxC floats in [0,1])`, C=3 (RGB).
+      * None when the payload is not a decodable image.
+      */
+    def decode(payload: Array[Byte]): Option[(Int, Int, Array[Float])] =
+      try {
+        val img = ImageIO.read(new ByteArrayInputStream(payload))
+        if (img == null) None
+        else {
+          val w = img.getWidth
+          val h = img.getHeight
+          val argb = img.getRGB(0, 0, w, h, null, 0, w)
+          val out = new Array[Float](w * h * 3)
+          var i = 0
+          while (i < argb.length) {
+            val p = argb(i)
+            out(3 * i) = ((p >>> 16) & 0xFF) / 255f
+            out(3 * i + 1) = ((p >>> 8) & 0xFF) / 255f
+            out(3 * i + 2) = (p & 0xFF) / 255f
+            i += 1
+          }
+          Some((w, h, out))
+        }
+      } catch { case _: java.io.IOException => None }
+  }
+
+  /** RIFF/WAVE PCM-16 mono. Encode writes the canonical 44-byte
+    * header by hand (deterministic bytes); decode goes through
+    * `javax.sound.sampled.AudioSystem` so any WAV variant the JDK
+    * understands (either endianness) is accepted.
+    */
+  object WavCodec {
+    def encode(samples: Array[Short], sampleRate: Int): Array[Byte] = {
+      val dataLen = samples.length * 2
+      val bb = ByteBuffer.allocate(44 + dataLen).order(ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      bb.put("WAVE".getBytes("US-ASCII"))
+      bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      bb.putShort(1).putShort(1) // PCM, mono
+      bb.putInt(sampleRate).putInt(sampleRate * 2) // byte rate
+      bb.putShort(2).putShort(16) // block align, bits/sample
+      bb.put("data".getBytes("US-ASCII")).putInt(dataLen)
+      samples.foreach(bb.putShort)
+      bb.array()
+    }
+
+    /** Decode to `(sampleRate, samples in [-1,1))`. None when the
+      * payload is not audio the JDK can parse. */
+    def decode(payload: Array[Byte]): Option[(Int, Array[Float])] =
+      try {
+        val ais = javax.sound.sampled.AudioSystem
+          .getAudioInputStream(new ByteArrayInputStream(payload))
+        val fmt = ais.getFormat
+        val bytes = ais.readAllBytes()
+        if (fmt.getSampleSizeInBits != 16) None
+        else {
+          val n = bytes.length / 2
+          val out = new Array[Float](n)
+          var i = 0
+          while (i < n) {
+            val (b0, b1) = (bytes(2 * i).toInt, bytes(2 * i + 1).toInt)
+            val s =
+              if (fmt.isBigEndian) ((b0 << 8) | (b1 & 0xFF)).toShort
+              else ((b1 << 8) | (b0 & 0xFF)).toShort
+            out(i) = s / 32768f
+            i += 1
+          }
+          Some((fmt.getSampleRate.toInt, out))
+        }
+      } catch {
+        case _: javax.sound.sampled.UnsupportedAudioFileException => None
+        case _: java.io.IOException => None
+      }
+  }
+
+  /** Video as a length-prefixed container of independently-decodable
+    * PNG frames: `magic, nFrames, (len_i, pngBytes_i)*` — so frame k
+    * is reachable by header skips without decoding frames 0..k-1.
+    */
+  object VideoCodec {
+    val Magic = 0x47564944 // "GVID"
+
+    def encode(frames: Seq[Array[Byte]]): Array[Byte] = {
+      val total = 8 + frames.map(4 + _.length).sum
+      val bb = ByteBuffer.allocate(total).order(ByteOrder.BIG_ENDIAN)
+      bb.putInt(Magic).putInt(frames.length)
+      frames.foreach(f => bb.putInt(f.length).put(f))
+      bb.array()
+    }
+
+    def frameCount(payload: Array[Byte]): Option[Int] = {
+      if (payload.length < 8) return None
+      val bb = ByteBuffer.wrap(payload).order(ByteOrder.BIG_ENDIAN)
+      if (bb.getInt() != Magic) None else Some(bb.getInt())
+    }
+
+    /** Seek to frame `idx` and ImageIO-decode it. */
+    def decodeFrame(payload: Array[Byte], idx: Int): Option[(Int, Int, Array[Float])] = {
+      val bb = ByteBuffer.wrap(payload).order(ByteOrder.BIG_ENDIAN)
+      if (payload.length < 8 || bb.getInt() != Magic) return None
+      val n = bb.getInt()
+      if (idx < 0 || idx >= n) return None
+      var i = 0
+      while (i < idx) {
+        val skip = bb.getInt() // read len BEFORE taking the post-read position
+        bb.position(bb.position() + skip)
+        i += 1
+      }
+      val len = bb.getInt()
+      val frame = new Array[Byte](len)
+      bb.get(frame)
+      ImageCodec.decode(frame)
+    }
+  }
+
+  /** FALLBACK CODEC — deterministic fake decode for payload formats
+    * the JDK cannot handle (real features come from [[ImageCodec]] /
+    * [[WavCodec]] / [[VideoCodec]] above). Returns
+    * `channels * width * height` floats in [0, 1) from a seeded
+    * byte-mix over the payload.
     */
   object StubCodec {
-    /** ??? real decode — faked as a seeded byte-mix over the payload:
-      * returns `channels * width * height` floats in [0, 1). `seed`
-      * varies the fake content (e.g. per video frame) without copying
-      * the payload. */
     def decode(payload: Array[Byte], meta: MediaMeta,
         seed: Long = 0L): Array[Float] = {
       val n = math.max(1, meta.channels * meta.width * meta.height)
@@ -65,8 +202,7 @@ object Multimodal {
     }
   }
 
-  /** Nearest-neighbor resize of a decoded HxWxC tensor — real
-    * arithmetic over the (fake) tensor. */
+  /** Nearest-neighbor resize of a decoded HxWxC tensor. */
   def resize(pixels: Array[Float], meta: MediaMeta,
       newW: Int, newH: Int): Array[Float] = {
     val out = new Array[Float](meta.channels * newW * newH)
@@ -107,51 +243,103 @@ object Multimodal {
     out
   }
 
+  /** Per-record embedding from REAL decoded content: images and video
+    * key-frames decode via imageio then resize(8x8)+pool; audio
+    * decodes via AudioSystem then pools the waveform directly. The
+    * stub path fires only when no JDK codec recognizes the payload.
+    */
+  private def embed(m: MediaRecord, dim: Int): Array[Float] = {
+    val decoded: Option[Array[Float]] = m.kind match {
+      case "image" =>
+        ImageCodec.decode(m.payload).map { case (w, h, px) =>
+          resize(px, MediaMeta(w, h, 3, 0, 0), 8, 8)
+        }
+      case "audio" =>
+        WavCodec.decode(m.payload).map(_._2)
+      case "video" =>
+        VideoCodec.decodeFrame(m.payload, 0).map { case (w, h, px) =>
+          resize(px, MediaMeta(w, h, 3, 0, 0), 8, 8)
+        }
+      case _ => None
+    }
+    pool(decoded.getOrElse(
+      resize(StubCodec.decode(m.payload, m.meta), m.meta, 8, 8)), dim)
+  }
+
   /** decode → resize(8×8) → mean-pool(dim): per-partition batch loop,
     * no shuffle, fixed-width output. */
   def featurize(media: Dataset[MediaRecord], dim: Int = 64): Dataset[MediaFeature] = {
     import media.sparkSession.implicits._
     media.mapPartitions { batch =>
-      batch.map { m =>
-        val decoded = StubCodec.decode(m.payload, m.meta)
-        val resized = resize(decoded, m.meta, 8, 8)
-        MediaFeature(m.media_id, m.kind,
-          pool(resized, dim))
-      }
+      batch.map(m => MediaFeature(m.media_id, m.kind, embed(m, dim)))
     }
   }
 
   /** Deterministic frame sampling for video payloads: k evenly-spaced
-    * frame indices, each decoded+pooled independently. */
+    * frame indices, each an independent PNG decode out of the frame
+    * container, pooled to a fixed-dim embedding. */
   def sampleFrames(media: Dataset[MediaRecord], k: Int,
       dim: Int = 16): Dataset[FrameSample] = {
     import media.sparkSession.implicits._
     media.filter(_.kind == "video").flatMap { m =>
-      val n = math.max(1, m.meta.nFrames)
+      val n = VideoCodec.frameCount(m.payload)
+        .getOrElse(math.max(1, m.meta.nFrames))
       (0 until math.min(k, n)).map { j =>
         val idx = j * n / math.min(k, n)
-        // frame-seeded decode: full frame index as the seed (no byte
-        // wraparound collisions, no payload copy per frame)
-        val decoded = StubCodec.decode(m.payload, m.meta, seed = idx.toLong)
-        FrameSample(m.media_id, idx, pool(decoded, dim))
+        val px = VideoCodec.decodeFrame(m.payload, idx)
+          .map { case (w, h, p) => resize(p, MediaMeta(w, h, 3, 0, 0), 8, 8) }
+          .getOrElse(StubCodec.decode(m.payload, m.meta, seed = idx.toLong))
+        FrameSample(m.media_id, idx, pool(px, dim))
       }
     }
   }
 
-  /** Fixture media table derived from `documents`: payload = utf-8
-    * bytes of the text (an opaque blob as far as the operators are
-    * concerned), kind cycling by doc_id, plausible typed metadata. */
+  /** splitmix64-style deterministic pixel/sample synthesis for the
+    * fixture payloads (content is a pure function of (id, frame, i)). */
+  private def mix(seed: Long, frame: Int, i: Int): Long = {
+    var z = seed * 0x9E3779B97F4A7C15L + frame * 0xBF58476D1CE4E5B9L +
+      i * 0x94D049BB133111EBL + 0x2545F4914F6CDD1DL
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  private[multimodal] def synthPixels(id: Long, frame: Int, w: Int, h: Int): Array[Int] =
+    Array.tabulate(w * h)(i => (mix(id, frame, i) & 0xFFFFFF).toInt)
+
+  private[multimodal] def synthSamples(id: Long, n: Int): Array[Short] =
+    Array.tabulate(n)(i => (mix(id, -1, i) & 0xFFFF).toShort)
+
+  /** Fixture media table derived from `documents`: REAL encoded
+    * payloads — PNG or BMP images (alternating, to exercise format
+    * sniffing), PCM-16 WAV audio, and PNG-frame video containers —
+    * with deterministic synthesized content keyed by doc_id. Encoding
+    * happens per-partition in the scan stage; payloads never shuffle.
+    */
   def fromDocuments(spark: SparkSession, docs: DataFrame): Dataset[MediaRecord] = {
     import spark.implicits._
-    docs.select(
-      col("doc_id").cast("long").as("media_id"),
-      element_at(array(lit("image"), lit("audio"), lit("video")),
-        (col("doc_id") % 3 + 1).cast("int")).as("kind"),
-      encode(col("text"), "UTF-8").as("payload"),
-      struct(
-        lit(16).as("width"), lit(12).as("height"), lit(3).as("channels"),
-        lit(16000).as("sampleRate"),
-        (col("doc_id") % 7 + 2).cast("int").as("nFrames")).as("meta"))
-      .as[MediaRecord]
+    docs.select(col("doc_id").cast("long")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        (id % 3) match {
+          case 0 =>
+            val (w, h) = (16, 12)
+            val fmt = if ((id / 3) % 2 == 0) "png" else "bmp"
+            MediaRecord(id, "image",
+              ImageCodec.encode(synthPixels(id, 0, w, h), w, h, fmt),
+              MediaMeta(w, h, 3, 0, 1))
+          case 1 =>
+            val (sr, n) = (16000, 512)
+            MediaRecord(id, "audio", WavCodec.encode(synthSamples(id, n), sr),
+              MediaMeta(0, 0, 1, sr, 1))
+          case _ =>
+            val nF = (id % 7 + 2).toInt
+            val (w, h) = (8, 6)
+            val frames = (0 until nF).map(f =>
+              ImageCodec.encode(synthPixels(id, f, w, h), w, h, "png"))
+            MediaRecord(id, "video", VideoCodec.encode(frames),
+              MediaMeta(w, h, 3, 0, nF))
+        }
+      }
+    }
   }
 }

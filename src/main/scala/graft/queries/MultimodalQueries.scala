@@ -4,10 +4,12 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.multimodal.Multimodal
 
-/** Multimodal operator surface as driver-contract queries. The codec
-  * is the deterministic stub (no media libs in this container) so
-  * results are stable rows>0 checks; the arithmetic stages
-  * (resize/pool/frame-sample) are golden-tested in MultimodalSpec.
+/** Multimodal operator surface as driver-contract queries. The codecs
+  * are real and pure-JDK (imageio PNG/BMP, AudioSystem WAV, PNG-frame
+  * video containers — graft.multimodal.Multimodal); features come from
+  * actual decoded pixels/samples. No DuckDB oracle is expressible
+  * (decode is not SQL), so these stay rows>0 checks with the decode
+  * contract pinned by MultimodalSpec's pixel-exact golden tests.
   */
 object MultimodalQueries {
 

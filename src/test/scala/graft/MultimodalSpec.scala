@@ -10,7 +10,52 @@ class MultimodalSpec extends AnyFunSuite {
   val meta = MediaMeta(width = 4, height = 3, channels = 2,
     sampleRate = 16000, nFrames = 5)
 
-  test("stub decode is deterministic and payload-sensitive") {
+  // --- real codecs (pure JDK) ---
+
+  test("PNG round-trip: decoded floats are the exact encoded pixels") {
+    val rgb = Array(0xFF0000, 0x0080FF) // (255,0,0), (0,128,255) as 2x1
+    val png = Multimodal.ImageCodec.encode(rgb, 2, 1, "png")
+    // PNG magic: 0x89 'P' 'N' 'G'
+    assert((png(0) & 0xFF) == 0x89 && png(1) == 'P')
+    val Some((w, h, px)) = Multimodal.ImageCodec.decode(png)
+    assert(w == 2 && h == 1)
+    assert(px.toSeq == Seq(1f, 0f, 0f, 0f, 128 / 255f, 1f))
+  }
+
+  test("BMP round-trip: format sniffed, pixels exact") {
+    val rgb = Array(0x102030, 0x405060, 0x708090, 0xA0B0C0)
+    val bmp = Multimodal.ImageCodec.encode(rgb, 2, 2, "bmp")
+    assert(bmp(0) == 'B' && bmp(1) == 'M')
+    val Some((w, h, px)) = Multimodal.ImageCodec.decode(bmp)
+    assert(w == 2 && h == 2)
+    assert(px.toSeq == rgb.flatMap(p => Seq(
+      ((p >> 16) & 0xFF) / 255f, ((p >> 8) & 0xFF) / 255f, (p & 0xFF) / 255f)).toSeq)
+  }
+
+  test("WAV round-trip: AudioSystem parse, PCM-16 quantization exact") {
+    val samples = Array[Short](0, 16384, -16384, 32767, -32768, 123)
+    val wav = Multimodal.WavCodec.encode(samples, 16000)
+    assert(new String(wav.take(4), "US-ASCII") == "RIFF")
+    val Some((sr, out)) = Multimodal.WavCodec.decode(wav)
+    assert(sr == 16000)
+    assert(out.toSeq == samples.map(_ / 32768f).toSeq)
+  }
+
+  test("video container: frame seek decodes the right PNG") {
+    val f0 = Multimodal.ImageCodec.encode(Array(0xFF0000), 1, 1, "png")
+    val f1 = Multimodal.ImageCodec.encode(Array(0x00FF00), 1, 1, "png")
+    val f2 = Multimodal.ImageCodec.encode(Array(0x0000FF), 1, 1, "png")
+    val vid = Multimodal.VideoCodec.encode(Seq(f0, f1, f2))
+    assert(Multimodal.VideoCodec.frameCount(vid).contains(3))
+    val Some((_, _, px1)) = Multimodal.VideoCodec.decodeFrame(vid, 1)
+    assert(px1.toSeq == Seq(0f, 1f, 0f))
+    val Some((_, _, px2)) = Multimodal.VideoCodec.decodeFrame(vid, 2)
+    assert(px2.toSeq == Seq(0f, 0f, 1f))
+    assert(Multimodal.VideoCodec.decodeFrame(vid, 3).isEmpty)
+    assert(Multimodal.VideoCodec.frameCount("not a video".getBytes).isEmpty)
+  }
+
+  test("stub decode (fallback) is deterministic and payload-sensitive") {
     val a = Multimodal.StubCodec.decode("abc".getBytes, meta)
     val b = Multimodal.StubCodec.decode("abc".getBytes, meta)
     val c = Multimodal.StubCodec.decode("abd".getBytes, meta)
@@ -19,6 +64,8 @@ class MultimodalSpec extends AnyFunSuite {
     assert(a.toSeq != c.toSeq)
     assert(a.forall(v => v >= 0f && v < 1f))
   }
+
+  // --- tensor stages ---
 
   test("nearest-neighbor resize preserves channel layout") {
     // 2x2x1 tensor -> 4x4 upscale: each source pixel becomes a 2x2 block
@@ -40,6 +87,39 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.pool(Array.fill(7)(1f), 4).length == 4)
   }
 
+  // --- end-to-end: features come from actual decoded content ---
+
+  test("featurize computes from real decoded pixels (known uniform image)") {
+    import spark.implicits._
+    // uniform (100,150,200) 8x8 PNG: resize is identity, every pooled
+    // chunk is one pixel's (r,g,b) -> every dim = mean(100,150,200)/255
+    val png = Multimodal.ImageCodec.encode(Array.fill(64)(0x6496C8), 8, 8, "png")
+    val rec = MediaRecord(7L, "image", png, MediaMeta(8, 8, 3, 0, 1))
+    val Array(feat) = Multimodal.featurize(
+      spark.createDataset(Seq(rec)), dim = 64).collect()
+    val expected = (100 / 255f + 150 / 255f + 200 / 255f) / 3
+    assert(feat.embedding.length == 64)
+    feat.embedding.foreach(v => assert(math.abs(v - expected) < 1e-6))
+  }
+
+  test("featurize computes from real decoded audio (constant waveform)") {
+    import spark.implicits._
+    val wav = Multimodal.WavCodec.encode(Array.fill[Short](512)(16384), 8000)
+    val rec = MediaRecord(8L, "audio", wav, MediaMeta(0, 0, 1, 8000, 1))
+    val Array(feat) = Multimodal.featurize(
+      spark.createDataset(Seq(rec)), dim = 64).collect()
+    feat.embedding.foreach(v => assert(v == 0.5f))
+  }
+
+  test("featurize falls back to stub on undecodable payloads") {
+    import spark.implicits._
+    val rec = MediaRecord(9L, "image", "definitely not an image".getBytes,
+      MediaMeta(4, 3, 3, 0, 1))
+    val Array(feat) = Multimodal.featurize(
+      spark.createDataset(Seq(rec)), dim = 16).collect()
+    assert(feat.embedding.length == 16) // degraded, not crashed
+  }
+
   test("featurize: distributed decode->resize->pool, fixed width") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val feats = Multimodal.featurize(
@@ -53,7 +133,24 @@ class MultimodalSpec extends AnyFunSuite {
       again.sortBy(_.media_id).map(_.embedding.toSeq).toSeq)
   }
 
-  test("frame sampling: k evenly spaced frames per video, video-only") {
+  test("fixture payloads are real PNG/BMP/WAV/GVID bytes") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val media = Multimodal.fromDocuments(spark, docs).collect()
+    val byKind = media.groupBy(_.kind)
+    assert(byKind("image").exists(m => (m.payload(0) & 0xFF) == 0x89)) // PNG
+    assert(byKind("image").exists(m => m.payload(0) == 'B' && m.payload(1) == 'M'))
+    byKind("audio").foreach(m =>
+      assert(new String(m.payload.take(4), "US-ASCII") == "RIFF"))
+    byKind("video").foreach(m =>
+      assert(Multimodal.VideoCodec.frameCount(m.payload).contains(m.meta.nFrames)))
+    // every image decodes to its declared dimensions
+    byKind("image").foreach { m =>
+      val Some((w, h, _)) = Multimodal.ImageCodec.decode(m.payload)
+      assert(w == m.meta.width && h == m.meta.height)
+    }
+  }
+
+  test("frame sampling: k evenly spaced frames per video, real per-frame decode") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val media = Multimodal.fromDocuments(spark, docs)
     val frames = Multimodal.sampleFrames(media, k = 3).collect()
@@ -64,6 +161,16 @@ class MultimodalSpec extends AnyFunSuite {
     perVideo.values.foreach { fs =>
       assert(fs.length <= 3 && fs.nonEmpty)
       assert(fs.map(_.frame_index).distinct.length == fs.length)
+      // distinct frames carry distinct decoded content
+      assert(fs.map(_.frame_embedding.toSeq).distinct.length == fs.length)
     }
+    // sampled-frame embedding equals a direct decode+pool of that frame
+    val v = videos.head
+    val direct = Multimodal.VideoCodec.decodeFrame(v.payload, 0)
+      .map { case (w, h, px) =>
+        Multimodal.pool(Multimodal.resize(px, MediaMeta(w, h, 3, 0, 0), 8, 8), 16)
+      }.get
+    val sampled = perVideo(v.media_id).find(_.frame_index == 0).get
+    assert(sampled.frame_embedding.toSeq == direct.toSeq)
   }
 }
