@@ -60,7 +60,14 @@ object GraphAlgorithms {
     // component label = min original id within the component
     val labeled = cc.join(vids, "vid").select(col("id"), col("cvid"))
     val repr = labeled.groupBy("cvid").agg(min(col("id")).as("component"))
-    labeled.join(repr, "cvid").select("id", "component")
+    // materialize before releasing vids: the dictionary is minted by
+    // zipWithIndex, so a post-unpersist recompute is not guaranteed to
+    // reproduce the same ids
+    val out = labeled.join(repr, "cvid").select("id", "component")
+      .localCheckpoint(eager = true)
+    vids.unpersist()
+    edgeDf.unpersist()
+    out
   }
 
   /** DataFrame-native connected components: iterative min-label
@@ -106,6 +113,7 @@ object GraphAlgorithms {
         val label = members.min
         members.map(m => (m, label))
       }.toSeq
+      edgesSmall.unpersist()
       return spark.createDataset(rows).toDF("id", "component")
     }
     val und = edgesSmall.toDF("a", "b")
@@ -132,6 +140,7 @@ object GraphAlgorithms {
       i += 1
     }
     und.unpersist()
+    edgesSmall.unpersist()
     // A partially-converged result would silently split components —
     // fail loudly; callers raise maxIter (diameter bound) instead.
     if (!converged) throw new IllegalStateException(
@@ -161,8 +170,12 @@ object GraphAlgorithms {
       .partitionBy(org.apache.spark.graphx.PartitionStrategy.EdgePartition2D)
     val ranks = graph.staticPageRank(iterations, resetProb)
       .vertices.toDF("vid", "rank")
-    ranks.join(vids, "vid")
+    val out = ranks.join(vids, "vid")
       .select(col("id"), round(col("rank"), scale).as("rank"))
+      .localCheckpoint(eager = true) // see connectedComponents: vids not recompute-stable
+    vids.unpersist()
+    edgeDf.unpersist()
+    out
   }
 
   /** DataFrame-native BFS / unweighted single-source shortest path
@@ -188,12 +201,27 @@ object GraphAlgorithms {
     val spark = edges.sparkSession
     import spark.implicits._
     require(sources.nonEmpty, "at least one source vertex required")
+    shortestPathsDF(edges, src, dst, sources.distinct.toDF("id"),
+      maxDepth, directed)
+  }
+
+  /** Distributed-sources variant: `sources`' FIRST column is the seed
+    * vertex set, kept as a DataFrame end-to-end — the pipeline shape
+    * (seed sets grow with the data, e.g. one seed per dedup cluster),
+    * where a driver-side `Seq` would be a collect bottleneck. The
+    * `Seq` overload above is the query-time convenience and delegates
+    * here.
+    */
+  def shortestPathsDF(edges: DataFrame, src: String, dst: String,
+      sources: DataFrame, maxDepth: Int,
+      directed: Boolean): DataFrame = {
     val e = edges.select(col(src).cast("string").as("a"),
       col(dst).cast("string").as("b"))
     val und = (if (directed) e
       else e.unionByName(e.select(col("b").as("a"), col("a").as("b"))))
       .cache()
-    var visited = sources.distinct.toDF("id")
+    var visited = sources
+      .select(col(sources.columns.head).cast("string").as("id")).distinct()
       .withColumn("distance", lit(0))
       .localCheckpoint(eager = true)
     var frontier = visited
@@ -234,12 +262,25 @@ object GraphAlgorithms {
     val spark = edges.sparkSession
     import spark.implicits._
     require(sources.nonEmpty, "at least one source vertex required")
+    weightedShortestPathsDF(edges, src, dst, weight,
+      sources.distinct.toDF("id"), maxIter, directed)
+  }
+
+  /** Distributed-sources variant (see [[shortestPathsDF]]'s DataFrame
+    * overload): seeds stay a DataFrame end-to-end, matching GDS
+    * dijkstra's server-side node-set sources. `sources`' first column
+    * is the seed vertex set.
+    */
+  def weightedShortestPathsDF(edges: DataFrame, src: String, dst: String,
+      weight: String, sources: DataFrame, maxIter: Int,
+      directed: Boolean): DataFrame = {
     val e = edges.select(col(src).cast("string").as("a"),
       col(dst).cast("string").as("b"), col(weight).cast("long").as("w"))
     val und = (if (directed) e
       else e.unionByName(e.select(col("b").as("a"), col("a").as("b"), col("w"))))
       .cache()
-    var dist = sources.distinct.toDF("id")
+    var dist = sources
+      .select(col(sources.columns.head).cast("string").as("id")).distinct()
       .withColumn("dist", lit(0L))
       .localCheckpoint(eager = true)
     var converged = false
@@ -312,8 +353,15 @@ object GraphAlgorithms {
       .unionByName(tris.select(col("v").as("id")))
       .unionByName(tris.select(col("w").as("id")))
       .groupBy("id").agg(count(lit(1)).as("n_tri"))
-    deg.select(col("id")).join(counts, Seq("id"), "left")
+    // materialize (one row per vertex) so the intermediate caches can
+    // be released here instead of leaking into the shared storage pool
+    val out = deg.select(col("id")).join(counts, Seq("id"), "left")
       .select(col("id"), coalesce(col("n_tri"), lit(0L)).as("n_tri"))
+      .localCheckpoint(eager = true)
+    e0.unpersist()
+    deg.unpersist()
+    oriented.unpersist()
+    out
   }
 
   /** Neighbor-set Jaccard for every vertex pair sharing ≥1 neighbor
@@ -352,11 +400,16 @@ object GraphAlgorithms {
         col("u1.n") === col("u2.n") && col("u1.m") < col("u2.m"))
       .groupBy(col("u1.m").as("a"), col("u2.m").as("b"))
       .agg(count(lit(1)).as("inter_cnt"))
-    wedges
+    // materialize (pairs are band-width-bounded) then release caches
+    val out = wedges
       .join(deg.select(col("n").as("a"), col("deg").as("da")), "a")
       .join(deg.select(col("n").as("b"), col("deg").as("db")), "b")
       .select(col("a"), col("b"), col("inter_cnt"),
         (col("da") + col("db") - col("inter_cnt")).as("union_cnt"))
+      .localCheckpoint(eager = true)
+    und.unpersist()
+    deg.unpersist()
+    out
   }
 
   /** Label propagation communities (GDS parity; k iterations). */
@@ -376,6 +429,10 @@ object GraphAlgorithms {
     val graph = XGraph.fromEdges(edgeRdd, ())
     val labels = org.apache.spark.graphx.lib.LabelPropagation
       .run(graph, iterations).vertices.toDF("vid", "label")
-    labels.join(vids, "vid").select(col("id"), col("label"))
+    val out = labels.join(vids, "vid").select(col("id"), col("label"))
+      .localCheckpoint(eager = true) // see connectedComponents: vids not recompute-stable
+    vids.unpersist()
+    edgeDf.unpersist()
+    out
   }
 }

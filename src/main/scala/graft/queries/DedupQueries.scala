@@ -368,15 +368,16 @@ object DedupQueries {
           (size(col("sh1")) + size(col("sh2"))
             - size(array_intersect(col("sh1"), col("sh2"))) * 2 + 1)
             .cast("long").as("w"))
-      // Cluster seeds = distinct component labels; bounded by the
-      // cluster count (the `sources` parameter's own contract).
+      // Cluster seeds = distinct component labels, kept as a DataFrame
+      // end-to-end (cluster count grows linearly with the corpus — a
+      // driver-side Seq here would be the 100 TB bottleneck).
       val seeds = graft.graph.GraphAlgorithms.connectedComponentsDF(
         pairs.select(col("d1").cast("string").as("d1"),
           col("d2").cast("string").as("d2")), "d1", "d2")
         .select("component").distinct()
-        .collect().map(_.getString(0)).toSeq
       graft.graph.GraphAlgorithms
-        .weightedShortestPathsDF(wp, "d1", "d2", "w", seeds)
+        .weightedShortestPathsDF(wp, "d1", "d2", "w", seeds,
+          maxIter = 64, directed = false)
         .select(col("id").cast("long").as("doc_id"), col("dist"))
         .orderBy("doc_id")
     },

@@ -155,4 +155,35 @@ class GraphAlgorithmsSpec extends AnyFunSuite {
       edges, "s", "t", Seq("a", "d")))
     assert(multi("c") == 1 && multi("b") == 1 && multi("e") == 1)
   }
+
+  test("DataFrame-sources overloads match the Seq overloads exactly") {
+    // seeds as a distributed DataFrame (the pipeline shape — no
+    // driver-side collect); first column is the seed set, duplicate
+    // seeds and a non-"id" column name must not matter.
+    val edges = Seq(
+      ("a", "b", 10L), ("a", "c", 1L), ("c", "d", 1L), ("d", "b", 1L),
+      ("f", "g", 5L)
+    ).toDF("s", "t", "w")
+    val seedDf = Seq("a", "b", "a").toDF("component")
+
+    val viaSeq = GraphAlgorithms.weightedShortestPathsDF(
+      edges, "s", "t", "w", Seq("a", "b"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val viaDf = GraphAlgorithms.weightedShortestPathsDF(
+      edges, "s", "t", "w", seedDf, maxIter = 64, directed = false)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(viaDf == viaSeq)
+
+    val bfsSeq = GraphAlgorithms.shortestPathsDF(edges, "s", "t", Seq("a", "b"))
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    val bfsDf = GraphAlgorithms.shortestPathsDF(
+      edges, "s", "t", seedDf, maxDepth = 30, directed = false)
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(bfsDf == bfsSeq)
+
+    // empty distributed seed set: empty result, no special-casing
+    assert(GraphAlgorithms.shortestPathsDF(edges, "s", "t",
+      seedDf.where("component = 'zzz'"), maxDepth = 5,
+      directed = false).count() == 0)
+  }
 }
