@@ -55,6 +55,15 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
+    // Aux snapshot for the gfe-domain oracles: the fixture graph's
+    // node/edge tables land at a well-known absolute path that the
+    // gfe_* oracle SQL reads via read_parquet (the EMBL flat-file
+    // input itself is not DuckDB-readable; the snapshot is the trust
+    // boundary — construction is spec-tested, queries hash-verified).
+    try graft.queries.GfeQueries.dumpAux(spark)
+    catch { case e: Throwable =>
+      System.err.println(s"[verify] aux dump failed: ${e.getMessage}")
+    }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

@@ -137,6 +137,15 @@ object GfeBuild {
       kir: Boolean = false): BuildResult = {
     import spark.implicits._
     val imgtRelease = GfeConstants.formatRelease(release)
+    // Error timestamp is stamped ONCE at build time (not
+    // current_timestamp(), which re-evaluates on every action over the
+    // lazy plan): every materialization of the errors relation agrees,
+    // matching the reference's behavior of writing each NDJSON line at
+    // failure time exactly once (app.py:630-639).
+    val buildStamp = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd'T'HH:mm:ss.SSS")
+      .withZone(java.time.ZoneOffset.UTC)
+      .format(java.time.Instant.now())
 
     val alleles = processable(records, limit, kir)
 
@@ -287,8 +296,7 @@ object GfeBuild {
       .join(withGfe.select("idx", "acc_name", "hla_name", "description"),
         Seq("idx"))
       .select(
-        date_format(current_timestamp(), "yyyy-MM-dd'T'HH:mm:ss.SSS")
-          .as("timestamp"),
+        lit(buildStamp).as("timestamp"),
         col("acc_name").as("allele_id"),
         col("hla_name"),
         lit(release).as("release"),

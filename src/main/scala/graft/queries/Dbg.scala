@@ -14,9 +14,9 @@ package graft.queries
   * Findings this shape established (round 6): iteration 0 pays
   * ~12-25 s of JIT/codegen (the sf0.001 fixture warm-up never gets
   * the parser/feature-extraction loops hot); iterations 1+ are stable
-  * at ~5-6 s build / ~6-7 s load with <0.4 s GC — hence Bench's one
-  * untimed scale warm-up + median-of-3. Not part of the driver
-  * contract.
+  * at ~5-6 s build / ~6-7 s load with <0.4 s GC (the compilation tail
+  * reaches through iteration ~2) — hence Bench's THREE untimed scale
+  * warm-ups + median-of-3. Not part of the driver contract.
   */
 object Dbg {
   def main(args: Array[String]): Unit = {

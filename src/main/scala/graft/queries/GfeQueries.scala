@@ -9,13 +9,39 @@ import graft.ingest.{ImgtFlatFile, MsfAlignments}
   * the bundled two-release IMGT fixture: flat-file scan → build
   * relations → graph MERGE → validation/traversal queries.
   *
-  * These are not DuckDB-expressible (the input is an EMBL flat file,
-  * not a parquet table), so they carry no oracle — the driver records
-  * rows>0; the exact semantics are golden-tested in
-  * GfeBuildSpec/GraphLoadSpec (17-feature traversal shape, accession
-  * stability, MERGE policies).
+  * Oracle strategy: the INPUT is an EMBL flat file, not a parquet
+  * table, so DuckDB cannot replay the build itself — the build
+  * relations (`gfe_build_*`) stay rows-only, their semantics carried
+  * by GfeBuildSpec/GraphLoadSpec goldens. But every aggregation /
+  * traversal DOWNSTREAM of the graph is relational: [[dumpAux]]
+  * snapshots the 11 graph tables to a well-known parquet directory
+  * during Verify, and those queries carry real DuckDB oracles that
+  * recompute the aggregation independently (`read_parquet` over the
+  * snapshot — counts, unnests, joins, EXISTS checks, and a recursive
+  * CTE for BFS). The snapshot is the trust boundary: node/edge
+  * CONSTRUCTION is spec-tested, query semantics are hash-verified.
   */
 object GfeQueries {
+
+  /** Well-known aux-snapshot directory referenced by the gfe oracle
+    * SQL. Absolute so the driver's DuckDB session resolves it
+    * regardless of its working directory. */
+  val auxDir = "/tmp/graft_verify_aux"
+  private def aux(table: String): String =
+    s"read_parquet('$auxDir/$table/*.parquet')"
+
+  /** Dump the fixture graph's vertex+edge tables to [[auxDir]] for the
+    * DuckDB oracle replay. Called by [[graft.Verify]]; fixture tables
+    * are tiny, so coalesce(1) keeps each dump one task/file. */
+  def dumpAux(s: SparkSession): Unit = {
+    val g = graph(s)
+    val tables =
+      g.vertexTables.map { case (k, v) => s"v_$k" -> v } ++
+        g.edgeTables.map { case (k, v) => s"e_$k" -> v }
+    tables.foreach { case (name, df) =>
+      df.coalesce(1).write.mode("overwrite").parquet(s"$auxDir/$name")
+    }
+  }
 
   // Build results memoized per (session, release): GfeBuild caches its
   // intermediates, so re-invoking it would rebuild fresh plans and
@@ -124,35 +150,81 @@ object GfeQueries {
     QueryDef.noOracle("gfe_build_groups")((s, _) =>
       build(s, "3560").allGroups.orderBy("hla_name", "ard_name")),
     // A1: per-label node counts over the merged two-release graph.
-    QueryDef.noOracle("gfe_graph_label_counts")((s, _) =>
-      GraphQueries.labelCounts(graph(s))),
-    // A2: releases histogram over HAS_IPD_ALLELE.
-    QueryDef.noOracle("gfe_releases_histogram")((s, _) =>
-      GraphQueries.releasesHistogram(graph(s))),
+    // Oracle: independent per-table counts over the aux snapshot.
+    QueryDef("gfe_graph_label_counts",
+      s"""SELECT 'Feature' AS label, count(*) AS n FROM ${aux("v_Feature")}
+         |UNION ALL SELECT 'GFE', count(*) FROM ${aux("v_GFE")}
+         |UNION ALL SELECT 'IPD_Accession', count(*) FROM ${aux("v_IPD_Accession")}
+         |UNION ALL SELECT 'IPD_Allele', count(*) FROM ${aux("v_IPD_Allele")}
+         |UNION ALL SELECT 'Sequence', count(*) FROM ${aux("v_Sequence")}
+         |UNION ALL SELECT 'Submitter', count(*) FROM ${aux("v_Submitter")}""".stripMargin)(
+      (s, _) => GraphQueries.labelCounts(graph(s))),
+    // A2: releases histogram over HAS_IPD_ALLELE (UNWIND ≡ unnest).
+    QueryDef("gfe_releases_histogram",
+      s"""SELECT release_version, count(*) AS count FROM (
+         |  SELECT unnest(list_distinct(releases)) AS release_version
+         |  FROM ${aux("e_HAS_IPD_ALLELE")})
+         |GROUP BY release_version ORDER BY release_version""".stripMargin)(
+      (s, _) => GraphQueries.releasesHistogram(graph(s))),
     // J8: the documented 2-hop traversal (17-row golden shape).
-    QueryDef.noOracle("gfe_allele_features")((s, _) =>
-      GraphQueries.alleleFeatures(graph(s), "HLA-A*01:01:01:01")),
+    // Oracle: the traversal re-derived as a relational join over the
+    // snapshot's edge tables.
+    QueryDef("gfe_allele_features",
+      s"""SELECT DISTINCT hf.term AS term, hf.rank AS rank
+         |FROM ${aux("e_HAS_FEATURE")} hf
+         |JOIN ${aux("e_HAS_IPD_ALLELE")} ha ON hf.src = ha.src
+         |WHERE ha.dst = 'HLA-A*01:01:01:01'
+         |ORDER BY term, rank""".stripMargin)(
+      (s, _) => GraphQueries.alleleFeatures(graph(s), "HLA-A*01:01:01:01")),
     // GFE history (reference.rst:88-96) — the reference's second
     // documented analytical query: GFE names of an allele with the
     // releases each was observed in (array serialized for a stable
     // parquet dump).
-    QueryDef.noOracle("gfe_history")((s, _) => {
+    QueryDef("gfe_history",
+      s"""SELECT src AS gfe_name, array_to_string(releases, ',') AS releases
+         |FROM ${aux("e_HAS_IPD_ALLELE")}
+         |WHERE dst = 'HLA-A*01:01:01:01' ORDER BY gfe_name""".stripMargin)(
+      (s, _) => {
       import org.apache.spark.sql.functions._
       GraphQueries.gfeHistory(graph(s), "HLA-A*01:01:01:01")
         .withColumn("releases", concat_ws(",", col("releases")))
     }),
     // A3: HAS_IPD_ACCESSION release counts
     // (execute_validation_queries/app.py:79).
-    QueryDef.noOracle("gfe_accession_release_counts")((s, _) =>
-      GraphQueries.accessionReleaseCounts(graph(s))),
+    QueryDef("gfe_accession_release_counts",
+      s"""SELECT release, count(*) AS count
+         |FROM ${aux("e_HAS_IPD_ACCESSION")}
+         |GROUP BY release ORDER BY release""".stripMargin)(
+      (s, _) => GraphQueries.accessionReleaseCounts(graph(s))),
     // SHOW CONSTRAINTS parity: per-constraint validation report (6
-    // rows; `violated` must be all-false on a healthy graph).
-    QueryDef.noOracle("gfe_constraints")((s, _) =>
-      GraphQueries.constraintReport(graph(s))),
+    // rows; `violated` must be all-false on a healthy graph). Oracle:
+    // each uniqueness invariant as an EXISTS over the snapshot.
+    QueryDef("gfe_constraints",
+      s"""SELECT 'gfe_name_unique' AS constraint_name, EXISTS(
+         |  SELECT 1 FROM ${aux("v_GFE")} GROUP BY name HAVING count(*) > 1) AS violated
+         |UNION ALL SELECT 'sequence_name_unique', EXISTS(
+         |  SELECT 1 FROM ${aux("v_Sequence")} GROUP BY name HAVING count(*) > 1)
+         |UNION ALL SELECT 'ipd_allele_name_unique', EXISTS(
+         |  SELECT 1 FROM ${aux("v_IPD_Allele")} GROUP BY name HAVING count(*) > 1)
+         |UNION ALL SELECT 'ipd_accession_name_unique', EXISTS(
+         |  SELECT 1 FROM ${aux("v_IPD_Accession")} GROUP BY name HAVING count(*) > 1)
+         |UNION ALL SELECT 'submitter_email_unique', EXISTS(
+         |  SELECT 1 FROM ${aux("v_Submitter")} GROUP BY email HAVING count(*) > 1)
+         |UNION ALL SELECT 'feature_composite_unique', EXISTS(
+         |  SELECT 1 FROM ${aux("v_Feature")}
+         |  GROUP BY locus, rank, term, accession, sequence HAVING count(*) > 1)""".stripMargin)(
+      (s, _) => GraphQueries.constraintReport(graph(s))),
     // Generic motif traversal (the ad-hoc Cypher-path surface): the
     // documented 2-hop re-expressed through Motif.path must reproduce
-    // the 17-row golden shape.
-    QueryDef.noOracle("gfe_motif_2hop")((s, _) => {
+    // the 17-row golden shape. Same relational oracle as
+    // gfe_allele_features — the two Spark paths (broadcast join vs
+    // Motif composition) must agree with it AND each other.
+    QueryDef("gfe_motif_2hop",
+      s"""SELECT DISTINCT hf.term AS term, hf.rank AS rank
+         |FROM ${aux("e_HAS_FEATURE")} hf
+         |JOIN ${aux("e_HAS_IPD_ALLELE")} ha ON hf.src = ha.src
+         |WHERE ha.dst = 'HLA-A*01:01:01:01'
+         |ORDER BY term, rank""".stripMargin)((s, _) => {
       import org.apache.spark.sql.functions._
       import graft.graph.Motif
       Motif.path(graph(s), Seq(
@@ -177,7 +249,25 @@ object GfeQueries {
     // the HAS_IPD_ALLELE ∪ HAS_FEATURE edges (undirected): distance 1
     // = the allele's GFE nodes, distance 2 = their features + alleles
     // sharing a GFE, distance 3 = GFEs sharing one of those features.
-    QueryDef.noOracle("gfe_bfs_distance")((s, _) => {
+    // Oracle: recursive CTE over the snapshot — (id, depth) pairs are
+    // bounded by the same maxDepth as the Spark BFS, min() per id is
+    // the BFS distance.
+    QueryDef("gfe_bfs_distance",
+      s"""WITH RECURSIVE und AS (
+         |  SELECT src AS a, dst AS b FROM ${aux("e_HAS_IPD_ALLELE")}
+         |  UNION ALL SELECT dst, src FROM ${aux("e_HAS_IPD_ALLELE")}
+         |  UNION ALL SELECT src, concat_ws(':', locus, term, rank, accession)
+         |    FROM ${aux("e_HAS_FEATURE")}
+         |  UNION ALL SELECT concat_ws(':', locus, term, rank, accession), src
+         |    FROM ${aux("e_HAS_FEATURE")}
+         |), bfs(id, depth) AS (
+         |  SELECT 'HLA-A*01:01:01:01', 0
+         |  UNION
+         |  SELECT u.b, bfs.depth + 1 FROM bfs JOIN und u ON u.a = bfs.id
+         |  WHERE bfs.depth < 30
+         |)
+         |SELECT id, min(depth) AS distance FROM bfs
+         |GROUP BY id ORDER BY distance, id""".stripMargin)((s, _) => {
       import org.apache.spark.sql.functions._
       val g = graph(s)
       val edges = g.hasIpdAllele.select(col("src"), col("dst"))

@@ -82,8 +82,10 @@ object StreamingQueries {
     // Per-key rate limiting: first event per (user, type) per hour —
     // the alert/notification throttle. Batch twin of
     // EventStreams.throttleStream, which rides Spark 4's
-    // transformWithState (RocksDB ValueState, one long per key); the
-    // streaming path is proven by EventStreamsSpec's readStream run.
+    // transformWithState (RocksDB ValueState, 16 bytes per key:
+    // newest bucket + 64-bucket emitted bitmask, TTL-bounded); the
+    // streaming path, out-of-order delivery, and TTL expiry are
+    // proven by EventStreamsSpec's readStream runs.
     QueryDef(
       "st_throttle",
       """SELECT user_id, event_type, bucket_us, event_id FROM (

@@ -149,6 +149,12 @@ object EventStreams {
         (userId: Long, rows: Iterator[Event], state: GroupState[FunnelState]) =>
           var s = state.getOption.getOrElse(FunnelState(-1L, -1L, -1L))
           val out = scala.collection.mutable.ArrayBuffer.empty[FunnelOut]
+          // Buffer-and-sort is per KEY per MICRO-BATCH: live operation
+          // holds minutes of one user's events, not history. A backfill
+          // replay that crams a hot key's full history into one batch
+          // materializes it in that task — bound replays with
+          // maxFilesPerTrigger (hot-key behavior spec'd in
+          // EventStreamsSpec).
           for (e <- rows.toSeq.sortBy(e => (micros(e.ts), e.event_id))) {
             val t = micros(e.ts)
             e.event_type match {
@@ -191,43 +197,82 @@ object EventStreams {
   final case class ThrottleOut(
       user_id: Long, event_type: String, bucket_us: Long, event_id: Long)
 
+  /** Throttle state: the newest emitted bucket plus a 64-bit bitmask
+    * of the 64 buckets at and below it (bit i = bucket maxBucket - i
+    * already emitted) — 16 bytes per key, fixed. */
+  final case class ThrottleState(maxBucket: Long, mask: Long)
+
   /** Per-key rate limiter on Spark 4's `transformWithState` (the
     * arbitrary-stateful successor to flatMapGroupsWithState, RocksDB-
     * backed): pass only the FIRST event per (user, type) per 1-hour
-    * event-time bucket. State is ONE long per key (the last emitted
-    * bucket) in a `ValueState` — production deployments bound it with
-    * the API's native TTL instead of timers. Exact against
-    * [[throttleBatch]] under per-user event-time-ordered delivery
-    * (batches sort before the transition, as in [[funnelStream]]). */
-  private class ThrottleProcessor
+    * event-time bucket. State is a [[ThrottleState]] per key in a
+    * `ValueState` bounded by the API's native TTL (constructor
+    * argument; default 30 days in [[throttleStream]]).
+    *
+    * Out-of-order delivery: the bitmask remembers which of the 64
+    * most-recent buckets emitted, so an event arriving late for an
+    * earlier, never-emitted bucket still passes — row-per-bucket
+    * parity with [[throttleBatch]] holds whenever cross-batch disorder
+    * stays within 64 buckets (64 h); only events >64 buckets behind
+    * the key's newest bucket are dropped, the same kind of bounded
+    * horizon a watermark imposes. The emitted event_id additionally
+    * matches the batch twin under per-key event-time-ordered delivery
+    * (each micro-batch sorts before the transition, as in
+    * [[funnelStream]]; across batches the first arrival wins). */
+  private class ThrottleProcessor(ttl: TTLConfig)
       extends StatefulProcessor[(Long, String), Event, ThrottleOut] {
-    @transient private var lastBucket: ValueState[Long] = _
+    @transient private var emitted: ValueState[ThrottleState] = _
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
-      lastBucket = getHandle.getValueState[Long]("lastBucket",
-        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+      emitted = getHandle.getValueState[ThrottleState]("emitted",
+        org.apache.spark.sql.Encoders.product[ThrottleState], ttl)
     override def handleInputRows(key: (Long, String), rows: Iterator[Event],
         timerValues: TimerValues): Iterator[ThrottleOut] = {
       val sorted = rows.toSeq.sortBy(e => (micros(e.ts), e.event_id))
       val out = scala.collection.mutable.ArrayBuffer.empty[ThrottleOut]
-      var last = if (lastBucket.exists()) lastBucket.get() else Long.MinValue
+      var st = if (emitted.exists()) emitted.get() else null
       for (e <- sorted) {
         val b = Math.floorDiv(micros(e.ts), 3600000000L)
-        if (b > last) {
-          last = b
+        def emit(): Unit =
           out += ThrottleOut(key._1, key._2, b * 3600000000L, e.event_id)
+        if (st == null) { st = ThrottleState(b, 1L); emit() }
+        else if (b > st.maxBucket) {
+          val d = b - st.maxBucket
+          st = ThrottleState(b, if (d >= 64) 1L else (st.mask << d) | 1L)
+          emit()
+        } else {
+          val idx = st.maxBucket - b
+          if (idx < 64 && ((st.mask >> idx) & 1L) == 0L) {
+            st = st.copy(mask = st.mask | (1L << idx)); emit()
+          } // else: bucket already emitted, or older than the 64-bucket
+            // disorder horizon — dropped
         }
       }
-      lastBucket.update(last)
+      if (st != null) emitted.update(st)
       out.iterator
     }
   }
 
-  def throttleStream(events: Dataset[Event]): Dataset[ThrottleOut] = {
+  /** See [[ThrottleProcessor]]. `ttl` bounds per-key state lifetime
+    * (processing-time, the only mode the state-TTL API supports): a
+    * key idle past it is forgotten and its next event re-emits.
+    *
+    * Time-mode note: TTL requires `TimeMode.ProcessingTime`, under
+    * which the operator always reports another batch pending (to
+    * service TTL/timer expiry) — an `AvailableNow` run therefore
+    * never self-terminates; drive it with `processAllAvailable()` +
+    * `stop()` (EventStreamsSpec does). With `TTLConfig.NONE` the
+    * operator runs in `TimeMode.None` and `AvailableNow` drains and
+    * stops on its own. */
+  def throttleStream(events: Dataset[Event],
+      ttl: TTLConfig = TTLConfig(java.time.Duration.ofDays(30))
+  ): Dataset[ThrottleOut] = {
     import events.sparkSession.implicits._
+    val timeMode =
+      if (ttl == TTLConfig.NONE) TimeMode.None() else TimeMode.ProcessingTime()
     events
       .groupByKey(e => (e.user_id, e.event_type))
-      .transformWithState(new ThrottleProcessor,
-        TimeMode.None(), OutputMode.Append())
+      .transformWithState(new ThrottleProcessor(ttl),
+        timeMode, OutputMode.Append())
   }
 
   /** Batch twin of [[throttleStream]]: first event per

@@ -169,11 +169,17 @@ class EventStreamsSpec extends AnyFunSuite {
     spark.conf.set(key,
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     try {
+      // TTLConfig.NONE → TimeMode.None → AvailableNow self-terminates
+      // (with a TTL the operator always has TTL-expiry work pending
+      // and awaitTermination would spin empty batches forever — the
+      // multi-batch tests below drive TTL'd runs by settling on the
+      // sink + an empty committed batch, see throttlePass)
       val streamed = EventStreams.runAsStream(
         spark, s"$sfDir/events.parquet",
         df => EventStreams.throttleStream(
           df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-            .as[EventStreams.Event]).toDF(),
+            .as[EventStreams.Event],
+          org.apache.spark.sql.streaming.TTLConfig.NONE).toDF(),
         "throttle_stream")
         .collect()
         .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
@@ -217,5 +223,164 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(streamed.subsetOf(batch), "every streamed session is a batch session")
     assert((batch -- streamed).subsetOf(lastPerUser),
       "only per-user open tails may be missing from the stream")
+  }
+
+  // ---- throttle multi-batch behavior: real checkpointed restarts ----
+
+  private def withRocksDb[T](body: => T): T = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  /** One AvailableNow pass of throttleStream over `srcDir` with a
+    * persistent checkpoint — a restarted call with the same checkpoint
+    * resumes the RocksDB state and processes only files added since.
+    * Sink is a parquet FILE sink (the memory sink refuses checkpoint
+    * recovery), so the returned set is the CUMULATIVE committed output
+    * across all passes; `expectRows` is likewise cumulative. */
+  private def throttlePass(srcDir: String, chk: String, outDir: String,
+      ttl: org.apache.spark.sql.streaming.TTLConfig, expectRows: Int)
+      : Set[(Long, String, Long, Long)] = {
+    import spark.implicits._
+    val schema = spark.read.parquet(srcDir).schema
+    val in = spark.readStream.schema(schema).parquet(srcDir)
+    val q = EventStreams.throttleStream(in.as[EventStreams.Event], ttl).toDF()
+      .writeStream.format("parquet")
+      .option("path", outDir)
+      .outputMode("append")
+      .option("checkpointLocation", chk)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    // A TTL'd transformWithState (TimeMode.ProcessingTime) ALWAYS
+    // reports another batch pending (to service TTL expiry), so
+    // AvailableNow never self-terminates and processAllAvailable's
+    // noNewData latch never fires — the query busy-loops empty
+    // batches. Termination contract instead: wait until the expected
+    // rows are committed to the sink (reads honor _spark_metadata, so
+    // only committed files count) AND the newest progress processed 0
+    // input rows (an empty batch can only start after the data batch
+    // fully committed — offsets, sink, and state), then stop. Stopping
+    // on sink rows alone could race the offset commit and replay the
+    // batch on the next checkpointed restart.
+    def outRows(): Set[(Long, String, Long, Long)] =
+      try spark.read.parquet(outDir).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      catch { case _: Exception => Set.empty }
+    val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+    var settled = false
+    while (!settled && q.isActive && System.nanoTime() < deadline) {
+      val lp = q.lastProgress
+      if (lp != null && lp.numInputRows == 0 && outRows().size >= expectRows)
+        settled = true
+      else q.awaitTermination(200) // also surfaces stream exceptions
+    }
+    if (q.isActive) { q.stop() }
+    q.awaitTermination()
+    val rows = outRows()
+    assert(rows.size >= expectRows,
+      s"throttlePass($outDir) timed out waiting for $expectRows committed rows")
+    rows
+  }
+
+  private def hourTs(h: Long, plusSec: Long = 0): java.sql.Timestamp =
+    new java.sql.Timestamp((h * 3600L + plusSec) * 1000)
+  private val hourUs = 3600000000L
+
+  private def writeEvents(dir: String, evs: Seq[EventStreams.Event]): Unit = {
+    import spark.implicits._
+    evs.toDS().coalesce(1).write.mode("append").parquet(dir)
+  }
+
+  test("throttle: out-of-order bucket across micro-batches still emits") {
+    withRocksDb {
+      val src = java.nio.file.Files.createTempDirectory("thr_ooo_src").toString
+      val chk = java.nio.file.Files.createTempDirectory("thr_ooo_chk").toString
+      val out = java.nio.file.Files.createTempDirectory("thr_ooo_out").toString
+      val ttl = org.apache.spark.sql.streaming.TTLConfig(
+        java.time.Duration.ofDays(30))
+      // batch 1: bucket 10 emits and becomes the key's high-water mark
+      writeEvents(src, Seq(
+        EventStreams.Event(1L, hourTs(10), 1L, "view", 0.0, "")))
+      val run1 = throttlePass(src, chk, out, ttl, 1)
+      assert(run1 == Set((1L, "view", 10 * hourUs, 1L)))
+      // batch 2: bucket 8 arrives LATE (below the mark, never emitted)
+      // plus a duplicate of bucket 10 — the bitmask must pass the
+      // former and suppress the latter (a single high-water mark would
+      // silently drop bucket 8, diverging from the batch twin)
+      writeEvents(src, Seq(
+        EventStreams.Event(2L, hourTs(8), 1L, "view", 0.0, ""),
+        EventStreams.Event(3L, hourTs(10, 60), 1L, "view", 0.0, "")))
+      val run2 = throttlePass(src, chk, out, ttl, 2) // cumulative
+      assert(run2 -- run1 == Set((1L, "view", 8 * hourUs, 2L)),
+        "the late bucket-8 event must emit; the bucket-10 dup must not")
+      // across both passes the stream equals the batch twin over the
+      // union of all delivered events — row-per-bucket AND event_id
+      import spark.implicits._
+      val all = Seq(
+        EventStreams.Event(1L, hourTs(10), 1L, "view", 0.0, ""),
+        EventStreams.Event(2L, hourTs(8), 1L, "view", 0.0, ""),
+        EventStreams.Event(3L, hourTs(10, 60), 1L, "view", 0.0, ""))
+      val twin = EventStreams.throttleBatch(all.toDF()).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      assert(run2 == twin)
+    }
+  }
+
+  test("throttle: TTL expires idle key state; next event re-emits") {
+    withRocksDb {
+      val src = java.nio.file.Files.createTempDirectory("thr_ttl_src").toString
+      val chk = java.nio.file.Files.createTempDirectory("thr_ttl_chk").toString
+      val out = java.nio.file.Files.createTempDirectory("thr_ttl_out").toString
+      val ttl = org.apache.spark.sql.streaming.TTLConfig(
+        java.time.Duration.ofSeconds(2))
+      writeEvents(src, Seq(
+        EventStreams.Event(1L, hourTs(10), 7L, "click", 0.0, "")))
+      val run1 = throttlePass(src, chk, out, ttl, 1)
+      assert(run1 == Set((7L, "click", 10 * hourUs, 1L)))
+      Thread.sleep(4000) // idle past the 2 s TTL
+      // same (key, bucket) again: with live state this would be
+      // suppressed (proven by the out-of-order test above); after TTL
+      // expiry the key is forgotten and the event re-emits
+      writeEvents(src, Seq(
+        EventStreams.Event(2L, hourTs(10, 60), 7L, "click", 0.0, "")))
+      val run2 = throttlePass(src, chk, out, ttl, 2) // cumulative
+      assert(run2 == Set(
+        (7L, "click", 10 * hourUs, 1L),
+        (7L, "click", 10 * hourUs, 2L)),
+        "after TTL expiry the same (key, bucket) must re-emit")
+    }
+  }
+
+  test("funnel hot key: one user's whole history in a single batch matches twin") {
+    import spark.implicits._
+    // Backfill-replay shape: 30k events for ONE user delivered in one
+    // micro-batch — the per-key buffer-and-sort materializes all of
+    // them in a single task (the documented bound); result must still
+    // be exact against the batch twin.
+    val types = Array("view", "click", "purchase", "scroll")
+    val evs = (0 until 30000).map { i =>
+      EventStreams.Event(i.toLong, hourTs(1, i.toLong), 99L,
+        types(i % types.length), 1.0, "")
+    }
+    val src = java.nio.file.Files.createTempDirectory("funnel_hot").toString
+    writeEvents(src, evs)
+    val batch = EventStreams.funnelBatch(evs.toDF())
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val streamed = EventStreams.runAsStream(
+      spark, src,
+      df => EventStreams.funnelStream(df.as[EventStreams.Event]).toDF(),
+      "funnel_hot_stream")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(streamed == batch)
+    assert(streamed.map(_._2) == Set(1, 2, 3))
   }
 }
