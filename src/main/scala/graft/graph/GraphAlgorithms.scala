@@ -2,6 +2,7 @@ package graft.graph
 
 import org.apache.spark.graphx.{Edge, Graph => XGraph}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Graph algorithms over edge DataFrames — the GDS-plugin capability
@@ -409,6 +410,286 @@ object GraphAlgorithms {
       .localCheckpoint(eager = true)
     und.unpersist()
     deg.unpersist()
+    out
+  }
+
+  /** Louvain community detection (GDS `gds.louvain` parity),
+    * DataFrame-native and fully deterministic.
+    *
+    * Standard two-phase structure: (1) local moving — each round every
+    * vertex evaluates the modularity gain of joining each neighbor
+    * community and takes the best strictly-positive move; (2) graph
+    * contraction — communities become super-nodes (inter-community
+    * weights summed, intra-community weight kept as self-loop mass)
+    * and phase 1 repeats on the smaller graph, up to `maxPasses`
+    * levels.
+    *
+    * Determinism and scale choices:
+    *   - Gain comparison is INTEGER-scaled: argmax over
+    *     `2m·k_{v,c} − k_v·Σtot_c` (longs) — no float accumulation
+    *     order can flip a decision, so repeated runs agree exactly
+    *     (products stay in-range up to ~2^31 total edge weight; far
+    *     beyond any LSH-bounded pair graph).
+    *   - Ties break on the smaller community label; rounds alternate
+    *     move DIRECTION in community-label order (even rounds admit
+    *     only moves to smaller labels, odd rounds to larger), so the
+    *     synchronous-update swap oscillation cannot fire — the
+    *     deterministic variant of the usual random-subset guard.
+    *   - Each round is two joins + two aggregates on fixed-width
+    *     (vertex, community) keys; `localCheckpoint` truncates the
+    *     iterative lineage. Work per round is O(E); passes shrink the
+    *     graph geometrically.
+    *
+    * Returns (id, community), community = min ORIGINAL member id —
+    * the same stable labeling as [[connectedComponentsDF]].
+    */
+  def louvainDF(pairs: DataFrame, src: String, dst: String,
+      maxPasses: Int = 3, maxRounds: Int = 8): DataFrame = {
+    val spark = pairs.sparkSession
+    // Level-graph state: simple undirected edges (x < y, weight w)
+    // plus per-node self-loop mass (2× the contracted-away internal
+    // weight, so degrees stay consistent across levels).
+    var edges = pairs
+      .select(col(src).cast("string").as("x"), col(dst).cast("string").as("y"))
+      .where(col("x") =!= col("y"))
+      .select(least(col("x"), col("y")).as("x"),
+        greatest(col("x"), col("y")).as("y"))
+      .distinct()
+      .withColumn("w", lit(1L))
+      .localCheckpoint(eager = true)
+    var selfW = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("sw",
+          org.apache.spark.sql.types.LongType))))
+    // id → current top-level community (accumulated across passes)
+    var assign: DataFrame = null
+
+    var pass = 0
+    var movedInPass = true
+    while (pass < maxPasses && movedInPass) {
+      pass += 1
+      val und = edges.select(col("x").as("n"), col("y").as("m"), col("w"))
+        .unionByName(edges.select(col("y").as("n"), col("x").as("m"), col("w")))
+        .cache()
+      // k(v) = Σ incident weight + self mass; 2m = Σ k(v)
+      val deg = und.groupBy("n").agg(sum("w").as("kw"))
+        .join(selfW.withColumnRenamed("id", "n"), Seq("n"), "left")
+        .select(col("n").as("id"),
+          (col("kw") + coalesce(col("sw"), lit(0L))).as("k"))
+        .unionByName( // isolated self-loop-only nodes (contracted cliques)
+          selfW.join(und.select(col("n").as("id")).distinct(),
+            Seq("id"), "left_anti")
+            .select(col("id"), col("sw").as("k")))
+        .cache()
+      val m2 = deg.agg(sum("k")).head.getLong(0)
+      var state = deg.select(col("id"), col("id").as("com"))
+        .localCheckpoint(eager = true)
+      var round = 0
+      var quietRounds = 0
+      movedInPass = false
+      // Exit only after TWO consecutive quiet rounds: the parity guard
+      // alternates which vertices may move per round, so a single
+      // quiet round only proves one parity class is settled — exiting
+      // on it would strand the other class mid-move (e.g. a 2-node
+      // graph whose ids both hash to parity 1 would never merge).
+      while (round < maxRounds && quietRounds < 2) {
+        // Σtot per community, and k_{v,c} per (vertex, neighbor com)
+        val tot = state.join(deg, "id").groupBy("com")
+          .agg(sum("k").as("tot"))
+        val kvc = und
+          .join(state.select(col("id").as("m"), col("com")), "m")
+          .groupBy(col("n").as("id"), col("com"))
+          .agg(sum("w").as("kvc"))
+        val cur = state.withColumnRenamed("com", "cur_com")
+        // candidate score for v→c (c over neighbor coms ∪ current):
+        // 2m·k_{v,c} − k_v·(Σtot_c − k_v·[c = cur]) , longs throughout
+        val cand = kvc
+          .unionByName(cur.select(col("id"), col("cur_com").as("com"))
+            .join(kvc.select("id", "com"), Seq("id", "com"), "left_anti")
+            .withColumn("kvc", lit(0L)))
+          .join(cur, "id").join(deg, "id").join(tot, "com")
+          .select(col("id"), col("com"), col("cur_com"), col("k"),
+            (lit(m2) * col("kvc") -
+              col("k") * (col("tot") -
+                when(col("com") === col("cur_com"), col("k"))
+                  .otherwise(lit(0L)))).as("score"))
+        val w = Window.partitionBy("id")
+          .orderBy(col("score").desc, col("com").asc)
+        val stay = cand.where(col("com") === col("cur_com"))
+          .select(col("id"), col("score").as("stay_score"))
+        val best = cand.withColumn("rn", row_number().over(w))
+          .where(col("rn") === 1)
+          .join(stay, "id")
+          .select(col("id"),
+            // STRICT improvement over staying (Louvain's positive-gain
+            // rule — zero-gain moves would drift/oscillate) + an
+            // alternating DIRECTION guard: even rounds only admit
+            // moves to a smaller community label, odd rounds to a
+            // larger one. All moves in a round point one way in label
+            // order, so the synchronous-update pathology (two vertices
+            // swapping communities forever) cannot fire — a swap needs
+            // both label inequalities at once. Deterministic, no hash.
+            when(col("com") =!= col("cur_com") &&
+              col("score") > col("stay_score") &&
+              (if (round % 2 == 0) col("com") < col("cur_com")
+               else col("com") > col("cur_com")),
+              col("com")).otherwise(col("cur_com")).as("com"))
+        val next = best.select("id", "com").localCheckpoint(eager = true)
+        val movedInRound = next.join(state,
+          next("id") === state("id") && next("com") =!= state("com"))
+          .limit(1).count() > 0
+        if (movedInRound) { movedInPass = true; quietRounds = 0 }
+        else quietRounds += 1
+        state = next
+        round += 1
+      }
+      if (movedInPass) {
+        // accumulate the id→community mapping across levels
+        assign =
+          if (assign == null) state
+          else assign.join(
+            state.select(col("id").as("com0"), col("com").as("com1")),
+            assign("com") === col("com0"))
+            .select(assign("id"), col("com1").as("com"))
+            .localCheckpoint(eager = true)
+        // contract: communities → nodes; intra mass → self-loops
+        val sx = state.select(col("id").as("x"), col("com").as("cx"))
+        val sy = state.select(col("id").as("y"), col("com").as("cy"))
+        val mapped = edges.join(sx, "x").join(sy, "y")
+          .select(col("cx"), col("cy"), col("w"))
+        val intra = mapped.where(col("cx") === col("cy"))
+          .groupBy(col("cx").as("id")).agg((sum("w") * 2).as("sw"))
+        val selfCarried = selfW
+          .join(state.select(col("id"), col("com")), "id")
+          .groupBy(col("com").as("id")).agg(sum("sw").as("sw"))
+        selfW = intra.unionByName(selfCarried)
+          .groupBy("id").agg(sum("sw").as("sw"))
+          .localCheckpoint(eager = true)
+        edges = mapped.where(col("cx") =!= col("cy"))
+          .select(least(col("cx"), col("cy")).as("x"),
+            greatest(col("cx"), col("cy")).as("y"), col("w"))
+          .groupBy("x", "y").agg(sum("w").as("w"))
+          .localCheckpoint(eager = true)
+      }
+      und.unpersist()
+      deg.unpersist()
+    }
+    if (assign == null)
+      // no community ever improved modularity: every vertex its own
+      pairs.select(col(src).cast("string").as("id"))
+        .unionByName(pairs.select(col(dst).cast("string").as("id")))
+        .distinct().withColumn("community", col("id"))
+    else {
+      // Normalize labels to the min ORIGINAL member id (contraction
+      // leaves representative ids, which need not be the minimum) —
+      // the same stable labeling as connectedComponentsDF.
+      val lbl = assign.groupBy("com").agg(min("id").as("community"))
+      assign.join(lbl, "com").select(col("id"), col("community"))
+        .localCheckpoint(eager = true)
+    }
+  }
+
+  /** Betweenness centrality (GDS `gds.betweenness` parity), sampled
+    * Brandes, DataFrame-native. `sources` is the pivot set as a
+    * DataFrame (first column) — the distributed-seed shape; exact
+    * betweenness = pass every vertex. Forward phase: one multi-source
+    * BFS keyed (source, vertex) accumulating σ (shortest-path counts,
+    * exact longs) layer by layer — one equi-join + partial-agg per
+    * layer, all sources advance together. Backward phase: dependency
+    * accumulation δ from the deepest layer up, one join per layer.
+    * σ stays integral; δ is rational so the final score is a double,
+    * rounded to `scale` decimals for run-stable output.
+    *
+    * Returns (id, betweenness) — raw ordered-pair dependency sums
+    * (GDS convention; undirected symmetric pairs are counted twice,
+    * callers sampling k of n sources scale by n/k).
+    */
+  /** Multi-source BFS with shortest-path counting — the Brandes
+    * forward phase, exposed because the exact pair-sum betweenness
+    * formulation (see `d_dup_betweenness`) and any σ-weighted path
+    * analytics build directly on it. Returns (s, v, dist, sigma):
+    * for every source s and vertex v within `maxDepth` hops, the hop
+    * distance and the EXACT number of distinct shortest s→v paths
+    * (σ stays an integral long — layer-synchronous partial-sum
+    * aggregation, one equi-join + one partial-agg + one anti-join per
+    * layer, all sources advancing together on fixed-width keys).
+    */
+  def bfsSigmaDF(edges: DataFrame, src: String, dst: String,
+      sources: DataFrame, maxDepth: Int = 30,
+      directed: Boolean = false): DataFrame = {
+    val e = edges.select(col(src).cast("string").as("a"),
+      col(dst).cast("string").as("b"))
+      .where(col("a") =!= col("b"))
+    val und = (if (directed) e
+      else e.unionByName(e.select(col("b").as("a"), col("a").as("b"))))
+      .distinct().cache()
+    var visited = sources
+      .select(col(sources.columns.head).cast("string").as("s")).distinct()
+      .select(col("s"), col("s").as("v"), lit(0).as("dist"),
+        lit(1L).as("sigma"))
+      .localCheckpoint(eager = true)
+    var frontier = visited
+    var depth = 0
+    while (depth < maxDepth && frontier.limit(1).count() > 0) {
+      depth += 1
+      val next = und.join(frontier.withColumnRenamed("v", "a"), "a")
+        .groupBy(col("s"), col("b").as("v"))
+        .agg(sum("sigma").as("sigma"))
+        .join(visited.select("s", "v"), Seq("s", "v"), "left_anti")
+        .withColumn("dist", lit(depth))
+        .select("s", "v", "dist", "sigma")
+        .localCheckpoint(eager = true)
+      visited = visited.unionByName(next).localCheckpoint(eager = true)
+      frontier = next
+    }
+    und.unpersist()
+    visited
+  }
+
+  def betweennessDF(edges: DataFrame, src: String, dst: String,
+      sources: DataFrame, maxDepth: Int = 30, scale: Int = 6): DataFrame = {
+    val e = edges.select(col(src).cast("string").as("a"),
+      col(dst).cast("string").as("b"))
+      .where(col("a") =!= col("b"))
+    val und = e.unionByName(e.select(col("b").as("a"), col("a").as("b")))
+      .distinct().cache()
+    // forward: visited(s, v, dist, sigma)
+    val visited = bfsSigmaDF(edges, src, dst, sources, maxDepth)
+      .localCheckpoint(eager = true)
+    // backward: δ accumulation from the deepest layer down. delta
+    // carries (s, v, delta); vertices at the deepest layer have δ=0.
+    val maxDist = visited.agg(max("dist")).head.getInt(0)
+    var delta = visited.select(col("s"), col("v"), lit(0.0).as("delta"))
+      .localCheckpoint(eager = true)
+    var d = maxDist
+    while (d > 0) {
+      val lower = visited.where(col("dist") === d)
+        .join(delta, Seq("s", "v"))
+        .select(col("s"), col("v").as("b"), col("sigma").as("sig_w"),
+          col("delta").as("del_w"))
+      val upper = visited.where(col("dist") === d - 1)
+      // contribution to predecessor u (edge u–w, dist(w)=dist(u)+1):
+      // σ_u/σ_w · (1 + δ_w)
+      val contrib = und.join(lower, "b") // (a=u, b=w)
+        .join(upper.select(col("s"), col("v").as("a"), col("sigma")),
+          Seq("s", "a"))
+        .groupBy(col("s"), col("a").as("v"))
+        .agg(sum(col("sigma").cast("double") / col("sig_w") *
+          (lit(1.0) + col("del_w"))).as("add"))
+      delta = delta.join(contrib, Seq("s", "v"), "left")
+        .select(col("s"), col("v"),
+          (col("delta") + coalesce(col("add"), lit(0.0))).as("delta"))
+        .localCheckpoint(eager = true)
+      d -= 1
+    }
+    val out = delta.where(col("s") =!= col("v"))
+      .groupBy(col("v").as("id"))
+      .agg(round(sum("delta"), scale).as("betweenness"))
+      .localCheckpoint(eager = true)
+    und.unpersist()
     out
   }
 

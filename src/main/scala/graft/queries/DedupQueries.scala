@@ -416,6 +416,111 @@ object DedupQueries {
         .orderBy("d1", "d2")
     },
 
+    // Betweenness centrality over the LSH candidate-pair graph (GDS
+    // betweenness parity, fully oracled): which docs BRIDGE dup
+    // clusters — high-betweenness vertices are the chain links whose
+    // removal splits a cluster, the "borderline near-dup" triage
+    // signal. Exact Brandes pair-sum form, INTEGER-quantized so the
+    // hash oracle is bit-exact: each (s,t,v) term contributes
+    // floor(σ_sv·σ_vt·10^6 / σ_st) — longs end to end, no float
+    // accumulation order on either engine (same trick as
+    // t_tfidf_topterms). σ comes from GraphAlgorithms.bfsSigmaDF
+    // (layer-synchronous multi-source BFS, exact long path counts);
+    // the oracle rebuilds (dist, σ) via unrolled adjacency powers
+    // (A^k[s,v] at k = dist(s,v) IS the shortest-path count — any
+    // walk of minimal length is a shortest path) with the same hop-8
+    // bound as the Spark BFS. The sampled double-δ Brandes
+    // (betweennessDF) is the production API for big graphs; this
+    // all-sources exact form is O(Σ_c |c|²) pair state, bounded here
+    // because LSH components are band-width-bounded.
+    QueryDef(
+      "d_dup_betweenness",
+      s"""$lshPairsSql,
+        |und AS (SELECT d1 AS a, d2 AS b FROM pairs
+        |        UNION SELECT d2, d1 FROM pairs),
+        |a1 AS (SELECT a, b, CAST(1 AS BIGINT) AS cnt FROM und),
+        |a2 AS (SELECT x.a, y.b, sum(x.cnt * y.cnt) AS cnt
+        |       FROM a1 x JOIN a1 y ON x.b = y.a GROUP BY 1, 2),
+        |a3 AS (SELECT x.a, y.b, sum(x.cnt * y.cnt) AS cnt
+        |       FROM a2 x JOIN a1 y ON x.b = y.a GROUP BY 1, 2),
+        |a4 AS (SELECT x.a, y.b, sum(x.cnt * y.cnt) AS cnt
+        |       FROM a3 x JOIN a1 y ON x.b = y.a GROUP BY 1, 2),
+        |a5 AS (SELECT x.a, y.b, sum(x.cnt * y.cnt) AS cnt
+        |       FROM a4 x JOIN a1 y ON x.b = y.a GROUP BY 1, 2),
+        |a6 AS (SELECT x.a, y.b, sum(x.cnt * y.cnt) AS cnt
+        |       FROM a5 x JOIN a1 y ON x.b = y.a GROUP BY 1, 2),
+        |a7 AS (SELECT x.a, y.b, sum(x.cnt * y.cnt) AS cnt
+        |       FROM a6 x JOIN a1 y ON x.b = y.a GROUP BY 1, 2),
+        |a8 AS (SELECT x.a, y.b, sum(x.cnt * y.cnt) AS cnt
+        |       FROM a7 x JOIN a1 y ON x.b = y.a GROUP BY 1, 2),
+        |walks AS (SELECT a, b, 1 AS hops, cnt FROM a1
+        |  UNION ALL SELECT a, b, 2, cnt FROM a2
+        |  UNION ALL SELECT a, b, 3, cnt FROM a3
+        |  UNION ALL SELECT a, b, 4, cnt FROM a4
+        |  UNION ALL SELECT a, b, 5, cnt FROM a5
+        |  UNION ALL SELECT a, b, 6, cnt FROM a6
+        |  UNION ALL SELECT a, b, 7, cnt FROM a7
+        |  UNION ALL SELECT a, b, 8, cnt FROM a8),
+        |sp AS (SELECT s, v, hops AS dist, cnt AS sigma FROM (
+        |         SELECT a AS s, b AS v, hops, cnt,
+        |                row_number() OVER (PARTITION BY a, b
+        |                                   ORDER BY hops) AS rn
+        |         FROM walks) WHERE rn = 1 AND s <> v),
+        |verts AS (SELECT DISTINCT d1 AS id FROM pairs
+        |          UNION SELECT DISTINCT d2 FROM pairs),
+        |bet AS (SELECT sv.v AS id,
+        |               sum((sv.sigma * vt.sigma * 1000000) // st.sigma) AS bet_q
+        |        FROM sp sv
+        |        JOIN sp vt ON vt.s = sv.v
+        |        JOIN sp st ON st.s = sv.s AND st.v = vt.v
+        |        WHERE sv.dist + vt.dist = st.dist
+        |        GROUP BY 1)
+        |SELECT v.id AS doc_id, COALESCE(b.bet_q, 0) AS bet_q
+        |FROM verts v LEFT JOIN bet b ON b.id = v.id
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val pairs = lshPairs(s, d)
+      val verts = pairs.select(col("d1").cast("string").as("id"))
+        .unionByName(pairs.select(col("d2").cast("string").as("id")))
+        .distinct()
+      val sp = graft.graph.GraphAlgorithms
+        .bfsSigmaDF(pairs, "d1", "d2", verts, maxDepth = 8)
+        .where(col("s") =!= col("v"))
+      val sv = sp.select(col("s"), col("v"),
+        col("dist").as("d_sv"), col("sigma").as("sig_sv"))
+      val vt = sp.select(col("s").as("v"), col("v").as("t"),
+        col("dist").as("d_vt"), col("sigma").as("sig_vt"))
+      val st = sp.select(col("s"), col("v").as("t"),
+        col("dist").as("d_st"), col("sigma").as("sig_st"))
+      val bet = sv.join(vt, "v").join(st, Seq("s", "t"))
+        .where(col("d_sv") + col("d_vt") === col("d_st"))
+        .groupBy(col("v"))
+        .agg(sum(expr("(sig_sv * sig_vt * 1000000) div sig_st")).as("bet_q"))
+      verts.join(bet.withColumnRenamed("v", "id"), Seq("id"), "left")
+        .select(col("id").cast("long").as("doc_id"),
+          coalesce(col("bet_q"), lit(0L)).as("bet_q"))
+        .orderBy("doc_id")
+    },
+
+    // Louvain community detection over the LSH candidate-pair graph
+    // (GDS louvain parity): modularity communities REFINE the
+    // connected components d_dup_clusters finds — a chain of
+    // borderline near-dups that merely touches two dense dup groups
+    // stays two communities, the right survivor-granularity for
+    // aggressive dedup. No DuckDB oracle (an engine-specific
+    // multi-level fixpoint, like v_ann_kmeans); the contract is
+    // spec-bound instead (GraphAlgorithmsSpec): deterministic across
+    // runs (integer-scaled gains, crc32-parity move scheduling),
+    // every community contained in one connected component, golden
+    // two-cliques-and-a-bridge graph split exactly at the bridge.
+    QueryDef.noOracle("d_dup_louvain") { (s, d) =>
+      graft.graph.GraphAlgorithms.louvainDF(
+        lshPairs(s, d).select(col("d1").cast("string").as("d1"),
+          col("d2").cast("string").as("d2")), "d1", "d2")
+        .select(col("id").cast("long").as("doc_id"),
+          col("community").cast("long").as("community"))
+        .orderBy("doc_id")
+    },
+
     // n-gram Jaccard near-dup: exact set Jaccard ≥ 0.5 (integer
     // cross-multiplication, no float compare) verified ONLY over the
     // banded-LSH candidate pairs. Earlier rounds blocked on the single

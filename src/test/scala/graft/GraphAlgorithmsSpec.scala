@@ -186,4 +186,93 @@ class GraphAlgorithmsSpec extends AnyFunSuite {
       seedDf.where("component = 'zzz'"), maxDepth = 5,
       directed = false).count() == 0)
   }
+
+  test("louvain: two cliques and a bridge split at the bridge") {
+    // K4 ∪ K4 + one bridge edge: the textbook Louvain golden — the
+    // modularity optimum is exactly one community per clique, and the
+    // labels are the min member ids.
+    def k4(v: Seq[String]) = for {
+      i <- v.indices; j <- v.indices if i < j
+    } yield (v(i), v(j))
+    val pairs = (k4(Seq("a", "b", "c", "d")) ++ k4(Seq("e", "f", "g", "h")) ++
+      Seq(("d", "e"))).toDF("d1", "d2")
+    def run() = GraphAlgorithms.louvainDF(pairs, "d1", "d2")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val com = run()
+    assert(com == Map(
+      "a" -> "a", "b" -> "a", "c" -> "a", "d" -> "a",
+      "e" -> "e", "f" -> "e", "g" -> "e", "h" -> "e"))
+    // deterministic: integer-scaled gains + parity scheduling → the
+    // exact same assignment on a re-run
+    assert(run() == com)
+  }
+
+  test("louvain: single edge merges regardless of id parity") {
+    // Regression for the round-parity early-exit: both endpoints may
+    // hash to the SAME crc32 parity, so the first round can be
+    // legitimately quiet — the loop must still give the other parity
+    // its turn instead of declaring convergence. Try several id pairs
+    // to cover both parity layouts.
+    for (p <- Seq(("u", "v"), ("a", "b"), ("x", "q"))) {
+      val com = GraphAlgorithms.louvainDF(Seq(p).toDF("d1", "d2"), "d1", "d2")
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      val lbl = Seq(p._1, p._2).min
+      assert(com == Map(p._1 -> lbl, p._2 -> lbl),
+        s"pair $p must merge into one community labeled $lbl")
+    }
+  }
+
+  test("louvain: communities refine connected components") {
+    // disjoint triangle + edge: communities == components (cliques),
+    // labels = min member — and no community ever spans components
+    val pairs = Seq(("p", "q"), ("q", "r"), ("r", "p"), ("s", "t"))
+      .toDF("d1", "d2")
+    val com = GraphAlgorithms.louvainDF(pairs, "d1", "d2")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(com == Map("p" -> "p", "q" -> "p", "r" -> "p",
+      "s" -> "s", "t" -> "s"))
+  }
+
+  test("bfsSigmaDF: exact shortest-path counts on the square") {
+    // square a-b-d-c-a: two shortest a→d paths (via b, via c)
+    val edges = Seq(("a", "b"), ("a", "c"), ("b", "d"), ("c", "d"))
+      .toDF("s", "t")
+    val sp = GraphAlgorithms.bfsSigmaDF(
+      edges, "s", "t", Seq("a").toDF("id"))
+      .collect().map(r => r.getString(1) -> (r.getInt(2), r.getLong(3))).toMap
+    assert(sp == Map("a" -> ((0, 1L)), "b" -> ((1, 1L)),
+      "c" -> ((1, 1L)), "d" -> ((2, 2L))))
+    assert(sp("d") == ((2, 2L)), "two shortest paths must be counted")
+  }
+
+  test("betweenness: path and star goldens, fractional sigma split") {
+    def toMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // P5 path a-b-c-d-e, all sources: raw ordered-pair dependencies
+    // are 0/6/8/6/0 (unique shortest paths; pairs counted both ways)
+    val path = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"))
+      .toDF("s", "t")
+    val pb = toMap(GraphAlgorithms.betweennessDF(path, "s", "t",
+      Seq("a", "b", "c", "d", "e").toDF("id")))
+    assert(pb == Map("a" -> 0.0, "b" -> 6.0, "c" -> 8.0, "d" -> 6.0,
+      "e" -> 0.0))
+    // star: the hub carries every leaf pair (3 unordered × 2)
+    val star = Seq(("hub", "l1"), ("hub", "l2"), ("hub", "l3"))
+      .toDF("s", "t")
+    val sb = toMap(GraphAlgorithms.betweennessDF(star, "s", "t",
+      Seq("hub", "l1", "l2", "l3").toDF("id")))
+    assert(sb == Map("hub" -> 6.0, "l1" -> 0.0, "l2" -> 0.0, "l3" -> 0.0))
+    // square a-b-d-c-a: σ(corner pair)=2 splits 1/2 + 1/2 — every
+    // vertex carries exactly one ordered pair each way
+    val square = Seq(("a", "b"), ("a", "c"), ("b", "d"), ("c", "d"))
+      .toDF("s", "t")
+    val qb = toMap(GraphAlgorithms.betweennessDF(square, "s", "t",
+      Seq("a", "b", "c", "d").toDF("id")))
+    assert(qb == Map("a" -> 1.0, "b" -> 1.0, "c" -> 1.0, "d" -> 1.0))
+    // sampled form: sources restricted to one pivot still well-defined
+    val one = toMap(GraphAlgorithms.betweennessDF(path, "s", "t",
+      Seq("a").toDF("id")))
+    assert(one("b") == 3.0 && one("e") == 0.0,
+      "single-pivot dependencies are the per-source Brandes partials")
+  }
 }

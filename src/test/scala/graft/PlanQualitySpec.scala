@@ -259,4 +259,25 @@ class PlanQualitySpec extends AnyFunSuite {
       assert(plan.contains("Window"), s"$q: window operator expected")
     }
   }
+
+  test("betweenness pair-sum rides equi-joins with map-side combine") {
+    // the (s,v)+(v,t)+(s,t) composition must hash-join on the vertex
+    // keys — a loop join here would be O(V⁴) at scale — and the
+    // quantized contributions must partial-sum before the final
+    // per-vertex exchange. NOTE: can't use planOf's Initial-Plan cut
+    // here — the plan embeds the cached LSH-pair InMemoryRelation,
+    // whose NESTED adaptive plan contains its own "== Initial Plan =="
+    // marker and would truncate the string before the aggregate; the
+    // uncut string is safe for contains-style asserts (sum only occurs
+    // in the betweenness aggregate, and AQE never introduces loop
+    // joins absent from the initial plan).
+    val df = SparkEntry.queries("d_dup_betweenness")(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      "pair composition must stay on equi-keys")
+    assert(plan.contains("partial_sum"),
+      "σ-product terms must combine map-side")
+  }
 }
