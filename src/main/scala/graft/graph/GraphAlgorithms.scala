@@ -179,6 +179,59 @@ object GraphAlgorithms {
     out
   }
 
+  /** Integer-scaled PageRank twin of [[pageRank]] — DataFrame-native
+    * and bit-exact deterministic, the cross-engine-verifiable form
+    * (same trick as the quantized betweenness pair-sum): ranks live in
+    * long micro-units (`scale` = 10^6 per unit rank), and each
+    * iteration computes
+    *
+    *   r'(v) = floor(0.15·scale) + Σ_{u→v} floor(85·r(u) / (100·deg(u)))
+    *
+    * — integer division per edge, long sums, so no float accumulation
+    * order exists on ANY engine and repeated runs (or a DuckDB replay
+    * with unrolled iterations) agree to the bit. This matches GraphX's
+    * `staticPageRank` semantics (un-normalized, rank mass ≈ V) up to
+    * the deterministic floor quantization, whose error is bounded by
+    * deg·iterations micro-units. Each iteration is one equi-join on
+    * the fixed-width vertex key + one partial-agg'd sum — O(E) work,
+    * checkpoint-truncated lineage; the production float path for big
+    * graphs stays [[pageRank]] (GraphX, EdgePartition2D).
+    *
+    * Returns (id, rank_ppm) with rank in parts-per-million of unit
+    * rank. Vertices with no in-edges hold the bare reset mass.
+    */
+  def pageRankIntDF(edges: DataFrame, src: String, dst: String,
+      iterations: Int = 10, directed: Boolean = true,
+      scale: Long = 1000000L): DataFrame = {
+    val e0 = edges.select(col(src).cast("string").as("a"),
+      col(dst).cast("string").as("b"))
+      .where(col("a") =!= col("b"))
+    val e = (if (directed) e0
+      else e0.unionByName(e0.select(col("b").as("a"), col("a").as("b"))))
+      .distinct()
+    val verts = e.select(col("a").as("id"))
+      .unionByName(e.select(col("b").as("id"))).distinct()
+      .localCheckpoint(eager = true)
+    // out-degree-annotated edges, built once and reused per iteration
+    val deg = e.groupBy(col("a")).agg(count(lit(1)).as("deg"))
+    val eDeg = e.join(deg, "a").localCheckpoint(eager = true)
+    val reset = scale * 15L / 100L
+    var rank = verts.withColumn("r", lit(scale))
+    var i = 0
+    while (i < iterations) {
+      val contrib = eDeg
+        .join(rank.select(col("id").as("a"), col("r")), "a")
+        .groupBy(col("b").as("id"))
+        .agg(sum(expr(s"(r * 85) div (100 * deg)")).as("in_mass"))
+      rank = verts.join(contrib, Seq("id"), "left")
+        .select(col("id"),
+          (lit(reset) + coalesce(col("in_mass"), lit(0L))).as("r"))
+        .localCheckpoint(eager = true)
+      i += 1
+    }
+    rank.select(col("id"), col("r").as("rank_ppm"))
+  }
+
   /** DataFrame-native BFS / unweighted single-source shortest path
     * (GDS `gds.bfs` / `gds.shortestPath` capability parity —
     * template.yaml:262-263 ships the plugin unrestricted; no scripted
@@ -532,15 +585,22 @@ object GraphAlgorithms {
             // order, so the synchronous-update pathology (two vertices
             // swapping communities forever) cannot fire — a swap needs
             // both label inequalities at once. Deterministic, no hash.
-            when(col("com") =!= col("cur_com") &&
+            col("com").as("cand_com"),
+            (col("com") =!= col("cur_com") &&
               col("score") > col("stay_score") &&
               (if (round % 2 == 0) col("com") < col("cur_com")
-               else col("com") > col("cur_com")),
-              col("com")).otherwise(col("cur_com")).as("com"))
-        val next = best.select("id", "com").localCheckpoint(eager = true)
-        val movedInRound = next.join(state,
-          next("id") === state("id") && next("com") =!= state("com"))
-          .limit(1).count() > 0
+               else col("com") > col("cur_com"))).as("moved"),
+            col("cur_com"))
+          .select(col("id"),
+            when(col("moved"), col("cand_com")).otherwise(col("cur_com"))
+              .as("com"),
+            col("moved"))
+        // the moved flag rides the checkpoint, so convergence detection
+        // is a scan of already-materialized partitions, not a re-join
+        // of this round's state against the previous round's
+        val nextF = best.localCheckpoint(eager = true)
+        val movedInRound = nextF.where(col("moved")).limit(1).count() > 0
+        val next = nextF.select("id", "com")
         if (movedInRound) { movedInPass = true; quietRounds = 0 }
         else quietRounds += 1
         state = next

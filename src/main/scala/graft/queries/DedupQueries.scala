@@ -521,6 +521,36 @@ object DedupQueries {
         .orderBy("doc_id")
     },
 
+    // Integer-scaled PageRank over the LSH candidate-pair graph (GDS
+    // pageRank parity, fully oracled — the float GraphX path stays
+    // gfe_pagerank): which docs sit centrally in the near-dup mesh.
+    // Ranks are long micro-units with floor-divided edge contributions
+    // (pageRankIntDF), so there is NO float accumulation order on
+    // either engine — the DuckDB oracle replays the same 10 iterations
+    // as unrolled CTEs and the hash matches bit-exact.
+    QueryDef(
+      "d_dup_pagerank",
+      s"""$lshPairsSql,
+        |und AS (SELECT d1 AS a, d2 AS b FROM pairs
+        |        UNION SELECT d2, d1 FROM pairs),
+        |verts AS (SELECT DISTINCT a AS id FROM und),
+        |deg AS (SELECT a, count(*) AS deg FROM und GROUP BY a),
+        |ed AS (SELECT u.a, u.b, d.deg FROM und u JOIN deg d ON d.a = u.a),
+        |r0 AS (SELECT id, CAST(1000000 AS BIGINT) AS r FROM verts),
+        |${(1 to 10).map(k =>
+          s"""r$k AS (SELECT v.id, 150000 + COALESCE(m.in_mass, 0) AS r
+             |  FROM verts v LEFT JOIN (
+             |    SELECT e.b AS id, sum((r.r * 85) // (100 * e.deg)) AS in_mass
+             |    FROM ed e JOIN r${k - 1} r ON r.id = e.a GROUP BY e.b) m
+             |  ON m.id = v.id)""".stripMargin).mkString(",\n")}
+        |SELECT id AS doc_id, r AS rank_ppm FROM r10
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      graft.graph.GraphAlgorithms.pageRankIntDF(
+        lshPairs(s, d), "d1", "d2", iterations = 10, directed = false)
+        .select(col("id").cast("long").as("doc_id"), col("rank_ppm"))
+        .orderBy("doc_id")
+    },
+
     // n-gram Jaccard near-dup: exact set Jaccard ≥ 0.5 (integer
     // cross-multiplication, no float compare) verified ONLY over the
     // banded-LSH candidate pairs. Earlier rounds blocked on the single

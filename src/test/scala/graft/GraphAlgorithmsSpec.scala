@@ -233,6 +233,33 @@ class GraphAlgorithmsSpec extends AnyFunSuite {
       "s" -> "s", "t" -> "s"))
   }
 
+  test("integer pagerank: fixed point on the 2-cycle, hub tops the star") {
+    def toMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // symmetric 2-cycle: both degree 1, so r = 150000 + (r·85)/100
+    // has the exact integer fixed point 1_000_000 — any drift would
+    // expose a quantization or join bug
+    val cyc = toMap(GraphAlgorithms.pageRankIntDF(
+      Seq(("a", "b")).toDF("s", "t"), "s", "t", directed = false))
+    assert(cyc == Map("a" -> 1000000L, "b" -> 1000000L))
+    // undirected star: hub collects three full leaf contributions,
+    // leaves split the hub's mass three ways — hub must dominate and
+    // leaves must tie exactly (integer math, no accumulation order)
+    val star = Seq(("hub", "l1"), ("hub", "l2"), ("hub", "l3"))
+      .toDF("s", "t")
+    val pr = toMap(GraphAlgorithms.pageRankIntDF(
+      star, "s", "t", directed = false))
+    assert(pr("hub") > pr("l1"))
+    assert(pr("l1") == pr("l2") && pr("l2") == pr("l3"))
+    // agrees with the float GraphX path on ranking (pageRank is
+    // directed — feed it the symmetric edge list)
+    val sym = Seq(("hub", "l1"), ("hub", "l2"), ("hub", "l3"),
+      ("l1", "hub"), ("l2", "hub"), ("l3", "hub")).toDF("s", "t")
+    val fl = GraphAlgorithms.pageRank(sym, "s", "t")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert((fl("hub") > fl("l1")) == (pr("hub") > pr("l1")))
+  }
+
   test("bfsSigmaDF: exact shortest-path counts on the square") {
     // square a-b-d-c-a: two shortest a→d paths (via b, via c)
     val edges = Seq(("a", "b"), ("a", "c"), ("b", "d"), ("c", "d"))
