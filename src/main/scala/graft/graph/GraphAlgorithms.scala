@@ -571,11 +571,17 @@ object GraphAlgorithms {
                   .otherwise(lit(0L)))).as("score"))
         val w = Window.partitionBy("id")
           .orderBy(col("score").desc, col("com").asc)
-        val stay = cand.where(col("com") === col("cur_com"))
-          .select(col("id"), col("score").as("stay_score"))
-        val best = cand.withColumn("rn", row_number().over(w))
+        // stay_score via an unordered window over the SAME partition
+        // key — both window ops share one id exchange, where a
+        // separate where+join would add a shuffle per round (the
+        // current community's candidate row always exists: kvc is
+        // zero-filled with it above)
+        val best = cand
+          .withColumn("stay_score",
+            max(when(col("com") === col("cur_com"), col("score")))
+              .over(Window.partitionBy("id")))
+          .withColumn("rn", row_number().over(w))
           .where(col("rn") === 1)
-          .join(stay, "id")
           .select(col("id"),
             // STRICT improvement over staying (Louvain's positive-gain
             // rule — zero-gain moves would drift/oscillate) + an
