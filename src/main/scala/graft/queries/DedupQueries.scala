@@ -583,6 +583,67 @@ object DedupQueries {
         .orderBy("d1", "d2")
     },
 
+    // EXACT set-similarity self-join via prefix filtering (the
+    // AllPairs/PPJoin family): every pair with shingle-Jaccard ≥ 3/5,
+    // with the guarantee the banded-LSH candidates above cannot give —
+    // zero false negatives — and without the O(n²) cross join a naive
+    // exact pass needs. Shingles are globally ordered rarest-first
+    // (document frequency, ties on text); a doc with n shingles keeps
+    // only its first n − ⌈3n/5⌉ + 1 as its "prefix", and any two sets
+    // with Jaccard ≥ τ must collide on ≥1 prefix token under a shared
+    // global order (prefix-filter theorem; completeness is
+    // property-tested against brute-force all-pairs in DedupSpec).
+    // Scale: candidate generation shuffles only (prefix_token, doc_id)
+    // pairs, and prefix tokens are the RAREST tokens, so bucket widths
+    // stay small exactly where frequency-blind blocking explodes on
+    // stop-shingles; the exact verify touches candidates only, and the
+    // Jaccard test is integer cross-multiplied — no float compares.
+    // The oracle derives the same answer the opposite way (full
+    // token-join ground truth), so a prefix that dropped a true pair
+    // would hash-mismatch, not silently shrink recall.
+    QueryDef(
+      "d_setsim_join",
+      s"""$shingleCte,
+        |tok AS (SELECT doc_id, unnest(sh) AS t FROM sh),
+        |sz AS (SELECT doc_id, len(sh) AS n FROM sh),
+        |inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2,
+        |            count(*) AS inter_cnt
+        |          FROM tok a JOIN tok b ON a.t = b.t AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2)
+        |SELECT i.d1, i.d2, i.inter_cnt,
+        |       sa.n + sb.n - i.inter_cnt AS union_cnt
+        |FROM inter i JOIN sz sa ON sa.doc_id = i.d1
+        |             JOIN sz sb ON sb.doc_id = i.d2
+        |WHERE 5 * i.inter_cnt >= 3 * (sa.n + sb.n - i.inter_cnt)
+        |ORDER BY d1, d2""".stripMargin) { (s, d) =>
+      val sh = shingled(s, d)
+      val tok = sh.select(col("doc_id"), explode(col("sh")).as("t"))
+      val df = tok.groupBy("t").agg(count(lit(1)).as("df"))
+      val byDoc = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+      val prefix = tok.join(df, "t")
+        .select(col("doc_id"), col("t"),
+          row_number().over(byDoc.orderBy(col("df"), col("t"))).as("pos"),
+          count(lit(1)).over(byDoc).as("n"))
+        // prefix length p = n − ⌈3n/5⌉ + 1; ⌈3n/5⌉ = ⌊(3n+4)/5⌋, and
+        // the ⌊·⌋-of-double is exact for any corpus that fits in 2^53.
+        .where(col("pos") <= col("n") - floor((col("n") * 3 + 4) / lit(5)) + 1)
+        .select("doc_id", "t")
+      val cand = prefix.as("a")
+        .join(prefix.as("b"),
+          col("a.t") === col("b.t") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+        .distinct()
+      cand
+        .join(sh.select(col("doc_id").as("d1"), col("sh").as("sh1")), Seq("d1"))
+        .join(sh.select(col("doc_id").as("d2"), col("sh").as("sh2")), Seq("d2"))
+        .select(col("d1"), col("d2"),
+          size(array_intersect(col("sh1"), col("sh2"))).cast("long").as("inter_cnt"),
+          (size(col("sh1")) + size(col("sh2")) -
+            size(array_intersect(col("sh1"), col("sh2")))).cast("long").as("union_cnt"))
+        .where(col("inter_cnt") * 5 >= col("union_cnt") * 3)
+        .orderBy("d1", "d2")
+    },
+
     // SimHash: 32-bit signature — majority vote per bit over shingle
     // hashes. Whole computation is nested higher-order functions on one
     // row: zero shuffle, fully codegen'd.

@@ -138,6 +138,12 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoop"))
   }
 
+  test("setsim prefix-filter is equi-join only, no cross join") {
+    val plan = planOf("d_setsim_join")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoop"),
+      "exact set-similarity must block on prefix tokens, never cross-join")
+  }
+
   test("LSH banding bounds the per-doc candidate fan-out (d_jaccard blocking)") {
     import org.apache.spark.sql.functions._
     val pairs = SparkEntry.queries("d_minhash_lsh")(spark, sfDir)

@@ -210,4 +210,34 @@ class PropertySpec extends AnyFunSuite {
       assert(got == expected, s"round=$round edges=$edges")
     }
   }
+
+  test("prefix-filter setsim join equals brute-force all-pairs Jaccard (completeness)") {
+    // The prefix-filter theorem in executable form: d_setsim_join must
+    // return EXACTLY the pairs a full O(n²) pass finds at τ = 3/5 —
+    // a dropped prefix token would show up here as a missing pair.
+    val d = "/root/testdata/sf0.001"
+    def shingleSet(text: String): Set[String] = {
+      val w = text.trim.split("[ \\t\\n\\u000B\\f\\r]+")
+      (1 to math.max(w.length - 2, 1))
+        .map(i => w.slice(i - 1, i + 2).mkString(" ")).toSet
+    }
+    val docs = spark.read.parquet(s"$d/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> shingleSet(r.getString(1)))
+      .sortBy(_._1)
+    val expected = (for {
+      i <- docs.indices; j <- (i + 1) until docs.length
+      (id1, s1) = docs(i); (id2, s2) = docs(j)
+      inter = (s1 & s2).size
+      union = s1.size + s2.size - inter
+      if 5 * inter >= 3 * union
+    } yield (id1, id2) -> ((inter.toLong, union.toLong))).toMap
+    val got = SparkEntry.queries("d_setsim_join")(spark, d)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got == expected,
+      s"missing=${(expected.keySet -- got.keySet).take(5)} " +
+        s"extra=${(got.keySet -- expected.keySet).take(5)}")
+  }
 }
