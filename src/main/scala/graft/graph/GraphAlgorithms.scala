@@ -760,6 +760,46 @@ object GraphAlgorithms {
   }
 
   /** Label propagation communities (GDS parity; k iterations). */
+  /** Per-vertex degree over an undirected pair list (GDS degree
+    * centrality parity): distinct neighbors, self-loops dropped. One
+    * symmetrize + one fixed-width-key groupBy — the cheapest
+    * centrality, and the cardinality estimate every other graph pass
+    * (orientation, cutoffs, salting) starts from. */
+  def degreesDF(pairs: DataFrame, src: String, dst: String): DataFrame = {
+    val e = pairs.select(col(src).cast("string").as("a"),
+      col(dst).cast("string").as("b"))
+      .where(col("a") =!= col("b"))
+    e.unionByName(e.select(col("b").as("a"), col("a").as("b")))
+      .distinct()
+      .groupBy(col("a").as("id"))
+      .agg(count(lit(1)).as("degree"))
+  }
+
+  /** Harmonic closeness centrality (GDS closeness-harmonic parity):
+    * H(v) = Σ_{t≠v reachable} 1/dist(v,t), integer-quantized as long
+    * micro-units Σ ⌊10^6/dist⌋ so the sum has no float accumulation
+    * order on any engine. Distances come from the layer-synchronous
+    * multi-source BFS seeded with EVERY vertex as a DataFrame (seeds
+    * never touch the driver); per-source state is the O(Σ|comp|²)
+    * pair table — the exact-centrality contract. For graphs with huge
+    * components, pass a sampled sources frame to bfsSigmaDF directly,
+    * as betweennessDF does. */
+  def harmonicCentralityDF(edges: DataFrame, src: String, dst: String,
+      maxDepth: Int = 30): DataFrame = {
+    val e = edges.select(col(src).cast("string").as("a"),
+      col(dst).cast("string").as("b"))
+      .where(col("a") =!= col("b"))
+    val verts = e.select(col("a").as("id"))
+      .unionByName(e.select(col("b").as("id"))).distinct()
+    val h = bfsSigmaDF(edges, src, dst, verts, maxDepth)
+      .where(col("dist") > 0)
+      .groupBy(col("v").as("id"))
+      .agg(sum(expr("1000000 div dist")).as("harmonic_q"))
+    verts.join(h, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("harmonic_q"), lit(0L)).as("harmonic_q"))
+  }
+
   def labelPropagation(pairs: DataFrame, src: String, dst: String,
       iterations: Int = 5): DataFrame = {
     val spark = pairs.sparkSession

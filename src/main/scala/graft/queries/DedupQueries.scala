@@ -551,6 +551,59 @@ object DedupQueries {
         .orderBy("doc_id")
     },
 
+    // Degree centrality over the LSH candidate-pair graph (GDS degree
+    // parity, fully oracled): the per-doc near-dup fan-out. The
+    // cheapest graph signal — one symmetrize + one fixed-width
+    // groupBy — and the skew estimate the heavier passes (triangle
+    // orientation, similarity cutoffs) derive their bounds from.
+    QueryDef(
+      "d_dup_degree",
+      s"""$lshPairsSql,
+        |und AS (SELECT d1 AS a, d2 AS b FROM pairs
+        |        UNION SELECT d2, d1 FROM pairs)
+        |SELECT a AS doc_id, count(*) AS degree
+        |FROM und GROUP BY 1 ORDER BY doc_id""".stripMargin) { (s, d) =>
+      graft.graph.GraphAlgorithms.degreesDF(lshPairs(s, d), "d1", "d2")
+        .select(col("id").cast("long").as("doc_id"), col("degree"))
+        .orderBy("doc_id")
+    },
+
+    // Harmonic closeness centrality over the LSH candidate-pair graph
+    // (GDS closeness-harmonic parity, fully oracled): which docs sit
+    // closest to EVERYTHING in their near-dup component — the natural
+    // "most representative survivor" score, robust to disconnected
+    // graphs where classic closeness degenerates. Integer-quantized
+    // (Σ ⌊10^6/dist⌋ as longs, same trick as d_dup_betweenness) so the
+    // hash oracle is bit-exact; the oracle rebuilds BFS distances via
+    // unrolled adjacency powers with the same hop-8 bound as the
+    // Spark BFS.
+    QueryDef(
+      "d_dup_harmonic",
+      s"""$lshPairsSql,
+        |und AS (SELECT d1 AS a, d2 AS b FROM pairs
+        |        UNION SELECT d2, d1 FROM pairs),
+        |h1 AS (SELECT a, b FROM und),
+        |${(2 to 8).map(k =>
+          s"""h$k AS (SELECT DISTINCT x.a, y.b
+             |       FROM h${k - 1} x JOIN h1 y ON x.b = y.a)""".stripMargin)
+          .mkString(",\n")},
+        |walks AS (${(1 to 8).map(k =>
+          s"SELECT a, b, $k AS hops FROM h$k").mkString("\n  UNION ALL ")}),
+        |sp AS (SELECT a AS s, b AS v, min(hops) AS dist
+        |       FROM walks WHERE a <> b GROUP BY 1, 2),
+        |harm AS (SELECT v AS id, sum(1000000 // dist) AS harmonic_q
+        |         FROM sp GROUP BY 1),
+        |verts AS (SELECT DISTINCT d1 AS id FROM pairs
+        |          UNION SELECT DISTINCT d2 FROM pairs)
+        |SELECT v.id AS doc_id, COALESCE(h.harmonic_q, 0) AS harmonic_q
+        |FROM verts v LEFT JOIN harm h ON h.id = v.id
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      graft.graph.GraphAlgorithms
+        .harmonicCentralityDF(lshPairs(s, d), "d1", "d2", maxDepth = 8)
+        .select(col("id").cast("long").as("doc_id"), col("harmonic_q"))
+        .orderBy("doc_id")
+    },
+
     // n-gram Jaccard near-dup: exact set Jaccard ≥ 0.5 (integer
     // cross-multiplication, no float compare) verified ONLY over the
     // banded-LSH candidate pairs. Earlier rounds blocked on the single

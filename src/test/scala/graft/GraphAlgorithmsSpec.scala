@@ -302,4 +302,26 @@ class GraphAlgorithmsSpec extends AnyFunSuite {
     assert(one("b") == 3.0 && one("e") == 0.0,
       "single-pivot dependencies are the per-source Brandes partials")
   }
+
+  test("harmonic centrality and degrees: path golden, isolated component") {
+    def toMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // P4 path a-b-c-d plus a detached edge x-y.
+    val g = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("x", "y"))
+      .toDF("s", "t")
+    val h = toMap(GraphAlgorithms.harmonicCentralityDF(g, "s", "t"))
+    // H(a) = 1 + 1/2 + 1/3 → 1000000 + 500000 + 333333 micro-units;
+    // H(b) = 1 + 1 + 1/2; the detached pair sees only each other.
+    assert(h == Map(
+      "a" -> 1833333L, "b" -> 2500000L, "c" -> 2500000L,
+      "d" -> 1833333L, "x" -> 1000000L, "y" -> 1000000L))
+    val deg = toMap(GraphAlgorithms.degreesDF(g, "s", "t"))
+    assert(deg == Map("a" -> 1L, "b" -> 2L, "c" -> 2L, "d" -> 1L,
+      "x" -> 1L, "y" -> 1L))
+    // duplicate + reversed + self-loop edges don't inflate degrees
+    val noisy = Seq(("a", "b"), ("b", "a"), ("a", "b"), ("a", "a"))
+      .toDF("s", "t")
+    assert(toMap(GraphAlgorithms.degreesDF(noisy, "s", "t")) ==
+      Map("a" -> 1L, "b" -> 1L))
+  }
 }
