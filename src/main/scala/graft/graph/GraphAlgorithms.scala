@@ -800,6 +800,43 @@ object GraphAlgorithms {
         coalesce(col("harmonic_q"), lit(0L)).as("harmonic_q"))
   }
 
+  /** k-core of an undirected pair list (GDS kcore parity): the
+    * maximal subgraph where every vertex keeps degree ≥ k, found by
+    * iteratively peeling under-degree vertices. Returns the surviving
+    * vertices with their in-core degree. Each round is one
+    * fixed-width-key aggregate plus two semi-joins on the (shrinking)
+    * edge set, lineage truncated per round — the standard distributed
+    * peel; rounds are bounded by the graph's degeneracy cascade depth,
+    * and non-convergence within maxIter fails loud rather than
+    * returning a non-fixpoint. */
+  def kCoreDF(pairs: DataFrame, src: String, dst: String, k: Int,
+      maxIter: Int = 40): DataFrame = {
+    val e0 = pairs.select(col(src).cast("string").as("a"),
+      col(dst).cast("string").as("b"))
+      .where(col("a") =!= col("b"))
+    var e = e0.unionByName(e0.select(col("b").as("a"), col("a").as("b")))
+      .distinct().localCheckpoint(eager = true)
+    var n = e.count()
+    var it = 0
+    var converged = n == 0L
+    while (!converged && it < maxIter) {
+      it += 1
+      val keep = e.groupBy("a").agg(count(lit(1)).as("deg"))
+        .where(col("deg") >= k).select("a")
+      val next = e.join(keep, Seq("a"), "left_semi")
+        .join(keep.withColumnRenamed("a", "b"), Seq("b"), "left_semi")
+        .select("a", "b")
+        .localCheckpoint(eager = true)
+      val m = next.count()
+      converged = m == n
+      e = next
+      n = m
+    }
+    require(converged,
+      s"k-core peel did not converge within $maxIter rounds")
+    e.groupBy(col("a").as("id")).agg(count(lit(1)).as("core_degree"))
+  }
+
   def labelPropagation(pairs: DataFrame, src: String, dst: String,
       iterations: Int = 5): DataFrame = {
     val spark = pairs.sparkSession

@@ -604,6 +604,36 @@ object DedupQueries {
         .orderBy("doc_id")
     },
 
+    // 2-core of the LSH candidate-pair graph (GDS kcore parity,
+    // fully oracled): strip every chain and pendant — what survives
+    // is the cyclically-connected "hard core" of each dup cluster,
+    // the part where transitive-closure dedup is safe and the
+    // chain-link false positives (high d_dup_betweenness) are gone.
+    // Spark peels to a VERIFIED fixpoint (fail-loud maxIter); the
+    // oracle unrolls 10 peel rounds — ample, the measured cascade
+    // depth is 1-2 at both bench SFs and extra rounds are no-ops at
+    // fixpoint.
+    QueryDef(
+      "d_dup_kcore",
+      s"""$lshPairsSql,
+        |e0 AS MATERIALIZED (SELECT d1 AS a, d2 AS b FROM pairs
+        |       UNION SELECT d2, d1 FROM pairs),
+        |${(1 to 10).map(i =>
+          // MATERIALIZED: each round references its predecessor three
+          // times — DuckDB's default CTE inlining would expand the
+          // 10-round chain to 3^10 scans of the base table.
+          s"""k$i AS MATERIALIZED (SELECT a FROM e${i - 1} GROUP BY a HAVING count(*) >= 2),
+             |e$i AS MATERIALIZED (SELECT e.a, e.b FROM e${i - 1} e
+             |        JOIN k$i x ON x.a = e.a
+             |        JOIN k$i y ON y.a = e.b)""".stripMargin)
+          .mkString(",\n")}
+        |SELECT a AS doc_id, count(*) AS core_degree
+        |FROM e10 GROUP BY 1 ORDER BY doc_id""".stripMargin) { (s, d) =>
+      graft.graph.GraphAlgorithms.kCoreDF(lshPairs(s, d), "d1", "d2", k = 2)
+        .select(col("id").cast("long").as("doc_id"), col("core_degree"))
+        .orderBy("doc_id")
+    },
+
     // n-gram Jaccard near-dup: exact set Jaccard ≥ 0.5 (integer
     // cross-multiplication, no float compare) verified ONLY over the
     // banded-LSH candidate pairs. Earlier rounds blocked on the single

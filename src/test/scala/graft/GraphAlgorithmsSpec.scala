@@ -324,4 +324,25 @@ class GraphAlgorithmsSpec extends AnyFunSuite {
     assert(toMap(GraphAlgorithms.degreesDF(noisy, "s", "t")) ==
       Map("a" -> 1L, "b" -> 1L))
   }
+
+  test("k-core: clique survives, tails and chains peel away") {
+    def core(edges: Seq[(String, String)], k: Int) =
+      GraphAlgorithms.kCoreDF(edges.toDF("s", "t"), "s", "t", k)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // K4 with a 2-edge tail: the 2-core is exactly the clique.
+    val k4tail = Seq(("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"),
+      ("b", "d"), ("c", "d"), ("d", "e"), ("e", "f"))
+    assert(core(k4tail, 2) ==
+      Map("a" -> 3L, "b" -> 3L, "c" -> 3L, "d" -> 3L))
+    assert(core(k4tail, 3) ==
+      Map("a" -> 3L, "b" -> 3L, "c" -> 3L, "d" -> 3L))
+    assert(core(k4tail, 4) == Map.empty, "K4 has no 4-core")
+    // pure chain: peel cascades multiple rounds down to nothing
+    val chain = (0 until 9).map(i => (s"c$i", s"c${i + 1}"))
+    assert(core(chain, 2) == Map.empty)
+    // cycle: every vertex is its own 2-core at degree 2
+    val cycle = Seq(("p", "q"), ("q", "r"), ("r", "s"), ("s", "p"))
+    assert(core(cycle, 2) ==
+      Map("p" -> 2L, "q" -> 2L, "r" -> 2L, "s" -> 2L))
+  }
 }
