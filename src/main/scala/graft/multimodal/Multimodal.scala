@@ -243,6 +243,48 @@ object Multimodal {
     out
   }
 
+  /** 64-bit perceptual average-hash of an image payload: decode →
+    * nearest-neighbor 8×8 → grayscale → threshold against the mean.
+    * Invariant to the container format (PNG/BMP round-trip the same
+    * pixels) and to nearest-neighbor integer rescale (the 8×8 sample
+    * grid lands on the same source pixels), and stable under global
+    * brightness shifts (mean-relative bits) — the cheap blocking key
+    * for image dedup, the visual analogue of [[graft.queries
+    * .DedupQueries]]' SimHash. None when the payload isn't an image.
+    */
+  def aHash64(payload: Array[Byte]): Option[Long] =
+    ImageCodec.decode(payload).map { case (w, h, px) =>
+      val small = resize(px, MediaMeta(w, h, 3, 0, 1), 8, 8)
+      val gray = Array.tabulate(64)(i =>
+        small(3 * i) + small(3 * i + 1) + small(3 * i + 2))
+      val mean = gray.sum / 64f
+      var bits = 0L
+      var i = 0
+      while (i < 64) {
+        if (gray(i) > mean) bits |= 1L << i
+        i += 1
+      }
+      bits
+    }
+
+  /** Nearest-neighbor upscaled PNG re-encode: a payload with
+    * different bytes, dimensions, and possibly container than the
+    * input, but the same perceptual content — the controlled
+    * "re-hosted thumbnail" shape image dedup must catch. Non-image
+    * payloads pass through unchanged. */
+  def upscaled(m: MediaRecord, factor: Int): MediaRecord =
+    ImageCodec.decode(m.payload).map { case (w, h, px) =>
+      val (uw, uh) = (w * factor, h * factor)
+      val up = resize(px, MediaMeta(w, h, 3, 0, 1), uw, uh)
+      val rgb = Array.tabulate(uw * uh) { i =>
+        def ch(c: Int) =
+          math.max(0, math.min(255, math.round(up(3 * i + c) * 255f)))
+        (ch(0) << 16) | (ch(1) << 8) | ch(2)
+      }
+      m.copy(payload = ImageCodec.encode(rgb, uw, uh, "png"),
+        meta = MediaMeta(uw, uh, 3, 0, 1))
+    }.getOrElse(m)
+
   /** Per-record embedding from REAL decoded content: images and video
     * key-frames decode via imageio then resize(8x8)+pool; audio
     * decodes via AudioSystem then pools the waveform directly. The

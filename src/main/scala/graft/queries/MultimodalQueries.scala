@@ -35,5 +35,36 @@ object MultimodalQueries {
         .select(col("media_id"), col("frame_index"),
           size(col("frame_embedding")).as("dim"))
         .orderBy("media_id", "frame_index")
+    },
+
+    // Perceptual image dedup via 64-bit average-hash over decoded
+    // pixels: every 30th image is planted back as a 2× nearest-
+    // neighbor PNG re-encode (different bytes, dimensions, container)
+    // under media_id + 10^6, and the groupBy on aHash recovers
+    // exactly those twins — the "re-hosted thumbnail" dedup a media
+    // corpus needs. Decode and hashing run in the scan stage
+    // (mapPartitions); only (media_id, 8-byte hash) ever shuffles.
+    // MultimodalSpec pins format/scale/brightness invariance and the
+    // exact twin recovery.
+    QueryDef.noOracle("mm_image_neardup") { (s, d) =>
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      val media = Multimodal.fromDocuments(s, docs)
+        .filter(_.kind == "image")
+      val twins = Multimodal
+        .fromDocuments(s, docs.where(col("doc_id") % 30 === 0))
+        .filter(_.kind == "image")
+        .map(m => Multimodal.upscaled(m, 2)
+          .copy(media_id = m.media_id + 1000000L))
+      media.union(twins)
+        .mapPartitions(_.flatMap(m =>
+          Multimodal.aHash64(m.payload).map(h => (m.media_id, h))))
+        .toDF("media_id", "ahash")
+        .groupBy("ahash")
+        .agg(count(lit(1)).as("n_images"),
+          min("media_id").as("survivor_id"),
+          max("media_id").as("dup_id"))
+        .where(col("n_images") >= 2)
+        .orderBy("survivor_id")
     })
 }

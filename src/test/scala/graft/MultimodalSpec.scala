@@ -173,4 +173,43 @@ class MultimodalSpec extends AnyFunSuite {
     val sampled = perVideo(v.media_id).find(_.frame_index == 0).get
     assert(sampled.frame_embedding.toSeq == direct.toSeq)
   }
+
+  test("aHash64: invariant to container, nn-rescale, brightness; content-sensitive") {
+    // gradient image: unambiguous bit pattern, no clipping at ±16
+    val (w, h) = (16, 12)
+    val grad = Array.tabulate(w * h) { i =>
+      val v = 32 + (i * 160) / (w * h)
+      (v << 16) | (v << 8) | v
+    }
+    val png = Multimodal.ImageCodec.encode(grad, w, h, "png")
+    val bmp = Multimodal.ImageCodec.encode(grad, w, h, "bmp")
+    val hp = Multimodal.aHash64(png).get
+    assert(Multimodal.aHash64(bmp).get == hp, "format-invariant")
+    val up = Multimodal.upscaled(
+      MediaRecord(1L, "image", png, MediaMeta(w, h, 3, 0, 1)), 2)
+    assert(up.meta.width == 2 * w && up.payload.length != png.length)
+    assert(Multimodal.aHash64(up.payload).get == hp, "scale-invariant")
+    val brighter = Multimodal.ImageCodec.encode(
+      grad.map(p => p + 0x101010), w, h, "png")
+    assert(Multimodal.aHash64(brighter).get == hp, "brightness-invariant")
+    val other = Multimodal.ImageCodec.encode(
+      grad.reverse, w, h, "png")
+    assert(Multimodal.aHash64(other).get != hp, "content-sensitive")
+    assert(Multimodal.aHash64("not an image".getBytes).isEmpty)
+  }
+
+  test("mm_image_neardup recovers exactly the planted upscaled twins") {
+    val d = "/root/testdata/sf0.001"
+    val groups = SparkEntry.queries("mm_image_neardup")(spark, d).collect()
+    val expected = Tables.documents(spark, d)
+      .select("doc_id").collect().map(_.getLong(0))
+      .filter(id => id % 30 == 0 && id % 3 == 0).sorted
+    assert(groups.map(_.getLong(2)).toSeq == expected.toSeq,
+      "every planted twin's original is a survivor")
+    groups.foreach { r =>
+      assert(r.getLong(1) == 2L, s"twin group of 2: $r")
+      assert(r.getLong(3) == r.getLong(2) + 1000000L,
+        s"dup is the planted re-encode: $r")
+    }
+  }
 }
