@@ -242,6 +242,36 @@ object SimilarityQueries {
         .orderBy("q_id", "n_id")
     },
 
+    // Cosine RANGE search: every corpus vector within a similarity
+    // radius of each query (the "all near neighbors" dual of top-k —
+    // recall-critical uses like semantic decontamination need the
+    // complete ball, not the k nearest). Same broadcast-queries /
+    // stream-the-corpus shape as v_cosine_topk but with NO per-query
+    // window: the threshold filter runs scan-side in the same
+    // codegen'd stage as the dot product, so nothing but hits ever
+    // materializes — at 100 TB this is one corpus pass regardless of
+    // hit count.
+    QueryDef(
+      "v_range_search",
+      s"""WITH e AS ($duckVecs),
+        |q AS (SELECT * FROM e WHERE vec_id < $nQueries)
+        |SELECT q_id, n_id, sim FROM (
+        |  SELECT q.vec_id AS q_id, e.vec_id AS n_id,
+        |         round(list_dot_product(q.v, e.v) / (q.nrm * e.nrm), 4) AS sim
+        |  FROM q JOIN e ON q.vec_id <> e.vec_id)
+        |WHERE sim >= 0.2 ORDER BY q_id, n_id""".stripMargin) { (s, d) =>
+      val e = vecs(s, d)
+      val q = e.where(col("vec_id") < nQueries)
+      broadcast(q.as("q"))
+        .join(e.as("e"), col("q.vec_id") =!= col("e.vec_id"))
+        .select(
+          col("q.vec_id").as("q_id"), col("e.vec_id").as("n_id"),
+          round(dot(col("q.v"), col("e.v")) / (col("q.nrm") * col("e.nrm")), 4)
+            .as("sim"))
+        .where(col("sim") >= 0.2)
+        .orderBy("q_id", "n_id")
+    },
+
     // IVF cell-probe ANN: assign → probe → exact-score within cells.
     QueryDef(
       "v_ann_ivf",

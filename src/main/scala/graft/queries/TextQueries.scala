@@ -253,6 +253,44 @@ object TextQueries {
         .orderBy("doc_id", "token")
     },
 
+    // IDF-rarity quality score: mean inverse document frequency of a
+    // doc's DISTINCT tokens, in integer micro-units (⌊10^6·N/df⌋
+    // averaged with integer division — no float accumulation on
+    // either engine). The cheap model-free "gibberish detector": docs
+    // dominated by corpus-rare tokens (boilerplate hashes, encoding
+    // damage, machine-generated noise) score far above prose, the
+    // inverse of the stopword-ratio signal in t_quality. Two
+    // fixed-width-key shuffles (token df, doc regroup); the corpus
+    // size joins in as a broadcast 1-row aggregate, not a collected
+    // scalar.
+    QueryDef(
+      "t_rarity_score",
+      """WITH w AS (SELECT doc_id,
+        |             string_split_regex(trim(text),'[ \t\n\x0B\f\r]+') AS w
+        |           FROM documents),
+        |tok AS (SELECT doc_id, unnest(list_distinct(w)) AS t FROM w),
+        |df AS (SELECT t, count(*) AS df FROM tok GROUP BY 1),
+        |n AS (SELECT count(*) AS n_docs FROM documents)
+        |SELECT doc_id, count(*) AS n_terms,
+        |       sum((1000000 * n_docs) // df) // count(*) AS rarity_q
+        |FROM tok JOIN df USING (t) CROSS JOIN n
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val n = docs.agg(count(lit(1)).as("n_docs"))
+      val tok = docs.select(col("doc_id"),
+        explode(array_distinct(graft.functions.GraftFunctions.tokens(col("text"))))
+          .as("t"))
+      val dfT = tok.groupBy("t").agg(count(lit(1)).as("df"))
+      tok.join(dfT, "t")
+        .crossJoin(broadcast(n))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_terms"),
+          sum(expr("(1000000 * n_docs) div df")).as("rsum"))
+        .select(col("doc_id"), col("n_terms"),
+          expr("rsum div n_terms").as("rarity_q"))
+        .orderBy("doc_id")
+    },
+
     // Conjunctive keyword search: the inverted-index access path —
     // restrict the posting scan to the query terms (a pushed-down IN
     // over the token column), then docs matching ALL terms via a
