@@ -138,6 +138,32 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoop"))
   }
 
+  test("incremental dedup probes the band index with semi-joins only") {
+    val plan = planOf("d_incremental_dedup")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoop"))
+    assert(plan.contains("LeftSemi"),
+      "corpus screening must be semi-joins — no corpus payload crosses the wire")
+  }
+
+  test("range search broadcasts queries and has no per-query window") {
+    val plan = planOf("v_range_search")
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastNestedLoopJoin"),
+      "query side must broadcast")
+    assert(!plan.contains("Window"),
+      "radius filter must fuse into the scan-side stage, not rank")
+  }
+
+  test("compaction plan and rarity score keep map-side partial aggregates") {
+    val cp = planOf("o_compaction_plan")
+    assert(cp.contains("partial_count") || cp.contains("partial_sum"),
+      "plan rollup must partial-aggregate before the shuffle")
+    val rs = planOf("t_rarity_score")
+    assert(rs.contains("partial_count") || rs.contains("partial_sum"))
+    assert(rs.contains("Broadcast"),
+      "corpus size must join in as a broadcast singleton, not a collect")
+  }
+
   test("setsim prefix-filter is equi-join only, no cross join") {
     val plan = planOf("d_setsim_join")
     assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoop"),
