@@ -37,7 +37,7 @@ object DedupQueries {
       |       FROM w)""".stripMargin
 
   /** DuckDB equivalent of [[graft.functions.GraftFunctions.hex60]]. */
-  private def duckHex60(x: String): String =
+  private[queries] def duckHex60(x: String): String =
     s"CAST(('0x' || substr(md5($x),1,15)) AS BIGINT)"
 
   private val nHashes = 8 // minhash signature width
@@ -134,27 +134,53 @@ object DedupQueries {
   private val bandsCache = java.util.Collections.synchronizedMap(
     new java.util.WeakHashMap[SparkSession, scala.collection.mutable.Map[String, DataFrame]]())
 
-  private[queries] def bandedKeys(s: SparkSession, d: String): DataFrame = {
+  private[graft] def bandedKeys(s: SparkSession, d: String): DataFrame = {
     val perSession = bandsCache.synchronized {
       var m = bandsCache.get(s)
       if (m == null) { m = scala.collection.mutable.Map.empty; bandsCache.put(s, m) }
       m
     }
     perSession.synchronized {
-      perSession.getOrElseUpdate(d, {
-        val sig = shingled(s, d).select(
-          col("doc_id") +: (1 to nHashes).map(j =>
-            array_min(transform(col("sh"),
-              x => hex60(concat(x, lit(s"#$j"))))).as(s"m$j")): _*)
-        // Materialize before any self-join (see d_minhash_lsh note).
-        sig.select(
-          col("doc_id"),
-          posexplode(array((0 until nBands).map(b =>
-            concat_ws(":", col(s"m${2 * b + 1}"), col(s"m${2 * b + 2}"))): _*))
-            .as(Seq("band", "bk")))
-          .cache()
-      })
+      // Materialize before any self-join (see d_minhash_lsh note).
+      perSession.getOrElseUpdate(d, bandsOf(shingled(s, d)).cache())
     }
+  }
+
+  /** Screen a (possibly STREAMING) incoming doc frame against static
+    * corpus dedup state: emit the doc_ids that collide — exact
+    * content-fp hit or LSH band-bucket hit. Every operator here is
+    * append-mode streaming-legal: per-row hash/shingle projections,
+    * two stream-static LEFT SEMI probes of the corpus state, a union
+    * of the two verdict legs (same source, no stream-stream join),
+    * and a key-only dropDuplicates. The ingest-time "seen before?"
+    * gate, dual of the batch d_incremental_dedup; at scale the corpus
+    * state is the same written-once band index / fp set, re-read per
+    * micro-batch so a growing corpus picks up between batches. */
+  private[graft] def corpusScreen(incoming: DataFrame,
+      corpusFps: DataFrame, corpusBands: DataFrame): DataFrame = {
+    val exactHits = incoming
+      .select(col("doc_id"), hex60(col("text")).as("fp"))
+      .join(corpusFps, Seq("fp"), "left_semi")
+      .select("doc_id")
+    val nearHits = bandsOf(incoming.select(col("doc_id"),
+        shingles(tokens(col("text"))).as("sh")))
+      .join(corpusBands, Seq("band", "bk"), "left_semi")
+      .select("doc_id")
+    exactHits.unionByName(nearHits).dropDuplicates("doc_id")
+  }
+
+  /** Banded signature keys of a pre-shingled (doc_id, sh) frame —
+    * pure per-row projections, safe on batch and streaming inputs. */
+  private[queries] def bandsOf(shingledDf: DataFrame): DataFrame = {
+    val sig = shingledDf.select(
+      col("doc_id") +: (1 to nHashes).map(j =>
+        array_min(transform(col("sh"),
+          x => hex60(concat(x, lit(s"#$j"))))).as(s"m$j")): _*)
+    sig.select(
+      col("doc_id"),
+      posexplode(array((0 until nBands).map(b =>
+        concat_ws(":", col(s"m${2 * b + 1}"), col(s"m${2 * b + 2}"))): _*))
+        .as(Seq("band", "bk")))
   }
 
   private def lshPairsUncached(s: SparkSession, d: String): DataFrame = {
@@ -168,7 +194,7 @@ object DedupQueries {
   }
 
   /** Shared DuckDB CTE text for the LSH candidate pairs. */
-  private def lshPairsSql: String = {
+  private[queries] def lshPairsSql: String = {
     val sig = (1 to nHashes).map(j =>
       s"list_min(list_transform(sh, x -> ${duckHex60(s"x || '#$j'")})) AS m$j")
       .mkString(", ")

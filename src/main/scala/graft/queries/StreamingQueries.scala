@@ -203,5 +203,40 @@ object StreamingQueries {
           col("n_events"),
           (col("total_value") * 100).cast("bigint").as("total_value_cents"))
         .orderBy("user_id", "session_start")
+    },
+
+    // Streaming corpus screening (ingest-time dedup gate): which docs
+    // of an incoming feed (doc_id % 10 = 7) collide with the standing
+    // corpus — exact content-fp hit or LSH band-bucket hit. Batch twin
+    // of DedupQueries.corpusScreen; the streaming path (readStream →
+    // stream-static semi-joins → union → dropDuplicates, append mode,
+    // no watermark state beyond the key set) is proven equal in
+    // EventStreamsSpec. The flagged set is exactly the non-'keep'
+    // verdicts of d_incremental_dedup, which the oracle replays.
+    QueryDef(
+      "st_corpus_screen",
+      s"""${DedupQueries.lshPairsSql},
+        |hashes AS (SELECT doc_id, ${DedupQueries.duckHex60("text")} AS fp
+        |           FROM documents),
+        |exact_hit AS (SELECT DISTINCT doc_id FROM hashes
+        |              WHERE doc_id % 10 = 7 AND fp IN
+        |                (SELECT fp FROM hashes WHERE doc_id % 10 <> 7)),
+        |near_hit AS (SELECT DISTINCT nb.doc_id
+        |             FROM bands nb JOIN bands cb
+        |               ON nb.band = cb.band AND nb.bk = cb.bk
+        |                  AND cb.doc_id % 10 <> 7
+        |             WHERE nb.doc_id % 10 = 7)
+        |SELECT doc_id FROM
+        |  (SELECT doc_id FROM exact_hit UNION SELECT doc_id FROM near_hit)
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val isNew = col("doc_id") % 10 === 7
+      DedupQueries.corpusScreen(
+        docs.where(isNew),
+        docs.where(!isNew)
+          .select(graft.functions.GraftFunctions.hex60(col("text")).as("fp")),
+        DedupQueries.bandedKeys(s, d)
+          .where(col("doc_id") % 10 =!= 7).select("band", "bk"))
+        .orderBy("doc_id")
     })
 }

@@ -383,4 +383,28 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(streamed == batch)
     assert(streamed.map(_._2) == Set(1, 2, 3))
   }
+
+  test("streaming corpus screen: stream-static semi-joins == batch verdicts") {
+    import graft.queries.DedupQueries
+    graft.functions.NativeFunctions.register(spark)
+    val docs = Tables.documents(spark, sfDir)
+    val isNew = col("doc_id") % 10 === 7
+    val corpusFps = docs.where(!isNew)
+      .select(graft.functions.GraftFunctions.hex60(col("text")).as("fp"))
+    val corpusBands = graft.queries.DedupQueries
+      .bandedKeys(spark, sfDir)
+      .where(col("doc_id") % 10 =!= 7).select("band", "bk")
+    val batch = SparkEntry.queries("st_corpus_screen")(spark, sfDir)
+      .collect().map(_.getLong(0)).toSet
+    // real readStream: the incoming feed is the streaming side; the
+    // corpus fp/band state stays a static frame re-planned per batch
+    val streamed = EventStreams.runAsStream(
+      spark, s"$sfDir/documents.parquet",
+      df => DedupQueries.corpusScreen(
+        df.where(isNew), corpusFps, corpusBands),
+      "corpus_screen_stream")
+      .collect().map(_.getLong(0)).toSet
+    assert(streamed == batch)
+    assert(batch.nonEmpty, "fixture must contain planted collisions")
+  }
 }
