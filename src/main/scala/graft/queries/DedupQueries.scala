@@ -573,7 +573,7 @@ object DedupQueries {
         |        JOIN sp st ON st.s = sv.s AND st.v = vt.v
         |        WHERE sv.dist + vt.dist = st.dist
         |        GROUP BY 1)
-        |SELECT v.id AS doc_id, COALESCE(b.bet_q, 0) AS bet_q
+        |SELECT v.id AS doc_id, CAST(COALESCE(b.bet_q, 0) AS BIGINT) AS bet_q
         |FROM verts v LEFT JOIN bet b ON b.id = v.id
         |ORDER BY doc_id""".stripMargin) { (s, d) =>
       val pairs = lshPairs(s, d)
@@ -641,7 +641,7 @@ object DedupQueries {
              |    SELECT e.b AS id, sum((r.r * 85) // (100 * e.deg)) AS in_mass
              |    FROM ed e JOIN r${k - 1} r ON r.id = e.a GROUP BY e.b) m
              |  ON m.id = v.id)""".stripMargin).mkString(",\n")}
-        |SELECT id AS doc_id, r AS rank_ppm FROM r10
+        |SELECT id AS doc_id, CAST(r AS BIGINT) AS rank_ppm FROM r10
         |ORDER BY doc_id""".stripMargin) { (s, d) =>
       graft.graph.GraphAlgorithms.pageRankIntDF(
         lshPairs(s, d), "d1", "d2", iterations = 10, directed = false)
@@ -693,7 +693,8 @@ object DedupQueries {
         |         FROM sp GROUP BY 1),
         |verts AS (SELECT DISTINCT d1 AS id FROM pairs
         |          UNION SELECT DISTINCT d2 FROM pairs)
-        |SELECT v.id AS doc_id, COALESCE(h.harmonic_q, 0) AS harmonic_q
+        |SELECT v.id AS doc_id,
+        |       CAST(COALESCE(h.harmonic_q, 0) AS BIGINT) AS harmonic_q
         |FROM verts v LEFT JOIN harm h ON h.id = v.id
         |ORDER BY doc_id""".stripMargin) { (s, d) =>
       graft.graph.GraphAlgorithms

@@ -532,7 +532,7 @@ object RelationalQueries {
     QueryDef(
       "o_compaction_plan",
       """SELECT source, file_idx,
-        |       count(*) AS n_docs, sum(n_chars) AS bytes
+        |       count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS bytes
         |FROM (SELECT source, n_chars,
         |        COALESCE(sum(n_chars) OVER (
         |          PARTITION BY source ORDER BY doc_id

@@ -272,7 +272,8 @@ object TextQueries {
         |df AS (SELECT t, count(*) AS df FROM tok GROUP BY 1),
         |n AS (SELECT count(*) AS n_docs FROM documents)
         |SELECT doc_id, count(*) AS n_terms,
-        |       sum((1000000 * n_docs) // df) // count(*) AS rarity_q
+        |       CAST(sum((1000000 * n_docs) // df) // count(*) AS BIGINT)
+        |         AS rarity_q
         |FROM tok JOIN df USING (t) CROSS JOIN n
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
       val docs = Tables.documents(s, d)

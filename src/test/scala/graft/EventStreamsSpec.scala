@@ -26,8 +26,8 @@ class EventStreamsSpec extends AnyFunSuite {
     val streamed = EventStreams.runAsStream(
       spark, s"$sfDir/events.parquet",
       df => EventStreams.windowedCounts(prep(
-        // nanos timestamps arrive as long under the legacy conf
-        df.withColumn("ts", timestamp_micros(expr("ts DIV 1000"))))),
+        // whatever precision the fixture declares -> canonical µs
+        Tables.normalizeTs(df))),
       // Complete mode: emit every window at the final trigger (Append
       // would withhold windows newer than the final watermark).
       "win_agg_stream", org.apache.spark.sql.streaming.OutputMode.Complete())
@@ -55,9 +55,7 @@ class EventStreamsSpec extends AnyFunSuite {
       java.nio.file.Paths.get(s"$sfDir/events.parquet"))
     val streamed = EventStreams.runAsStream(
       spark, tmp.toString,
-      df => EventStreams.dedupeStream(
-        df.withColumn("ts", timestamp_micros(expr("ts DIV 1000"))),
-        Seq("event_id")),
+      df => EventStreams.dedupeStream(Tables.normalizeTs(df), Seq("event_id")),
       "dedup_stream")
     assert(streamed.count() == distinctCount)
   }
@@ -73,8 +71,7 @@ class EventStreamsSpec extends AnyFunSuite {
     // watermark, so Append drains the complete result.
     val streamed = EventStreams.runAsStream(
       spark, s"$sfDir/events.parquet",
-      df => EventStreams.attributedClicks(
-        df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))),
+      df => EventStreams.attributedClicks(Tables.normalizeTs(df)),
       "attr_click_stream")
       .orderBy("user_id", "view_id", "click_id")
       .collect()
@@ -97,7 +94,7 @@ class EventStreamsSpec extends AnyFunSuite {
     // an unwatermarked aggregate, so Complete mode drains full state.
     val streamed = EventStreams.runAsStream(
       spark, s"$sfDir/events.parquet",
-      df => enriched(df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))),
+      df => enriched(Tables.normalizeTs(df)),
       "enrich_stream",
       org.apache.spark.sql.streaming.OutputMode.Complete())
       .orderBy("c_mktsegment", "event_type").collect()
@@ -123,9 +120,7 @@ class EventStreamsSpec extends AnyFunSuite {
     // state. That boundary is recomputable exactly from the batch.
     val streamed = EventStreams.runAsStream(
       spark, s"$sfDir/events.parquet",
-      df => sessions(
-        df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-          .withWatermark("ts", "0 seconds")),
+      df => sessions(Tables.normalizeTs(df).withWatermark("ts", "0 seconds")),
       "session_window_stream")
       .select("user_id", "session_start", "session_end", "n_events")
       .collect().toSet
@@ -146,8 +141,7 @@ class EventStreamsSpec extends AnyFunSuite {
     val streamed = EventStreams.runAsStream(
       spark, s"$sfDir/events.parquet",
       df => EventStreams.funnelStream(
-        df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-          .as[EventStreams.Event]).toDF(),
+        Tables.normalizeTs(df).as[EventStreams.Event]).toDF(),
       "funnel_stream")
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
     // inline Append emission: no timeout residue, so the streamed set
@@ -177,8 +171,7 @@ class EventStreamsSpec extends AnyFunSuite {
       val streamed = EventStreams.runAsStream(
         spark, s"$sfDir/events.parquet",
         df => EventStreams.throttleStream(
-          df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-            .as[EventStreams.Event],
+          Tables.normalizeTs(df).as[EventStreams.Event],
           org.apache.spark.sql.streaming.TTLConfig.NONE).toDF(),
         "throttle_stream")
         .collect()
@@ -204,8 +197,7 @@ class EventStreamsSpec extends AnyFunSuite {
     val streamed = EventStreams.runAsStream(
       spark, s"$sfDir/events.parquet",
       df => EventStreams.sessionizeStream(
-        df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-          .as[EventStreams.Event]).toDF(),
+        Tables.normalizeTs(df).as[EventStreams.Event]).toDF(),
       "sess_stream")
       .select("user_id", "session_start", "session_end", "n_events")
       .collect().toSet

@@ -110,11 +110,17 @@ class PlanQualitySpec extends AnyFunSuite {
       "window operator expected")
   }
 
-  test("events queries scan the µs snapshot, not the nanos-as-long legacy path") {
+  test("events scan is vectorized with canonical µs ts, no legacy conversion") {
     val df = Tables.events(spark, sfDir)
     val plan = df.queryExecution.executedPlan.toString
-    assert(plan.contains("graft_events_us"),
-      "events must be served from the converted snapshot")
+    // whatever precision the fixture declares, the served schema is
+    // one canonical TimestampType µs column
+    assert(df.schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampType,
+      "events.ts must be served as TimestampType")
+    // vectorized parquet scan (TIMESTAMP(MICROS) and the snapshot path
+    // both qualify; nanos-as-long would fall to the row-based reader)
+    assert(plan.contains("Batched: true"), plan.take(2000))
     assert(!plan.toLowerCase.contains("timestamp_micros"),
       "no per-query ns→µs conversion should remain in the plan")
   }
