@@ -153,7 +153,7 @@ object Bench {
     // run read 192 s where an identical-code rerun read 94 s, with
     // individual untouched queries off by 30×); min-of-2 recovers the
     // steady-state latency the plan actually has.
-    val results = names.map { case (name, fn) =>
+    def runSuite(): Map[String, Double] = names.map { case (name, fn) =>
       def once(): Double = {
         val t0 = System.nanoTime()
         fn(spark, sfDir).count()
@@ -170,8 +170,32 @@ object Bench {
       name -> v
     }.toMap
 
+    var results = runSuite()
+    var calibEnd = calibMs(); var calibParEnd = calibParMs()
+    var calibMid2 = calibMid; var calibParMid2 = calibParMid
+    // Bounded retry (round 8): if the all-core probe says the first
+    // suite pass ran in a throttled window (>2× the process-start
+    // probe — burstable-CPU credit drain, noisy neighbor), run the
+    // per-query suite ONCE more and keep the second result either
+    // way. The scale workload is not re-run: it executes first, on
+    // the freshest budget the process gets, and re-running it would
+    // burn the very credits the retry needs. The retry's own probes
+    // replace the mid/end slots so the stored JSON describes the
+    // window the kept numbers came from.
+    var retried = false
+    if (math.max(calibParMid, calibParEnd) > 2.0 * calibParStart
+        && names.nonEmpty) {
+      retried = true
+      System.err.println(
+        "[bench] host contaminated during first suite pass " +
+          f"(par probe ${calibParStart.round} -> ${calibParEnd.round} ms); " +
+          "re-running the query suite once")
+      calibMid2 = calibMs(); calibParMid2 = calibParMs()
+      results = runSuite()
+      calibEnd = calibMs(); calibParEnd = calibParMs()
+    }
+
     val all = results ++ scale
-    val calibEnd = calibMs(); val calibParEnd = calibParMs()
     val total = all.values.filter(_ >= 0).sum
     // The driver recovers the JSON from the last ~2000 chars of the
     // captured output (r2 parsed at 1734 chars; r3's 2440-char line
@@ -191,10 +215,11 @@ object Bench {
     // bench carries its own health check instead of needing a rerun to
     // diagnose (round 5's 192 s headline was exactly this).
     val contaminated =
-      math.max(calibParMid, calibParEnd) > 2.0 * calibParStart
-    val calArr = s"[${calibStart.round},${calibMid.round},${calibEnd.round}]" +
-      s""","calib_par_ms":[${calibParStart.round},${calibParMid.round},${calibParEnd.round}]""" +
-      s""","host_contaminated":$contaminated"""
+      math.max(calibParMid2, calibParEnd) > 2.0 * calibParStart
+    val calArr = s"[${calibStart.round},${calibMid2.round},${calibEnd.round}]" +
+      s""","calib_par_ms":[${calibParStart.round},${calibParMid2.round},${calibParEnd.round}]""" +
+      s""","host_contaminated":$contaminated""" +
+      (if (retried) s""","retried":true""" else "")
     def render(entries: Seq[(String, Double)], omitted: Int): String = {
       val qs = entries.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
         .mkString("{", ",", "}")

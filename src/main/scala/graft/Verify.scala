@@ -39,6 +39,30 @@ object Verify {
       case _: org.apache.spark.sql.types.StructType => true
       case _ => false
     }
+    // Testdata pre-flight (round 8): read every table THROUGH the
+    // access layer before the query loop and print its served schema.
+    // A type the layer can't serve (e.g. a ts precision drift) fails
+    // the whole run here with one named diagnostic instead of
+    // silently darkening every query that touches the table — the r7
+    // failure mode, where the driver omits no-output queries and 24
+    // entries vanished without an error line.
+    Tables.names.foreach { t =>
+      try {
+        val df = t match {
+          case "events" => Tables.events(spark, sfDir)
+          case _ => Tables.table(spark, sfDir, t)
+        }
+        val cols = df.schema.fields
+          .map(f => s"${f.name}:${f.dataType.simpleString}").mkString(", ")
+        System.err.println(s"[verify] preflight $t: $cols")
+      } catch { case e: Throwable =>
+        System.err.println(
+          s"[verify] PREFLIGHT FAILED on table '$t': ${e.getMessage}")
+        spark.stop()
+        sys.exit(3)
+      }
+    }
+    var failed = List.empty[String]
     SparkEntry.queries.foreach { case (name, fn) =>
       try {
         val df = fn(spark, sfDir)
@@ -53,8 +77,13 @@ object Verify {
         df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
       } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        failed ::= name
       }
     }
+    if (failed.nonEmpty) System.err.println(
+      s"[verify] ${failed.size} of ${SparkEntry.queries.size} queries " +
+        s"produced NO output (will be omitted from the driver report): " +
+        failed.sorted.mkString(", "))
     // Aux snapshot for the gfe-domain oracles: the fixture graph's
     // node/edge tables land at a well-known absolute path that the
     // gfe_* oracle SQL reads via read_parquet (the EMBL flat-file
