@@ -30,18 +30,41 @@ object GfeQueries {
   private def aux(table: String): String =
     s"read_parquet('$auxDir/$table/*.parquet')"
 
-  /** Dump the fixture graph's vertex+edge tables to [[auxDir]] for the
-    * DuckDB oracle replay. Called by [[graft.Verify]]; fixture tables
-    * are tiny, so coalesce(1) keeps each dump one task/file. */
+  /** Dump the fixture graph's vertex+edge tables AND the release-3560
+    * build relations to [[auxDir]] for the DuckDB oracle replay.
+    * Called by [[graft.Verify]]; fixture tables are tiny, so
+    * coalesce(1) keeps each dump one task/file. */
   def dumpAux(s: SparkSession): Unit = {
     val g = graph(s)
+    val r = build(s, "3560")
     val tables =
       g.vertexTables.map { case (k, v) => s"v_$k" -> v } ++
-        g.edgeTables.map { case (k, v) => s"e_$k" -> v }
+        g.edgeTables.map { case (k, v) => s"e_$k" -> v } ++
+        Map(
+          "b_gfe_sequences" -> r.gfeSequences,
+          "b_all_features" -> r.allFeatures,
+          "b_all_groups" -> r.allGroups,
+          "b_all_cds" -> r.allCds) ++
+        r.allAlignments.map("b_all_alignments" -> _)
     tables.foreach { case (name, df) =>
       df.coalesce(1).write.mode("overwrite").parquet(s"$auxDir/$name")
     }
   }
+
+  /** The reference seq_hasher (P5, app.py:86-94) replayed in DuckDB:
+    * first 32 decimal digits of the md5 digest read as an unsigned
+    * big-endian 128-bit integer. DuckDB 1.0's `md5_number_*` read the
+    * digest little-endian, so the value is rebuilt from the hex form
+    * in three ≤60-bit pieces (BIGINT can parse 15 hex digits; the
+    * pieces recombine in UHUGEINT, whose full unsigned range covers
+    * the digest). NULL input → NULL, matching the Spark UDF. */
+  private def md5dec32(c: String): String =
+    s"""substr(CAST(((CAST(CAST(('0x'||substr(md5($c),1,2)) AS BIGINT) AS UHUGEINT)
+       |  * CAST('1152921504606846976' AS UHUGEINT)
+       |  + CAST(CAST(('0x'||substr(md5($c),3,15)) AS BIGINT) AS UHUGEINT))
+       |  * CAST('1152921504606846976' AS UHUGEINT)
+       |  + CAST(CAST(('0x'||substr(md5($c),18,15)) AS BIGINT) AS UHUGEINT))
+       | AS VARCHAR), 1, 32)""".stripMargin.replace("\n", " ")
 
   // Build results memoized per (session, release): GfeBuild caches its
   // intermediates, so re-invoking it would rebuild fresh plans and
@@ -136,19 +159,75 @@ object GfeQueries {
   }
 
   val all: Seq[QueryDef] = Seq(
-    // S1+P1-P8+J3+§2.5: full build of one release.
-    QueryDef.noOracle("gfe_build_sequences")((s, _) =>
+    // S1+P1-P8+J3+§2.5: full build of one release. Oracled (round 8)
+    // through the aux-snapshot trust boundary, same as the graph
+    // tier: the snapshot carries the raw payload columns, and the
+    // oracle RE-DERIVES every derivable column independently in
+    // DuckDB — seq_id via the 128-bit md5 reconstruction (P5),
+    // length = len(sequence), locus = hla_name before '*' (P4),
+    // imgt_release = the P9 formatting of "3560" — and asserts the
+    // declared row policies of the reference's validator
+    // (validate_build_output/app.py:165-198): exact column sets,
+    // hash_code's null→"none" default, upper-case terms.
+    QueryDef("gfe_build_sequences",
+      s"""SELECT gfe_name, acc_name,
+         |       split_part(hla_name, '*', 1) AS locus, hla_name,
+         |       ${md5dec32("sequence")} AS seq_id, sequence,
+         |       CAST(length(sequence) AS BIGINT) AS length,
+         |       '3.56.0' AS imgt_release
+         |FROM ${aux("b_gfe_sequences")}
+         |ORDER BY hla_name""".stripMargin)((s, _) =>
       build(s, "3560").gfeSequences.orderBy("hla_name")),
-    QueryDef.noOracle("gfe_build_features")((s, _) =>
+    QueryDef("gfe_build_features",
+      s"""SELECT accession, 'none' AS hash_code,
+         |       split_part(hla_name, '*', 1) AS locus, rank, sequence,
+         |       upper(term) AS term, gfe_name, allele_id, hla_name,
+         |       '3.56.0' AS imgt_release
+         |FROM ${aux("b_all_features")}
+         |ORDER BY hla_name, term, rank""".stripMargin)((s, _) =>
       build(s, "3560").allFeatures.orderBy("hla_name", "term", "rank")),
     // S2+J1: alignments end-to-end — the `-a` build path (MSF fixture
-    // broadcast-joined through the build, app.py:269-321).
-    QueryDef.noOracle("gfe_build_alignments")((s, _) =>
+    // broadcast-joined through the build, app.py:269-321). Exactly one
+    // of bp/aa carries the alignment (the other is ''), so seq_id and
+    // length re-derive from their concatenation; rank is the
+    // reference's hard-coded "0" (app.py:296).
+    QueryDef("gfe_build_alignments",
+      s"""SELECT label,
+         |       ${md5dec32("(bp_sequence || aa_sequence)")} AS seq_id,
+         |       gfe_name, hla_name,
+         |       CAST(length(bp_sequence || aa_sequence) AS BIGINT) AS length,
+         |       '0' AS rank,
+         |       CASE WHEN label = 'PROT_ALIGN' THEN '' ELSE bp_sequence END
+         |         AS bp_sequence,
+         |       CASE WHEN label = 'PROT_ALIGN' THEN aa_sequence ELSE '' END
+         |         AS aa_sequence,
+         |       '3.56.0' AS imgt_release
+         |FROM ${aux("b_all_alignments")}
+         |ORDER BY label, hla_name""".stripMargin)((s, _) =>
       build(s, "3560").allAlignments.get.orderBy("label", "hla_name")),
     // J2: all_groups with a real reduction table threaded through —
-    // reduced alleles carry G/lg/lgx ids, unreduced stay empty.
-    QueryDef.noOracle("gfe_build_groups")((s, _) =>
+    // reduced alleles carry G/lg/lgx ids, unreduced stay empty. The
+    // oracle additionally asserts the (ard_id='') ⇔ (ard_name='')
+    // pairing policy (app.py:332-333) by re-deriving ard_name's
+    // emptiness from ard_id's.
+    QueryDef("gfe_build_groups",
+      s"""SELECT gfe_name, allele_id, hla_name, ard_id,
+         |       CASE WHEN ard_id = '' THEN '' ELSE ard_name END AS ard_name,
+         |       split_part(hla_name, '*', 1) AS locus,
+         |       '3.56.0' AS imgt_release
+         |FROM ${aux("b_all_groups")}
+         |ORDER BY hla_name, ard_name""".stripMargin)((s, _) =>
       build(s, "3560").allGroups.orderBy("hla_name", "ard_name")),
+    // P7: all_cds (app.py:345-368) — both seq ids re-derived via the
+    // md5 reconstruction; aa may be NULL (untranslatable CDS keeps
+    // the bp row), and NULL propagates identically on both engines.
+    QueryDef("gfe_build_cds",
+      s"""SELECT gfe_name,
+         |       ${md5dec32("bp_sequence")} AS bp_seq_id, bp_sequence,
+         |       ${md5dec32("aa_sequence")} AS aa_seq_id, aa_sequence
+         |FROM ${aux("b_all_cds")}
+         |ORDER BY gfe_name""".stripMargin)((s, _) =>
+      build(s, "3560").allCds.orderBy("gfe_name")),
     // A1: per-label node counts over the merged two-release graph.
     // Oracle: independent per-table counts over the aux snapshot.
     QueryDef("gfe_graph_label_counts",
