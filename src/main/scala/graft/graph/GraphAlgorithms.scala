@@ -791,7 +791,26 @@ object GraphAlgorithms {
       .where(col("a") =!= col("b"))
     val verts = e.select(col("a").as("id"))
       .unionByName(e.select(col("b").as("id"))).distinct()
-    val h = bfsSigmaDF(edges, src, dst, verts, maxDepth)
+    harmonicCentralityDF(edges, src, dst, verts, maxDepth)
+  }
+
+  /** Sampled-sources harmonic centrality — the 100×-scale path: cost
+    * is O(|S|·E) instead of O(V·E), and because the graph is
+    * undirected the restricted sum H_S(v) = Σ_{s∈S, s≠v} ⌊10^6 /
+    * dist(s,v)⌋ is an exact integer partial of the full H(v) (no
+    * estimator noise enters the quantized units — scaling back up by
+    * V/|S| is the caller's choice). `sources` with every vertex
+    * reproduces the exact form bit-for-bit
+    * (GraphAlgorithmsSpec pins both contracts). Output covers EVERY
+    * vertex of the graph; vertices unreached from S score 0. */
+  def harmonicCentralityDF(edges: DataFrame, src: String, dst: String,
+      sources: DataFrame, maxDepth: Int): DataFrame = {
+    val e = edges.select(col(src).cast("string").as("a"),
+      col(dst).cast("string").as("b"))
+      .where(col("a") =!= col("b"))
+    val verts = e.select(col("a").as("id"))
+      .unionByName(e.select(col("b").as("id"))).distinct()
+    val h = bfsSigmaDF(edges, src, dst, sources, maxDepth)
       .where(col("dist") > 0)
       .groupBy(col("v").as("id"))
       .agg(sum(expr("1000000 div dist")).as("harmonic_q"))

@@ -599,6 +599,29 @@ object DedupQueries {
         .orderBy("doc_id")
     },
 
+    // Sampled-pivot Brandes betweenness — the production path for big
+    // graphs (O(|S|·E) forward BFS + backward δ-accumulation instead
+    // of the exact form's all-pairs table), run end-to-end on the
+    // same deterministic doc_id%3 pivot set as the sampled harmonic.
+    // Rows-only like gfe_pagerank: δ-accumulation divides by σ, so
+    // the scores are genuinely fractional and no engine-independent
+    // integer form exists; the semantic contract lives in
+    // GraphAlgorithmsSpec instead — path/star/square goldens for the
+    // full form, the single-pivot partial golden, and the round-8
+    // sampled contracts (all-sources ≡ exact; subset partials are
+    // monotone lower bounds; determinism across runs).
+    QueryDef.noOracle("d_dup_betweenness_sampled") { (s, d) =>
+      val pairs = lshPairs(s, d)
+      val sources = pairs.select(col("d1").as("id"))
+        .unionByName(pairs.select(col("d2").as("id")))
+        .distinct().where(col("id") % 3 === 0)
+        .select(col("id").cast("string"))
+      graft.graph.GraphAlgorithms
+        .betweennessDF(pairs, "d1", "d2", sources, maxDepth = 8)
+        .select(col("id").cast("long").as("doc_id"), col("betweenness"))
+        .orderBy("doc_id")
+    },
+
     // Louvain community detection over the LSH candidate-pair graph
     // (GDS louvain parity): modularity communities REFINE the
     // connected components d_dup_clusters finds — a chain of
@@ -699,6 +722,48 @@ object DedupQueries {
         |ORDER BY doc_id""".stripMargin) { (s, d) =>
       graft.graph.GraphAlgorithms
         .harmonicCentralityDF(lshPairs(s, d), "d1", "d2", maxDepth = 8)
+        .select(col("id").cast("long").as("doc_id"), col("harmonic_q"))
+        .orderBy("doc_id")
+    },
+
+    // Sampled-sources harmonic centrality — the 100×-scale centrality
+    // path run END-TO-END, not by docstring: BFS cost drops from
+    // O(V·E) to O(|S|·E) with S the deterministic doc_id%3 pivot set,
+    // and because the quantized units are exact integer partials of
+    // the full sum, the query stays FULLY hash-oracled — the DuckDB
+    // replay restricts only the walk ROOTS (h1) while intermediate
+    // hops ride the full edge set, exactly like the Spark BFS seeded
+    // with S. Scores cover every vertex (unreached-from-S → 0);
+    // scaling by V/|S| is presentation, left out to keep integers.
+    QueryDef(
+      "d_dup_harmonic_sampled",
+      s"""$lshPairsSql,
+        |und AS (SELECT d1 AS a, d2 AS b FROM pairs
+        |        UNION SELECT d2, d1 FROM pairs),
+        |h1 AS (SELECT a, b FROM und WHERE a % 3 = 0),
+        |${(2 to 8).map(k =>
+          s"""h$k AS (SELECT DISTINCT x.a, y.b
+             |       FROM h${k - 1} x JOIN und y ON x.b = y.a)""".stripMargin)
+          .mkString(",\n")},
+        |walks AS (${(1 to 8).map(k =>
+          s"SELECT a, b, $k AS hops FROM h$k").mkString("\n  UNION ALL ")}),
+        |sp AS (SELECT a AS s, b AS v, min(hops) AS dist
+        |       FROM walks WHERE a <> b GROUP BY 1, 2),
+        |harm AS (SELECT v AS id, sum(1000000 // dist) AS harmonic_q
+        |         FROM sp GROUP BY 1),
+        |verts AS (SELECT DISTINCT d1 AS id FROM pairs
+        |          UNION SELECT DISTINCT d2 FROM pairs)
+        |SELECT v.id AS doc_id,
+        |       CAST(COALESCE(h.harmonic_q, 0) AS BIGINT) AS harmonic_q
+        |FROM verts v LEFT JOIN harm h ON h.id = v.id
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val pairs = lshPairs(s, d)
+      val sources = pairs.select(col("d1").as("id"))
+        .unionByName(pairs.select(col("d2").as("id")))
+        .distinct().where(col("id") % 3 === 0)
+        .select(col("id").cast("string"))
+      graft.graph.GraphAlgorithms
+        .harmonicCentralityDF(pairs, "d1", "d2", sources, maxDepth = 8)
         .select(col("id").cast("long").as("doc_id"), col("harmonic_q"))
         .orderBy("doc_id")
     },

@@ -318,6 +318,46 @@ class GraphAlgorithmsSpec extends AnyFunSuite {
     val deg = toMap(GraphAlgorithms.degreesDF(g, "s", "t"))
     assert(deg == Map("a" -> 1L, "b" -> 2L, "c" -> 2L, "d" -> 1L,
       "x" -> 1L, "y" -> 1L))
+  }
+
+  test("sampled centrality contracts: exact partials, all-sources parity") {
+    def toMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val g = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("x", "y"))
+      .toDF("s", "t")
+    val full = toMap(GraphAlgorithms.harmonicCentralityDF(g, "s", "t"))
+    // 1) all-sources sampled form ≡ the exact form, bit-for-bit
+    val allSrc = Seq("a", "b", "c", "d", "x", "y").toDF("id")
+    assert(toMap(GraphAlgorithms.harmonicCentralityDF(
+      g, "s", "t", allSrc, maxDepth = 30)) == full)
+    // 2) subset partials are exact integer partials: S={a,c} scores
+    //    each v with Σ_{s∈S} ⌊1e6/dist(s,v)⌋ — hand-computable
+    val sub = toMap(GraphAlgorithms.harmonicCentralityDF(
+      g, "s", "t", Seq("a", "c").toDF("id"), maxDepth = 30))
+    assert(sub == Map(
+      "a" -> 500000L,   // from c: 1/2
+      "b" -> 2000000L,  // from a: 1, from c: 1
+      "c" -> 500000L,   // from a: 1/2
+      "d" -> 1333333L,  // from a: 1/3, from c: 1
+      "x" -> 0L, "y" -> 0L)) // unreached from S, still present
+    // 3) monotone lower bound: every subset partial ≤ the full score
+    assert(sub.forall { case (k, v) => v <= full(k) })
+    // 4) same contracts for sampled Brandes betweenness: subset
+    //    partials never exceed the all-sources dependencies, and the
+    //    all-sources sampled call reproduces the exact golden
+    def toMapD(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val path = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"))
+      .toDF("s", "t")
+    val betFull = toMapD(GraphAlgorithms.betweennessDF(path, "s", "t",
+      Seq("a", "b", "c", "d", "e").toDF("id")))
+    assert(betFull == Map("a" -> 0.0, "b" -> 6.0, "c" -> 8.0,
+      "d" -> 6.0, "e" -> 0.0))
+    val betSub = toMapD(GraphAlgorithms.betweennessDF(path, "s", "t",
+      Seq("a", "c").toDF("id")))
+    assert(betSub.forall { case (k, v) => v <= betFull(k) })
+    assert(betSub("b") == 4.0, // from a: {c,d,e}; from c: {a}
+      "subset dependencies are the per-source Brandes partials")
     // duplicate + reversed + self-loop edges don't inflate degrees
     val noisy = Seq(("a", "b"), ("b", "a"), ("a", "b"), ("a", "a"))
       .toDF("s", "t")
