@@ -496,8 +496,114 @@ object GraphAlgorithms {
     * Returns (id, community), community = min ORIGINAL member id —
     * the same stable labeling as [[connectedComponentsDF]].
     */
+  /** Driver-local replay of [[louvainDF]]'s exact move schedule over a
+    * collected (x < y, w) edge list. Returns None when no move ever
+    * improved modularity (the caller emits the every-vertex-its-own
+    * fallback over the ORIGINAL pair list — which, unlike the edge
+    * list, still contains self-loop-only vertices, preserving the
+    * distributed path's fallback semantics exactly). String order is
+    * ASCII/codepoint on both paths, so tie-breaks agree with Spark's
+    * UTF8String comparisons for the numeric/ASCII ids used here. */
+  private def louvainLocal(
+      es0: Array[(String, String, Long)],
+      maxPasses: Int, maxRounds: Int): Option[Seq[(String, String)]] = {
+    import scala.collection.mutable
+    var edges = mutable.Map.empty[(String, String), Long]
+    es0.foreach { case (x, y, w) => edges((x, y)) = w }
+    var selfW = mutable.Map.empty[String, Long]
+    var assign: mutable.Map[String, String] = null
+    var pass = 0
+    var movedInPass = true
+    while (pass < maxPasses && movedInPass) {
+      pass += 1
+      val adj = mutable.Map.empty[String, mutable.Map[String, Long]]
+      def addE(a: String, b: String, w: Long): Unit = {
+        val m = adj.getOrElseUpdate(a, mutable.Map.empty)
+        m(b) = m.getOrElse(b, 0L) + w
+      }
+      edges.foreach { case ((x, y), w) => addE(x, y, w); addE(y, x, w) }
+      val k = mutable.Map.empty[String, Long]
+      adj.foreach { case (n, ms) =>
+        k(n) = ms.valuesIterator.sum + selfW.getOrElse(n, 0L) }
+      selfW.foreach { case (id, sw) =>
+        if (!adj.contains(id)) k(id) = sw }
+      val m2 = k.valuesIterator.sum
+      var state = mutable.Map.empty[String, String]
+      k.keysIterator.foreach(v => state(v) = v)
+      var round = 0
+      var quietRounds = 0
+      movedInPass = false
+      while (round < maxRounds && quietRounds < 2) {
+        val tot = mutable.Map.empty[String, Long]
+        state.foreach { case (id, com) =>
+          tot(com) = tot.getOrElse(com, 0L) + k(id) }
+        val next = mutable.Map.empty[String, String]
+        var movedInRound = false
+        // synchronous round: kvc/tot/score all read the OLD state
+        for (v <- state.keysIterator) {
+          val cur = state(v)
+          val kvc = mutable.Map.empty[String, Long]
+          adj.getOrElse(v, mutable.Map.empty).foreach { case (m, w) =>
+            val c = state(m); kvc(c) = kvc.getOrElse(c, 0L) + w }
+          if (!kvc.contains(cur)) kvc(cur) = 0L
+          val kv = k(v)
+          def score(c: String): Long =
+            m2 * kvc(c) - kv * (tot(c) - (if (c == cur) kv else 0L))
+          var bestC: String = null
+          var bestS = Long.MinValue
+          kvc.keysIterator.foreach { c =>
+            val s0 = score(c)
+            if (s0 > bestS || (s0 == bestS && (bestC == null || c < bestC))) {
+              bestS = s0; bestC = c
+            }
+          }
+          val stay = score(cur)
+          val dirOk =
+            if (round % 2 == 0) bestC < cur else bestC > cur
+          val moved = bestC != cur && bestS > stay && dirOk
+          if (moved) movedInRound = true
+          next(v) = if (moved) bestC else cur
+        }
+        if (movedInRound) { movedInPass = true; quietRounds = 0 }
+        else quietRounds += 1
+        state = next
+        round += 1
+      }
+      if (movedInPass) {
+        assign =
+          if (assign == null) state.clone()
+          else assign.map { case (id, com) => id -> state(com) }
+        val newEdges = mutable.Map.empty[(String, String), Long]
+        val newSelf = mutable.Map.empty[String, Long]
+        edges.foreach { case ((x, y), w) =>
+          val cx = state(x); val cy = state(y)
+          if (cx == cy) newSelf(cx) = newSelf.getOrElse(cx, 0L) + 2 * w
+          else {
+            val key = if (cx < cy) (cx, cy) else (cy, cx)
+            newEdges(key) = newEdges.getOrElse(key, 0L) + w
+          }
+        }
+        selfW.foreach { case (id, sw) =>
+          val c = state(id); newSelf(c) = newSelf.getOrElse(c, 0L) + sw }
+        selfW = newSelf
+        edges = newEdges
+      }
+    }
+    if (assign == null) None
+    else {
+      val lbl = mutable.Map.empty[String, String]
+      assign.foreach { case (id, com) =>
+        val cur = lbl.get(com)
+        if (cur.isEmpty || id < cur.get) lbl(com) = id
+      }
+      Some(assign.iterator.map { case (id, com) => (id, lbl(com)) }.toSeq)
+    }
+  }
+
   def louvainDF(pairs: DataFrame, src: String, dst: String,
-      maxPasses: Int = 3, maxRounds: Int = 8): DataFrame = {
+      maxPasses: Int = 3, maxRounds: Int = 8,
+      broadcastVertsMax: Long = 4000000L,
+      localThreshold: Long = 1000000L): DataFrame = {
     val spark = pairs.sparkSession
     // Level-graph state: simple undirected edges (x < y, weight w)
     // plus per-node self-loop mass (2× the contracted-away internal
@@ -510,6 +616,29 @@ object GraphAlgorithms {
       .distinct()
       .withColumn("w", lit(1L))
       .localCheckpoint(eager = true)
+    // Same small-graph discipline as connectedComponentsDF: below the
+    // threshold, a driver-local run of the IDENTICAL deterministic
+    // move schedule (same integer gains, same (score desc, com asc)
+    // tie-break, same parity guard, quiet-round exit, contraction,
+    // and min-member labeling — GraphAlgorithmsSpec pins local ==
+    // distributed on the goldens) beats ~10 shuffle stages × up to
+    // maxPasses·maxRounds rounds of V-sized frames by two orders of
+    // magnitude. The *input* is the reduced pair list (LSH candidate
+    // graph), so the gate is usually taken; above it, the distributed
+    // fixpoint below runs unchanged.
+    if (edges.count() <= localThreshold) {
+      val es = edges.collect().map(r =>
+        (r.getString(0), r.getString(1), r.getLong(2)))
+      louvainLocal(es, maxPasses, maxRounds) match {
+        case Some(rows) =>
+          import spark.implicits._
+          return spark.createDataset(rows.toSeq).toDF("id", "community")
+        case None =>
+          return pairs.select(col(src).cast("string").as("id"))
+            .unionByName(pairs.select(col(dst).cast("string").as("id")))
+            .distinct().withColumn("community", col("id"))
+      }
+    }
     var selfW = spark.createDataFrame(
       new java.util.ArrayList[org.apache.spark.sql.Row](),
       org.apache.spark.sql.types.StructType(Seq(
@@ -537,7 +666,22 @@ object GraphAlgorithms {
             Seq("id"), "left_anti")
             .select(col("id"), col("sw").as("k")))
         .cache()
-      val m2 = deg.agg(sum("k")).head.getLong(0)
+      // One action materializes the cached deg AND measures the level
+      // graph: 2m for the gain formula, |V| for the broadcast gate.
+      val degStats = deg.agg(sum("k"), count(lit(1))).head
+      val m2 = degStats.getLong(0)
+      val vCount = degStats.getLong(1)
+      // Checkpointed/cached iterative frames carry no size stats, so
+      // the planner sort-merge-joins EVERYTHING — ~8-10 shuffle
+      // stages per round of tiny V-sized frames (profiled at sf0.1:
+      // the suite's single most expensive query, dominated by stage
+      // scheduling, not data). deg/state/tot are all ≤|V| rows of
+      // fixed-width columns; when |V| is bounded, hint them broadcast
+      // and a round collapses to two shuffles (the kvc aggregate and
+      // the per-id window). Above the gate — a corpus-scale graph —
+      // every join falls back to the shuffled plan unchanged.
+      val maybeB: DataFrame => DataFrame =
+        if (vCount <= broadcastVertsMax) broadcast else identity
       var state = deg.select(col("id"), col("id").as("com"))
         .localCheckpoint(eager = true)
       var round = 0
@@ -550,10 +694,10 @@ object GraphAlgorithms {
       // graph whose ids both hash to parity 1 would never merge).
       while (round < maxRounds && quietRounds < 2) {
         // Σtot per community, and k_{v,c} per (vertex, neighbor com)
-        val tot = state.join(deg, "id").groupBy("com")
+        val tot = state.join(maybeB(deg), "id").groupBy("com")
           .agg(sum("k").as("tot"))
         val kvc = und
-          .join(state.select(col("id").as("m"), col("com")), "m")
+          .join(maybeB(state.select(col("id").as("m"), col("com"))), "m")
           .groupBy(col("n").as("id"), col("com"))
           .agg(sum("w").as("kvc"))
         val cur = state.withColumnRenamed("com", "cur_com")
@@ -563,7 +707,8 @@ object GraphAlgorithms {
           .unionByName(cur.select(col("id"), col("cur_com").as("com"))
             .join(kvc.select("id", "com"), Seq("id", "com"), "left_anti")
             .withColumn("kvc", lit(0L)))
-          .join(cur, "id").join(deg, "id").join(tot, "com")
+          .join(maybeB(cur), "id").join(maybeB(deg), "id")
+          .join(maybeB(tot), "com")
           .select(col("id"), col("com"), col("cur_com"), col("k"),
             (lit(m2) * col("kvc") -
               col("k") * (col("tot") -
@@ -624,7 +769,7 @@ object GraphAlgorithms {
         // contract: communities → nodes; intra mass → self-loops
         val sx = state.select(col("id").as("x"), col("com").as("cx"))
         val sy = state.select(col("id").as("y"), col("com").as("cy"))
-        val mapped = edges.join(sx, "x").join(sy, "y")
+        val mapped = edges.join(maybeB(sx), "x").join(maybeB(sy), "y")
           .select(col("cx"), col("cy"), col("w"))
         val intra = mapped.where(col("cx") === col("cy"))
           .groupBy(col("cx").as("id")).agg((sum("w") * 2).as("sw"))

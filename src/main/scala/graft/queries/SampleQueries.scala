@@ -24,6 +24,34 @@ object SampleQueries {
 
   val all: Seq[QueryDef] = Seq(
 
+    // Deterministic train/valid/test split — the assignment every
+    // training pipeline needs to be STABLE across re-ingests and
+    // engine versions: bucket = 60-bit content hash mod 100, split by
+    // fixed thresholds (90/5/5). Content-keyed (not id-keyed) so a
+    // re-crawled duplicate lands in the same split as its original
+    // and can never leak train→test; scan-local map with no shuffle
+    // beyond the presentation sort, so it composes with any upstream
+    // filter at 100 TB.
+    QueryDef(
+      "smp_split_assign",
+      """SELECT doc_id, CAST(b AS BIGINT) AS bucket,
+        |       CASE WHEN b < 90 THEN 'train'
+        |            WHEN b < 95 THEN 'valid'
+        |            ELSE 'test' END AS split
+        |FROM (SELECT doc_id,
+        |        CAST(('0x' || substr(md5(text),1,15)) AS BIGINT) % 100 AS b
+        |      FROM documents)
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      import graft.functions.GraftFunctions.hex60
+      Tables.documents(s, d)
+        .select(col("doc_id"), (hex60(col("text")) % 100).as("bucket"))
+        .select(col("doc_id"), col("bucket"),
+          when(col("bucket") < 90, "train")
+            .when(col("bucket") < 95, "valid")
+            .otherwise("test").as("split"))
+        .orderBy("doc_id")
+    },
+
     QueryDef(
       "smp_hash_sample",
       """SELECT doc_id, lang

@@ -36,6 +36,37 @@ object TextQueries {
 
   val all: Seq[QueryDef] = Seq(
 
+    // Sliding-window chunking — the standard RAG / pretraining prep
+    // pass: 512-char windows at stride 384 (25% overlap), 1-based
+    // positions so Spark substring and DuckDB substr agree exactly;
+    // an empty document still yields its one empty chunk (its row
+    // must survive into the chunk table or downstream joins silently
+    // drop the doc). Pure per-row explode — no shuffle beyond the
+    // presentation sort, partition-preserving, codegen'd; at 100 TB
+    // the chunk table is written partition-aligned with its source.
+    QueryDef(
+      "t_chunk_sliding",
+      """SELECT doc_id,
+        |       CAST((chunk_start - 1) // 384 AS INT) AS chunk_idx,
+        |       CAST(chunk_start AS BIGINT) AS chunk_start,
+        |       substr(text, CAST(chunk_start AS BIGINT), 512) AS chunk_text
+        |FROM (SELECT doc_id, text,
+        |        unnest(range(1, greatest(length(text), 1) + 1, 384))
+        |          AS chunk_start
+        |      FROM documents)
+        |ORDER BY doc_id, chunk_idx""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("text"),
+          explode(sequence(lit(1), greatest(length(col("text")), lit(1)),
+            lit(384))).as("chunk_start"))
+        .select(col("doc_id"),
+          ((col("chunk_start") - 1) / 384).cast("int").as("chunk_idx"),
+          col("chunk_start").cast("long").as("chunk_start"),
+          substring(col("text"), col("chunk_start"), lit(512))
+            .as("chunk_text"))
+        .orderBy("doc_id", "chunk_idx")
+    },
+
     // Token counting: whitespace tokens + distinct-token vocabulary size.
     QueryDef(
       "t_token_count",

@@ -222,6 +222,38 @@ class GraphAlgorithmsSpec extends AnyFunSuite {
     }
   }
 
+  test("louvain: local fast path == distributed fixpoint, bit for bit") {
+    // The driver-local path must replay the distributed move schedule
+    // EXACTLY — same gains, tie-breaks, parity guard, contraction,
+    // labeling. localThreshold = 0 forces the distributed fixpoint on
+    // the same inputs; every fixture must agree assignment-for-
+    // assignment, including ones that exercise contraction passes and
+    // the no-move fallback.
+    def k(v: Seq[String]) = for {
+      i <- v.indices; j <- v.indices if i < j
+    } yield (v(i), v(j))
+    val fixtures = Seq(
+      // two cliques + bridge (contraction golden)
+      k(Seq("a", "b", "c", "d")) ++ k(Seq("e", "f", "g", "h")) ++
+        Seq(("d", "e")),
+      // chain of three triangles bridged tail-to-head
+      k(Seq("t1", "t2", "t3")) ++ k(Seq("u1", "u2", "u3")) ++
+        k(Seq("v1", "v2", "v3")) ++ Seq(("t3", "u1"), ("u3", "v1")),
+      // single edge + isolated-by-self-loop vertex (fallback shape)
+      Seq(("m", "n"), ("z", "z")),
+      // star: hub with 5 leaves (single community, min-label hub test)
+      Seq("l1", "l2", "l3", "l4", "l5").map(l => ("hub", l)))
+    for (f <- fixtures) {
+      val pairs = f.toDF("d1", "d2")
+      def toMap(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      val local = toMap(GraphAlgorithms.louvainDF(pairs, "d1", "d2"))
+      val dist = toMap(GraphAlgorithms.louvainDF(pairs, "d1", "d2",
+        localThreshold = 0L))
+      assert(local == dist, s"fixture $f: local/distributed divergence")
+    }
+  }
+
   test("louvain: communities refine connected components") {
     // disjoint triangle + edge: communities == components (cliques),
     // labels = min member — and no community ever spans components
