@@ -4,6 +4,7 @@ import org.apache.spark.graphx.{Edge, Graph => XGraph}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import scala.collection.mutable.ArrayBuffer
 
 /** Graph algorithms over edge DataFrames — the GDS-plugin capability
   * surface (SURVEY.md §2.10: installed in the reference, no scripted
@@ -269,11 +270,42 @@ object GraphAlgorithms {
   def shortestPathsDF(edges: DataFrame, src: String, dst: String,
       sources: DataFrame, maxDepth: Int,
       directed: Boolean): DataFrame = {
+    val spark = edges.sparkSession
     val e = edges.select(col(src).cast("string").as("a"),
       col(dst).cast("string").as("b"))
     val und = (if (directed) e
       else e.unionByName(e.select(col("b").as("a"), col("a").as("b"))))
       .cache()
+    // Small-graph fast path (louvainDF/bfsSigmaDF discipline): joint
+    // multi-source BFS is one wave over the collected adjacency —
+    // integer distances, bit-exact vs the distributed loop. The seed
+    // set is collected only under the same bounded gate; the
+    // DataFrame-seeds contract for corpus-scale graphs is unchanged.
+    if (und.count() <= 1000000L) {
+      val seeds = sources
+        .select(col(sources.columns.head).cast("string")).distinct()
+        .collect().map(_.getString(0))
+      val adj = scala.collection.mutable.Map
+        .empty[String, ArrayBuffer[String]]
+      und.collect().foreach { r =>
+        adj.getOrElseUpdate(r.getString(0), ArrayBuffer.empty) +=
+          r.getString(1)
+      }
+      und.unpersist()
+      val dist = scala.collection.mutable.Map.empty[String, Int]
+      seeds.foreach(s => dist(s) = 0)
+      var frontier: Seq[String] = seeds.toSeq
+      var depth = 0
+      while (depth < maxDepth && frontier.nonEmpty) {
+        depth += 1
+        val next = scala.collection.mutable.ArrayBuffer.empty[String]
+        for (u <- frontier; v <- adj.getOrElse(u, ArrayBuffer.empty))
+          if (!dist.contains(v)) { dist(v) = depth; next += v }
+        frontier = next.distinct.toSeq
+      }
+      import spark.implicits._
+      return spark.createDataset(dist.toSeq).toDF("id", "distance")
+    }
     var visited = sources
       .select(col(sources.columns.head).cast("string").as("id")).distinct()
       .withColumn("distance", lit(0))
@@ -328,11 +360,47 @@ object GraphAlgorithms {
   def weightedShortestPathsDF(edges: DataFrame, src: String, dst: String,
       weight: String, sources: DataFrame, maxIter: Int,
       directed: Boolean): DataFrame = {
+    val spark = edges.sparkSession
     val e = edges.select(col(src).cast("string").as("a"),
       col(dst).cast("string").as("b"), col(weight).cast("long").as("w"))
     val und = (if (directed) e
       else e.unionByName(e.select(col("b").as("a"), col("a").as("b"), col("w"))))
       .cache()
+    // Small-graph fast path (louvainDF/bfsSigmaDF discipline):
+    // driver-local SYNCHRONOUS Bellman-Ford over the collected
+    // weighted adjacency — the same round semantics as the
+    // distributed loop (round i settles min over paths of ≤ i edges;
+    // maxIter truncation included, which the spec pins), so integer
+    // distances agree bit-for-bit in both the converged and the
+    // maxIter-bounded cases.
+    if (und.count() <= 1000000L) {
+      val seeds = sources
+        .select(col(sources.columns.head).cast("string")).distinct()
+        .collect().map(_.getString(0))
+      val adj = scala.collection.mutable.Map
+        .empty[String, ArrayBuffer[(String, Long)]]
+      und.collect().foreach { r =>
+        adj.getOrElseUpdate(r.getString(0), ArrayBuffer.empty) +=
+          ((r.getString(1), r.getLong(2)))
+      }
+      und.unpersist()
+      var distM = scala.collection.mutable.Map.empty[String, Long]
+      seeds.foreach(s => distM(s) = 0L)
+      var converged = false
+      var i = 0
+      while (!converged && i < maxIter) {
+        i += 1
+        val next = scala.collection.mutable.Map.empty[String, Long] ++ distM
+        for ((u, du) <- distM; (v, w) <- adj.getOrElse(u, ArrayBuffer.empty)) {
+          val nd = du + w
+          if (next.get(v).forall(nd < _)) next(v) = nd
+        }
+        converged = next == distM
+        distM = next
+      }
+      import spark.implicits._
+      return spark.createDataset(distM.toSeq).toDF("id", "dist")
+    }
     var dist = sources
       .select(col(sources.columns.head).cast("string").as("id")).distinct()
       .withColumn("dist", lit(0L))
@@ -830,13 +898,67 @@ object GraphAlgorithms {
     */
   def bfsSigmaDF(edges: DataFrame, src: String, dst: String,
       sources: DataFrame, maxDepth: Int = 30,
-      directed: Boolean = false): DataFrame = {
+      directed: Boolean = false,
+      localThreshold: Long = 1000000L): DataFrame = {
+    val spark = edges.sparkSession
     val e = edges.select(col(src).cast("string").as("a"),
       col(dst).cast("string").as("b"))
       .where(col("a") =!= col("b"))
     val und = (if (directed) e
       else e.unionByName(e.select(col("b").as("a"), col("a").as("b"))))
       .distinct().cache()
+    // Small-graph fast path (same discipline as louvainDF /
+    // connectedComponentsDF): the distributed loop costs ~4 shuffle
+    // stages per layer of tiny frames, so a bounded graph pays more
+    // in stage scheduling than in data. (dist, σ) are integers with a
+    // layer-synchronous recurrence — the local replay is bit-exact,
+    // not approximate. Gate on BOTH the collected edge list and the
+    // |S|·|V| output bound (all-sources BFS on a big component is an
+    // O(V²) pair table no driver should hold). The und.count() action
+    // warms the same cache the distributed loop would use, so the
+    // probe is free when the gate is not taken.
+    if (localThreshold > 0 && und.count() <= localThreshold) {
+      val srcs = sources
+        .select(col(sources.columns.head).cast("string")).distinct()
+        .collect().map(_.getString(0))
+      val adj = new java.util.HashMap[String, Array[String]]()
+      locally {
+        val tmp = scala.collection.mutable.Map
+          .empty[String, scala.collection.mutable.ArrayBuffer[String]]
+        und.collect().foreach { r =>
+          tmp.getOrElseUpdate(r.getString(0),
+            scala.collection.mutable.ArrayBuffer.empty) += r.getString(1)
+        }
+        tmp.foreach { case (k, v) => adj.put(k, v.toArray) }
+      }
+      if (srcs.length.toLong * math.max(adj.size.toLong, 1L) <= 4000000L) {
+        und.unpersist()
+        val rows = Seq.newBuilder[(String, String, Int, Long)]
+        for (s <- srcs) {
+          val dist = scala.collection.mutable.Map(s -> 0)
+          val sigma = scala.collection.mutable.Map(s -> 1L)
+          var frontier = List(s)
+          var depth = 0
+          while (depth < maxDepth && frontier.nonEmpty) {
+            depth += 1
+            val next = scala.collection.mutable.ArrayBuffer.empty[String]
+            for (u <- frontier; v <- adj.getOrDefault(u, Array.empty)) {
+              dist.get(v) match {
+                case None =>
+                  dist(v) = depth; sigma(v) = sigma(u); next += v
+                case Some(dv) if dv == depth =>
+                  sigma(v) += sigma(u)
+                case _ => ()
+              }
+            }
+            frontier = next.distinct.toList
+          }
+          dist.foreach { case (v, dv) => rows += ((s, v, dv, sigma(v))) }
+        }
+        import spark.implicits._
+        return spark.createDataset(rows.result()).toDF("s", "v", "dist", "sigma")
+      }
+    }
     var visited = sources
       .select(col(sources.columns.head).cast("string").as("s")).distinct()
       .select(col("s"), col("s").as("v"), lit(0).as("dist"),
@@ -861,12 +983,76 @@ object GraphAlgorithms {
   }
 
   def betweennessDF(edges: DataFrame, src: String, dst: String,
-      sources: DataFrame, maxDepth: Int = 30, scale: Int = 6): DataFrame = {
+      sources: DataFrame, maxDepth: Int = 30, scale: Int = 6,
+      localThreshold: Long = 1000000L): DataFrame = {
+    val spark = edges.sparkSession
     val e = edges.select(col(src).cast("string").as("a"),
       col(dst).cast("string").as("b"))
       .where(col("a") =!= col("b"))
     val und = e.unionByName(e.select(col("b").as("a"), col("a").as("b")))
       .distinct().cache()
+    // Small-graph fast path: classic per-source Brandes on the
+    // collected adjacency — the backward δ-loop below costs ~4
+    // shuffle stages per BFS layer, all scheduling at bounded sizes.
+    // The δ recurrence over the (dist(w) = dist(u)+1) edge set is
+    // IDENTICAL; only double-summation order differs, which the
+    // round-to-`scale` output absorbs (GraphAlgorithmsSpec pins
+    // local == distributed to 1e-9 on σ-splitting fixtures). Same
+    // |S|·|V| driver bound as bfsSigmaDF's gate.
+    if (localThreshold > 0 && und.count() <= localThreshold) {
+      val srcs = sources
+        .select(col(sources.columns.head).cast("string")).distinct()
+        .collect().map(_.getString(0))
+      val adj = scala.collection.mutable.Map
+        .empty[String, scala.collection.mutable.ArrayBuffer[String]]
+      und.collect().foreach { r =>
+        adj.getOrElseUpdate(r.getString(0),
+          scala.collection.mutable.ArrayBuffer.empty) += r.getString(1)
+      }
+      if (srcs.length.toLong * math.max(adj.size.toLong, 1L) <= 4000000L) {
+        und.unpersist()
+        val bet = scala.collection.mutable.Map.empty[String, Double]
+        val emitted = scala.collection.mutable.Set.empty[String]
+        for (s <- srcs) {
+          val dist = scala.collection.mutable.Map(s -> 0)
+          val sigma = scala.collection.mutable.Map(s -> 1L)
+          var layers = List(List(s))
+          var depth = 0
+          while (depth < maxDepth && layers.head.nonEmpty) {
+            depth += 1
+            val next = scala.collection.mutable.ArrayBuffer.empty[String]
+            for (u <- layers.head;
+                 v <- adj.getOrElse(u, ArrayBuffer.empty)) {
+              dist.get(v) match {
+                case None =>
+                  dist(v) = depth; sigma(v) = sigma(u); next += v
+                case Some(dv) if dv == depth => sigma(v) += sigma(u)
+                case _ => ()
+              }
+            }
+            layers = next.distinct.toList :: layers
+          }
+          // backward: deepest layer first; δ_u += σ_u/σ_w · (1+δ_w)
+          val delta = scala.collection.mutable.Map
+            .empty[String, Double].withDefaultValue(0.0)
+          for (layer <- layers.dropRight(1); w <- layer;
+               u <- adj.getOrElse(w, ArrayBuffer.empty)
+               if dist.get(u).contains(dist(w) - 1)) {
+            delta(u) += sigma(u).toDouble / sigma(w) * (1.0 + delta(w))
+          }
+          dist.keysIterator.filter(_ != s).foreach { v =>
+            bet(v) = bet.getOrElse(v, 0.0) + delta(v)
+            emitted += v
+          }
+        }
+        import spark.implicits._
+        val rows = emitted.iterator.map { v =>
+          (v, BigDecimal(bet(v))
+            .setScale(scale, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        }.toSeq
+        return spark.createDataset(rows).toDF("id", "betweenness")
+      }
+    }
     // forward: visited(s, v, dist, sigma)
     val visited = bfsSigmaDF(edges, src, dst, sources, maxDepth)
       .localCheckpoint(eager = true)

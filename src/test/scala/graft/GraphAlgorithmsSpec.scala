@@ -304,6 +304,29 @@ class GraphAlgorithmsSpec extends AnyFunSuite {
     assert(sp("d") == ((2, 2L)), "two shortest paths must be counted")
   }
 
+  test("bfsSigmaDF: local fast path == distributed loop, bit for bit") {
+    // (dist, σ) are integers under a layer-synchronous recurrence, so
+    // the local replay must agree EXACTLY with the distributed loop
+    // (localThreshold = 0 forces it) — all sources, dual shortest
+    // paths, unreachable components, directed and undirected.
+    val g = Seq(("a", "b"), ("a", "c"), ("b", "d"), ("c", "d"),
+      ("d", "e"), ("x", "y")).toDF("s", "t")
+    val srcs = Seq("a", "b", "c", "d", "e", "x", "y").toDF("id")
+    def toSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect()
+        .map(r => (r.getString(0), r.getString(1), r.getInt(2), r.getLong(3)))
+        .toSet
+    for (dir <- Seq(false, true)) {
+      val local = toSet(GraphAlgorithms.bfsSigmaDF(
+        g, "s", "t", srcs, maxDepth = 8, directed = dir))
+      val dist = toSet(GraphAlgorithms.bfsSigmaDF(
+        g, "s", "t", srcs, maxDepth = 8, directed = dir,
+        localThreshold = 0L))
+      assert(local == dist, s"directed=$dir: local/distributed divergence")
+      assert(local.nonEmpty)
+    }
+  }
+
   test("betweenness: path and star goldens, fractional sigma split") {
     def toMap(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
@@ -333,6 +356,32 @@ class GraphAlgorithmsSpec extends AnyFunSuite {
       Seq("a").toDF("id")))
     assert(one("b") == 3.0 && one("e") == 0.0,
       "single-pivot dependencies are the per-source Brandes partials")
+  }
+
+  test("betweenness: local Brandes == distributed backward loop") {
+    // localThreshold = 0 forces the distributed δ-loop; both paths
+    // must agree to 1e-9 after the shared round-to-6 — including a
+    // σ=3 fixture whose 1/3 path splits are binary-inexact, the case
+    // where summation order could matter.
+    val g = Seq(("a", "b"), ("a", "c"), ("a", "d"), ("b", "e"),
+      ("c", "e"), ("d", "e"), ("e", "f"), ("x", "y")).toDF("s", "t")
+    val srcs = Seq("a", "b", "c", "d", "e", "f", "x", "y").toDF("id")
+    def toMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val local = toMap(GraphAlgorithms.betweennessDF(g, "s", "t", srcs))
+    val dist = toMap(GraphAlgorithms.betweennessDF(g, "s", "t", srcs,
+      localThreshold = 0L))
+    assert(local.keySet == dist.keySet)
+    local.foreach { case (k, v) =>
+      assert(math.abs(v - dist(k)) < 1e-9, s"$k: $v vs ${dist(k)}") }
+    // sampled-pivot parity too (subset sources)
+    val localS = toMap(GraphAlgorithms.betweennessDF(g, "s", "t",
+      Seq("a", "e").toDF("id")))
+    val distS = toMap(GraphAlgorithms.betweennessDF(g, "s", "t",
+      Seq("a", "e").toDF("id"), localThreshold = 0L))
+    assert(localS.keySet == distS.keySet)
+    localS.foreach { case (k, v) =>
+      assert(math.abs(v - distS(k)) < 1e-9, s"sampled $k: $v vs ${distS(k)}") }
   }
 
   test("harmonic centrality and degrees: path golden, isolated component") {
