@@ -439,13 +439,40 @@ object GraphAlgorithms {
     * a (degree, id) struct compared lexicographically — no global
     * row-numbering shuffle needed.
     */
-  def triangleCountsDF(pairs: DataFrame, src: String, dst: String): DataFrame = {
+  def triangleCountsDF(pairs: DataFrame, src: String, dst: String,
+      localThreshold: Long = 1000000L): DataFrame = {
+    val spark = pairs.sparkSession
     val e0 = pairs
       .select(col(src).cast("string").as("x"), col(dst).cast("string").as("y"))
       .where(col("x") =!= col("y"))
       .select(least(col("x"), col("y")).as("x"), greatest(col("x"), col("y")).as("y"))
       .distinct()
       .cache()
+    // Small-graph fast path (louvainDF discipline): canonical-order
+    // triangle enumeration over the collected adjacency — each
+    // triangle found exactly once from its u<v<w edge, all three
+    // member counts incremented. Exact integers; the distributed
+    // degree-ordered orientation below is the arbitrary-scale path.
+    if (localThreshold > 0 && e0.count() <= localThreshold) {
+      val nbrs = scala.collection.mutable
+        .Map.empty[String, scala.collection.mutable.Set[String]]
+      e0.collect().foreach { r =>
+        val (x, y) = (r.getString(0), r.getString(1))
+        nbrs.getOrElseUpdate(x, scala.collection.mutable.Set.empty) += y
+        nbrs.getOrElseUpdate(y, scala.collection.mutable.Set.empty) += x
+      }
+      e0.unpersist()
+      val cnt = scala.collection.mutable.Map
+        .empty[String, Long].withDefaultValue(0L)
+      for ((u, nu) <- nbrs; v <- nu if u < v;
+           w <- nbrs(v) if w > v && nu.contains(w)) {
+        cnt(u) += 1; cnt(v) += 1; cnt(w) += 1
+      }
+      import spark.implicits._
+      return spark.createDataset(
+        nbrs.keysIterator.map(v => (v, cnt(v))).toSeq)
+        .toDF("id", "n_tri")
+    }
     val deg = e0.select(col("x").as("id"))
       .unionByName(e0.select(col("y").as("id")))
       .groupBy("id").agg(count(lit(1)).as("deg"))
@@ -502,12 +529,46 @@ object GraphAlgorithms {
     * Returns (a, b, inter_cnt, union_cnt) with a < b, string keys.
     */
   def nodeSimilarityDF(pairs: DataFrame, src: String, dst: String,
-      maxDegree: Long = Long.MaxValue): DataFrame = {
+      maxDegree: Long = Long.MaxValue,
+      localThreshold: Long = 1000000L): DataFrame = {
+    val spark = pairs.sparkSession
     val e0 = pairs
       .select(col(src).cast("string").as("x"), col(dst).cast("string").as("y"))
       .where(col("x") =!= col("y"))
       .select(least(col("x"), col("y")).as("x"), greatest(col("x"), col("y")).as("y"))
       .distinct()
+    // Small-graph fast path (louvainDF discipline): wedge enumeration
+    // over the collected adjacency, replaying the distributed
+    // semantics exactly — degrees measured BEFORE the cutoff, the
+    // cutoff dropping edges with either endpoint over the cap, pairs
+    // emitted a<b with ≥1 shared kept neighbor. Exact integers.
+    locally {
+      val e0c = e0.cache()
+      if (localThreshold > 0 && e0c.count() <= localThreshold) {
+        val nbrs = scala.collection.mutable
+          .Map.empty[String, scala.collection.mutable.Set[String]]
+        e0c.collect().foreach { r =>
+          val (x, y) = (r.getString(0), r.getString(1))
+          nbrs.getOrElseUpdate(x, scala.collection.mutable.Set.empty) += y
+          nbrs.getOrElseUpdate(y, scala.collection.mutable.Set.empty) += x
+        }
+        e0c.unpersist()
+        val deg = nbrs.iterator.map { case (n, s) => n -> s.size.toLong }.toMap
+        val kept = deg.filter(_._2 <= maxDegree).keySet
+        val inter = scala.collection.mutable
+          .Map.empty[(String, String), Long].withDefaultValue(0L)
+        for (n <- kept.iterator; ms = nbrs(n).filter(kept).toArray.sorted;
+             i <- ms.indices; j <- (i + 1) until ms.length)
+          inter((ms(i), ms(j))) += 1
+        import spark.implicits._
+        return spark.createDataset(
+          inter.iterator.map { case ((a, b), ic) =>
+            (a, b, ic, deg(a) + deg(b) - ic)
+          }.toSeq)
+          .toDF("a", "b", "inter_cnt", "union_cnt")
+      }
+      e0c.unpersist()
+    }
     val und = e0.select(col("x").as("n"), col("y").as("m"))
       .unionByName(e0.select(col("y").as("n"), col("x").as("m")))
       .cache()
@@ -1160,13 +1221,43 @@ object GraphAlgorithms {
     * and non-convergence within maxIter fails loud rather than
     * returning a non-fixpoint. */
   def kCoreDF(pairs: DataFrame, src: String, dst: String, k: Int,
-      maxIter: Int = 40): DataFrame = {
+      maxIter: Int = 40, localThreshold: Long = 1000000L): DataFrame = {
+    val spark = pairs.sparkSession
     val e0 = pairs.select(col(src).cast("string").as("a"),
       col(dst).cast("string").as("b"))
       .where(col("a") =!= col("b"))
     var e = e0.unionByName(e0.select(col("b").as("a"), col("a").as("b")))
       .distinct().localCheckpoint(eager = true)
     var n = e.count()
+    // Small-graph fast path (louvainDF discipline): the SAME
+    // synchronous peel — every round drops ALL under-degree vertices
+    // at once — over the collected adjacency, same maxIter fail-loud
+    // guard. Exact integers; the distributed peel runs unchanged
+    // above the gate.
+    if (localThreshold > 0 && n <= localThreshold) {
+      var nbrs = Map.empty[String, Set[String]]
+      e.collect().foreach { r =>
+        val (a, b) = (r.getString(0), r.getString(1))
+        nbrs = nbrs.updated(a, nbrs.getOrElse(a, Set.empty) + b)
+      }
+      var itL = 0
+      var convergedL = nbrs.isEmpty
+      while (!convergedL && itL < maxIter) {
+        itL += 1
+        val keep = nbrs.collect { case (v, s) if s.size >= k => v }.toSet
+        val next = nbrs.collect { case (v, s) if keep(v) =>
+          v -> s.filter(keep) }.filter(_._2.nonEmpty)
+        convergedL = next.size == nbrs.size &&
+          next.forall { case (v, s) => nbrs(v).size == s.size }
+        nbrs = next
+      }
+      require(convergedL,
+        s"k-core peel did not converge within $maxIter rounds")
+      import spark.implicits._
+      return spark.createDataset(
+        nbrs.iterator.map { case (v, s) => (v, s.size.toLong) }.toSeq)
+        .toDF("id", "core_degree")
+    }
     var it = 0
     var converged = n == 0L
     while (!converged && it < maxIter) {

@@ -401,6 +401,33 @@ class GraphAlgorithmsSpec extends AnyFunSuite {
       "x" -> 1L, "y" -> 1L))
   }
 
+  test("triangles/node-similarity/k-core: local path == distributed, exactly") {
+    // Shared fixture: two triangles sharing edge (b,c), a pendant, a
+    // detached edge — exercises zero-count vertices, wedge overlaps,
+    // and peel cascades. localThreshold = 0 forces the distributed
+    // path; integer outputs must agree exactly.
+    val g = Seq(("a", "b"), ("b", "c"), ("c", "a"), ("b", "d"),
+      ("c", "d"), ("d", "e"), ("x", "y")).toDF("d1", "d2")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    assert(rows(GraphAlgorithms.triangleCountsDF(g, "d1", "d2")) ==
+      rows(GraphAlgorithms.triangleCountsDF(g, "d1", "d2",
+        localThreshold = 0L)))
+    assert(rows(GraphAlgorithms.nodeSimilarityDF(g, "d1", "d2")) ==
+      rows(GraphAlgorithms.nodeSimilarityDF(g, "d1", "d2",
+        localThreshold = 0L)))
+    // degree cutoff must replicate too (deg measured pre-cutoff)
+    assert(rows(GraphAlgorithms.nodeSimilarityDF(g, "d1", "d2",
+        maxDegree = 2L)) ==
+      rows(GraphAlgorithms.nodeSimilarityDF(g, "d1", "d2",
+        maxDegree = 2L, localThreshold = 0L)))
+    for (k <- Seq(1, 2, 3)) {
+      assert(rows(GraphAlgorithms.kCoreDF(g, "d1", "d2", k)) ==
+        rows(GraphAlgorithms.kCoreDF(g, "d1", "d2", k,
+          localThreshold = 0L)), s"k=$k divergence")
+    }
+  }
+
   test("sampled centrality contracts: exact partials, all-sources parity") {
     def toMap(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
