@@ -203,7 +203,7 @@ object GraphAlgorithms {
     */
   def pageRankIntDF(edges: DataFrame, src: String, dst: String,
       iterations: Int = 10, directed: Boolean = true,
-      scale: Long = 1000000L): DataFrame = {
+      scale: Long = 1000000L, localThreshold: Long = 1000000L): DataFrame = {
     val e0 = edges.select(col(src).cast("string").as("a"),
       col(dst).cast("string").as("b"))
       .where(col("a") =!= col("b"))
@@ -217,6 +217,31 @@ object GraphAlgorithms {
     val deg = e.groupBy(col("a")).agg(count(lit(1)).as("deg"))
     val eDeg = e.join(deg, "a").localCheckpoint(eager = true)
     val reset = scale * 15L / 100L
+    // Small-graph fast path (louvainDF discipline): the recurrence is
+    // pure integer floor-division, so the local replay is bit-exact —
+    // same per-edge ⌊r·85/(100·deg)⌋ contributions, same reset mass.
+    if (localThreshold > 0 && eDeg.count() <= localThreshold) {
+      val spark = edges.sparkSession
+      val ed = eDeg.collect().map(r =>
+        (r.getString(0), r.getString(1), r.getLong(2)))
+      val ids = verts.collect().map(_.getString(0))
+      var rankM = scala.collection.mutable.Map.empty[String, Long]
+      ids.foreach(v => rankM(v) = scale)
+      for (_ <- 0 until iterations) {
+        val inMass = scala.collection.mutable.Map
+          .empty[String, Long].withDefaultValue(0L)
+        ed.foreach { case (a, b, dg) =>
+          inMass(b) += rankM(a) * 85L / (100L * dg)
+        }
+        val next = scala.collection.mutable.Map.empty[String, Long]
+        ids.foreach(v => next(v) = reset + inMass(v))
+        rankM = next
+      }
+      import spark.implicits._
+      return spark.createDataset(
+        ids.iterator.map(v => (v, rankM(v))).toSeq)
+        .toDF("id", "rank_ppm")
+    }
     var rank = verts.withColumn("r", lit(scale))
     var i = 0
     while (i < iterations) {

@@ -401,6 +401,22 @@ class GraphAlgorithmsSpec extends AnyFunSuite {
       "x" -> 1L, "y" -> 1L))
   }
 
+  test("integer pagerank: local path == distributed, bit for bit") {
+    // floor-division recurrence → exact integers on both paths; the
+    // star graph exercises asymmetric degrees, the pair a 2-cycle.
+    val g = Seq(("hub", "l1"), ("hub", "l2"), ("hub", "l3"), ("l1", "l2"),
+      ("p", "q")).toDF("d1", "d2")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    for (dir <- Seq(true, false)) {
+      val local = rows(GraphAlgorithms.pageRankIntDF(g, "d1", "d2",
+        directed = dir))
+      val dist = rows(GraphAlgorithms.pageRankIntDF(g, "d1", "d2",
+        directed = dir, localThreshold = 0L))
+      assert(local == dist, s"directed=$dir divergence")
+    }
+  }
+
   test("triangles/node-similarity/k-core: local path == distributed, exactly") {
     // Shared fixture: two triangles sharing edge (b,c), a pendant, a
     // detached edge — exercises zero-count vertices, wedge overlaps,
