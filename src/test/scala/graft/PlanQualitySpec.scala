@@ -170,6 +170,19 @@ class PlanQualitySpec extends AnyFunSuite {
       "corpus size must join in as a broadcast singleton, not a collect")
   }
 
+  test("chunking and split-assign stay scan-local: one exchange, the sort's") {
+    // both are per-row maps at 100 TB — the ONLY exchange allowed in
+    // either plan is the presentation ORDER BY's range repartition
+    for (q <- Seq("t_chunk_sliding", "smp_split_assign")) {
+      val plan = planOf(q)
+      val exchanges = "Exchange".r.findAllIn(plan).length
+      assert(exchanges <= 1, s"$q: expected only the sort exchange:\n" +
+        plan.take(1500))
+      assert(!plan.contains("SortMergeJoin") && !plan.contains("HashJoin"),
+        s"$q must not join anything")
+    }
+  }
+
   test("setsim prefix-filter is equi-join only, no cross join") {
     val plan = planOf("d_setsim_join")
     assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoop"),
