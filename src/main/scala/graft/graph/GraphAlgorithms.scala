@@ -35,6 +35,30 @@ object GraphAlgorithms {
       .toDF("id", "vid")
   }
 
+  /** UTF-8 byte-order String ordering — matches Spark's UTF8String
+    * binary comparison exactly. JVM String `<` compares UTF-16 code
+    * units, which diverges from UTF-8 byte order when ids mix
+    * supplementary (non-BMP) characters with chars in [U+E000,
+    * U+FFFF]; every driver-local replay compares ids through THIS
+    * ordering so the local == distributed bit-exactness contract
+    * holds for arbitrary string keys, not just ASCII. */
+  private[graft] val utf8Ordering: Ordering[String] = new Ordering[String] {
+    def compare(a: String, b: String): Int = {
+      val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val n = math.min(x.length, y.length)
+      var i = 0
+      while (i < n) {
+        val c = (x(i) & 0xff) - (y(i) & 0xff)
+        if (c != 0) return c
+        i += 1
+      }
+      x.length - y.length
+    }
+  }
+  @inline private def utf8Lt(a: String, b: String): Boolean =
+    utf8Ordering.compare(a, b) < 0
+
   /** Iterative Pregel rounds multiply per-partition scheduling cost;
     * size the edge partitioning to the derived graph, not to the
     * (much larger) source's parallelism. ~1M edges/partition. */
@@ -112,7 +136,7 @@ object GraphAlgorithms {
       }
       val byRoot = parent.keys.toSeq.groupBy(find)
       val rows = byRoot.valuesIterator.flatMap { members =>
-        val label = members.min
+        val label = members.min(utf8Ordering)
         members.map(m => (m, label))
       }.toSeq
       edgesSmall.unpersist()
@@ -277,12 +301,13 @@ object GraphAlgorithms {
     */
   def shortestPathsDF(edges: DataFrame, src: String, dst: String,
       sources: Seq[String], maxDepth: Int = 30,
-      directed: Boolean = false): DataFrame = {
+      directed: Boolean = false,
+      localThreshold: Long = 1000000L): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
     require(sources.nonEmpty, "at least one source vertex required")
     shortestPathsDF(edges, src, dst, sources.distinct.toDF("id"),
-      maxDepth, directed)
+      maxDepth, directed, localThreshold)
   }
 
   /** Distributed-sources variant: `sources`' FIRST column is the seed
@@ -294,7 +319,7 @@ object GraphAlgorithms {
     */
   def shortestPathsDF(edges: DataFrame, src: String, dst: String,
       sources: DataFrame, maxDepth: Int,
-      directed: Boolean): DataFrame = {
+      directed: Boolean, localThreshold: Long): DataFrame = {
     val spark = edges.sparkSession
     val e = edges.select(col(src).cast("string").as("a"),
       col(dst).cast("string").as("b"))
@@ -306,7 +331,9 @@ object GraphAlgorithms {
     // integer distances, bit-exact vs the distributed loop. The seed
     // set is collected only under the same bounded gate; the
     // DataFrame-seeds contract for corpus-scale graphs is unchanged.
-    if (und.count() <= 1000000L) {
+    // `localThreshold <= 0` disables the local path entirely (parity
+    // tests and memory-constrained drivers).
+    if (localThreshold > 0 && und.count() <= localThreshold) {
       val seeds = sources
         .select(col(sources.columns.head).cast("string")).distinct()
         .collect().map(_.getString(0))
@@ -369,12 +396,13 @@ object GraphAlgorithms {
     */
   def weightedShortestPathsDF(edges: DataFrame, src: String, dst: String,
       weight: String, sources: Seq[String], maxIter: Int = 64,
-      directed: Boolean = false): DataFrame = {
+      directed: Boolean = false,
+      localThreshold: Long = 1000000L): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
     require(sources.nonEmpty, "at least one source vertex required")
     weightedShortestPathsDF(edges, src, dst, weight,
-      sources.distinct.toDF("id"), maxIter, directed)
+      sources.distinct.toDF("id"), maxIter, directed, localThreshold)
   }
 
   /** Distributed-sources variant (see [[shortestPathsDF]]'s DataFrame
@@ -384,7 +412,7 @@ object GraphAlgorithms {
     */
   def weightedShortestPathsDF(edges: DataFrame, src: String, dst: String,
       weight: String, sources: DataFrame, maxIter: Int,
-      directed: Boolean): DataFrame = {
+      directed: Boolean, localThreshold: Long): DataFrame = {
     val spark = edges.sparkSession
     val e = edges.select(col(src).cast("string").as("a"),
       col(dst).cast("string").as("b"), col(weight).cast("long").as("w"))
@@ -397,8 +425,9 @@ object GraphAlgorithms {
     // distributed loop (round i settles min over paths of ≤ i edges;
     // maxIter truncation included, which the spec pins), so integer
     // distances agree bit-for-bit in both the converged and the
-    // maxIter-bounded cases.
-    if (und.count() <= 1000000L) {
+    // maxIter-bounded cases. `localThreshold <= 0` disables the local
+    // path entirely (parity tests and memory-constrained drivers).
+    if (localThreshold > 0 && und.count() <= localThreshold) {
       val seeds = sources
         .select(col(sources.columns.head).cast("string")).distinct()
         .collect().map(_.getString(0))
@@ -489,8 +518,8 @@ object GraphAlgorithms {
       e0.unpersist()
       val cnt = scala.collection.mutable.Map
         .empty[String, Long].withDefaultValue(0L)
-      for ((u, nu) <- nbrs; v <- nu if u < v;
-           w <- nbrs(v) if w > v && nu.contains(w)) {
+      for ((u, nu) <- nbrs; v <- nu if utf8Lt(u, v);
+           w <- nbrs(v) if utf8Lt(v, w) && nu.contains(w)) {
         cnt(u) += 1; cnt(v) += 1; cnt(w) += 1
       }
       import spark.implicits._
@@ -582,7 +611,8 @@ object GraphAlgorithms {
         val kept = deg.filter(_._2 <= maxDegree).keySet
         val inter = scala.collection.mutable
           .Map.empty[(String, String), Long].withDefaultValue(0L)
-        for (n <- kept.iterator; ms = nbrs(n).filter(kept).toArray.sorted;
+        for (n <- kept.iterator;
+             ms = nbrs(n).filter(kept).toArray.sorted(utf8Ordering);
              i <- ms.indices; j <- (i + 1) until ms.length)
           inter((ms(i), ms(j))) += 1
         import spark.implicits._
@@ -655,9 +685,10 @@ object GraphAlgorithms {
     * improved modularity (the caller emits the every-vertex-its-own
     * fallback over the ORIGINAL pair list — which, unlike the edge
     * list, still contains self-loop-only vertices, preserving the
-    * distributed path's fallback semantics exactly). String order is
-    * ASCII/codepoint on both paths, so tie-breaks agree with Spark's
-    * UTF8String comparisons for the numeric/ASCII ids used here. */
+    * distributed path's fallback semantics exactly). All id
+    * comparisons go through [[utf8Ordering]] (UTF-8 byte order), so
+    * tie-breaks agree with Spark's UTF8String comparisons for
+    * ARBITRARY string keys, not just ASCII. */
   private def louvainLocal(
       es0: Array[(String, String, Long)],
       maxPasses: Int, maxRounds: Int): Option[Seq[(String, String)]] = {
@@ -707,13 +738,14 @@ object GraphAlgorithms {
           var bestS = Long.MinValue
           kvc.keysIterator.foreach { c =>
             val s0 = score(c)
-            if (s0 > bestS || (s0 == bestS && (bestC == null || c < bestC))) {
+            if (s0 > bestS ||
+                (s0 == bestS && (bestC == null || utf8Lt(c, bestC)))) {
               bestS = s0; bestC = c
             }
           }
           val stay = score(cur)
           val dirOk =
-            if (round % 2 == 0) bestC < cur else bestC > cur
+            if (round % 2 == 0) utf8Lt(bestC, cur) else utf8Lt(cur, bestC)
           val moved = bestC != cur && bestS > stay && dirOk
           if (moved) movedInRound = true
           next(v) = if (moved) bestC else cur
@@ -733,7 +765,7 @@ object GraphAlgorithms {
           val cx = state(x); val cy = state(y)
           if (cx == cy) newSelf(cx) = newSelf.getOrElse(cx, 0L) + 2 * w
           else {
-            val key = if (cx < cy) (cx, cy) else (cy, cx)
+            val key = if (utf8Lt(cx, cy)) (cx, cy) else (cy, cx)
             newEdges(key) = newEdges.getOrElse(key, 0L) + w
           }
         }
@@ -748,7 +780,7 @@ object GraphAlgorithms {
       val lbl = mutable.Map.empty[String, String]
       assign.foreach { case (id, com) =>
         val cur = lbl.get(com)
-        if (cur.isEmpty || id < cur.get) lbl(com) = id
+        if (cur.isEmpty || utf8Lt(id, cur.get)) lbl(com) = id
       }
       Some(assign.iterator.map { case (id, com) => (id, lbl(com)) }.toSeq)
     }
@@ -1002,22 +1034,27 @@ object GraphAlgorithms {
     // |S|·|V| output bound (all-sources BFS on a big component is an
     // O(V²) pair table no driver should hold). The und.count() action
     // warms the same cache the distributed loop would use, so the
-    // probe is free when the gate is not taken.
+    // probe is free when the gate is not taken. BOTH gates are
+    // evaluated BEFORE the edge list is collected — the |S|·|V| probe
+    // uses the already-collected source list and a cheap distinct
+    // count over the cached edges, so a rejected gate never pays the
+    // full adjacency materialization just to discard it.
     if (localThreshold > 0 && und.count() <= localThreshold) {
       val srcs = sources
         .select(col(sources.columns.head).cast("string")).distinct()
         .collect().map(_.getString(0))
-      val adj = new java.util.HashMap[String, Array[String]]()
-      locally {
-        val tmp = scala.collection.mutable.Map
-          .empty[String, scala.collection.mutable.ArrayBuffer[String]]
-        und.collect().foreach { r =>
-          tmp.getOrElseUpdate(r.getString(0),
-            scala.collection.mutable.ArrayBuffer.empty) += r.getString(1)
+      val nAdj = und.select("a").distinct().count()
+      if (srcs.length.toLong * math.max(nAdj, 1L) <= 4000000L) {
+        val adj = new java.util.HashMap[String, Array[String]]()
+        locally {
+          val tmp = scala.collection.mutable.Map
+            .empty[String, scala.collection.mutable.ArrayBuffer[String]]
+          und.collect().foreach { r =>
+            tmp.getOrElseUpdate(r.getString(0),
+              scala.collection.mutable.ArrayBuffer.empty) += r.getString(1)
+          }
+          tmp.foreach { case (k, v) => adj.put(k, v.toArray) }
         }
-        tmp.foreach { case (k, v) => adj.put(k, v.toArray) }
-      }
-      if (srcs.length.toLong * math.max(adj.size.toLong, 1L) <= 4000000L) {
         und.unpersist()
         val rows = Seq.newBuilder[(String, String, Int, Long)]
         for (s <- srcs) {
@@ -1084,18 +1121,21 @@ object GraphAlgorithms {
     // IDENTICAL; only double-summation order differs, which the
     // round-to-`scale` output absorbs (GraphAlgorithmsSpec pins
     // local == distributed to 1e-9 on σ-splitting fixtures). Same
-    // |S|·|V| driver bound as bfsSigmaDF's gate.
+    // |S|·|V| driver bound as bfsSigmaDF's gate, and like there both
+    // gates run BEFORE the edge-list collect (cheap distinct count,
+    // not the materialized adjacency).
     if (localThreshold > 0 && und.count() <= localThreshold) {
       val srcs = sources
         .select(col(sources.columns.head).cast("string")).distinct()
         .collect().map(_.getString(0))
-      val adj = scala.collection.mutable.Map
-        .empty[String, scala.collection.mutable.ArrayBuffer[String]]
-      und.collect().foreach { r =>
-        adj.getOrElseUpdate(r.getString(0),
-          scala.collection.mutable.ArrayBuffer.empty) += r.getString(1)
-      }
-      if (srcs.length.toLong * math.max(adj.size.toLong, 1L) <= 4000000L) {
+      val nAdj = und.select("a").distinct().count()
+      if (srcs.length.toLong * math.max(nAdj, 1L) <= 4000000L) {
+        val adj = scala.collection.mutable.Map
+          .empty[String, scala.collection.mutable.ArrayBuffer[String]]
+        und.collect().foreach { r =>
+          adj.getOrElseUpdate(r.getString(0),
+            scala.collection.mutable.ArrayBuffer.empty) += r.getString(1)
+        }
         und.unpersist()
         val bet = scala.collection.mutable.Map.empty[String, Double]
         val emitted = scala.collection.mutable.Set.empty[String]

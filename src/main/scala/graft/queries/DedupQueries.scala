@@ -475,7 +475,7 @@ object DedupQueries {
         .select("component").distinct()
       graft.graph.GraphAlgorithms
         .weightedShortestPathsDF(wp, "d1", "d2", "w", seeds,
-          maxIter = 64, directed = false)
+          maxIter = 64, directed = false, localThreshold = 1000000L)
         .select(col("id").cast("long").as("doc_id"), col("dist"))
         .orderBy("doc_id")
     },

@@ -534,10 +534,10 @@ object RelationalQueries {
       """SELECT source, file_idx,
         |       count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS bytes
         |FROM (SELECT source, n_chars,
-        |        COALESCE(sum(n_chars) OVER (
+        |        CAST(COALESCE(sum(n_chars) OVER (
         |          PARTITION BY source ORDER BY doc_id
         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-        |          // 2048 AS file_idx
+        |          // 2048 AS BIGINT) AS file_idx
         |      FROM documents)
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
       import org.apache.spark.sql.expressions.Window

@@ -170,21 +170,91 @@ class GraphAlgorithmsSpec extends AnyFunSuite {
       edges, "s", "t", "w", Seq("a", "b"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val viaDf = GraphAlgorithms.weightedShortestPathsDF(
-      edges, "s", "t", "w", seedDf, maxIter = 64, directed = false)
+      edges, "s", "t", "w", seedDf, maxIter = 64, directed = false,
+      localThreshold = 1000000L)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(viaDf == viaSeq)
 
     val bfsSeq = GraphAlgorithms.shortestPathsDF(edges, "s", "t", Seq("a", "b"))
       .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
     val bfsDf = GraphAlgorithms.shortestPathsDF(
-      edges, "s", "t", seedDf, maxDepth = 30, directed = false)
+      edges, "s", "t", seedDf, maxDepth = 30, directed = false,
+      localThreshold = 1000000L)
       .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
     assert(bfsDf == bfsSeq)
 
     // empty distributed seed set: empty result, no special-casing
     assert(GraphAlgorithms.shortestPathsDF(edges, "s", "t",
       seedDf.where("component = 'zzz'"), maxDepth = 5,
-      directed = false).count() == 0)
+      directed = false, localThreshold = 1000000L).count() == 0)
+  }
+
+  test("shortest paths: local fast path == distributed loop, bit for bit") {
+    // localThreshold = 0 forces the distributed frontier/relaxation
+    // loops on the same fixtures as the local replays — integer
+    // distances must agree exactly, including directed truncation and
+    // the maxIter/maxDepth-bounded (non-converged) cases.
+    val edges = Seq(
+      ("a", "b", 10L), ("a", "c", 1L), ("c", "d", 1L), ("d", "b", 1L),
+      ("b", "e", 2L), ("f", "g", 5L)
+    ).toDF("s", "t", "w")
+    def toL(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    def toI(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    for (dir <- Seq(false, true); maxIter <- Seq(1, 64)) {
+      val local = toL(GraphAlgorithms.weightedShortestPathsDF(
+        edges, "s", "t", "w", Seq("a"), maxIter = maxIter, directed = dir))
+      val dist = toL(GraphAlgorithms.weightedShortestPathsDF(
+        edges, "s", "t", "w", Seq("a"), maxIter = maxIter, directed = dir,
+        localThreshold = 0L))
+      assert(local == dist,
+        s"weighted divergence (directed=$dir maxIter=$maxIter)")
+    }
+    for (dir <- Seq(false, true); maxDepth <- Seq(1, 30)) {
+      val local = toI(GraphAlgorithms.shortestPathsDF(
+        edges, "s", "t", Seq("a", "f"), maxDepth = maxDepth, directed = dir))
+      val dist = toI(GraphAlgorithms.shortestPathsDF(
+        edges, "s", "t", Seq("a", "f"), maxDepth = maxDepth, directed = dir,
+        localThreshold = 0L))
+      assert(local == dist,
+        s"BFS divergence (directed=$dir maxDepth=$maxDepth)")
+    }
+  }
+
+  test("non-ASCII ids: local replays order like Spark UTF8String") {
+    // JVM String '<' compares UTF-16 code units, so the surrogate-pair
+    // emoji U+1F600 (units D83D DE00) sorts BEFORE U+E000; Spark's
+    // UTF8String compares UTF-8 bytes, where U+E000 (EE 80 80) sorts
+    // BEFORE the emoji (F0 9F 98 80). A local replay using JVM order
+    // would pick the wrong min label / pair orientation here; parity
+    // with the distributed path (localThreshold = 0) pins the UTF-8
+    // ordering fix.
+    val emoji = "\ud83d\ude00" // U+1F600
+    val pua = "\ue000"
+    assert(emoji < pua && // JVM order: emoji first
+      GraphAlgorithms.utf8Ordering.compare(pua, emoji) < 0) // UTF-8: pua first
+    val pua2 = "\ue001" // UTF-8 min order: pua < pua2 < emoji
+    val pairs = Seq((emoji, pua), (pua, pua2), (pua2, emoji),
+      ("z2", "z3")).toDF("d1", "d2")
+    def toMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val ccL = toMap(GraphAlgorithms.connectedComponentsDF(pairs, "d1", "d2"))
+    val ccD = toMap(GraphAlgorithms.connectedComponentsDF(pairs, "d1", "d2",
+      localThreshold = 0))
+    assert(ccL == ccD, "connected components: non-ASCII label divergence")
+    assert(ccL(emoji) == pua, "component label must be the UTF-8 min")
+    val lvL = toMap(GraphAlgorithms.louvainDF(pairs, "d1", "d2"))
+    val lvD = toMap(GraphAlgorithms.louvainDF(pairs, "d1", "d2",
+      localThreshold = 0L))
+    assert(lvL == lvD, "louvain: non-ASCII tie-break divergence")
+    def toPairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getString(1),
+        r.getLong(2), r.getLong(3))).toSet
+    val nsL = toPairs(GraphAlgorithms.nodeSimilarityDF(pairs, "d1", "d2"))
+    val nsD = toPairs(GraphAlgorithms.nodeSimilarityDF(pairs, "d1", "d2",
+      localThreshold = 0))
+    assert(nsL == nsD, "node similarity: non-ASCII pair orientation divergence")
   }
 
   test("louvain: two cliques and a bridge split at the bridge") {
