@@ -93,6 +93,12 @@ object Verify {
     catch { case e: Throwable =>
       System.err.println(s"[verify] aux dump failed: ${e.getMessage}")
     }
+    // Louvain assignment snapshot for the d_dup_louvain invariant
+    // oracle (labeling / refinement / modularity re-derived in DuckDB).
+    try graft.queries.DedupQueries.dumpAux(spark, sfDir)
+    catch { case e: Throwable =>
+      System.err.println(s"[verify] dedup aux dump failed: ${e.getMessage}")
+    }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

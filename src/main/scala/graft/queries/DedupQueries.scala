@@ -627,18 +627,93 @@ object DedupQueries {
     // connected components d_dup_clusters finds — a chain of
     // borderline near-dups that merely touches two dense dup groups
     // stays two communities, the right survivor-granularity for
-    // aggressive dedup. No DuckDB oracle (an engine-specific
-    // multi-level fixpoint, like v_ann_kmeans); the contract is
-    // spec-bound instead (GraphAlgorithmsSpec): deterministic across
-    // runs (integer-scaled gains, crc32-parity move scheduling),
-    // every community contained in one connected component, golden
-    // two-cliques-and-a-bridge graph split exactly at the bridge.
-    QueryDef.noOracle("d_dup_louvain") { (s, d) =>
-      graft.graph.GraphAlgorithms.louvainDF(
+    // aggressive dedup.
+    //
+    // Invariant oracle (the multi-level fixpoint itself is engine-
+    // specific, so replaying the move schedule in SQL is
+    // unreasonable; its INVARIANTS are SQL-checkable): [[dumpAux]]
+    // snapshots the assignment, and the DuckDB side independently
+    // re-derives every other column from (pairs ⨝ assignment):
+    //   - community  = the min member id per community, recomputed as
+    //     a window min over the VARCHAR ids (louvainDF's labeling
+    //     contract; VARCHAR because Spark's min is over string ids);
+    //   - n_comp     = count(DISTINCT connected component) inside
+    //     each community via the same recursive closure as
+    //     d_dup_clusters — Spark ASSERTS refinement with a literal 1
+    //     (true by construction: moves only merge along edges), so a
+    //     violation hash-mismatches;
+    //   - mod_num / mod_den = exact integer modularity of the
+    //     assignment, Q = Σ_c (4m·e_c − d_c²) / 4m², emitted as an
+    //     uncancelled fraction so neither engine divides (no
+    //     float, no div-semantics skew). Spark recomputes it from
+    //     its own assignment with DataFrame aggregates; DuckDB from
+    //     the snapshot. (Long-safe while 2m < ~2^31 — far beyond any
+    //     LSH-bounded pair graph at test SF; the 100 TB path keeps
+    //     the assignment and skips the diagnostic fraction.)
+    QueryDef(
+      "d_dup_louvain",
+      s"""${lshPairsSql.replaceFirst("^WITH ", "WITH RECURSIVE ")},
+        |und AS (SELECT d1 AS a, d2 AS b FROM pairs
+        |        UNION ALL SELECT d2, d1 FROM pairs),
+        |assign AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |                  CAST(community AS BIGINT) AS community
+        |           FROM read_parquet('${GfeQueries.auxDir}/louvain_assign/*.parquet')),
+        |deg AS (SELECT a AS doc_id, count(*) AS deg FROM und GROUP BY a),
+        |mm AS (SELECT count(*) AS m FROM pairs),
+        |ec AS (SELECT a1.community, count(*) AS e_c
+        |       FROM pairs p JOIN assign a1 ON a1.doc_id = p.d1
+        |                    JOIN assign a2 ON a2.doc_id = p.d2
+        |       WHERE a1.community = a2.community GROUP BY 1),
+        |dc AS (SELECT a.community, CAST(sum(d.deg) AS BIGINT) AS d_c
+        |       FROM assign a JOIN deg d ON d.doc_id = a.doc_id GROUP BY 1),
+        |q AS (SELECT CAST(sum(4 * mm.m * COALESCE(ec.e_c, 0)
+        |                      - dc.d_c * dc.d_c) AS BIGINT) AS mod_num,
+        |             CAST(max(4 * mm.m * mm.m) AS BIGINT) AS mod_den
+        |      FROM dc LEFT JOIN ec ON ec.community = dc.community, mm),
+        |reach(n, lbl) AS (
+        |  SELECT DISTINCT a, a FROM und
+        |  UNION
+        |  SELECT r.n, u.b FROM reach r JOIN und u ON r.lbl = u.a),
+        |comp AS (SELECT n AS doc_id, min(lbl) AS component
+        |         FROM reach GROUP BY n),
+        |ref AS (SELECT a.community,
+        |               CAST(count(DISTINCT c.component) AS BIGINT) AS n_comp
+        |        FROM assign a JOIN comp c ON c.doc_id = a.doc_id GROUP BY 1)
+        |SELECT a.doc_id,
+        |       CAST(min(CAST(a.doc_id AS VARCHAR))
+        |              OVER (PARTITION BY a.community) AS BIGINT) AS community,
+        |       ref.n_comp, q.mod_num, q.mod_den
+        |FROM assign a JOIN ref ON ref.community = a.community, q
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val pairs = lshPairs(s, d)
+        .select(col("d1").cast("long").as("d1"), col("d2").cast("long").as("d2"))
+      val assign = graft.graph.GraphAlgorithms.louvainDF(
         lshPairs(s, d).select(col("d1").cast("string").as("d1"),
           col("d2").cast("string").as("d2")), "d1", "d2")
         .select(col("id").cast("long").as("doc_id"),
           col("community").cast("long").as("community"))
+      val und = pairs.select(col("d1").as("a"), col("d2").as("b"))
+        .unionByName(pairs.select(col("d2").as("a"), col("d1").as("b")))
+      val deg = und.groupBy(col("a").as("doc_id")).agg(count(lit(1)).as("deg"))
+      val m = pairs.agg(count(lit(1)).as("m"))
+      val ec = pairs
+        .join(assign.select(col("doc_id").as("d1"), col("community").as("c1")), "d1")
+        .join(assign.select(col("doc_id").as("d2"), col("community").as("c2")), "d2")
+        .where(col("c1") === col("c2"))
+        .groupBy(col("c1").as("community")).agg(count(lit(1)).as("e_c"))
+      val dc = assign.join(deg, "doc_id")
+        .groupBy("community").agg(sum("deg").as("d_c"))
+      val q = dc.join(ec, Seq("community"), "left")
+        .crossJoin(broadcast(m))
+        .select(col("m"),
+          (lit(4L) * col("m") * coalesce(col("e_c"), lit(0L))
+            - col("d_c") * col("d_c")).as("contrib"))
+        .groupBy("m").agg(sum("contrib").as("mod_num"))
+        .select(col("mod_num"), (lit(4L) * col("m") * col("m")).as("mod_den"))
+      assign.crossJoin(broadcast(q))
+        .select(col("doc_id"), col("community"),
+          lit(1L).as("n_comp"), // refinement asserted, DuckDB measures
+          col("mod_num"), col("mod_den"))
         .orderBy("doc_id")
     },
 
@@ -1122,4 +1197,22 @@ object DedupQueries {
         .orderBy("doc_id")
     }
   )
+
+  /** Aux snapshot for the d_dup_louvain invariant oracle (same trust
+    * boundary as [[GfeQueries.dumpAux]]): the deterministic Louvain
+    * assignment over the LSH pair graph lands in parquet so the
+    * DuckDB side can re-derive labeling, component refinement, and
+    * integer modularity from (pairs ⨝ assignment) independently.
+    * louvainDF is fully deterministic (integer-scaled gains,
+    * alternating move direction), so the query-time run and this
+    * snapshot are bit-identical. Called by [[graft.Verify]]. */
+  def dumpAux(s: SparkSession, d: String): Unit = {
+    graft.graph.GraphAlgorithms.louvainDF(
+      lshPairs(s, d).select(col("d1").cast("string").as("d1"),
+        col("d2").cast("string").as("d2")), "d1", "d2")
+      .select(col("id").cast("long").as("doc_id"),
+        col("community").cast("long").as("community"))
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"${GfeQueries.auxDir}/louvain_assign")
+  }
 }
