@@ -153,50 +153,130 @@ object Bench {
     // run read 192 s where an identical-code rerun read 94 s, with
     // individual untouched queries off by 30×); min-of-2 recovers the
     // steady-state latency the plan actually has.
-    def runSuite(): Map[String, Double] = names.map { case (name, fn) =>
-      def once(): Double = {
-        val t0 = System.nanoTime()
-        fn(spark, sfDir).count()
-        (System.nanoTime() - t0) / 1e9
+    //
+    // Per-WINDOW calibration (round 9): the r8 report showed a mid-run
+    // throttle window landing on one alphabetically-contiguous block
+    // (the gfe_* tier read 3-8× while neighbors were normal) yet
+    // diluting to host_contaminated:false because probes only
+    // bracketed the whole run. Now the all-core probe brackets every
+    // ~10-query block; each query carries the worse of its two
+    // bracketing probes, and blocks whose window read >1.5× the
+    // session-floor probe are re-run once, keeping the per-query min
+    // (and its window) either way. Probe cost: ~0.4 s × (suite/10),
+    // ~5 s on a ~77 s suite.
+    val allProbes = scala.collection.mutable.ArrayBuffer[Double](calibParStart)
+    def parProbe(): Double = { val v = calibParMs(); allProbes += v; v }
+    def runBlocks(queries: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)])
+        : (Map[String, Double], Map[String, Double]) = {
+      val res = scala.collection.mutable.Map.empty[String, Double]
+      val win = scala.collection.mutable.Map.empty[String, Double]
+      var before = parProbe()
+      queries.grouped(10).foreach { blk =>
+        blk.foreach { case (name, fn) =>
+          def once(): Double = {
+            val t0 = System.nanoTime()
+            fn(spark, sfDir).count()
+            (System.nanoTime() - t0) / 1e9
+          }
+          // Each attempt is caught independently: a transient failure
+          // on the second run (host hiccup, OOM) must not discard a
+          // valid first sample. -1 only when BOTH attempts fail.
+          def attempt(): Double = try once()
+          catch { case scala.util.control.NonFatal(e) =>
+            System.err.println(s"[bench] $name failed: $e"); -1.0 }
+          val a = attempt(); val b = attempt()
+          res(name) = if (a < 0) b else if (b < 0) a else math.min(a, b)
+        }
+        val after = parProbe()
+        blk.foreach { case (name, _) =>
+          win(name) = math.max(before, after) }
+        before = after
       }
-      // Each attempt is caught independently: a transient failure on
-      // the second run (host hiccup, OOM) must not discard a valid
-      // first sample. -1 only when BOTH attempts fail.
-      def attempt(): Double = try once()
-      catch { case scala.util.control.NonFatal(e) =>
-        System.err.println(s"[bench] $name failed: $e"); -1.0 }
-      val a = attempt(); val b = attempt()
-      val v = if (a < 0) b else if (b < 0) a else math.min(a, b)
-      name -> v
-    }.toMap
-
-    var results = runSuite()
-    var calibEnd = calibMs(); var calibParEnd = calibParMs()
-    var calibMid2 = calibMid; var calibParMid2 = calibParMid
-    // Bounded retry (round 8): if the all-core probe says the first
-    // suite pass ran in a throttled window (>2× the process-start
-    // probe — burstable-CPU credit drain, noisy neighbor), run the
-    // per-query suite ONCE more and keep the second result either
-    // way. The scale workload is not re-run: it executes first, on
-    // the freshest budget the process gets, and re-running it would
-    // burn the very credits the retry needs. The retry's own probes
-    // replace the mid/end slots so the stored JSON describes the
-    // window the kept numbers came from.
-    var retried = false
-    if (math.max(calibParMid, calibParEnd) > 2.0 * calibParStart
-        && names.nonEmpty) {
-      retried = true
-      System.err.println(
-        "[bench] host contaminated during first suite pass " +
-          f"(par probe ${calibParStart.round} -> ${calibParEnd.round} ms); " +
-          "re-running the query suite once")
-      calibMid2 = calibMs(); calibParMid2 = calibParMs()
-      results = runSuite()
-      calibEnd = calibMs(); calibParEnd = calibParMs()
+      (res.toMap, win.toMap)
     }
 
-    val all = results ++ scale
-    val total = all.values.filter(_ >= 0).sum
+    var (results, windows) =
+      if (names.nonEmpty) runBlocks(names)
+      else (Map.empty[String, Double], Map.empty[String, Double])
+    var retried = false
+    locally {
+      val floor = allProbes.min
+      val suspects = names.filter { case (n, _) =>
+        windows.getOrElse(n, floor) > 1.5 * floor }
+      if (suspects.nonEmpty) {
+        retried = true
+        System.err.println(
+          s"[bench] ${suspects.size} queries ran in throttled windows " +
+            f"(floor ${floor.round} ms); re-running those blocks once")
+        val (res2, win2) = runBlocks(suspects)
+        suspects.foreach { case (n, _) =>
+          val v2 = res2.getOrElse(n, -1.0)
+          if (v2 >= 0 && (results(n) < 0 || v2 < results(n))) {
+            results += n -> v2
+            windows += n -> win2(n)
+          }
+        }
+      }
+    }
+    val calibMid2 = calibMid; val calibParMid2 = calibParMid
+    val calibEnd = calibMs()
+    val calibParEnd = if (names.nonEmpty) allProbes.last else calibParMs()
+
+    // Above-gate distributed graph path (round 9): every graph
+    // operator keeps its distributed fixpoint above the 1M-collected-
+    // edge local gate, parity-spec'd — but never TIMED until now.
+    // Synthesize a >1M-edge graph (disjoint 5-cliques: 10 edges, 5
+    // vertices each — CC/Louvain converge in a few rounds, triangle
+    // fan-out is degree-bounded, so the measurement is of the
+    // distributed machinery, not an adversarial topology) and run the
+    // three iterative ops with localThreshold = 0. Recorded as
+    // xdist_* bench entries, EXCLUDED from the headline total (they
+    // measure a code path at synthetic scale, not the reference
+    // workload). GRAFT_DIST_GRAPH_CLIQUES sizes it (0 disables).
+    val distCliques =
+      sys.env.getOrElse("GRAFT_DIST_GRAPH_CLIQUES", "120000").toInt
+    val distGraph: Map[String, Double] =
+      if (distCliques <= 0) Map.empty
+      else try {
+        import org.apache.spark.sql.functions._
+        import spark.implicits._
+        val pairsIdx =
+          (for (i <- 0 until 5; j <- (i + 1) until 5) yield (i, j))
+            .toDF("i", "j")
+        val e = spark.range(distCliques.toLong)
+          .select(col("id").as("c"))
+          .crossJoin(broadcast(pairsIdx))
+          .select(
+            concat(lit("v"), col("c") * 5 + col("i")).as("src"),
+            concat(lit("v"), col("c") * 5 + col("j")).as("dst"))
+          .cache()
+        val nE = e.count()
+        def t(name: String)(f: => Long): (String, Double) = {
+          val t0 = System.nanoTime(); val n = f
+          val s = (System.nanoTime() - t0) / 1e9
+          System.err.println(
+            f"[bench] dist-graph $name: $s%.2f s ($n rows, $nE edges)")
+          name -> s
+        }
+        val out = Map(
+          t("xdist_cc") {
+            graft.graph.GraphAlgorithms.connectedComponentsDF(
+              e, "src", "dst", localThreshold = 0).count() },
+          t("xdist_triangles") {
+            graft.graph.GraphAlgorithms.triangleCountsDF(
+              e, "src", "dst", localThreshold = 0).count() },
+          t("xdist_louvain") {
+            graft.graph.GraphAlgorithms.louvainDF(
+              e, "src", "dst", localThreshold = 0L).count() })
+        e.unpersist()
+        out
+      } catch { case scala.util.control.NonFatal(ex) =>
+        System.err.println(s"[bench] dist-graph workload failed: $ex")
+        Map.empty
+      }
+
+    val all = results ++ scale ++ distGraph
+    val total = (results ++ scale).values.filter(_ >= 0).sum
     // The driver recovers the JSON from the last ~2000 chars of the
     // captured output (r2 parsed at 1734 chars; r3's 2440-char line
     // came back "parsed": null with the line truncated mid-object in
@@ -208,17 +288,22 @@ object Bench {
     // JSON always goes to the well-known file.
     def fmt(v: Double): String =
       if (v < 0) "-1" else BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
-    // Self-describing contamination verdict: if the all-core probe
-    // inflated >2× between start and end, the window was throttled
-    // (burstable-CPU credit drain / noisy neighbor) and absolute times
-    // from it are suspect. Recorded in the JSON so the round's stored
-    // bench carries its own health check instead of needing a rerun to
-    // diagnose (round 5's 192 s headline was exactly this).
-    val contaminated =
-      math.max(calibParMid2, calibParEnd) > 2.0 * calibParStart
+    // Self-describing contamination verdict: if ANY all-core probe in
+    // the session (now one per ~10-query block, not just the three
+    // bracketing slots) read >2× the session floor, some window was
+    // throttled (burstable-CPU credit drain / noisy neighbor) and
+    // absolute times from that window are suspect — but with per-block
+    // probes the affected queries carry their own ratio and got a
+    // cleaner-window retry, so the verdict marks residual risk rather
+    // than poisoning the whole run silently (r8's gfe_* artifact).
+    val probeFloor = allProbes.min
+    val contaminated = allProbes.max > 2.0 * probeFloor
+    val queryRatio = windows.map { case (k, v) => k -> v / probeFloor }
+    val maxRatio = if (queryRatio.isEmpty) 1.0 else queryRatio.values.max
     val calArr = s"[${calibStart.round},${calibMid2.round},${calibEnd.round}]" +
       s""","calib_par_ms":[${calibParStart.round},${calibParMid2.round},${calibParEnd.round}]""" +
       s""","host_contaminated":$contaminated""" +
+      f""","probe_max_ratio":$maxRatio%.2f""" +
       (if (retried) s""","retried":true""" else "")
     def render(entries: Seq[(String, Double)], omitted: Int): String = {
       val qs = entries.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
@@ -238,8 +323,16 @@ object Bench {
     val line = render(byCost.take(keep), all.size - keep)
     val fullQs = all.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    // Full-precision file additionally carries each query's bracketing
+    // probe ratio (window probe / session floor): ~1.0 = clean window,
+    // >1.5 = the number came from a throttled window even after its
+    // one retry — read those with the same suspicion as
+    // host_contaminated.
+    val ratioQs = queryRatio.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + f"""\":$v%.2f""" }
+      .mkString("{", ",", "}")
     val fullJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"calib_ms":$calArr,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"query_probe_ratio":$ratioQs,"calib_ms":$calArr,"sf":"$sfDir"}"""
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/graft_bench.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), fullJson + "\n")
     catch { case scala.util.control.NonFatal(e) =>
