@@ -188,4 +188,50 @@ class GfeBuildSpec extends AnyFunSuite {
       .count().where(col("count") > 1).count()
     assert(dup == 0)
   }
+
+  test("registry persists across sessions: disk round-trip, stable " +
+      "accessions, max+1 for new keys (reference store_features " +
+      "semantics, app.py:586-592)") {
+    // The reference gets first-come-global accessions from a stateful
+    // external Feature Service; we get them from an append-only
+    // registry carried ACROSS sessions via parquet. This is the disk
+    // round-trip proof: build 3560 -> persist -> fresh session ->
+    // reload -> build 3570 -> no pre-existing key renumbers and every
+    // new key extends its (locus, term, rank) partition from max+1
+    // contiguously.
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_registry").toString + "/registry"
+    GfeBuild.writeRegistry(r3560.registry, dir)
+    val s2 = spark.newSession() // fresh session state, clean catalog
+    val reloaded = GfeBuild.readRegistry(s2, dir)
+    // round-trip fidelity: the reloaded dictionary IS the written one
+    val k = Seq("locus", "term", "rank", "sequence")
+    assert(reloaded.count() == r3560.registry.count())
+    assert(reloaded.as("a")
+      .join(r3560.registry.as("b"), k)
+      .where(col("a.accession") =!= col("b.accession")).count() == 0)
+    val r2 = GfeBuild.run(s2, ImgtFlatFile.fromText(s2,
+      ImgtFlatFile.resourceText("/graft/hla.3570.dat")), "3570",
+      registry = Some(reloaded))
+    // (a) every persisted (locus, term, rank, sequence) keeps its
+    // accession — nothing renumbers when the session is not the one
+    // that assigned the ids
+    assert(r2.registry.as("n").join(reloaded.as("o"), k)
+      .where(col("n.accession") =!= col("o.accession")).count() == 0)
+    // (b) new keys extend each (locus, term, rank) partition from
+    // old-max+1, contiguously (dense_rank over first_seen)
+    val oldMax = reloaded.groupBy("locus", "term", "rank")
+      .agg(max("accession").as("old_max"))
+    val fresh = r2.registry.as("n")
+      .join(reloaded.select(k.map(col): _*), k, "left_anti")
+    val badStart = fresh.groupBy("locus", "term", "rank")
+      .agg(min("accession").as("new_min"), max("accession").as("new_max"),
+        count(lit(1)).as("n_new"))
+      .join(oldMax, Seq("locus", "term", "rank"), "left")
+      .where(col("new_min") =!= coalesce(col("old_max"), lit(0L)) + 1 ||
+        col("new_max") =!= coalesce(col("old_max"), lit(0L)) + col("n_new"))
+    assert(badStart.count() == 0,
+      badStart.collect().mkString("; "))
+    assert(fresh.count() > 0, "3570 fixture must introduce new features")
+  }
 }
