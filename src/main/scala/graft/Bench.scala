@@ -111,17 +111,47 @@ object Bench {
       // number and a 15-stage cached pipeline — the widest-variance
       // thing in the suite. GRAFT_SCALE_RUNS overrides for local
       // iteration.
+      //
+      // Per-ITERATION window probes (round 9): the r8 report could not
+      // attribute the load 8.3→9.8 s drift because no probe bracketed
+      // individual iterations; measured here, identical iterations
+      // read 5–74 s depending on the burstable-CPU credit window they
+      // landed in. Each timed iteration now carries an all-core probe;
+      // iterations whose window read >1.5× the session's start probe
+      // are marked dirty, up to 2 extra iterations run to replace
+      // them, and the median is taken over clean iterations when ≥2
+      // exist (all, otherwise).
       val runs = sys.env.getOrElse("GRAFT_SCALE_RUNS", "3").toInt
-      val samples = Seq.fill(math.max(1, runs))(iteration())
+      def probed(): (Double, Double, Double) = {
+        val (b, l) = iteration()
+        val p = calibParMs()
+        (b, l, p)
+      }
+      var samples = Seq.fill(math.max(1, runs))(probed())
+      // Floor includes the iteration probes themselves: a process that
+      // STARTS throttled would otherwise make every window look clean.
+      def dirty(p: Double) =
+        p > 1.5 * (calibParStart +: samples.map(_._3)).min
+      var extra = 0
+      while (extra < 2 && samples.count(s => !dirty(s._3)) < 2) {
+        extra += 1
+        System.err.println(
+          "[bench] scale iteration window throttled; one extra run")
+        samples :+= probed()
+      }
+      val clean = samples.filter(s => !dirty(s._3))
+      val kept = if (clean.size >= 2) clean else samples
       def median(xs: Seq[Double]): Double = {
         val s = xs.sorted; s(s.length / 2)
       }
-      samples.zipWithIndex.foreach { case ((b, l), i) =>
-        System.err.println(f"[bench] scale run $i: build $b%.2f s, load $l%.2f s")
+      samples.zipWithIndex.foreach { case ((b, l, p), i) =>
+        System.err.println(
+          f"[bench] scale run $i: build $b%.2f s, load $l%.2f s, " +
+            f"probe ${p.round} ms${if (dirty(p)) " (dirty window)" else ""}")
       }
       spark.catalog.clearCache() // leave a clean pool for the suite
-      Map(s"gfe_scale_build_$scaleN" -> median(samples.map(_._1)),
-        s"gfe_scale_load_$scaleN" -> median(samples.map(_._2)))
+      Map(s"gfe_scale_build_$scaleN" -> median(kept.map(_._1)),
+        s"gfe_scale_load_$scaleN" -> median(kept.map(_._2)))
     } catch { case scala.util.control.NonFatal(e) =>
       System.err.println(s"[bench] scale workload failed: $e")
       Map(s"gfe_scale_build_$scaleN" -> -1.0)
