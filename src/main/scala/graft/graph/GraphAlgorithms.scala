@@ -1343,6 +1343,52 @@ object GraphAlgorithms {
     e.groupBy(col("a").as("id")).agg(count(lit(1)).as("core_degree"))
   }
 
+  /** Deterministic random walks (GDS randomWalk / node2vec-sampling
+    * parity): one fixed-length walk per source vertex, where the
+    * "random" next hop from `cur` at step k is the neighbor minimizing
+    * md5("walk|k|cur|nbr") — a keyed PRF, so the walk is a pure
+    * function of the graph + source (same result on any cluster
+    * layout, any retry, any engine that spells md5 the same way —
+    * which DuckDB does, making the walk exactly oracle-checkable,
+    * unlike seeded-RNG walks whose draw order is engine-private).
+    *
+    * Returns (walk, step, node): step 0 is the source itself, then
+    * `steps` hops over the symmetrized edge set (self-loops dropped).
+    * A vertex with no neighbors ends its walk early (inner join).
+    *
+    * Scale shape: each hop is one shuffle-join on the frontier
+    * (|walks| rows, not |V|) plus a per-walk top-1 window — O(steps)
+    * stages total, frontier never exceeds Σ deg(cur) rows before the
+    * rank-1 filter. Walk count scales with the sources frame; the
+    * corpus-sized state never materializes. Tie-break after the hash
+    * is the neighbor id (md5 ties are 2^-64 events; the order-by is
+    * total either way). */
+  def hashWalkDF(edges: DataFrame, src: String, dst: String,
+      sources: DataFrame, steps: Int = 4): DataFrame = {
+    val e = edges.select(col(src).cast("string").as("a"),
+      col(dst).cast("string").as("b"))
+      .where(col("a") =!= col("b"))
+    val und = e.unionByName(e.select(col("b").as("a"), col("a").as("b")))
+      .distinct()
+    var cur = sources
+      .select(col(sources.columns.head).cast("string").as("walk"))
+      .distinct()
+      .select(col("walk"), col("walk").as("node"), lit(0).as("step"))
+    var acc = cur
+    for (k <- 1 to steps) {
+      val w = Window.partitionBy("walk").orderBy(col("h"), col("b"))
+      cur = cur.join(und, cur("node") === und("a"))
+        .select(col("walk"), col("b"),
+          md5(concat_ws("|", col("walk"), lit(k), col("node"), col("b")))
+            .as("h"))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select(col("walk"), col("b").as("node"), lit(k).as("step"))
+      acc = acc.unionByName(cur)
+    }
+    acc.select(col("walk"), col("step"), col("node"))
+  }
+
   def labelPropagation(pairs: DataFrame, src: String, dst: String,
       iterations: Int = 5): DataFrame = {
     val spark = pairs.sparkSession

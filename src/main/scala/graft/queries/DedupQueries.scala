@@ -764,6 +764,46 @@ object DedupQueries {
         .orderBy("doc_id")
     },
 
+    // Deterministic random walks over the LSH candidate-pair graph
+    // (GDS randomWalk / node2vec-sampling parity, fully oracled): one
+    // 4-step walk from every doc_id%5==0 pivot, next hop = the
+    // neighbor minimizing a keyed md5 PRF of (walk, step, cur, nbr).
+    // Walks are what embedding samplers consume; the PRF form makes
+    // them a pure function of the graph — reproducible across
+    // retries/layouts and replayable in DuckDB as unrolled top-1
+    // window CTEs, unlike seeded-RNG walks whose draw order is
+    // engine-private.
+    QueryDef(
+      "d_dup_random_walk",
+      s"""$lshPairsSql,
+        |und AS (SELECT d1 AS a, d2 AS b FROM pairs
+        |        UNION SELECT d2, d1 FROM pairs),
+        |w0 AS (SELECT DISTINCT a AS walk, a AS node FROM und WHERE a % 5 = 0),
+        |${(1 to 4).map(k =>
+        s"""w$k AS (SELECT walk, b AS node FROM (
+           |  SELECT w.walk, u.b,
+           |         row_number() OVER (PARTITION BY w.walk
+           |           ORDER BY md5(concat_ws('|', w.walk, $k, w.node, u.b)),
+           |                    u.b) AS rn
+           |  FROM w${k - 1} w JOIN und u ON u.a = w.node) WHERE rn = 1)"""
+          .stripMargin).mkString(",\n")}
+        |SELECT CAST(walk AS BIGINT) AS walk_id, CAST(s AS INT) AS step,
+        |       CAST(node AS BIGINT) AS node
+        |FROM (SELECT walk, 0 AS s, node FROM w0
+        |${(1 to 4).map(k =>
+        s"      UNION ALL SELECT walk, $k, node FROM w$k").mkString("\n")})
+        |ORDER BY walk_id, step""".stripMargin) { (s, d) =>
+      val pairs = lshPairs(s, d)
+      val sources = pairs.select(col("d1").as("id"))
+        .unionByName(pairs.select(col("d2").as("id")))
+        .distinct().where(col("id") % 5 === 0)
+      graft.graph.GraphAlgorithms
+        .hashWalkDF(pairs, "d1", "d2", sources, steps = 4)
+        .select(col("walk").cast("long").as("walk_id"), col("step"),
+          col("node").cast("long").as("node"))
+        .orderBy("walk_id", "step")
+    },
+
     // Harmonic closeness centrality over the LSH candidate-pair graph
     // (GDS closeness-harmonic parity, fully oracled): which docs sit
     // closest to EVERYTHING in their near-dup component — the natural

@@ -315,14 +315,38 @@ object GfeQueries {
         .orderBy("term", "rank")
     }),
     // GDS parity: PageRank over the GFE→Feature bipartite edges.
-    QueryDef.noOracle("gfe_pagerank")((s, _) => {
+    // Integer-scaled (pageRankIntDF: long micro-units, floor-divided
+    // edge mass, fixed 10 iterations) so the DuckDB oracle replays the
+    // identical recurrence as unrolled CTEs and the hash is bit-exact —
+    // same upgrade d_dup_pagerank got in round 7; the float GraphX
+    // path stays spec-covered (GraphAlgorithmsSpec "pageRank").
+    QueryDef("gfe_pagerank",
+      s"""WITH ed0 AS (
+         |  SELECT DISTINCT src AS a,
+         |    concat_ws(':', locus, term, rank, accession) AS b
+         |  FROM ${aux("e_HAS_FEATURE")}),
+         |verts AS (SELECT a AS id FROM ed0
+         |          UNION SELECT b FROM ed0),
+         |deg AS (SELECT a, count(*) AS deg FROM ed0 GROUP BY a),
+         |ed AS (SELECT e.a, e.b, d.deg FROM ed0 e JOIN deg d ON d.a = e.a),
+         |r0 AS (SELECT id, CAST(1000000 AS BIGINT) AS r FROM verts),
+         |${(1 to 10).map(k =>
+        s"""r$k AS (SELECT v.id, 150000 + COALESCE(m.in_mass, 0) AS r
+           |  FROM verts v LEFT JOIN (
+           |    SELECT e.b AS id, sum((r.r * 85) // (100 * e.deg)) AS in_mass
+           |    FROM ed e JOIN r${k - 1} r ON r.id = e.a GROUP BY e.b) m
+           |  ON m.id = v.id)""".stripMargin).mkString(",\n")}
+         |SELECT id, CAST(r AS BIGINT) AS rank_ppm FROM r10
+         |ORDER BY id""".stripMargin)((s, _) => {
       import org.apache.spark.sql.functions._
       val edges = graph(s).hasFeature.select(
         col("src"),
         concat_ws(":", col("locus"), col("term"), col("rank"),
           col("accession")).as("dst"))
-      graft.graph.GraphAlgorithms.pageRank(edges, "src", "dst")
-        .orderBy(col("rank").desc, col("id")).limit(20)
+      graft.graph.GraphAlgorithms.pageRankIntDF(
+        edges, "src", "dst", iterations = 10, directed = true)
+        .select(col("id"), col("rank_ppm"))
+        .orderBy("id")
     }),
     // GDS parity: BFS / unweighted shortest path from an allele over
     // the HAS_IPD_ALLELE ∪ HAS_FEATURE edges (undirected): distance 1

@@ -104,6 +104,54 @@ object SampleQueries {
         .orderBy("doc_id")
     },
 
+    // Domain-mixture epoch expansion (the data-mixing pass that turns
+    // per-domain weights into a physical training epoch): upsample
+    // each language toward the largest one, w = min(3, n_max/n_ℓ),
+    // materialized as ⌊w⌋ copies per doc plus one more iff a 20-bit
+    // content hash clears the fractional part. All-integer ppm
+    // arithmetic (floor-div weights, hash·10^6 < frac·2^20 accept
+    // test) so both engines derive identical copy counts — no float,
+    // no RNG; on the test corpus the strata exercise all three
+    // branches (cap, exact floor, fractional accept). Scale shape:
+    // the weight table is a tiny broadcast agg; the expansion is a
+    // scan-local explode whose output size is exactly Σ n_copies — no
+    // shuffle before the presentation sort, so it composes with any
+    // upstream filter at 100 TB.
+    QueryDef(
+      "smp_mixture_resample",
+      """WITH cnt AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+        |mx AS (SELECT max(n) AS n_max FROM cnt),
+        |w AS (SELECT lang,
+        |             least(3000000, (n_max * 1000000) // n) AS w_ppm
+        |      FROM cnt CROSS JOIN mx),
+        |base AS (SELECT d.doc_id, d.lang,
+        |  w.w_ppm // 1000000
+        |  + CASE WHEN (CAST(('0x' || substr(md5(d.text),1,15)) AS BIGINT) >> 40)
+        |             * 1000000 < ((w.w_ppm % 1000000) << 20)
+        |         THEN 1 ELSE 0 END AS n_copies
+        |  FROM documents d JOIN w USING (lang))
+        |SELECT doc_id, lang,
+        |       CAST(unnest(generate_series(1, n_copies)) AS BIGINT) AS copy_idx
+        |FROM base
+        |ORDER BY doc_id, copy_idx""".stripMargin) { (s, d) =>
+      import graft.functions.GraftFunctions.hex60
+      val docs = Tables.documents(s, d)
+      val cnt = docs.groupBy("lang").agg(count(lit(1)).as("n"))
+      val mx = cnt.agg(max(col("n")).as("n_max"))
+      val w = cnt.crossJoin(mx).select(
+        col("lang"),
+        least(lit(3000000L), expr("(n_max * 1000000) div n")).as("w_ppm"))
+      val h20 = shiftright(hex60(col("text")), 40)
+      docs.join(broadcast(w), "lang")
+        .select(col("doc_id"), col("lang"),
+          (expr("w_ppm div 1000000") +
+            when(h20 * lit(1000000L) < shiftleft(col("w_ppm") % 1000000L, 20),
+              1L).otherwise(0L)).as("n_copies"))
+        .select(col("doc_id"), col("lang"),
+          explode(sequence(lit(1L), col("n_copies"))).as("copy_idx"))
+        .orderBy("doc_id", "copy_idx")
+    },
+
     QueryDef(
       "smp_stratified",
       """SELECT lang, doc_id, rn FROM (

@@ -67,6 +67,58 @@ object TextQueries {
         .orderBy("doc_id", "chunk_idx")
     },
 
+    // Sequence packing — the pretraining batch-prep pass: concatenate
+    // each language's token stream in doc_id order and slice it into
+    // fixed 512-token training sequences, SPLITTING docs across
+    // sequence boundaries (the GPT-style pack; the dual of
+    // o_compaction_plan's whole-unit bin assignment). Emits one row
+    // per (doc, sequence) intersection with the doc-relative token
+    // span, so Σ(tok_end−tok_start) per sequence is exactly 512
+    // except the final partial — a loader can reassemble batches
+    // without re-tokenizing. All-integer window arithmetic (running
+    // sum, floor-div bin ids, greatest/least span clipping) so the
+    // DuckDB oracle is hash-exact; windowed sums are HUGEINT in
+    // DuckDB, so every derived column is cast back to BIGINT. Scale
+    // shape: the window partitions by lang (one shuffle, bounded
+    // width); the explode fans out ≤ ⌈n_tok/512⌉+1 rows per doc,
+    // scan-local after the window — at 100 TB repartition the stream
+    // by (lang, day)-grain keys and the same plan holds.
+    QueryDef(
+      "t_pack_windows",
+      """WITH base AS (
+        |  SELECT doc_id, lang,
+        |    greatest(len(string_split_regex(trim(text),'[ \t\n\x0B\f\r]+')), 1) AS n_tok
+        |  FROM documents),
+        |cum AS (
+        |  SELECT doc_id, lang, n_tok,
+        |    CAST(COALESCE(sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |         AS BIGINT) AS cum0
+        |  FROM base)
+        |SELECT lang, doc_id, CAST(seq_idx AS BIGINT) AS seq_idx,
+        |       CAST(greatest(cum0, seq_idx * 512) - cum0 AS BIGINT) AS tok_start,
+        |       CAST(least(cum0 + n_tok, (seq_idx + 1) * 512) - cum0 AS BIGINT) AS tok_end
+        |FROM (SELECT *, unnest(range(cum0 // 512, (cum0 + n_tok - 1) // 512 + 1))
+        |        AS seq_idx FROM cum)
+        |ORDER BY lang, doc_id, seq_idx""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("lang").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          greatest(size(tokens(col("text"))), lit(1)).cast("long").as("n_tok"))
+        .withColumn("cum0", coalesce(sum("n_tok").over(w), lit(0L)))
+        .select(col("lang"), col("doc_id"), col("cum0"), col("n_tok"),
+          explode(sequence(expr("cum0 div 512"),
+            expr("(cum0 + n_tok - 1) div 512"))).as("seq_idx"))
+        .select(col("lang"), col("doc_id"), col("seq_idx"),
+          (greatest(col("cum0"), col("seq_idx") * 512) - col("cum0"))
+            .as("tok_start"),
+          (least(col("cum0") + col("n_tok"), (col("seq_idx") + 1) * 512)
+            - col("cum0")).as("tok_end"))
+        .orderBy("lang", "doc_id", "seq_idx")
+    },
+
     // Token counting: whitespace tokens + distinct-token vocabulary size.
     QueryDef(
       "t_token_count",

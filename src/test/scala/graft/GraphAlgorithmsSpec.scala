@@ -579,4 +579,47 @@ class GraphAlgorithmsSpec extends AnyFunSuite {
     assert(core(cycle, 2) ==
       Map("p" -> 2L, "q" -> 2L, "r" -> 2L, "s" -> 2L))
   }
+
+  test("hashWalkDF: valid, deterministic, PRF-argmin walks") {
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("a", "c"),
+      ("d", "a"), ("z", "z") // self-loop dropped; z then has no edges
+    ).toDF("s", "t")
+    val sources = Seq("a", "b", "z").toDF("id")
+    def run() = GraphAlgorithms.hashWalkDF(edges, "s", "t", sources, steps = 3)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2)))
+    val rows = run().toSet
+    // step 0 rows are exactly the sources
+    assert(rows.filter(_._2 == 0) ==
+      Set(("a", 0, "a"), ("b", 0, "b"), ("z", 0, "z")))
+    // z's only edge is a dropped self-loop: its walk ends at step 0
+    assert(rows.count(_._1 == "z") == 1)
+    // a and b take all 3 steps, every hop along a real edge
+    val und = Set(("a", "b"), ("b", "c"), ("c", "d"), ("a", "c"), ("d", "a"))
+      .flatMap { case (x, y) => Seq((x, y), (y, x)) }
+    for (w <- Seq("a", "b")) {
+      val path = rows.filter(_._1 == w).toSeq.sortBy(_._2).map(_._3)
+      assert(path.length == 4, s"walk $w must have steps 0..3")
+      path.sliding(2).foreach { case Seq(x, y) =>
+        assert(und.contains((x, y)), s"hop $x->$y of walk $w not an edge")
+      }
+    }
+    // the chosen hop is the md5-argmin over the current neighbors
+    val nbrs = Map("a" -> Seq("b", "c", "d"), "b" -> Seq("a", "c"),
+      "c" -> Seq("a", "b", "d"), "d" -> Seq("a", "c"))
+    def md5hex(s: String): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      d.map("%02x".format(_)).mkString
+    }
+    for (w <- Seq("a", "b")) {
+      val path = rows.filter(_._1 == w).toSeq.sortBy(_._2).map(_._3)
+      for (k <- 1 to 3) {
+        val cur = path(k - 1)
+        val expect = nbrs(cur).minBy(n => (md5hex(s"$w|$k|$cur|$n"), n))
+        assert(path(k) == expect, s"walk $w step $k: PRF argmin violated")
+      }
+    }
+    // pure function of (graph, sources): identical on re-run
+    assert(run().toSet == rows)
+  }
 }
