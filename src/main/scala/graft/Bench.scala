@@ -116,22 +116,30 @@ object Bench {
       // attribute the load 8.3→9.8 s drift because no probe bracketed
       // individual iterations; measured here, identical iterations
       // read 5–74 s depending on the burstable-CPU credit window they
-      // landed in. Each timed iteration now carries an all-core probe;
-      // iterations whose window read >1.5× the session's start probe
-      // are marked dirty, up to 2 extra iterations run to replace
-      // them, and the median is taken over clean iterations when ≥2
-      // exist (all, otherwise).
+      // landed in. Each timed iteration carries the WORSE of its two
+      // bracketing all-core probes (a trailing probe alone misses a
+      // throttle window that ends mid-iteration — observed: a 17 s
+      // build, 3× the clean reading, with a clean 663 ms exit probe);
+      // iterations whose window read >1.5× the session floor are
+      // marked dirty, up to 2 extra iterations run to replace them,
+      // and the median is taken over clean iterations when ≥2 exist
+      // (all, otherwise).
       val runs = sys.env.getOrElse("GRAFT_SCALE_RUNS", "3").toInt
+      val rawProbes = scala.collection.mutable.ArrayBuffer(calibParStart)
+      var lastProbe = calibParMs()
+      rawProbes += lastProbe
       def probed(): (Double, Double, Double) = {
+        val before = lastProbe
         val (b, l) = iteration()
-        val p = calibParMs()
-        (b, l, p)
+        lastProbe = calibParMs()
+        rawProbes += lastProbe
+        (b, l, math.max(before, lastProbe))
       }
       var samples = Seq.fill(math.max(1, runs))(probed())
-      // Floor includes the iteration probes themselves: a process that
-      // STARTS throttled would otherwise make every window look clean.
-      def dirty(p: Double) =
-        p > 1.5 * (calibParStart +: samples.map(_._3)).min
+      // Floor over every RAW probe seen (not the per-iteration maxes):
+      // a process that STARTS throttled would otherwise make every
+      // window look clean.
+      def dirty(p: Double) = p > 1.5 * rawProbes.min
       var extra = 0
       while (extra < 2 && samples.count(s => !dirty(s._3)) < 2) {
         extra += 1
@@ -297,7 +305,11 @@ object Bench {
               e, "src", "dst", localThreshold = 0).count() },
           t("xdist_louvain") {
             graft.graph.GraphAlgorithms.louvainDF(
-              e, "src", "dst", localThreshold = 0L).count() })
+              e, "src", "dst", localThreshold = 0L).count() },
+          t("xdist_pagerank") {
+            graft.graph.GraphAlgorithms.pageRankIntDF(
+              e, "src", "dst", directed = false,
+              localThreshold = 0L).count() })
         e.unpersist()
         out
       } catch { case scala.util.control.NonFatal(ex) =>
