@@ -99,6 +99,19 @@ object Verify {
     catch { case e: Throwable =>
       System.err.println(s"[verify] dedup aux dump failed: ${e.getMessage}")
     }
+    // Trained-ANN index snapshots (k-means centroids/assignment, PQ
+    // codebooks/codes) for the v_ann_kmeans / v_pq_topk oracles — the
+    // memoized index the queries used is reused, so snapshot and
+    // query-time index are identical.
+    try graft.queries.SimilarityQueries.dumpAux(spark, sfDir)
+    catch { case e: Throwable =>
+      System.err.println(s"[verify] ann aux dump failed: ${e.getMessage}")
+    }
+    // Decoded-image hash snapshot for the mm_image_neardup oracle.
+    try graft.queries.MultimodalQueries.dumpAux(spark, sfDir)
+    catch { case e: Throwable =>
+      System.err.println(s"[verify] multimodal aux dump failed: ${e.getMessage}")
+    }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

@@ -64,6 +64,9 @@ object SimilarityQueries {
   private val duckVecs =
     "SELECT vec_id, embedding::DOUBLE[] AS v, sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm FROM embeddings"
 
+  private def aux(table: String): String =
+    s"read_parquet('${GfeQueries.auxDir}/$table/*.parquet')"
+
   private val nQueries = 8 // query set: vec_id < 8
   private val topK = 10
   private val nCentroids = 16 // IVF: centroids = vec_id < 16
@@ -173,10 +176,52 @@ object SimilarityQueries {
     // against the codebooks (broadcast — ~1k rows for the whole query
     // batch), and the asymmetric-distance scores are ONE scan of the
     // code table + a map-side-combined sum; the floats are touched
-    // only to re-rank the pqRerank survivors exactly. No oracle (the
-    // index is engine-specific); OperatorsSpec bounds recall against
-    // the exact cosine baseline and the random expectation.
-    QueryDef.noOracle("v_pq_topk") { (s, d) =>
+    // only to re-rank the pqRerank survivors exactly. ADC table
+    // entries are quantized to integer micro-units — what a real ADC
+    // lookup table does anyway — so the partial-sum aggregation is
+    // order-independent (integer adds) and the whole probe path
+    // replays bit-exactly. Oracle: the trained index is snapshot to
+    // [[dumpAux]] (codebook + code table — the TRAINING is the trust
+    // boundary, like the Louvain assignment); DuckDB re-derives the
+    // ADC table from raw query vectors ⨝ snapshot codebooks, rescans
+    // the snapshot code table, and re-ranks survivors with exact
+    // cosine. OperatorsSpec still bounds recall against the exact
+    // baseline and the random expectation.
+    QueryDef(
+      "v_pq_topk",
+      s"""WITH e AS ($duckVecs),
+        |cb AS (SELECT subspace, code, list(cj ORDER BY j) AS cv
+        |       FROM ${aux("pq_codebook")} GROUP BY 1, 2),
+        |codes AS (SELECT vec_id, subspace, code FROM ${aux("pq_codes")}),
+        |q AS (SELECT vec_id, list_transform(v, x -> x / nrm) AS qv
+        |      FROM e WHERE vec_id < $nQueries),
+        |dtable AS (
+        |  SELECT q.vec_id AS q_id, cb.subspace, cb.code,
+        |         CAST(round(list_dot_product(
+        |           (q.qv)[cb.subspace*8+1 : cb.subspace*8+8], cb.cv)
+        |           * 1000000) AS BIGINT) AS part
+        |  FROM q CROSS JOIN cb),
+        |approx AS (
+        |  SELECT q_id, n_id FROM (
+        |    SELECT t.q_id, c.vec_id AS n_id, sum(t.part) AS adc,
+        |           row_number() OVER (PARTITION BY t.q_id
+        |             ORDER BY sum(t.part) DESC, c.vec_id) AS rn
+        |    FROM codes c JOIN dtable t
+        |      ON t.subspace = c.subspace AND t.code = c.code
+        |    WHERE t.q_id <> c.vec_id GROUP BY t.q_id, c.vec_id)
+        |  WHERE rn <= $pqRerank),
+        |scored AS (
+        |  SELECT a.q_id, a.n_id,
+        |         round(list_dot_product(qe.v, ne.v) / (qe.nrm * ne.nrm), 4)
+        |           AS sim
+        |  FROM approx a
+        |  JOIN e qe ON qe.vec_id = a.q_id
+        |  JOIN e ne ON ne.vec_id = a.n_id)
+        |SELECT q_id, n_id, sim FROM (
+        |  SELECT q_id, n_id, sim,
+        |         row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rn
+        |  FROM scored)
+        |WHERE rn <= $topK ORDER BY q_id, n_id""".stripMargin) { (s, d) =>
       val e = vecs(s, d)
       val (codes, codebook) = pqIndex(s, d)
       val dim = 8
@@ -188,7 +233,7 @@ object SimilarityQueries {
           .as(Seq("subspace", "qv")))
       val dtable = qsub.join(broadcast(codebook), "subspace")
         .select(col("q_id"), col("subspace"), col("code"),
-          dot(col("qv"), col("cv")).as("part"))
+          round(dot(col("qv"), col("cv")) * 1000000).cast("long").as("part"))
       val approx = codes
         .join(broadcast(dtable), Seq("subspace", "code"))
         .where(col("q_id") =!= col("vec_id"))
@@ -352,23 +397,64 @@ object SimilarityQueries {
     // distribution, so recall-per-probe is what a production IVF
     // delivers. Training is one-time index build (memoized; at scale a
     // sampled fit + stored index); probing stays broadcast-only.
-    // Estimates are engine-specific → no DuckDB oracle; OperatorsSpec
-    // asserts absolute mean recall >= 0.5 against the exact cosine
-    // baseline and > the random-partition expectation (nProbe/nCells).
+    // The k-means fit is engine-specific, so the trained index is the
+    // oracle's trust boundary ([[dumpAux]] snapshot); everything
+    // downstream — probe ranking, candidate generation, exact scoring,
+    // top-k — replays in DuckDB. OperatorsSpec asserts absolute mean
+    // recall >= 0.5 against the exact cosine baseline and > the
+    // random-partition expectation (nProbe/nCells).
     // (v_ann_ivf is NOT a fair yardstick: its fixture centroids make
     // every query its own centroid, trivially co-locating neighbors.)
-    QueryDef.noOracle("v_ann_kmeans") { (s, d) =>
+    QueryDef(
+      "v_ann_kmeans",
+      s"""WITH e AS ($duckVecs),
+        |cents AS (SELECT c_id, list(cj ORDER BY j) AS cv
+        |          FROM ${aux("ann_centroids")} GROUP BY 1),
+        |asg AS (SELECT vec_id, cell_id FROM ${aux("ann_assign")}),
+        |q AS (SELECT * FROM e WHERE vec_id < $nQueries),
+        |probe AS (
+        |  SELECT q.vec_id AS q_id, c.c_id,
+        |         round(sqrt(list_dot_product(c.cv, c.cv))
+        |                 * sqrt(list_dot_product(c.cv, c.cv))
+        |               - 2 * list_dot_product(q.v, c.cv) / q.nrm, 6)
+        |           AS cdist
+        |  FROM q CROSS JOIN cents c),
+        |pr AS (SELECT q_id, c_id AS cell_id FROM (
+        |  SELECT q_id, c_id,
+        |         row_number() OVER (PARTITION BY q_id
+        |                            ORDER BY cdist ASC, c_id) AS rn
+        |  FROM probe) WHERE rn <= $nProbe),
+        |cand AS (SELECT pr.q_id, a.vec_id AS n_id
+        |         FROM pr JOIN asg a ON a.cell_id = pr.cell_id
+        |         WHERE a.vec_id <> pr.q_id),
+        |scored AS (
+        |  SELECT cand.q_id, cand.n_id,
+        |         round(list_dot_product(qe.v, ne.v) / (qe.nrm * ne.nrm), 4)
+        |           AS sim
+        |  FROM cand
+        |  JOIN e qe ON qe.vec_id = cand.q_id
+        |  JOIN e ne ON ne.vec_id = cand.n_id)
+        |SELECT q_id, n_id, sim FROM (
+        |  SELECT q_id, n_id, sim,
+        |         row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rn
+        |  FROM scored)
+        |WHERE rn <= $ivfK ORDER BY q_id, n_id""".stripMargin) { (s, d) =>
       val e = vecs(s, d)
       val (assign, centroids) = kmeansIndex(s, d)
       // Probe with the SAME metric k-means assigned with — squared L2
       // of the UNIT query to the centroid (|q̂|² is constant, so rank
       // by |c|² − 2·q̂·c). Mixing metrics between assign and probe
-      // ranks boundary cells wrong and recall collapses.
+      // ranks boundary cells wrong and recall collapses. cdist is
+      // rounded to 6 decimals before ranking so the probe order is
+      // bit-stable across engines (the sim-rounding trick); the
+      // trained index itself is snapshot to [[dumpAux]] — training is
+      // the trust boundary, probe/candidate/re-rank all replay in
+      // DuckDB from raw vectors + the snapshot.
       val q = e.where(col("vec_id") < nQueries)
       val probe = q.crossJoin(broadcast(centroids))
         .select(col("vec_id").as("q_id"), col("c_id"),
-          (col("cnrm") * col("cnrm") -
-            lit(2) * dot(col("v"), col("cv")) / col("nrm"))
+          round(col("cnrm") * col("cnrm") -
+            lit(2) * dot(col("v"), col("cv")) / col("nrm"), 6)
             .as("cdist"))
         .withColumn("rn",
           row_number().over(Window.partitionBy("q_id")
@@ -438,4 +524,33 @@ object SimilarityQueries {
         .orderBy("q_id", "n_id")
     }
   )
+
+  /** Aux snapshot of the TRAINED ANN indexes (same trust boundary as
+    * the Louvain assignment / gfe graph snapshots): the k-means
+    * centroids + cell assignment and the PQ codebooks + code table
+    * land in parquet so the v_ann_kmeans / v_pq_topk oracles can
+    * replay probe, candidate generation, ADC scoring, and re-rank in
+    * DuckDB. Training itself is the engine-specific part; its
+    * QUALITY contract (recall bounds) lives in OperatorsSpec. Array
+    * columns are exploded to (id, j, value) rows — the oracle
+    * reassembles with list(x ORDER BY j), preserving summation
+    * order, so float dot products match bit-for-bit. Called by
+    * [[graft.Verify]] after the query runs (the memoized index is
+    * reused, so snapshot and query-time index are identical). */
+  def dumpAux(s: SparkSession, d: String): Unit = {
+    val auxDir = GfeQueries.auxDir
+    val (assign, centroids) = kmeansIndex(s, d)
+    centroids
+      .select(col("c_id"), posexplode(col("cv")).as(Seq("j", "cj")))
+      .coalesce(1).write.mode("overwrite").parquet(s"$auxDir/ann_centroids")
+    assign
+      .coalesce(1).write.mode("overwrite").parquet(s"$auxDir/ann_assign")
+    val (codes, codebook) = pqIndex(s, d)
+    codebook
+      .select(col("subspace"), col("code"),
+        posexplode(col("cv")).as(Seq("j", "cj")))
+      .coalesce(1).write.mode("overwrite").parquet(s"$auxDir/pq_codebook")
+    codes
+      .coalesce(1).write.mode("overwrite").parquet(s"$auxDir/pq_codes")
+  }
 }
