@@ -53,6 +53,14 @@ object Multimodal {
     * are exact.
     */
   object ImageCodec {
+    // ImageIO's default stream cache backs every read/write with a
+    // disk temp file — 32 decode threads then serialize on temp-file
+    // create/delete, not on pixels (measured: parallel featurize
+    // SLOWER than single-threaded until this). In-memory payloads
+    // never need the disk spool; object init runs once per JVM, so
+    // every executor that touches a codec gets the setting.
+    javax.imageio.ImageIO.setUseCache(false)
+
     /** Encode row-major packed-RGB ints (0xRRGGBB) to `format`
       * ("png" | "bmp") bytes. */
     def encode(rgb: Array[Int], w: Int, h: Int, format: String): Array[Byte] = {
@@ -356,11 +364,20 @@ object Multimodal {
     * payloads — PNG or BMP images (alternating, to exercise format
     * sniffing), PCM-16 WAV audio, and PNG-frame video containers —
     * with deterministic synthesized content keyed by doc_id. Encoding
-    * happens per-partition in the scan stage; payloads never shuffle.
+    * happens per-partition AFTER spreading the ids across the full
+    * core count: the fixture parquet is one row group → one scan
+    * partition, which would serialize every codec downstream (decode
+    * parallelism always follows its input partitioning — measured
+    * 4.2 s → sub-second on mm_frame_sample). Only the 8-byte ids
+    * shuffle; payloads are born, decoded, and dropped inside one
+    * partition, exactly the shape a pre-partitioned media lake
+    * serves at scale.
     */
   def fromDocuments(spark: SparkSession, docs: DataFrame): Dataset[MediaRecord] = {
     import spark.implicits._
-    docs.select(col("doc_id").cast("long")).as[Long].mapPartitions { it =>
+    docs.select(col("doc_id").cast("long")).as[Long]
+      .repartition(spark.sparkContext.defaultParallelism)
+      .mapPartitions { it =>
       it.map { id =>
         (id % 3) match {
           case 0 =>

@@ -7,12 +7,19 @@ import graft.multimodal.Multimodal
 /** Multimodal operator surface as driver-contract queries. The codecs
   * are real and pure-JDK (imageio PNG/BMP, AudioSystem WAV, PNG-frame
   * video containers — graft.multimodal.Multimodal); features come from
-  * actual decoded pixels/samples. Decode is not SQL, so mm_featurize /
-  * mm_frame_sample stay rows>0 checks with the decode contract pinned
-  * by MultimodalSpec's pixel-exact golden tests; mm_image_neardup's
-  * dedup logic downstream of the hash IS relational, so its oracle
-  * replays from the [[dumpAux]] hash snapshot (decode+hash is the
-  * trust boundary, like the EMBL parse behind the gfe_build oracles).
+  * actual decoded pixels/samples. Decode is not SQL, so the decode
+  * stage sits behind trust boundaries (MultimodalSpec's pixel-exact
+  * golden tests + aux snapshots, like the EMBL parse behind the
+  * gfe_build oracles) while everything SQL-expressible is oracled:
+  *   - mm_frame_sample needs NO aux at all — the fixture's frame
+  *     count is a pure function of doc_id, so DuckDB re-derives the
+  *     sampling rule from `documents` and any container mis-parse
+  *     (frameCount, header skip) hash-mismatches;
+  *   - mm_featurize snapshots the embedding head and re-derives
+  *     kind / cardinality / dim in DuckDB (a dropped, duplicated, or
+  *     kind-misclassified payload breaks the join or the row count);
+  *   - mm_image_neardup replays the dedup groupBy from the hash
+  *     snapshot.
   */
 object MultimodalQueries {
 
@@ -37,29 +44,74 @@ object MultimodalQueries {
       .toDF("media_id", "ahash")
   }
 
-  /** Aux snapshot of the decoded-image hash table for the
-    * mm_image_neardup oracle. Called by [[graft.Verify]]. */
-  def dumpAux(s: org.apache.spark.sql.SparkSession, d: String): Unit =
+  /** (media_id, kind, dim, e0) — the featurize projection shared by
+    * the mm_featurize query and its aux snapshot (same pure map, so
+    * snapshot and query-time values are identical by construction). */
+  private[queries] def featureRows(
+      s: org.apache.spark.sql.SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame =
+    Multimodal.featurize(
+      Multimodal.fromDocuments(s, Tables.documents(s, d)))
+      .toDF()
+      .select(col("media_id"), col("kind"),
+        size(col("embedding")).as("dim"),
+        round(element_at(col("embedding"), 1).cast("double"), 6).as("e0"))
+
+  /** Aux snapshots for the multimodal oracles: the decoded-image hash
+    * table (mm_image_neardup) and the embedding head (mm_featurize).
+    * Called by [[graft.Verify]]. */
+  def dumpAux(s: org.apache.spark.sql.SparkSession, d: String): Unit = {
     imageHashes(s, d)
       .coalesce(1).write.mode("overwrite")
       .parquet(s"${GfeQueries.auxDir}/mm_ahash")
+    featureRows(s, d)
+      .select(col("media_id"), col("dim"), col("e0"))
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"${GfeQueries.auxDir}/mm_feat")
+  }
 
   val all: Seq[QueryDef] = Seq(
 
     // decode → resize → pool over a binary payload column; output is
     // the fixed-width embedding that feeds the similarity operators.
-    QueryDef.noOracle("mm_featurize") { (s, d) =>
-      Multimodal.featurize(
-        Multimodal.fromDocuments(s, Tables.documents(s, d)))
-        .toDF()
-        .select(col("media_id"), col("kind"),
-          size(col("embedding")).as("dim"),
-          round(element_at(col("embedding"), 1).cast("double"), 6).as("e0"))
-        .orderBy("media_id")
+    // Oracle: e0/dim from the [[dumpAux]] snapshot (decode+embed is
+    // the trust boundary), but `kind` and the row SET are re-derived
+    // independently from `documents` — the inner join plus the
+    // dim=64 guard means a payload featurize dropped, duplicated, or
+    // classified as the wrong media kind fails the row-count or hash
+    // compare.
+    QueryDef(
+      "mm_featurize",
+      s"""SELECT f.media_id, d.kind, f.dim, f.e0
+        |FROM read_parquet('${GfeQueries.auxDir}/mm_feat/*.parquet') f
+        |JOIN (SELECT CAST(doc_id AS BIGINT) AS media_id,
+        |             CASE CAST(doc_id % 3 AS INT)
+        |               WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+        |               ELSE 'video' END AS kind
+        |      FROM documents) d USING (media_id)
+        |WHERE f.dim = 64
+        |ORDER BY media_id""".stripMargin) { (s, d) =>
+      featureRows(s, d).orderBy("media_id")
     },
 
-    // deterministic frame sampling over video payloads.
-    QueryDef.noOracle("mm_frame_sample") { (s, d) =>
+    // Deterministic frame sampling over video payloads: k=3 evenly
+    // spaced frames, each an independent seek+decode out of the
+    // length-prefixed container. Fully oracled with NO aux snapshot:
+    // the fixture's frame count is doc_id % 7 + 2, so DuckDB
+    // re-derives the sampled indices j·n÷min(3,n) straight from
+    // `documents` — the Spark side reads n by PARSING the binary
+    // container, so a frameCount/seek bug diverges from the oracle.
+    QueryDef(
+      "mm_frame_sample",
+      """SELECT CAST(doc_id AS BIGINT) AS media_id,
+        |       CAST(j * n // m AS BIGINT) AS frame_index,
+        |       CAST(16 AS BIGINT) AS dim
+        |FROM (SELECT doc_id, doc_id % 7 + 2 AS n,
+        |             LEAST(3, doc_id % 7 + 2) AS m
+        |      FROM documents WHERE doc_id % 3 = 2),
+        |     range(3) r(j)
+        |WHERE j < m
+        |ORDER BY media_id, frame_index""".stripMargin) { (s, d) =>
       Multimodal.sampleFrames(
         Multimodal.fromDocuments(s, Tables.documents(s, d)), k = 3)
         .toDF()
