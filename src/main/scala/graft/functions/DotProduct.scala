@@ -80,7 +80,10 @@ object NativeFunctions {
       (children: Seq[Expression]) => DotProduct(children(0), children(1))),
     (FunctionIdentifier("graft_hex60"),
       new ExpressionInfo(classOf[Hex60].getName, "graft_hex60"),
-      (children: Seq[Expression]) => Hex60(children(0))))
+      (children: Seq[Expression]) => Hex60(children(0))),
+    (FunctionIdentifier("graft_bloom_contains"),
+      new ExpressionInfo(classOf[BloomMightContain].getName, "graft_bloom_contains"),
+      (children: Seq[Expression]) => BloomMightContain(children(0), children(1))))
 
   /** Idempotent session-level registration (works without the
     * spark.sql.extensions config, e.g. under an existing session).

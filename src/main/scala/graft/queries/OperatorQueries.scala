@@ -101,5 +101,32 @@ object OperatorQueries {
         key = "l_partkey", discriminator = "l_orderkey")
         .groupBy("p_brand").agg(count(lit(1)).as("n"))
         .orderBy("p_brand")
+    },
+
+    // Bloom-pruned semi-join (runtime row-level filtering): the
+    // urgent-orders key set is built into a bloom that the lineitem
+    // SCAN probes inside codegen, so non-matching rows die before
+    // the shuffle; the exact semi-join then clears the ~1% false
+    // positives. Result is identical to the plain semi-join — the
+    // oracle — because the bloom is a pure pruning structure
+    // (BloomSpec also pins this end-to-end at the DataFrame level).
+    QueryDef(
+      "j_bloom_semi",
+      """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
+        |       CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+        |FROM lineitem l
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_orderkey = l.l_orderkey
+        |                AND o.o_orderpriority = '1-URGENT')
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val urgent = Tables.orders(s, d)
+        .where(col("o_orderpriority") === "1-URGENT")
+        .select("o_orderkey")
+      graft.operators.BloomPrune.semiJoin(
+        Tables.lineitem(s, d), "l_orderkey", urgent, "o_orderkey")
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct("l_orderkey").as("n_orders"))
+        .orderBy("l_returnflag")
     })
 }

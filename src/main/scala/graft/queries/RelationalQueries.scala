@@ -495,6 +495,63 @@ object RelationalQueries {
         .orderBy("prev_type", "event_type")
     },
 
+    // SCD Type-2 dimension build (slowly-changing attribute →
+    // versioned validity intervals): collapse each user's
+    // consecutive-same-value event_type runs (gaps-and-islands via
+    // lag-change flag + running sum), then close each version with
+    // the next version's start (Long.MaxValue = still current).
+    // The lakehouse CDC shape: one shuffle on the entity key, every
+    // window and the rollup reuse that partitioning, nothing else
+    // moves. Micros as BIGINT end-to-end (no timestamp rendering
+    // skew); the running sum is CAST in the oracle because DuckDB's
+    // windowed sum yields HUGEINT.
+    QueryDef(
+      "w_scd2_intervals",
+      """WITH ord AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+        |         CASE WHEN lag(event_type) OVER w IS NULL
+        |                OR lag(event_type) OVER w <> event_type
+        |              THEN 1 ELSE 0 END AS chg
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+        |isl AS (
+        |  SELECT user_id, event_type, us,
+        |         CAST(sum(chg) OVER (PARTITION BY user_id
+        |                             ORDER BY us, event_id) AS BIGINT) AS version
+        |  FROM ord),
+        |g AS (
+        |  SELECT user_id, version, min(event_type) AS event_type,
+        |         CAST(min(us) AS BIGINT) AS valid_from_us,
+        |         CAST(count(*) AS BIGINT) AS n_events
+        |  FROM isl GROUP BY 1, 2)
+        |SELECT user_id, version, event_type, valid_from_us,
+        |       COALESCE(lead(valid_from_us) OVER (
+        |           PARTITION BY user_id ORDER BY version),
+        |         9223372036854775807) AS valid_to_us,
+        |       n_events
+        |FROM g ORDER BY user_id, version""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+      val byVersion = Window.partitionBy("user_id").orderBy(col("version"))
+      Tables.events(s, d)
+        .withColumn("us", unix_micros(col("ts")))
+        .select(col("user_id"), col("event_id"), col("event_type"), col("us"))
+        .withColumn("chg",
+          when(lag(col("event_type"), 1).over(w).isNull ||
+            lag(col("event_type"), 1).over(w) =!= col("event_type"), 1L)
+            .otherwise(0L))
+        .withColumn("version", sum(col("chg")).over(w))
+        .groupBy("user_id", "version")
+        .agg(min("event_type").as("event_type"),
+          min("us").as("valid_from_us"),
+          count(lit(1)).as("n_events"))
+        .withColumn("valid_to_us",
+          lead(col("valid_from_us"), 1, Long.MaxValue).over(byVersion))
+        .select("user_id", "version", "event_type",
+          "valid_from_us", "valid_to_us", "n_events")
+        .orderBy("user_id", "version")
+    },
+
     // Z-order (Morton) layout key: the multi-dimensional clustering
     // sort every lakehouse table layout uses for min/max file
     // skipping — rows close in BOTH (user, time-bucket) sort

@@ -284,4 +284,64 @@ class OperatorsSpec extends AnyFunSuite {
       .head().getString(0)
     assert(red == "<EMAIL>, <IP>;<PHONE> end <EMAIL>", red)
   }
+
+  test("bloom-pruned semi-join equals the plain semi-join (no false negatives)") {
+    val sf = "/root/testdata/sf0.001"
+    val li = Tables.lineitem(spark, sf)
+    val urgent = Tables.orders(spark, sf)
+      .where(col("o_orderpriority") === "1-URGENT").select("o_orderkey")
+    val bloomed = graft.operators.BloomPrune
+      .semiJoin(li, "l_orderkey", urgent, "o_orderkey")
+      .select("l_orderkey", "l_linenumber").collect().toSet
+    val exact = li.join(urgent,
+        col("l_orderkey") === col("o_orderkey"), "left_semi")
+      .select("l_orderkey", "l_linenumber").collect().toSet
+    assert(bloomed == exact)
+    assert(exact.nonEmpty)
+  }
+
+  test("bloom probe prunes at the scan: survivors between exact matches and fact size") {
+    val sf = "/root/testdata/sf0.001"
+    val li = Tables.lineitem(spark, sf)
+    val urgent = Tables.orders(spark, sf)
+      .where(col("o_orderpriority") === "1-URGENT").select("o_orderkey")
+    val bf = urgent.stat.bloomFilter("o_orderkey", math.max(1L, urgent.count()), 0.01)
+    val bytes = graft.operators.BloomPrune.serialize(bf)
+    val total = li.count()
+    val exact = li.join(urgent,
+      col("l_orderkey") === col("o_orderkey"), "left_semi").count()
+    val survivors = li.where(graft.operators.BloomPrune
+      .mightContain(bytes, col("l_orderkey").cast("long"))).count()
+    // Zero false negatives (lower bound) and a real cut (the dim side
+    // keeps ~20% of orders, so even with 1% fpp the scan must drop
+    // most rows — generous 50% bound keeps the test host-independent).
+    assert(survivors >= exact)
+    assert(survivors <= total / 2, s"bloom pruned nothing: $survivors of $total")
+    // False-positive mass bounded loosely: survivors cannot exceed
+    // exact matches by more than 5% of the fact table.
+    assert(survivors - exact <= total / 20)
+  }
+
+  test("scd2 intervals: versions tile each user's timeline without gaps") {
+    val out = graft.SparkEntry.queries("w_scd2_intervals")(
+      spark, "/root/testdata/sf0.001").collect()
+    val byUser = out.groupBy(_.getLong(0))
+    byUser.foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_.getLong(1))
+      // versions are 1..n dense
+      assert(sorted.map(_.getLong(1)).toSeq == (1L to sorted.length).toSeq)
+      // each interval closes exactly where the next opens; last is open
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getLong(a.fieldIndex("valid_to_us")) ==
+            b.getLong(b.fieldIndex("valid_from_us")))
+          // consecutive versions carry different attribute values
+          assert(a.getString(2) != b.getString(2))
+        case _ => ()
+      }
+      assert(sorted.last.getLong(
+        sorted.last.fieldIndex("valid_to_us")) == Long.MaxValue)
+    }
+    assert(out.nonEmpty)
+  }
 }
