@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.operators.{AsOfJoin, RangeJoin, SkewJoin}
+import graft.operators.{AsOfJoin, MergeInto, RangeJoin, SkewJoin}
 
 /** Engine-extension operators (as-of join, bucketed range join,
   * salted skew join/agg) exercised with exact DuckDB oracles. These
@@ -128,5 +128,72 @@ object OperatorQueries {
         .agg(count(lit(1)).as("n_rows"),
           countDistinct("l_orderkey").as("n_orders"))
         .orderBy("l_returnflag")
+    },
+
+    // MERGE INTO (CDC apply) — the lakehouse upsert the reference's
+    // graph load does imperatively per label (ON CREATE/ON MATCH,
+    // load.cyp:7-30), as a relational operator: the event stream is
+    // read as a change feed against the customer snapshot (purchase/
+    // view/click → update, signup → insert of a brand-new key, error
+    // → delete), compacted to the newest change per key, then applied
+    // in one keyed full-outer pass. Money lands as floor-cents BIGINT
+    // and every derived value is CASE/COALESCE over the two sides, so
+    // the whole merge — including the insert/update/delete split
+    // recorded in `action` — hash-checks exactly against the oracle.
+    QueryDef(
+      "o_merge_upsert",
+      """WITH ch AS (
+        |  SELECT CASE WHEN event_type = 'signup' THEN 1500 + user_id
+        |              ELSE user_id * 10 END AS custkey,
+        |         CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+        |         event_type, value, ts, event_id
+        |  FROM events),
+        |latest AS (
+        |  SELECT custkey, op, event_type, value FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY custkey
+        |                ORDER BY ts DESC, event_id DESC) AS rn FROM ch)
+        |  WHERE rn = 1)
+        |SELECT COALESCE(t.c_custkey, c.custkey) AS c_custkey,
+        |       CASE WHEN t.c_custkey IS NULL
+        |            THEN 'cdc#' || CAST(c.custkey AS VARCHAR)
+        |            ELSE t.c_name END AS c_name,
+        |       CAST(CASE WHEN t.c_custkey IS NULL THEN c.custkey % 25
+        |                 ELSE t.c_nationkey END AS INT) AS c_nationkey,
+        |       CAST(floor(CASE WHEN c.custkey IS NULL THEN t.c_acctbal
+        |                       ELSE c.value END * 100) AS BIGINT) AS acctbal_cents,
+        |       CASE WHEN c.custkey IS NULL THEN t.c_mktsegment
+        |            ELSE c.event_type END AS c_mktsegment,
+        |       CASE WHEN c.custkey IS NULL THEN 'kept'
+        |            WHEN t.c_custkey IS NULL THEN 'inserted'
+        |            ELSE 'updated' END AS action
+        |FROM customer t FULL OUTER JOIN latest c ON t.c_custkey = c.custkey
+        |WHERE c.op IS NULL OR c.op <> 'D'
+        |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      val changes = Tables.events(s, d).select(
+        when(col("event_type") === "signup", col("user_id") + 1500)
+          .otherwise(col("user_id") * 10).as("custkey"),
+        when(col("event_type") === "error", lit("D")).otherwise(lit("U")).as("op"),
+        col("event_type"), col("value"), col("ts"), col("event_id"))
+      val latest = MergeInto.latestPerKey(
+        changes, "custkey", Seq(col("ts").desc, col("event_id").desc))
+      MergeInto.merge(
+        Tables.customer(s, d), latest,
+        targetKey = "c_custkey", changeKey = "custkey", opCol = "op",
+        merged = Seq(
+          "c_custkey" -> coalesce(col("t.c_custkey"), col("c.custkey")),
+          "c_name" -> when(col("t.c_custkey").isNull,
+            concat(lit("cdc#"), col("c.custkey").cast("string")))
+            .otherwise(col("t.c_name")),
+          "c_nationkey" -> when(col("t.c_custkey").isNull, col("c.custkey") % 25)
+            .otherwise(col("t.c_nationkey")).cast("int"),
+          "acctbal_cents" -> floor(
+            when(col("c.custkey").isNull, col("t.c_acctbal"))
+              .otherwise(col("c.value")) * 100).cast("bigint"),
+          "c_mktsegment" -> when(col("c.custkey").isNull, col("t.c_mktsegment"))
+            .otherwise(col("c.event_type")),
+          "action" -> when(col("c.custkey").isNull, lit("kept"))
+            .when(col("t.c_custkey").isNull, lit("inserted"))
+            .otherwise(lit("updated"))))
+        .orderBy("c_custkey")
     })
 }

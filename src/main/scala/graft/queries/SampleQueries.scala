@@ -167,5 +167,40 @@ object SampleQueries {
         .where(col("rn") <= 20)
         .select("lang", "doc_id", "rn")
         .orderBy("lang", "rn")
+    },
+
+    // Weighted priority sampling (Duffield/Alon priority sampling,
+    // the deterministic analog of Efraimidis–Spirakis A-ES): each doc
+    // draws priority = u/w with u a 20-bit content hash and w its
+    // size in chars, and the global bottom-32 by priority form the
+    // sample — longer docs get proportionally smaller priorities, so
+    // inclusion probability ≈ size-proportional. This is how a
+    // pipeline samples by TOKENS rather than documents (a quality
+    // audit over "1% of the corpus by volume"). All-integer: priority
+    // = (h20 · 10^6) div chars, identical `div`//`//` floor on both
+    // engines. Scale shape: the priority is scan-local; the bottom-k
+    // is a TakeOrdered (per-partition top-32 heap, never a global
+    // sort); the final rank window runs over 32 rows.
+    QueryDef(
+      "smp_weighted_priority",
+      """SELECT doc_id, n_chars, pri, rk FROM (
+        |  SELECT doc_id, n_chars, pri,
+        |         CAST(row_number() OVER (ORDER BY pri, doc_id) AS INT) AS rk
+        |  FROM (SELECT doc_id, n_chars,
+        |          ((CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) >> 40)
+        |             * 1000000) // greatest(n_chars, 1) AS pri
+        |        FROM documents))
+        |WHERE rk <= 32 ORDER BY rk""".stripMargin) { (s, d) =>
+      import graft.functions.GraftFunctions.hex60
+      val pri = expr("(h20 * 1000000) div greatest(n_chars, 1)")
+      val top = Tables.documents(s, d)
+        .withColumn("h20", shiftright(hex60(col("text")), 40))
+        .withColumn("pri", pri)
+        .select("doc_id", "n_chars", "pri")
+        .orderBy(col("pri"), col("doc_id"))
+        .limit(32)
+      top.withColumn("rk",
+        row_number().over(Window.orderBy(col("pri"), col("doc_id"))).cast("int"))
+        .orderBy("rk")
     })
 }

@@ -450,6 +450,80 @@ object TextQueries {
             ipRe, "<IP>"),
             phoneRe, "<PHONE>")).cast("long").as("red_len"))
         .orderBy("doc_id")
+    },
+
+    // BPE merge-pair statistics — the first step of byte-pair-encoding
+    // tokenizer TRAINING: count adjacent symbol pairs across the
+    // corpus and rank them (the top pair is the first merge a BPE
+    // trainer would learn). Computed the way real trainers do it at
+    // scale: first fold the corpus to its word-frequency dictionary
+    // (vocab-sized after map-side partial aggregation — the only
+    // corpus-sized shuffle carries (token, count) pairs), then explode
+    // adjacent character pairs over the DISTINCT vocabulary weighted
+    // by word count — pair extraction cost is O(vocab · word-length),
+    // independent of corpus size. All-integer counts; sum is cast from
+    // DuckDB's HUGEINT; rank ties break on the pair string.
+    QueryDef(
+      "t_bpe_merge_pairs",
+      """WITH wc AS (
+        |  SELECT token, count(*) AS n
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        |  WHERE token <> '' GROUP BY token),
+        |p AS (
+        |  SELECT substr(token, CAST(i AS BIGINT), 2) AS pair, n
+        |  FROM (SELECT token, n, unnest(range(1, len(token))) AS i
+        |        FROM wc WHERE len(token) >= 2))
+        |SELECT pair, CAST(sum(n) AS BIGINT) AS n_occ
+        |FROM p GROUP BY pair
+        |ORDER BY n_occ DESC, pair LIMIT 30""".stripMargin) { (s, d) =>
+      val wc = Tables.documents(s, d)
+        .select(explode(split(col("text"), " ", -1)).as("token"))
+        .where(col("token") =!= "")
+        .groupBy("token").agg(count(lit(1)).as("n"))
+      wc.where(length(col("token")) >= 2)
+        .select(col("token"), col("n"),
+          explode(sequence(lit(1), length(col("token")) - 1)).as("i"))
+        .select(expr("substring(token, i, 2)").as("pair"), col("n"))
+        .groupBy("pair").agg(sum(col("n")).as("n_occ"))
+        .orderBy(col("n_occ").desc, col("pair"))
+        .limit(30)
+    },
+
+    // Inverted-index build — the materialized form of the access path
+    // t_keyword_search probes: one row per term with its document
+    // frequency and a bounded, sorted posting-list prefix. Scale
+    // shape: explode → per-partition (token, doc_id) dedup completes
+    // map-side, the exchange carries distinct postings only, and the
+    // per-term list is capped at 40 entries so no output row grows
+    // with the corpus (a real index shards postings; the cap models
+    // the per-shard segment). collect_list order is plan-dependent, so
+    // the list is sorted before slicing — deterministic on both
+    // engines; the posting list is projected as a comma-joined string
+    // (nested output columns are not hashable in the driver compare).
+    QueryDef(
+      "t_inverted_index",
+      """WITH post AS (
+        |  SELECT token, doc_id
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |        FROM documents)
+        |  WHERE token <> '' GROUP BY token, doc_id)
+        |SELECT token, CAST(count(*) AS BIGINT) AS df,
+        |       string_agg(CASE WHEN rn <= 40 THEN CAST(doc_id AS VARCHAR) END,
+        |                  ',' ORDER BY doc_id) AS postings
+        |FROM (SELECT token, doc_id,
+        |        row_number() OVER (PARTITION BY token ORDER BY doc_id) AS rn
+        |      FROM post)
+        |GROUP BY token ORDER BY token""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ", -1)).as("token"))
+        .where(col("token") =!= "")
+        .groupBy("token", "doc_id").agg(count(lit(1)).as("tf"))
+        .groupBy("token")
+        .agg(count(lit(1)).as("df"),
+          concat_ws(",", transform(
+            slice(sort_array(collect_list(col("doc_id"))), 1, 40),
+            x => x.cast("string"))).as("postings"))
+        .orderBy("token")
     }
   )
 }

@@ -2,7 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
-import graft.operators.{AsOfJoin, RangeJoin, SkewJoin}
+import graft.operators.{AsOfJoin, MergeInto, RangeJoin, SkewJoin}
 
 class OperatorsSpec extends AnyFunSuite {
 
@@ -343,5 +343,111 @@ class OperatorsSpec extends AnyFunSuite {
         sorted.last.fieldIndex("valid_to_us")) == Long.MaxValue)
     }
     assert(out.nonEmpty)
+  }
+
+  test("mergeInto: latest-per-key compaction then upsert/delete apply") {
+    val target = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("k", "name", "v")
+    val changes = Seq(
+      (1L, "U", 11.0, 1L), (1L, "U", 12.0, 2L), // newest (seq=2) wins
+      (2L, "D", 0.0, 3L),                       // delete key 2
+      (4L, "U", 40.0, 4L),                      // insert new key 4
+      (5L, "D", 0.0, 5L)                        // delete of absent key: no row
+    ).toDF("k", "op", "v", "seq")
+    val latest = MergeInto.latestPerKey(changes, "k", Seq(col("seq").desc))
+    assert(latest.count() == 4)
+    assert(latest.where(col("k") === 1L).select("v").as[Double].head() == 12.0)
+    val out = MergeInto.merge(target, latest, "k", "k", "op",
+      Seq(
+        "k" -> coalesce(col("t.k"), col("c.k")),
+        "v" -> when(col("c.k").isNull, col("t.v")).otherwise(col("c.v")),
+        "how" -> when(col("c.k").isNull, lit("kept"))
+          .when(col("t.k").isNull, lit("ins")).otherwise(lit("upd"))))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).toSet
+    assert(out == Set((1L, 12.0, "upd"), (3L, 30.0, "kept"), (4L, 40.0, "ins")))
+  }
+
+  test("merge upsert query: keys unique, actions consistent, deletes absent") {
+    val d = "/root/testdata/sf0.001"
+    val out = graft.SparkEntry.queries("o_merge_upsert")(spark, d).collect()
+    val keyIdx = out.head.fieldIndex("c_custkey")
+    val keys = out.map(_.getLong(keyIdx))
+    assert(keys.distinct.length == keys.length) // merge key stays unique
+    out.foreach { r =>
+      val action = r.getString(r.fieldIndex("action"))
+      val name = r.getString(r.fieldIndex("c_name"))
+      action match {
+        case "inserted" => assert(name.startsWith("cdc#"))
+        case "kept" | "updated" => assert(!name.startsWith("cdc#"))
+        case other => fail(s"unexpected action $other")
+      }
+    }
+    // every key whose newest change is a delete must be absent
+    val ev = Tables.events(spark, d)
+      .select(
+        when(col("event_type") === "signup", col("user_id") + 1500)
+          .otherwise(col("user_id") * 10).as("custkey"),
+        col("event_type"), col("ts"), col("event_id"))
+    val latest = MergeInto.latestPerKey(
+      ev, "custkey", Seq(col("ts").desc, col("event_id").desc))
+    val deleted = latest.where(col("event_type") === "error")
+      .select("custkey").as[Long].collect().toSet
+    assert(deleted.nonEmpty && keys.forall(k => !deleted.contains(k)))
+  }
+
+  test("bpe merge pairs: vocab-weighted counts equal naive corpus counts") {
+    val d = "/root/testdata/sf0.001"
+    val out = graft.SparkEntry.queries("t_bpe_merge_pairs")(spark, d).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // naive: explode every token OCCURRENCE and count its char pairs
+    val naive = Tables.documents(spark, d)
+      .select(explode(split(col("text"), " ", -1)).as("token"))
+      .where(length(col("token")) >= 2)
+      .select(col("token"),
+        explode(sequence(lit(1), length(col("token")) - 1)).as("i"))
+      .selectExpr("substring(token, i, 2) AS pair")
+      .groupBy("pair").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    out.foreach { case (pair, n) => assert(naive(pair) == n, pair) }
+    assert(out.nonEmpty && out.values.max == naive.values.max)
+  }
+
+  test("inverted index: df and posting prefix match a direct recount") {
+    val d = "/root/testdata/sf0.001"
+    val out = graft.SparkEntry.queries("t_inverted_index")(spark, d).collect()
+    val direct = Tables.documents(spark, d)
+      .select(col("doc_id"), explode(split(col("text"), " ", -1)).as("token"))
+      .where(col("token") =!= "")
+      .select("token", "doc_id").distinct()
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+      .groupBy(_._1).map { case (t, xs) => t -> xs.map(_._2).sorted }
+    out.foreach { r =>
+      val (token, df, postings) = (r.getString(0), r.getLong(1), r.getString(2))
+      val docs = direct(token)
+      assert(df == docs.length)
+      assert(postings == docs.take(40).mkString(","))
+    }
+    assert(out.length == direct.size)
+  }
+
+  test("weighted priority sample: bottom-32 by integer u/w priority") {
+    val d = "/root/testdata/sf0.001"
+    val out = graft.SparkEntry.queries("smp_weighted_priority")(spark, d).collect()
+    assert(out.length == 32)
+    assert(out.map(_.getInt(out.head.fieldIndex("rk"))).toSeq == (1 to 32))
+    val pris = out.map(_.getLong(out.head.fieldIndex("pri")))
+    assert(pris.zip(pris.tail).forall { case (a, b) => a <= b })
+    // the sample's max priority is a true lower envelope: no excluded
+    // doc has a smaller priority
+    import graft.functions.GraftFunctions.hex60
+    graft.functions.NativeFunctions.register(spark)
+    val all = Tables.documents(spark, d)
+      .withColumn("h20", shiftright(hex60(col("text")), 40))
+      .select(col("doc_id"),
+        expr("(h20 * 1000000) div greatest(n_chars, 1)").as("p"))
+    val kept = out.map(_.getLong(out.head.fieldIndex("doc_id"))).toSet
+    val minExcluded = all.where(!col("doc_id").isin(kept.toSeq: _*))
+      .agg(min(col("p"))).as[Long].head()
+    assert(pris.max <= minExcluded)
   }
 }
