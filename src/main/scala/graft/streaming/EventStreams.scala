@@ -341,6 +341,28 @@ object EventStreams {
   def enrich(events: DataFrame, dim: DataFrame, joinExpr: Column): DataFrame =
     events.join(dim, joinExpr)
 
+  /** Parquet path as a streaming source. FileStreamSource requires a
+    * directory; a lone file is staged behind a symlink so read-only
+    * fixtures stream as-is. `options` pass through to the reader
+    * (e.g. `maxFilesPerTrigger` to force multi-batch runs). */
+  def streamSource(
+      spark: SparkSession,
+      parquetPath: String,
+      options: Map[String, String] = Map.empty): DataFrame = {
+    val p = java.nio.file.Paths.get(parquetPath)
+    val dir =
+      if (java.nio.file.Files.isRegularFile(p)) {
+        val d = java.nio.file.Files.createTempDirectory("stream_src")
+        java.nio.file.Files.createSymbolicLink(
+          d.resolve(p.getFileName), p.toAbsolutePath)
+        d.toString
+      } else parquetPath
+    val schema = spark.read.parquet(dir).schema
+    options.foldLeft(spark.readStream.schema(schema)) {
+      case (r, (k, v)) => r.option(k, v)
+    }.parquet(dir)
+  }
+
   /** Run a batch-defined transform as a real stream over the same
     * parquet data (Trigger.AvailableNow + memory sink) and return the
     * drained result — proves the logical plan is streaming-safe. */
@@ -350,18 +372,7 @@ object EventStreams {
       transform: DataFrame => DataFrame,
       queryName: String,
       outputMode: OutputMode = OutputMode.Append): DataFrame = {
-    // FileStreamSource requires a directory; stage a lone file behind
-    // a symlink so read-only fixtures stream as-is.
-    val p = java.nio.file.Paths.get(parquetDir)
-    val dir =
-      if (java.nio.file.Files.isRegularFile(p)) {
-        val d = java.nio.file.Files.createTempDirectory("stream_src")
-        java.nio.file.Files.createSymbolicLink(
-          d.resolve(p.getFileName), p.toAbsolutePath)
-        d.toString
-      } else parquetDir
-    val schema = spark.read.parquet(dir).schema
-    val in = spark.readStream.schema(schema).parquet(dir)
+    val in = streamSource(spark, parquetDir)
     val q = transform(in).writeStream
       .format("memory")
       .queryName(queryName)
@@ -370,5 +381,131 @@ object EventStreams {
       .start()
     q.awaitTermination()
     spark.table(queryName)
+  }
+
+  // ----- continuous CDC apply (streaming MERGE INTO) -----
+
+  /** Generic continuous CDC apply: each micro-batch of the `changes`
+    * stream folds into a versioned parquet state table via
+    * `foreachBatch` — the streaming form of
+    * [[graft.operators.MergeInto]]. `applyBatch(state, batch)`
+    * returns the next state; versions land at `stateDir/v{n}` (the
+    * lakehouse copy-on-write pattern: a reader always sees a complete
+    * committed version, and `_chk` gives exactly-once batch replay).
+    * Returns the final state.
+    *
+    * Scale shape: state and batch are both keyed tables; a policy
+    * built on [[graft.operators.MergeInto.latestPerKey]] plus a keyed
+    * full-outer join shuffles once per batch on the merge key, and
+    * the batch side is typically small enough to broadcast. With a
+    * key-partitioned state layout only partitions containing changed
+    * keys need rewriting.
+    */
+  def cdcApply(
+      spark: SparkSession,
+      changes: DataFrame,
+      initState: DataFrame,
+      stateDir: String,
+      applyBatch: (DataFrame, DataFrame) => DataFrame): DataFrame = {
+    initState.write.mode("overwrite").parquet(s"$stateDir/v0")
+    val cur = new java.util.concurrent.atomic.AtomicReference(s"$stateDir/v0")
+    val q = changes.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val ss = batch.sparkSession
+        val next = s"$stateDir/v${id + 1}"
+        applyBatch(ss.read.parquet(cur.get), batch.toDF())
+          .write.mode("overwrite").parquet(next)
+        cur.set(next)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", s"$stateDir/_chk")
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(cur.get)
+  }
+
+  /** Lift the customer snapshot into CDC state: payload columns plus
+    * the bookkeeping a robust CDC consumer needs — `deleted`
+    * tombstones (so an out-of-order older change can never resurrect
+    * a deleted key) and the (`last_ts_us`, `last_event_id`) monotonic
+    * guard (so a change older than what the state already absorbed is
+    * a no-op, making the fold idempotent and arrival-order-proof). */
+  private def initCdcState(snapshot: DataFrame): DataFrame =
+    snapshot.select(
+      col("c_custkey").as("custkey"), col("c_name").as("name"),
+      col("c_nationkey").cast("int").as("nationkey"),
+      floor(col("c_acctbal") * 100).cast("bigint").as("acctbal_cents"),
+      col("c_mktsegment").as("mktsegment"),
+      lit(true).as("was_snapshot"), lit(false).as("touched"),
+      lit(false).as("deleted"),
+      lit(Long.MinValue).as("last_ts_us"),
+      lit(Long.MinValue).as("last_event_id"))
+
+  /** One CDC batch: map events to keyed changes (same feed as
+    * `o_merge_upsert`), compact to the newest change per key, then
+    * full-outer apply onto the state — changes at-or-below the
+    * state's monotonic guard are dropped, deletes become tombstones. */
+  private def applyCdcBatch(state: DataFrame, batch: DataFrame): DataFrame = {
+    val ch = batch.select(
+      when(col("event_type") === "signup", col("user_id") + 1500)
+        .otherwise(col("user_id") * 10).as("custkey"),
+      when(col("event_type") === "error", lit("D")).otherwise(lit("U")).as("op"),
+      col("event_type"), col("value"),
+      unix_micros(col("ts")).as("ts_us"), col("event_id"))
+    val latest = graft.operators.MergeInto.latestPerKey(ch, "custkey",
+      Seq(col("ts_us").desc, col("event_id").desc))
+    val newer = col("c.ts_us") > col("t.last_ts_us") ||
+      (col("c.ts_us") === col("t.last_ts_us") &&
+        col("c.event_id") > col("t.last_event_id"))
+    val hit = col("c.custkey").isNotNull &&
+      (col("t.custkey").isNull || newer)
+    state.alias("t")
+      .join(latest.alias("c"), col("t.custkey") === col("c.custkey"), "full_outer")
+      .select(
+        coalesce(col("t.custkey"), col("c.custkey")).as("custkey"),
+        when(col("t.custkey").isNull,
+          concat(lit("cdc#"), col("c.custkey").cast("string")))
+          .otherwise(col("t.name")).as("name"),
+        when(col("t.custkey").isNull, (col("c.custkey") % 25).cast("int"))
+          .otherwise(col("t.nationkey")).as("nationkey"),
+        when(hit && col("c.op") === "U",
+          floor(col("c.value") * 100).cast("bigint"))
+          .otherwise(col("t.acctbal_cents")).as("acctbal_cents"),
+        when(hit && col("c.op") === "U", col("c.event_type"))
+          .otherwise(col("t.mktsegment")).as("mktsegment"),
+        coalesce(col("t.was_snapshot"), lit(false)).as("was_snapshot"),
+        when(hit, lit(true))
+          .otherwise(coalesce(col("t.touched"), lit(false))).as("touched"),
+        when(hit, col("c.op") === "D")
+          .otherwise(coalesce(col("t.deleted"), lit(false))).as("deleted"),
+        when(hit, col("c.ts_us")).otherwise(col("t.last_ts_us")).as("last_ts_us"),
+        when(hit, col("c.event_id"))
+          .otherwise(col("t.last_event_id")).as("last_event_id"))
+  }
+
+  /** End-to-end continuous MERGE of the events feed into the customer
+    * snapshot. Converges to the batch `o_merge_upsert` result for ANY
+    * micro-batch partitioning or arrival order of the events (the
+    * monotonic guard makes per-key application commutative up to the
+    * (ts, event_id) total order); EventStreamsSpec pins this with a
+    * deliberately time-shuffled 3-batch run. */
+  def cdcCustomerStream(
+      spark: SparkSession,
+      eventsPath: String,
+      snapshot: DataFrame,
+      stateDir: String,
+      sourceOptions: Map[String, String] = Map.empty): DataFrame = {
+    val changes = graft.Tables.normalizeTs(
+      streamSource(spark, eventsPath, sourceOptions))
+    val state = cdcApply(
+      spark, changes, initCdcState(snapshot), stateDir, applyCdcBatch)
+    state.where(!col("deleted")).select(
+      col("custkey").as("c_custkey"), col("name").as("c_name"),
+      col("nationkey").as("c_nationkey"), col("acctbal_cents"),
+      col("mktsegment").as("c_mktsegment"),
+      when(!col("touched"), lit("kept"))
+        .when(col("was_snapshot"), lit("updated"))
+        .otherwise(lit("inserted")).as("action"))
   }
 }

@@ -399,4 +399,36 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(streamed == batch)
     assert(batch.nonEmpty, "fixture must contain planted collisions")
   }
+
+  test("cdc apply: time-shuffled multi-batch stream == batch MERGE") {
+    // Split the events into 3 source files keyed by event_id hash —
+    // NOT by time — so with maxFilesPerTrigger=1 the three
+    // micro-batches interleave arbitrarily old and new changes per
+    // key. The tombstone + (ts, event_id) monotonic guard must make
+    // the fold converge to the batch merge regardless.
+    val srcDir = java.nio.file.Files.createTempDirectory("cdc_src")
+    (0 until 3).foreach { p =>
+      val part = java.nio.file.Files.createTempDirectory(s"cdc_part$p")
+      Tables.events(spark, sfDir)
+        .where(pmod(col("event_id"), lit(3)) === p)
+        .coalesce(1).write.mode("overwrite").parquet(part.toString)
+      val f = java.nio.file.Files.list(part).toArray.map(_.toString)
+        .filter(_.endsWith(".parquet")).head
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get(f), srcDir.resolve(s"$p.parquet"))
+    }
+    val stateDir = java.nio.file.Files.createTempDirectory("cdc_state_t")
+    val streamed = EventStreams.cdcCustomerStream(
+      spark, srcDir.toString, Tables.customer(spark, sfDir),
+      stateDir.toString, Map("maxFilesPerTrigger" -> "1"))
+      .orderBy("c_custkey").collect()
+    // three source files -> at least three committed state versions
+    val versions = java.nio.file.Files.list(stateDir).toArray
+      .map(_.toString.split('/').last).count(_.startsWith("v"))
+    assert(versions >= 4, s"expected v0..v3+, saw $versions versions")
+    val batch = SparkEntry.queries("o_merge_upsert")(spark, sfDir)
+      .collect()
+    assert(streamed.length == batch.length)
+    assert(streamed.toSeq == batch.toSeq)
+  }
 }
