@@ -524,6 +524,55 @@ object TextQueries {
             slice(sort_array(collect_list(col("doc_id"))), 1, 40),
             x => x.cast("string"))).as("postings"))
         .orderBy("token")
+    },
+
+    // Bigram fluency — the language-model-style quality signal: a
+    // doc's mean corpus-conditional bigram probability. For each
+    // adjacent token pair (w1,w2), p = c(w1,w2)/c(w1·) with counts
+    // from the whole corpus; fluent text reuses common continuations
+    // and scores high, shuffled/garbled text scores low (the cheap
+    // stand-in for perplexity filtering, which needs a trained LM).
+    // Integer end-to-end: probabilities in ppm via `div`, the doc
+    // score an integer mean — hash-exact cross-engine where a float
+    // log-perplexity never could be. Scale shape: bigram extraction
+    // is a scan-local array transform (no join against a shifted
+    // copy); the count tables are vocab²-bounded and broadcast back;
+    // the per-doc mean's partial agg completes map-side. Docs with
+    // fewer than two tokens have no bigrams and drop out, as a
+    // perplexity filter would treat them separately anyway.
+    QueryDef(
+      "t_bigram_fluency",
+      """WITH w AS (SELECT doc_id,
+        |             string_split_regex(trim(text),'[ \t\n\x0B\f\r]+') AS w
+        |           FROM documents),
+        |bg AS (SELECT doc_id, array_to_string(w[i:i+1], ' ') AS bg, w[i] AS w1
+        |       FROM (SELECT doc_id, w,
+        |               unnest(generate_series(1, len(w) - 1)) AS i
+        |             FROM w WHERE len(w) >= 2)),
+        |cb AS (SELECT bg, count(*) AS c FROM bg GROUP BY bg),
+        |cs AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY w1),
+        |sc AS (SELECT b.doc_id, (cb.c * 1000000) // cs.c1 AS p
+        |       FROM bg b JOIN cb ON b.bg = cb.bg JOIN cs ON b.w1 = cs.w1)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |       CAST(sum(p) // count(*) AS BIGINT) AS fluency_ppm
+        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), tokens(col("text")).as("w"))
+        .where(size(col("w")) >= 2)
+      val bg = toks.select(col("doc_id"), explode(
+          transform(sequence(lit(1), size(col("w")) - 1),
+            i => struct(
+              concat_ws(" ", slice(col("w"), i, lit(2))).as("bg"),
+              element_at(col("w"), i).as("w1")))).as("pr"))
+        .select(col("doc_id"), col("pr.bg").as("bg"), col("pr.w1").as("w1"))
+      val cb = bg.groupBy("bg").agg(count(lit(1)).as("c"))
+      val cs = bg.groupBy("w1").agg(count(lit(1)).as("c1"))
+      bg.join(broadcast(cb), "bg").join(broadcast(cs), "w1")
+        .select(col("doc_id"), expr("(c * 1000000) div c1").as("p"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          expr("CAST(sum(p) div count(*) AS BIGINT)").as("fluency_ppm"))
+        .orderBy("doc_id")
     }
   )
 }
