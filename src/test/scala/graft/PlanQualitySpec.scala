@@ -331,4 +331,50 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(plan.contains("partial_sum"),
       "σ-product terms must combine map-side")
   }
+
+  test("merge upsert: map-side top-1 compaction, no re-shuffle into the join") {
+    val plan = planOf("o_merge_upsert")
+    // CDC compaction must run the rank-1 WindowGroupLimit BEFORE its
+    // exchange (per-partition top-1 prunes the shuffle) and the
+    // full-outer join must consume that exchange directly — exactly
+    // 3 hash/range exchanges total: snapshot side, change side, and
+    // the presentation sort. A 4th would mean the window output got
+    // re-partitioned for the join.
+    assert("WindowGroupLimit".r.findAllIn(plan).length == 2,
+      "expect partial + final WindowGroupLimit around the compaction exchange")
+    assert("Exchange".r.findAllIn(plan).length == 3, plan.take(3000))
+    assert(plan.contains("FullOuter"), "merge apply must be a full outer join")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoop"))
+  }
+
+  test("bpe merge pairs: vocab-sized exchanges only, top-k never sorts globally") {
+    val plan = planOf("t_bpe_merge_pairs")
+    // two aggregations (word dict, pair counts) -> two exchanges that
+    // carry (key, count) partials, never exploded corpus rows; the
+    // final top-30 is a TakeOrdered heap.
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length == 2)
+    assert("partial_count\\(1\\)|partial_count".r.findFirstIn(plan).nonEmpty,
+      "word-frequency aggregation must combine map-side")
+  }
+
+  test("weighted priority sample: TakeOrdered bottom-k, priority scan-local") {
+    val plan = planOf("smp_weighted_priority")
+    assert(plan.contains("TakeOrderedAndProject"),
+      "bottom-32 must be a per-partition heap, not a global sort")
+    // the only exchange allowed is the single-partition collect for
+    // the final 32-row rank window
+    assert(!plan.contains("Exchange rangepartitioning"),
+      "no global range sort of the corpus")
+  }
+
+  test("inverted index: postings dedup combines map-side before one exchange") {
+    val plan = planOf("t_inverted_index")
+    // (token, doc) dedup + df/postings agg share the token-keyed
+    // shuffle; partial aggregation must appear before the exchange so
+    // the wire carries distinct postings, not raw token occurrences.
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length <= 2,
+      plan.take(3000))
+    assert(plan.contains("partial_"), "map-side partial phase expected")
+  }
 }
