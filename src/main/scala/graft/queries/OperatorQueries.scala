@@ -12,6 +12,69 @@ import graft.operators.{AsOfJoin, MergeInto, RangeJoin, SkewJoin}
   */
 object OperatorQueries {
 
+  /** The CDC-merged customer table (o_merge_upsert's body, unsorted)
+    * — shared by the merge query and the snapshot-diff operator, so
+    * the diff runs against real lineage rather than a synthetic v2.
+    * Oracle twin: [[MergeSqlBody]]. */
+  private[queries] def mergedCustomer(
+      s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+    val changes = Tables.events(s, d).select(
+      when(col("event_type") === "signup", col("user_id") + 1500)
+        .otherwise(col("user_id") * 10).as("custkey"),
+      when(col("event_type") === "error", lit("D")).otherwise(lit("U")).as("op"),
+      col("event_type"), col("value"), col("ts"), col("event_id"))
+    val latest = MergeInto.latestPerKey(
+      changes, "custkey", Seq(col("ts").desc, col("event_id").desc))
+    MergeInto.merge(
+      Tables.customer(s, d), latest,
+      targetKey = "c_custkey", changeKey = "custkey", opCol = "op",
+      merged = Seq(
+        "c_custkey" -> coalesce(col("t.c_custkey"), col("c.custkey")),
+        "c_name" -> when(col("t.c_custkey").isNull,
+          concat(lit("cdc#"), col("c.custkey").cast("string")))
+          .otherwise(col("t.c_name")),
+        "c_nationkey" -> when(col("t.c_custkey").isNull, col("c.custkey") % 25)
+          .otherwise(col("t.c_nationkey")).cast("int"),
+        "acctbal_cents" -> floor(
+          when(col("c.custkey").isNull, col("t.c_acctbal"))
+            .otherwise(col("c.value")) * 100).cast("bigint"),
+        "c_mktsegment" -> when(col("c.custkey").isNull, col("t.c_mktsegment"))
+          .otherwise(col("c.event_type")),
+        "action" -> when(col("c.custkey").isNull, lit("kept"))
+          .when(col("t.c_custkey").isNull, lit("inserted"))
+          .otherwise(lit("updated"))))
+  }
+
+  /** o_merge_upsert's oracle SQL sans ORDER BY, embeddable as a CTE
+    * body by the snapshot-diff oracle. */
+  private val MergeSqlBody: String =
+    """WITH ch AS (
+      |  SELECT CASE WHEN event_type = 'signup' THEN 1500 + user_id
+      |              ELSE user_id * 10 END AS custkey,
+      |         CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+      |         event_type, value, ts, event_id
+      |  FROM events),
+      |latest AS (
+      |  SELECT custkey, op, event_type, value FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY custkey
+      |                ORDER BY ts DESC, event_id DESC) AS rn FROM ch)
+      |  WHERE rn = 1)
+      |SELECT COALESCE(t.c_custkey, c.custkey) AS c_custkey,
+      |       CASE WHEN t.c_custkey IS NULL
+      |            THEN 'cdc#' || CAST(c.custkey AS VARCHAR)
+      |            ELSE t.c_name END AS c_name,
+      |       CAST(CASE WHEN t.c_custkey IS NULL THEN c.custkey % 25
+      |                 ELSE t.c_nationkey END AS INT) AS c_nationkey,
+      |       CAST(floor(CASE WHEN c.custkey IS NULL THEN t.c_acctbal
+      |                       ELSE c.value END * 100) AS BIGINT) AS acctbal_cents,
+      |       CASE WHEN c.custkey IS NULL THEN t.c_mktsegment
+      |            ELSE c.event_type END AS c_mktsegment,
+      |       CASE WHEN c.custkey IS NULL THEN 'kept'
+      |            WHEN t.c_custkey IS NULL THEN 'inserted'
+      |            ELSE 'updated' END AS action
+      |FROM customer t FULL OUTER JOIN latest c ON t.c_custkey = c.custkey
+      |WHERE c.op IS NULL OR c.op <> 'D'""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
 
     // As-of join: for each error event, the latest click of the same
@@ -142,58 +205,78 @@ object OperatorQueries {
     // recorded in `action` — hash-checks exactly against the oracle.
     QueryDef(
       "o_merge_upsert",
-      """WITH ch AS (
-        |  SELECT CASE WHEN event_type = 'signup' THEN 1500 + user_id
-        |              ELSE user_id * 10 END AS custkey,
-        |         CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
-        |         event_type, value, ts, event_id
-        |  FROM events),
-        |latest AS (
-        |  SELECT custkey, op, event_type, value FROM (
-        |    SELECT *, row_number() OVER (PARTITION BY custkey
-        |                ORDER BY ts DESC, event_id DESC) AS rn FROM ch)
-        |  WHERE rn = 1)
-        |SELECT COALESCE(t.c_custkey, c.custkey) AS c_custkey,
-        |       CASE WHEN t.c_custkey IS NULL
-        |            THEN 'cdc#' || CAST(c.custkey AS VARCHAR)
-        |            ELSE t.c_name END AS c_name,
-        |       CAST(CASE WHEN t.c_custkey IS NULL THEN c.custkey % 25
-        |                 ELSE t.c_nationkey END AS INT) AS c_nationkey,
-        |       CAST(floor(CASE WHEN c.custkey IS NULL THEN t.c_acctbal
-        |                       ELSE c.value END * 100) AS BIGINT) AS acctbal_cents,
-        |       CASE WHEN c.custkey IS NULL THEN t.c_mktsegment
-        |            ELSE c.event_type END AS c_mktsegment,
-        |       CASE WHEN c.custkey IS NULL THEN 'kept'
-        |            WHEN t.c_custkey IS NULL THEN 'inserted'
-        |            ELSE 'updated' END AS action
-        |FROM customer t FULL OUTER JOIN latest c ON t.c_custkey = c.custkey
-        |WHERE c.op IS NULL OR c.op <> 'D'
-        |ORDER BY c_custkey""".stripMargin) { (s, d) =>
-      val changes = Tables.events(s, d).select(
-        when(col("event_type") === "signup", col("user_id") + 1500)
-          .otherwise(col("user_id") * 10).as("custkey"),
-        when(col("event_type") === "error", lit("D")).otherwise(lit("U")).as("op"),
-        col("event_type"), col("value"), col("ts"), col("event_id"))
-      val latest = MergeInto.latestPerKey(
-        changes, "custkey", Seq(col("ts").desc, col("event_id").desc))
-      MergeInto.merge(
-        Tables.customer(s, d), latest,
-        targetKey = "c_custkey", changeKey = "custkey", opCol = "op",
-        merged = Seq(
-          "c_custkey" -> coalesce(col("t.c_custkey"), col("c.custkey")),
-          "c_name" -> when(col("t.c_custkey").isNull,
-            concat(lit("cdc#"), col("c.custkey").cast("string")))
-            .otherwise(col("t.c_name")),
-          "c_nationkey" -> when(col("t.c_custkey").isNull, col("c.custkey") % 25)
-            .otherwise(col("t.c_nationkey")).cast("int"),
-          "acctbal_cents" -> floor(
-            when(col("c.custkey").isNull, col("t.c_acctbal"))
-              .otherwise(col("c.value")) * 100).cast("bigint"),
-          "c_mktsegment" -> when(col("c.custkey").isNull, col("t.c_mktsegment"))
-            .otherwise(col("c.event_type")),
-          "action" -> when(col("c.custkey").isNull, lit("kept"))
-            .when(col("t.c_custkey").isNull, lit("inserted"))
-            .otherwise(lit("updated"))))
-        .orderBy("c_custkey")
+      MergeSqlBody + "\nORDER BY c_custkey") { (s, d) =>
+      mergedCustomer(s, d).orderBy("c_custkey")
+    },
+
+    // Snapshot diff — the table-versioning audit every lakehouse
+    // pipeline runs after a write: classify every key across two
+    // versions (added / removed / changed / unchanged) and count
+    // column-level drift, here between the customer snapshot (v1)
+    // and its CDC-merged successor (v2, the o_merge_upsert lineage —
+    // a real version pair, not a synthetic one). One keyed full-outer
+    // join; the output is 4 rows however large the tables, and the
+    // per-column drift counters fold map-side. At 100 TB a
+    // key-partitioned layout diffs partition-parallel with no skew
+    // (the key is the partition key).
+    QueryDef(
+      "o_snapshot_diff",
+      s"""WITH v2 AS ($MergeSqlBody),
+        |v1 AS (SELECT c_custkey, c_name, c_nationkey,
+        |              CAST(floor(c_acctbal * 100) AS BIGINT) AS acctbal_cents,
+        |              c_mktsegment
+        |       FROM customer),
+        |j AS (SELECT
+        |        CASE WHEN b.c_custkey IS NULL THEN 'removed'
+        |             WHEN a.c_custkey IS NULL THEN 'added'
+        |             WHEN a.acctbal_cents <> b.acctbal_cents
+        |               OR a.c_mktsegment <> b.c_mktsegment
+        |               OR a.c_name <> b.c_name
+        |               OR a.c_nationkey <> b.c_nationkey THEN 'changed'
+        |             ELSE 'unchanged' END AS status,
+        |        CASE WHEN a.c_custkey IS NOT NULL AND b.c_custkey IS NOT NULL
+        |              AND a.acctbal_cents <> b.acctbal_cents
+        |             THEN 1 ELSE 0 END AS chg_acctbal,
+        |        CASE WHEN a.c_custkey IS NOT NULL AND b.c_custkey IS NOT NULL
+        |              AND a.c_mktsegment <> b.c_mktsegment
+        |             THEN 1 ELSE 0 END AS chg_segment,
+        |        CASE WHEN a.c_custkey IS NOT NULL AND b.c_custkey IS NOT NULL
+        |              AND a.c_name <> b.c_name
+        |             THEN 1 ELSE 0 END AS chg_name
+        |      FROM v1 a FULL OUTER JOIN v2 b ON a.c_custkey = b.c_custkey)
+        |SELECT status, CAST(count(*) AS BIGINT) AS n_keys,
+        |       CAST(sum(chg_acctbal) AS BIGINT) AS n_acctbal_chg,
+        |       CAST(sum(chg_segment) AS BIGINT) AS n_segment_chg,
+        |       CAST(sum(chg_name) AS BIGINT) AS n_name_chg
+        |FROM j GROUP BY status ORDER BY status""".stripMargin) { (s, d) =>
+      val v1 = Tables.customer(s, d).select(
+        col("c_custkey"), col("c_name"), col("c_nationkey"),
+        floor(col("c_acctbal") * 100).cast("bigint").as("acctbal_cents"),
+        col("c_mktsegment"))
+      val v2 = mergedCustomer(s, d).drop("action")
+      val a = v1.alias("a")
+      val b = v2.alias("b")
+      val both = col("a.c_custkey").isNotNull && col("b.c_custkey").isNotNull
+      a.join(b, col("a.c_custkey") === col("b.c_custkey"), "full_outer")
+        .select(
+          when(col("b.c_custkey").isNull, lit("removed"))
+            .when(col("a.c_custkey").isNull, lit("added"))
+            .when(col("a.acctbal_cents") =!= col("b.acctbal_cents") ||
+              col("a.c_mktsegment") =!= col("b.c_mktsegment") ||
+              col("a.c_name") =!= col("b.c_name") ||
+              col("a.c_nationkey") =!= col("b.c_nationkey"), lit("changed"))
+            .otherwise(lit("unchanged")).as("status"),
+          when(both && col("a.acctbal_cents") =!= col("b.acctbal_cents"),
+            lit(1)).otherwise(lit(0)).as("chg_acctbal"),
+          when(both && col("a.c_mktsegment") =!= col("b.c_mktsegment"),
+            lit(1)).otherwise(lit(0)).as("chg_segment"),
+          when(both && col("a.c_name") =!= col("b.c_name"),
+            lit(1)).otherwise(lit(0)).as("chg_name"))
+        .groupBy("status")
+        .agg(count(lit(1)).as("n_keys"),
+          sum(col("chg_acctbal")).cast("bigint").as("n_acctbal_chg"),
+          sum(col("chg_segment")).cast("bigint").as("n_segment_chg"),
+          sum(col("chg_name")).cast("bigint").as("n_name_chg"))
+        .orderBy("status")
     })
 }

@@ -112,6 +112,26 @@ object SketchQueries {
        |            THEN CAST((512 * lt.lnm) // 1000000 AS BIGINT)
        |            ELSE est.raw_est END AS $estCol""".stripMargin
 
+  /** Estimate CTEs over an `mx($key, idx, mrho)` CTE, composable form:
+    * emits `hagg`/`ln_tab`/`hraw`/`hest($key, est)` so callers can
+    * keep joining (unlike [[hllEstimateSql]], whose text ends in the
+    * final SELECT). */
+  private def hllEstCtes(key: String): String =
+    s"""hagg AS (SELECT $key,
+       |        CAST(sum(1::BIGINT << CAST(52 - mrho AS INT)) AS BIGINT)
+       |          + (512 - count(*)) * $TwoP52 AS reg_sum,
+       |        512 - count(*) AS zero_regs
+       |      FROM mx GROUP BY 1),
+       |ln_tab(v, lnm) AS (SELECT * FROM (VALUES $lnTabSql)),
+       |hraw AS (SELECT $key, zero_regs,
+       |        CAST($ANumStr // reg_sum // 1000000 AS BIGINT) AS raw_est
+       |      FROM hagg),
+       |hest AS (SELECT hraw.$key,
+       |        CASE WHEN hraw.zero_regs > 0 AND hraw.raw_est <= 1280
+       |             THEN CAST((512 * lt.lnm) // 1000000 AS BIGINT)
+       |             ELSE hraw.raw_est END AS est
+       |      FROM hraw LEFT JOIN ln_tab lt ON lt.v = hraw.zero_regs)""".stripMargin
+
   // ---- deterministic count-min (d = 4 rows, w = 1024 buckets) ------
   private val CmsD = 4
   private val CmsW = 1024L
@@ -172,6 +192,76 @@ object SketchQueries {
       hllEstimate(regs, "event_type")
         .select(col("event_type"), col("users_est").as("users"))
         .orderBy("event_type")
+    },
+
+    // Sketch set algebra: pairwise distinct-user OVERLAP between all
+    // event-type segments by inclusion-exclusion over the SAME
+    // register tables — est(A∩B) = est(A) + est(B) − est(A∪B), union
+    // by register max. The whole computation after the one register
+    // build runs on groups×512-row tables (kilobytes at any corpus
+    // size): this is how segment-overlap matrices get computed at
+    // 100 TB without ever co-scanning two segments. All 15 estimates
+    // (5 singles + 10 pair unions) go through ONE estimator pass over
+    // a generic group key; intersection clamps at 0 (inclusion-
+    // exclusion can go negative within sketch error).
+    QueryDef(
+      "a_hll_intersect",
+      s"""WITH h AS (SELECT event_type,
+        |        ${hvSql("CAST(user_id AS VARCHAR)")} AS hv FROM events),
+        |regs0 AS (SELECT event_type, (hv & 511) AS idx,
+        |        52 - length(ltrim(bin(hv >> 9),'0')) AS rho FROM h),
+        |mx0 AS (SELECT event_type, idx, max(rho) AS mrho
+        |        FROM regs0 GROUP BY 1, 2),
+        |types AS (SELECT DISTINCT event_type FROM events),
+        |pairs AS (SELECT a.event_type AS ta, b.event_type AS tb
+        |          FROM types a JOIN types b ON a.event_type < b.event_type),
+        |mx AS (SELECT grp, idx, max(mrho) AS mrho FROM (
+        |         SELECT event_type AS grp, idx, mrho FROM mx0
+        |         UNION ALL
+        |         SELECT p.ta || '|' || p.tb, m.idx, m.mrho
+        |         FROM pairs p JOIN mx0 m
+        |           ON m.event_type = p.ta OR m.event_type = p.tb)
+        |       GROUP BY 1, 2),
+        |${hllEstCtes("grp")}
+        |SELECT p.ta AS type_a, p.tb AS type_b,
+        |       ea.est AS users_a, eb.est AS users_b,
+        |       eu.est AS users_union,
+        |       greatest(ea.est + eb.est - eu.est, 0) AS users_intersect
+        |FROM pairs p
+        |JOIN hest ea ON ea.grp = p.ta
+        |JOIN hest eb ON eb.grp = p.tb
+        |JOIN hest eu ON eu.grp = p.ta || '|' || p.tb
+        |ORDER BY type_a, type_b""".stripMargin) { (s, d) =>
+      val h = hex60(col("user_id").cast("string"))
+      val regs = Tables.events(s, d)
+        .select(col("event_type"), idxCol(h).as("idx"), rhoCol(h).as("rho"))
+        .groupBy("event_type", "idx").agg(max("rho").as("mrho"))
+      val types = regs.select("event_type").distinct()
+      val pairs = types.withColumnRenamed("event_type", "ta")
+        .crossJoin(types.withColumnRenamed("event_type", "tb"))
+        .where(col("ta") < col("tb"))
+      val pairRegs = broadcast(pairs)
+        .join(regs, col("event_type") === col("ta") ||
+          col("event_type") === col("tb"))
+        .select(concat_ws("|", col("ta"), col("tb")).as("grp"),
+          col("idx"), col("mrho"))
+      val grpRegs = regs
+        .select(col("event_type").as("grp"), col("idx"), col("mrho"))
+        .unionByName(pairRegs)
+        .groupBy("grp", "idx").agg(max("mrho").as("mrho"))
+      val est = hllEstimate(grpRegs, "grp").select("grp", "users_est")
+      val eA = est.select(col("grp").as("ta"), col("users_est").as("users_a"))
+      val eB = est.select(col("grp").as("tb"), col("users_est").as("users_b"))
+      val eU = est.select(col("grp").as("pg"),
+        col("users_est").as("users_union"))
+      pairs.join(broadcast(eA), "ta").join(broadcast(eB), "tb")
+        .withColumn("pg", concat_ws("|", col("ta"), col("tb")))
+        .join(broadcast(eU), "pg")
+        .select(col("ta").as("type_a"), col("tb").as("type_b"),
+          col("users_a"), col("users_b"), col("users_union"),
+          greatest(col("users_a") + col("users_b") - col("users_union"),
+            lit(0L)).as("users_intersect"))
+        .orderBy("type_a", "type_b")
     },
 
     // Count-min heavy hitters: token frequencies estimated from a

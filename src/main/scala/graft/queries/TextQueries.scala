@@ -565,9 +565,11 @@ object TextQueries {
               concat_ws(" ", slice(col("w"), i, lit(2))).as("bg"),
               element_at(col("w"), i).as("w1")))).as("pr"))
         .select(col("doc_id"), col("pr.bg").as("bg"), col("pr.w1").as("w1"))
-      val cb = bg.groupBy("bg").agg(count(lit(1)).as("c"))
-      val cs = bg.groupBy("w1").agg(count(lit(1)).as("c1"))
-      bg.join(broadcast(cb), "bg").join(broadcast(cs), "w1")
+      // unigram (continuation) counts fold from the vocab²-bounded
+      // bigram table, not a third corpus-sized explode
+      val cb = bg.groupBy("w1", "bg").agg(count(lit(1)).as("c"))
+      val cs = cb.groupBy("w1").agg(sum(col("c")).as("c1"))
+      bg.join(broadcast(cb.select("bg", "c")), "bg").join(broadcast(cs), "w1")
         .select(col("doc_id"), expr("(c * 1000000) div c1").as("p"))
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_bigrams"),

@@ -431,7 +431,7 @@ object EventStreams {
     * a deleted key) and the (`last_ts_us`, `last_event_id`) monotonic
     * guard (so a change older than what the state already absorbed is
     * a no-op, making the fold idempotent and arrival-order-proof). */
-  private def initCdcState(snapshot: DataFrame): DataFrame =
+  private[graft] def initCdcState(snapshot: DataFrame): DataFrame =
     snapshot.select(
       col("c_custkey").as("custkey"), col("c_name").as("name"),
       col("c_nationkey").cast("int").as("nationkey"),
@@ -445,8 +445,10 @@ object EventStreams {
   /** One CDC batch: map events to keyed changes (same feed as
     * `o_merge_upsert`), compact to the newest change per key, then
     * full-outer apply onto the state — changes at-or-below the
-    * state's monotonic guard are dropped, deletes become tombstones. */
-  private def applyCdcBatch(state: DataFrame, batch: DataFrame): DataFrame = {
+    * state's monotonic guard are dropped, deletes become tombstones.
+    * `private[graft]` so the batching-invariance property test can
+    * fold arbitrary batch splits without the streaming machinery. */
+  private[graft] def applyCdcBatch(state: DataFrame, batch: DataFrame): DataFrame = {
     val ch = batch.select(
       when(col("event_type") === "signup", col("user_id") + 1500)
         .otherwise(col("user_id") * 10).as("custkey"),

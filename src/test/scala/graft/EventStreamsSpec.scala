@@ -431,4 +431,32 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(streamed.length == batch.length)
     assert(streamed.toSeq == batch.toSeq)
   }
+
+  test("cdc fold is batching-invariant: any split, any order, same state") {
+    // Pure algebra check (no streaming machinery): fold the same
+    // change set through different batch partitionings — including a
+    // reverse-time one, the worst arrival order — and require the
+    // IDENTICAL final state. This is the property that makes the
+    // monotonic guard sufficient for exactly-once-by-content at any
+    // micro-batch boundary the source happens to pick.
+    val ev = Tables.events(spark, sfDir)
+    val init = EventStreams.initCdcState(Tables.customer(spark, sfDir))
+    // compare OBSERVABLE state: tombstoned rows are invisible to
+    // readers, and their residual payload columns legitimately depend
+    // on which live values they last held before deletion — the
+    // invariance contract covers everything a reader can see
+    def fold(batches: Seq[org.apache.spark.sql.DataFrame]) = {
+      val fin = batches.foldLeft(init)(
+        (st, b) => EventStreams.applyCdcBatch(st, b).localCheckpoint())
+      fin.where(!col("deleted")).orderBy("custkey")
+        .collect().toSeq
+    }
+    val whole = fold(Seq(ev))
+    val byHash = fold((0 until 4).map(p =>
+      ev.where(pmod(col("event_id"), lit(4)) === p)))
+    val revTime = fold(Seq(
+      ev.where(col("event_id") >= 1000), ev.where(col("event_id") < 1000)))
+    assert(byHash == whole, "hash-split fold must equal single-batch fold")
+    assert(revTime == whole, "reverse-order fold must equal single-batch fold")
+  }
 }

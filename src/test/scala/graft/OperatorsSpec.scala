@@ -395,6 +395,20 @@ class OperatorsSpec extends AnyFunSuite {
     assert(deleted.nonEmpty && keys.forall(k => !deleted.contains(k)))
   }
 
+  test("snapshot diff: status totals reconcile with both versions") {
+    val d = "/root/testdata/sf0.001"
+    val diff = graft.SparkEntry.queries("o_snapshot_diff")(spark, d).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val v1 = Tables.customer(spark, d).count()
+    val v2 = graft.SparkEntry.queries("o_merge_upsert")(spark, d).count()
+    def n(s: String) = diff.getOrElse(s, 0L)
+    // every v1 key is exactly one of removed/changed/unchanged
+    assert(n("removed") + n("changed") + n("unchanged") == v1)
+    // every v2 key is exactly one of added/changed/unchanged
+    assert(n("added") + n("changed") + n("unchanged") == v2)
+    assert(n("changed") > 0 && n("added") > 0 && n("removed") > 0)
+  }
+
   test("bpe merge pairs: vocab-weighted counts equal naive corpus counts") {
     val d = "/root/testdata/sf0.001"
     val out = graft.SparkEntry.queries("t_bpe_merge_pairs")(spark, d).collect()

@@ -85,6 +85,34 @@ class SketchSpec extends AnyFunSuite {
       s"${r.getString(0)} sharded-union != whole-corpus estimate"))
   }
 
+  test("inclusion-exclusion intersection tracks exact pairwise overlap") {
+    val out = SparkEntry.queries("a_hll_intersect")(spark, sfDir).collect()
+    assert(out.length == 10, "5 event types -> 10 unordered pairs")
+    // exact pairwise overlaps
+    val byType = Tables.events(spark, sfDir)
+      .select("event_type", "user_id").distinct()
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+      .groupBy(_._1).map { case (t, xs) => t -> xs.map(_._2).toSet }
+    val singles = SparkEntry.queries("a_hll_distinct")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    out.foreach { r =>
+      val (a, b) = (r.getString(0), r.getString(1))
+      val (ea, eb, eu, ei) =
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      // algebraic invariants of the sketch union
+      assert(ea == singles(a) && eb == singles(b),
+        "pair row must reuse the single-segment estimates")
+      assert(eu <= ea + eb, s"$a|$b union exceeds sum")
+      assert(eu >= math.max(ea, eb), s"$a|$b union below max side")
+      assert(ei >= 0 && ei == math.max(ea + eb - eu, 0L))
+      // accuracy: inclusion-exclusion doubles the per-sketch error,
+      // so the bound is looser than the single-segment 10%
+      val exact = (byType(a) intersect byType(b)).size.toDouble
+      assert(math.abs(ei - exact) <= math.max(8.0, 0.25 * exact),
+        s"$a∩$b est=$ei exact=$exact")
+    }
+  }
+
   test("built-in Datasketches union path estimates distinct counts") {
     val exact = exactDistinct
     val est = Tables.events(spark, sfDir)
