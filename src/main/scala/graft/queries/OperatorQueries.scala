@@ -46,8 +46,9 @@ object OperatorQueries {
   }
 
   /** o_merge_upsert's oracle SQL sans ORDER BY, embeddable as a CTE
-    * body by the snapshot-diff oracle. */
-  private val MergeSqlBody: String =
+    * body — shared by the snapshot-diff oracle and st_cdc_apply's
+    * (the streaming fold converges to exactly this relation). */
+  private[queries] val MergeSqlBody: String =
     """WITH ch AS (
       |  SELECT CASE WHEN event_type = 'signup' THEN 1500 + user_id
       |              ELSE user_id * 10 END AS custkey,

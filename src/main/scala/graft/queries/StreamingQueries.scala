@@ -251,33 +251,7 @@ object StreamingQueries {
     // to the same result.
     QueryDef(
       "st_cdc_apply",
-      """WITH ch AS (
-        |  SELECT CASE WHEN event_type = 'signup' THEN 1500 + user_id
-        |              ELSE user_id * 10 END AS custkey,
-        |         CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
-        |         event_type, value, ts, event_id
-        |  FROM events),
-        |latest AS (
-        |  SELECT custkey, op, event_type, value FROM (
-        |    SELECT *, row_number() OVER (PARTITION BY custkey
-        |                ORDER BY ts DESC, event_id DESC) AS rn FROM ch)
-        |  WHERE rn = 1)
-        |SELECT COALESCE(t.c_custkey, c.custkey) AS c_custkey,
-        |       CASE WHEN t.c_custkey IS NULL
-        |            THEN 'cdc#' || CAST(c.custkey AS VARCHAR)
-        |            ELSE t.c_name END AS c_name,
-        |       CAST(CASE WHEN t.c_custkey IS NULL THEN c.custkey % 25
-        |                 ELSE t.c_nationkey END AS INT) AS c_nationkey,
-        |       CAST(floor(CASE WHEN c.custkey IS NULL THEN t.c_acctbal
-        |                       ELSE c.value END * 100) AS BIGINT) AS acctbal_cents,
-        |       CASE WHEN c.custkey IS NULL THEN t.c_mktsegment
-        |            ELSE c.event_type END AS c_mktsegment,
-        |       CASE WHEN c.custkey IS NULL THEN 'kept'
-        |            WHEN t.c_custkey IS NULL THEN 'inserted'
-        |            ELSE 'updated' END AS action
-        |FROM customer t FULL OUTER JOIN latest c ON t.c_custkey = c.custkey
-        |WHERE c.op IS NULL OR c.op <> 'D'
-        |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      OperatorQueries.MergeSqlBody + "\nORDER BY c_custkey") { (s, d) =>
       val stateDir = java.nio.file.Files
         .createTempDirectory("cdc_state").toString
       EventStreams.cdcCustomerStream(
