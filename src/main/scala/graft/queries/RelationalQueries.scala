@@ -873,6 +873,60 @@ object RelationalQueries {
         .orderBy("c_mktsegment")
     },
 
+    // Winsorization — robust-statistics outlier clipping, the
+    // numeric-cleaning pass a feature/metrics pipeline runs before
+    // aggregation: clip each group's values into its [p05, p95]
+    // discrete-percentile band and report clip counts plus raw vs
+    // winsorized sums. All-integer (cents, ceil-rank percentile
+    // selection, least/greatest clip) so the oracle hash is exact.
+    // Scale note: the EXACT band needs a per-group sort — right for
+    // bounded-cardinality group keys like these; at unbounded group
+    // sizes the sampled-quantile band (a_approx_quantile's PRF
+    // sample) replaces the window, same downstream clip.
+    QueryDef(
+      "a_winsorize",
+      """WITH v AS (SELECT event_type,
+        |             CAST(floor(value * 100) AS BIGINT) AS cents, event_id
+        |           FROM events),
+        |r AS (SELECT event_type, cents,
+        |        row_number() OVER (PARTITION BY event_type
+        |                           ORDER BY cents, event_id) AS rn,
+        |        count(*) OVER (PARTITION BY event_type) AS n FROM v),
+        |b AS (SELECT event_type,
+        |        max(CASE WHEN rn = (5*n+99) // 100 THEN cents END) AS lo,
+        |        max(CASE WHEN rn = (95*n+99) // 100 THEN cents END) AS hi
+        |      FROM r GROUP BY 1)
+        |SELECT v.event_type, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(CASE WHEN cents < lo THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_lo,
+        |       CAST(sum(CASE WHEN cents > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_hi,
+        |       CAST(sum(cents) AS BIGINT) AS sum_raw_cents,
+        |       CAST(sum(least(greatest(cents, lo), hi)) AS BIGINT) AS sum_wins_cents
+        |FROM v JOIN b ON v.event_type = b.event_type
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val v = Tables.events(s, d).select(
+        col("event_type"),
+        floor(col("value") * 100).cast("bigint").as("cents"),
+        col("event_id"))
+      val w = Window.partitionBy("event_type").orderBy("cents", "event_id")
+      val b = v
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy("event_type")))
+        .groupBy("event_type")
+        .agg(
+          max(when(col("rn") === expr("(5*n+99) div 100"), col("cents"))).as("lo"),
+          max(when(col("rn") === expr("(95*n+99) div 100"), col("cents"))).as("hi"))
+      v.join(broadcast(b), "event_type")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("cents") < col("lo"), 1L).otherwise(0L)).as("n_clip_lo"),
+          sum(when(col("cents") > col("hi"), 1L).otherwise(0L)).as("n_clip_hi"),
+          sum(col("cents")).as("sum_raw_cents"),
+          sum(least(greatest(col("cents"), col("lo")), col("hi")))
+            .as("sum_wins_cents"))
+        .orderBy("event_type")
+    },
+
     // GFE-name construction (introduction.rst:33-38): locus + 'w' +
     // ordered dash-joined accessions ≡ ordered string_agg per group.
     QueryDef(
