@@ -64,16 +64,22 @@ object SketchQueries {
     * raw-estimate path (cardinality > 2.5m) on synthetic data — the
     * fixture groups all land in the linear-counting range.
     */
-  def hllDistinct(df: DataFrame, key: String, value: Column): DataFrame = {
+  def hllDistinct(df: DataFrame, key: String, value: Column): DataFrame =
+    hllEstimate(hllRegisters(df, key, value), key)
+
+  /** The mergeable register table (key, idx, mrho) for `value` per
+    * `key` — merging two register tables by per-(key, idx) max IS the
+    * HLL union, which is what makes incremental/streaming sketch
+    * maintenance exact (st_sketch_maintain). */
+  private[queries] def hllRegisters(
+      df: DataFrame, key: String, value: Column): DataFrame = {
     val h = hex60(value.cast("string"))
-    val regs = df
-      .select(col(key), idxCol(h).as("idx"), rhoCol(h).as("rho"))
+    df.select(col(key), idxCol(h).as("idx"), rhoCol(h).as("rho"))
       .groupBy(key, "idx").agg(max("rho").as("mrho"))
-    hllEstimate(regs, key)
   }
 
   /** (key, idx, mrho) register table -> (key, users_est, zero_regs). */
-  private def hllEstimate(regs: DataFrame, key: String): DataFrame = {
+  private[queries] def hllEstimate(regs: DataFrame, key: String): DataFrame = {
     val lnArr = array(LnMicro.map(lit): _*)
     regs.groupBy(key)
       .agg(
@@ -132,6 +138,21 @@ object SketchQueries {
        |             ELSE hraw.raw_est END AS est
        |      FROM hraw LEFT JOIN ln_tab lt ON lt.v = hraw.zero_regs)""".stripMargin
 
+  /** a_hll_distinct's oracle — also st_sketch_maintain's: the
+    * streaming register fold is a max-merge, so its final estimate is
+    * by construction the same relation. */
+  private[queries] val HllDistinctSql: String =
+    s"""WITH h AS (SELECT event_type,
+       |        ${hvSql("CAST(user_id AS VARCHAR)")} AS hv FROM events),
+       |regs AS (SELECT event_type, (hv & 511) AS idx,
+       |        52 - length(ltrim(bin(hv >> 9),'0')) AS rho FROM h),
+       |mx AS (SELECT event_type, idx, max(rho) AS mrho
+       |       FROM regs GROUP BY 1, 2),
+       |${hllEstimateSql("event_type", "users_est")},
+       |       CAST(est.zero_regs AS BIGINT) AS zero_regs
+       |FROM est LEFT JOIN ln_tab lt ON lt.v = est.zero_regs
+       |ORDER BY est.event_type""".stripMargin
+
   // ---- deterministic count-min (d = 4 rows, w = 1024 buckets) ------
   private val CmsD = 4
   private val CmsW = 1024L
@@ -150,16 +171,7 @@ object SketchQueries {
     // occupancy, not just the estimate.
     QueryDef(
       "a_hll_distinct",
-      s"""WITH h AS (SELECT event_type,
-        |        ${hvSql("CAST(user_id AS VARCHAR)")} AS hv FROM events),
-        |regs AS (SELECT event_type, (hv & 511) AS idx,
-        |        52 - length(ltrim(bin(hv >> 9),'0')) AS rho FROM h),
-        |mx AS (SELECT event_type, idx, max(rho) AS mrho
-        |       FROM regs GROUP BY 1, 2),
-        |${hllEstimateSql("event_type", "users_est")},
-        |       CAST(est.zero_regs AS BIGINT) AS zero_regs
-        |FROM est LEFT JOIN ln_tab lt ON lt.v = est.zero_regs
-        |ORDER BY est.event_type""".stripMargin) { (s, d) =>
+      HllDistinctSql) { (s, d) =>
       hllDistinct(Tables.events(s, d), "event_type", col("user_id"))
         .orderBy("event_type")
     },

@@ -249,6 +249,35 @@ object StreamingQueries {
     // The guard makes the fold idempotent and arrival-order-proof;
     // EventStreamsSpec additionally pins a time-shuffled 3-batch run
     // to the same result.
+    // Continuous sketch maintenance — the streaming counterpart of
+    // a_hll_union: each micro-batch's HLL register table max-merges
+    // into versioned state via the same cdcApply machinery, and
+    // because register max-merge is commutative and idempotent the
+    // final estimate equals the batch-built sketch EXACTLY for any
+    // micro-batch partitioning — so the batch oracle hash-checks the
+    // real streaming path. This is how distinct-count dashboards stay
+    // current at stream speed: per-batch state touched is at most
+    // groups×512 rows however large the batch.
+    QueryDef(
+      "st_sketch_maintain",
+      SketchQueries.HllDistinctSql) { (s, d) =>
+      val stateDir = java.nio.file.Files
+        .createTempDirectory("sketch_state").toString
+      val changes = graft.Tables.normalizeTs(
+        EventStreams.streamSource(s, s"$d/events.parquet"))
+      // schema-only seed: an empty register table
+      val init = SketchQueries
+        .hllRegisters(Tables.events(s, d), "event_type", col("user_id"))
+        .where(lit(false))
+      val finalRegs = EventStreams.cdcApply(s, changes, init, stateDir,
+        (state, batch) => state
+          .unionByName(SketchQueries
+            .hllRegisters(batch, "event_type", col("user_id")))
+          .groupBy("event_type", "idx").agg(max("mrho").as("mrho")))
+      SketchQueries.hllEstimate(finalRegs, "event_type")
+        .orderBy("event_type")
+    },
+
     QueryDef(
       "st_cdc_apply",
       OperatorQueries.MergeSqlBody + "\nORDER BY c_custkey") { (s, d) =>

@@ -400,23 +400,28 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(batch.nonEmpty, "fixture must contain planted collisions")
   }
 
-  test("cdc apply: time-shuffled multi-batch stream == batch MERGE") {
-    // Split the events into 3 source files keyed by event_id hash —
-    // NOT by time — so with maxFilesPerTrigger=1 the three
-    // micro-batches interleave arbitrarily old and new changes per
-    // key. The tombstone + (ts, event_id) monotonic guard must make
-    // the fold converge to the batch merge regardless.
-    val srcDir = java.nio.file.Files.createTempDirectory("cdc_src")
-    (0 until 3).foreach { p =>
-      val part = java.nio.file.Files.createTempDirectory(s"cdc_part$p")
+  /** Events split into `parts` source files keyed by event_id hash —
+    * NOT by time — so with maxFilesPerTrigger=1 each micro-batch
+    * interleaves arbitrarily old and new rows per key. */
+  private def splitEventsDir(parts: Int): java.nio.file.Path = {
+    val srcDir = java.nio.file.Files.createTempDirectory("split_src")
+    (0 until parts).foreach { p =>
+      val part = java.nio.file.Files.createTempDirectory(s"split_part$p")
       Tables.events(spark, sfDir)
-        .where(pmod(col("event_id"), lit(3)) === p)
+        .where(pmod(col("event_id"), lit(parts)) === p)
         .coalesce(1).write.mode("overwrite").parquet(part.toString)
       val f = java.nio.file.Files.list(part).toArray.map(_.toString)
         .filter(_.endsWith(".parquet")).head
       java.nio.file.Files.move(
         java.nio.file.Paths.get(f), srcDir.resolve(s"$p.parquet"))
     }
+    srcDir
+  }
+
+  test("cdc apply: time-shuffled multi-batch stream == batch MERGE") {
+    // The tombstone + (ts, event_id) monotonic guard must make the
+    // fold converge to the batch merge for any batch interleaving.
+    val srcDir = splitEventsDir(3)
     val stateDir = java.nio.file.Files.createTempDirectory("cdc_state_t")
     val streamed = EventStreams.cdcCustomerStream(
       spark, srcDir.toString, Tables.customer(spark, sfDir),
@@ -430,6 +435,30 @@ class EventStreamsSpec extends AnyFunSuite {
       .collect()
     assert(streamed.length == batch.length)
     assert(streamed.toSeq == batch.toSeq)
+  }
+
+  test("sketch maintenance: multi-batch register fold == batch sketch") {
+    // Register max-merge is commutative + idempotent, so the
+    // streaming fold over a hash-split (time-shuffled) 3-batch source
+    // must equal the batch-built sketch EXACTLY — the mergeable-
+    // sketch property that makes streaming maintenance trustworthy.
+    val srcDir = splitEventsDir(3)
+    val stateDir = java.nio.file.Files.createTempDirectory("sk_state")
+    val changes = Tables.normalizeTs(EventStreams.streamSource(
+      spark, srcDir.toString, Map("maxFilesPerTrigger" -> "1")))
+    val init = graft.queries.SketchTestAccess.hllRegisters(
+      Tables.events(spark, sfDir)).where(lit(false))
+    val finalRegs = EventStreams.cdcApply(spark, changes, init,
+      stateDir.toString,
+      (state, batch) => state
+        .unionByName(graft.queries.SketchTestAccess.hllRegisters(batch))
+        .groupBy("event_type", "idx")
+        .agg(max("mrho").as("mrho")))
+    val streamed = graft.queries.SketchTestAccess.hllEstimate(finalRegs)
+      .orderBy("event_type").collect().toSeq
+    val batch = SparkEntry.queries("a_hll_distinct")(spark, sfDir)
+      .collect().toSeq
+    assert(streamed == batch)
   }
 
   test("cdc fold is batching-invariant: any split, any order, same state") {

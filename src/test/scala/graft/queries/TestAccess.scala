@@ -1,0 +1,13 @@
+package graft.queries
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
+
+/** Test bridge into `private[queries]` sketch internals, so specs in
+  * package `graft` can drive the register fold directly. */
+object SketchTestAccess {
+  def hllRegisters(df: DataFrame): DataFrame =
+    SketchQueries.hllRegisters(df, "event_type", col("user_id"))
+  def hllEstimate(regs: DataFrame): DataFrame =
+    SketchQueries.hllEstimate(regs, "event_type")
+}
