@@ -162,6 +162,54 @@ object SketchQueries {
   private def cmsBucketSql(i: Int): String =
     s"(${hvSql(s"token || '#$i'")} & ${CmsW - 1})"
 
+  /** The additive CMS counter table (r, b, cnt) over a documents
+    * batch — summing two counter tables per (r, b) IS the CMS merge,
+    * the additive mergeability class (vs the HLL registers' max),
+    * which is what makes incremental/streaming heavy-hitter state
+    * exact (st_cms_maintain). */
+  private[queries] def cmsCounters(docs: DataFrame): DataFrame =
+    docs.select(explode(split(col("text"), " ", -1)).as("token"))
+      .where(col("token") =!= "")
+      .select(posexplode(cmsBuckets(col("token"))).as(Seq("r", "b")))
+      .groupBy("r", "b").agg(count(lit(1)).as("cnt"))
+
+  /** Probe `counters` with the corpus' exact top-25 tokens; est =
+    * min over the d rows (the CMS contract). */
+  private[queries] def cmsProbeTopk(
+      counters: DataFrame, docs: DataFrame): DataFrame = {
+    val top = docs
+      .select(explode(split(col("text"), " ", -1)).as("token"))
+      .where(col("token") =!= "")
+      .groupBy("token").agg(count(lit(1)).as("n_exact"))
+      .orderBy(col("n_exact").desc, col("token")).limit(25)
+    top
+      .select(col("token"), col("n_exact"),
+        posexplode(cmsBuckets(col("token"))).as(Seq("r", "b")))
+      .join(broadcast(counters), Seq("r", "b"))
+      .groupBy("token", "n_exact").agg(min("cnt").as("n_cms"))
+      .orderBy(col("n_exact").desc, col("token"))
+  }
+
+  /** a_cms_topk's oracle — also st_cms_maintain's: the streaming
+    * counter fold is a per-(r,b) sum, so its final counter table is
+    * by construction the batch one. */
+  private[queries] val CmsTopkSql: String =
+    s"""WITH toks AS (SELECT unnest(string_split(text, ' ')) AS token
+       |              FROM documents),
+       |tok AS (SELECT token FROM toks WHERE token <> ''),
+       |rb AS (${(0 until CmsD).map(i =>
+      s"SELECT $i AS r, ${cmsBucketSql(i)} AS b FROM tok")
+      .mkString("\n  UNION ALL ")}),
+       |counters AS (SELECT r, b, count(*) AS cnt FROM rb GROUP BY 1, 2),
+       |top AS (SELECT token, count(*) AS n_exact FROM tok
+       |        GROUP BY 1 ORDER BY n_exact DESC, token LIMIT 25),
+       |pr AS (${(0 until CmsD).map(i =>
+      s"SELECT token, n_exact, $i AS r, ${cmsBucketSql(i)} AS b FROM top")
+      .mkString("\n  UNION ALL ")})
+       |SELECT p.token, p.n_exact, CAST(min(c.cnt) AS BIGINT) AS n_cms
+       |FROM pr p JOIN counters c ON c.r = p.r AND c.b = p.b
+       |GROUP BY 1, 2 ORDER BY p.n_exact DESC, p.token""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
 
     // Per-type distinct users via the deterministic register HLL.
@@ -287,35 +335,9 @@ object SketchQueries {
     // (never undercounts; overcount <= eps*N w.h.p.).
     QueryDef(
       "a_cms_topk",
-      s"""WITH toks AS (SELECT unnest(string_split(text, ' ')) AS token
-        |              FROM documents),
-        |tok AS (SELECT token FROM toks WHERE token <> ''),
-        |rb AS (${(0 until CmsD).map(i =>
-          s"SELECT $i AS r, ${cmsBucketSql(i)} AS b FROM tok")
-          .mkString("\n  UNION ALL ")}),
-        |counters AS (SELECT r, b, count(*) AS cnt FROM rb GROUP BY 1, 2),
-        |top AS (SELECT token, count(*) AS n_exact FROM tok
-        |        GROUP BY 1 ORDER BY n_exact DESC, token LIMIT 25),
-        |pr AS (${(0 until CmsD).map(i =>
-          s"SELECT token, n_exact, $i AS r, ${cmsBucketSql(i)} AS b FROM top")
-          .mkString("\n  UNION ALL ")})
-        |SELECT p.token, p.n_exact, CAST(min(c.cnt) AS BIGINT) AS n_cms
-        |FROM pr p JOIN counters c ON c.r = p.r AND c.b = p.b
-        |GROUP BY 1, 2 ORDER BY p.n_exact DESC, p.token""".stripMargin) { (s, d) =>
-      val tokens = Tables.documents(s, d)
-        .select(explode(split(col("text"), " ", -1)).as("token"))
-        .where(col("token") =!= "")
-      val counters = tokens
-        .select(posexplode(cmsBuckets(col("token"))).as(Seq("r", "b")))
-        .groupBy("r", "b").agg(count(lit(1)).as("cnt"))
-      val top = tokens.groupBy("token").agg(count(lit(1)).as("n_exact"))
-        .orderBy(col("n_exact").desc, col("token")).limit(25)
-      top
-        .select(col("token"), col("n_exact"),
-          posexplode(cmsBuckets(col("token"))).as(Seq("r", "b")))
-        .join(broadcast(counters), Seq("r", "b"))
-        .groupBy("token", "n_exact").agg(min("cnt").as("n_cms"))
-        .orderBy(col("n_exact").desc, col("token"))
+      CmsTopkSql) { (s, d) =>
+      cmsProbeTopk(cmsCounters(Tables.documents(s, d)),
+        Tables.documents(s, d))
     },
 
     // Deterministic sampled quantiles: a 25% md5-Bernoulli sample

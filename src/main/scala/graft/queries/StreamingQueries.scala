@@ -278,6 +278,30 @@ object StreamingQueries {
         .orderBy("event_type")
     },
 
+    // Continuous heavy-hitter counters — the ADDITIVE mergeability
+    // class next to st_sketch_maintain's max-merge: each micro-batch
+    // of documents folds its CMS counter table into state by
+    // per-(r,b) SUM, which is exactly the CMS merge, so the
+    // maintained counters equal the batch-built table for any batch
+    // partitioning and the batch oracle hash-checks the streaming
+    // path. State is the fixed d×w=4096-row counter table however
+    // large the corpus — the shape that lets a token-frequency
+    // dashboard follow an ingest stream at 100 TB.
+    QueryDef(
+      "st_cms_maintain",
+      SketchQueries.CmsTopkSql) { (s, d) =>
+      val stateDir = java.nio.file.Files
+        .createTempDirectory("cms_state").toString
+      val changes = EventStreams.streamSource(s, s"$d/documents.parquet")
+      val init = SketchQueries.cmsCounters(Tables.documents(s, d))
+        .where(lit(false))
+      val finalCounters = EventStreams.cdcApply(s, changes, init, stateDir,
+        (state, batch) => state
+          .unionByName(SketchQueries.cmsCounters(batch))
+          .groupBy("r", "b").agg(sum("cnt").as("cnt")))
+      SketchQueries.cmsProbeTopk(finalCounters, Tables.documents(s, d))
+    },
+
     QueryDef(
       "st_cdc_apply",
       OperatorQueries.MergeSqlBody + "\nORDER BY c_custkey") { (s, d) =>

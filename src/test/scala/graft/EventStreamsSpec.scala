@@ -461,6 +461,38 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("cms maintenance: multi-batch counter fold == batch counters") {
+    // Additive merge: per-(r,b) SUM of batch counter tables equals
+    // the whole-corpus table for any partitioning of the documents.
+    val srcDir = java.nio.file.Files.createTempDirectory("cms_src")
+    (0 until 3).foreach { p =>
+      val part = java.nio.file.Files.createTempDirectory(s"cms_part$p")
+      Tables.documents(spark, sfDir)
+        .where(pmod(col("doc_id"), lit(3)) === p)
+        .coalesce(1).write.mode("overwrite").parquet(part.toString)
+      val f = java.nio.file.Files.list(part).toArray.map(_.toString)
+        .filter(_.endsWith(".parquet")).head
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get(f), srcDir.resolve(s"$p.parquet"))
+    }
+    val stateDir = java.nio.file.Files.createTempDirectory("cms_state_t")
+    val changes = EventStreams.streamSource(
+      spark, srcDir.toString, Map("maxFilesPerTrigger" -> "1"))
+    val init = graft.queries.SketchTestAccess
+      .cmsCounters(Tables.documents(spark, sfDir)).where(lit(false))
+    val finalCounters = EventStreams.cdcApply(spark, changes, init,
+      stateDir.toString,
+      (state, batch) => state
+        .unionByName(graft.queries.SketchTestAccess.cmsCounters(batch))
+        .groupBy("r", "b").agg(sum("cnt").as("cnt")))
+    val streamed = graft.queries.SketchTestAccess
+      .cmsProbeTopk(finalCounters, Tables.documents(spark, sfDir))
+      .collect().toSeq
+    val batch = SparkEntry.queries("a_cms_topk")(spark, sfDir)
+      .collect().toSeq
+    assert(streamed == batch)
+  }
+
   test("cdc fold is batching-invariant: any split, any order, same state") {
     // Pure algebra check (no streaming machinery): fold the same
     // change set through different batch partitionings — including a

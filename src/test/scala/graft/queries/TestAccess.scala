@@ -10,4 +10,8 @@ object SketchTestAccess {
     SketchQueries.hllRegisters(df, "event_type", col("user_id"))
   def hllEstimate(regs: DataFrame): DataFrame =
     SketchQueries.hllEstimate(regs, "event_type")
+  def cmsCounters(docs: DataFrame): DataFrame =
+    SketchQueries.cmsCounters(docs)
+  def cmsProbeTopk(counters: DataFrame, docs: DataFrame): DataFrame =
+    SketchQueries.cmsProbeTopk(counters, docs)
 }
