@@ -153,4 +153,33 @@ class GraphLoadSpec extends AnyFunSuite {
     assert(restored.gfe.count() == graph.gfe.count())
     assert(restored.hasIpdAllele.count() == graph.hasIpdAllele.count())
   }
+
+  test("locus-partitioned store prunes partitions for a locus filter") {
+    // The hot Feature/Sequence tables land hive-partitioned by locus;
+    // a locus-filtered read must resolve against the directory layout
+    // (PartitionFilters), never scan other loci's files — the layout
+    // decision that turns a full-table scan into a single-partition
+    // read at 100 TB.
+    val dir = java.nio.file.Files.createTempDirectory("graphstore_p").toString
+    GraphLoad.write(graph, dir)
+    val loci = spark.read.parquet(s"$dir/Feature")
+      .select("locus").distinct().collect().map(_.getString(0)).sorted
+    assert(loci.length > 1, "fixture must span multiple loci")
+    val df = spark.read.parquet(s"$dir/Feature")
+      .where(col("locus") === loci.head)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: ["), plan.take(1500))
+    assert(plan.contains(s"isnotnull(locus") ||
+      plan.contains("locus#"), "locus predicate must be a partition filter")
+    // the scan must NOT re-check locus as a row predicate (it is
+    // resolved at the directory level): data/pushed filter lists are
+    // empty, and the read schema omits the partition column entirely
+    assert(plan.contains("DataFilters: []") &&
+      plan.contains("PushedFilters: []"),
+      s"locus must prune partitions, not filter rows: ${plan.take(1500)}")
+    assert(plan.linesIterator.find(_.contains("ReadSchema"))
+      .exists(!_.contains("locus:")),
+      "partition column must not be read from data files")
+  }
 }
