@@ -519,5 +519,13 @@ class EventStreamsSpec extends AnyFunSuite {
       ev.where(col("event_id") >= 1000), ev.where(col("event_id") < 1000)))
     assert(byHash == whole, "hash-split fold must equal single-batch fold")
     assert(revTime == whole, "reverse-order fold must equal single-batch fold")
+    // crash-replay idempotence: a batch re-applied after a failed
+    // commit (each batch delivered twice, in order) is a no-op under
+    // the monotonic guard — the recovery path of any at-least-once
+    // source is therefore exactly-once by content
+    val b1 = ev.where(pmod(col("event_id"), lit(2)) === 0)
+    val b2 = ev.where(pmod(col("event_id"), lit(2)) === 1)
+    val replayed = fold(Seq(b1, b1, b2, b2))
+    assert(replayed == whole, "duplicate batch delivery must be a no-op")
   }
 }
