@@ -40,6 +40,32 @@ object DedupQueries {
   private[queries] def duckHex60(x: String): String =
     s"CAST(('0x' || substr(md5($x),1,15)) AS BIGINT)"
 
+  /** Shared CTE ending in `sig(doc_id, simhash)` — the 32-bit
+    * majority-vote signature (d_simhash, d_simhash_hamming). */
+  private lazy val simhashCte: String =
+    s"""$shingleCte,
+       |hs AS (SELECT doc_id,
+       |         list_transform(sh, x -> ${duckHex60("x")}) AS hs FROM sh),
+       |sig AS (SELECT doc_id,
+       |       CAST(list_sum(list_transform(generate_series(0,31), b ->
+       |         CASE WHEN 2 * len(list_filter(hs, h -> (h >> b) & 1 = 1)) > len(hs)
+       |              THEN (1::BIGINT << b) ELSE 0 END)) AS BIGINT) AS simhash
+       |FROM hs)""".stripMargin
+
+  /** Spark twin of [[simhashCte]]: (doc_id, simhash). The Scala DSL's
+    * shiftleft/shiftright only accept Int shift amounts; the SQL
+    * forms accept expressions — same codegen'd Catalyst
+    * ShiftLeft/ShiftRight underneath. */
+  private[queries] def simhashDF(s: SparkSession, d: String): DataFrame =
+    shingled(s, d)
+      .select(col("doc_id"),
+        transform(col("sh"), x => hex60(x)).as("hs"))
+      .select(col("doc_id"),
+        expr("""aggregate(sequence(0, 31), 0L, (acc, b) ->
+               acc + CASE WHEN 2 * size(filter(hs, h -> (shiftright(h, b) & 1) = 1)) > size(hs)
+                          THEN shiftleft(CAST(1 AS BIGINT), b) ELSE 0L END)""")
+          .as("simhash"))
+
   private val nHashes = 8 // minhash signature width
   private val nBands = 4 // bands of 2 rows each
   private val dfCap = 20 // stop-gram doc-frequency bound for aligned runs
@@ -1027,26 +1053,60 @@ object DedupQueries {
     // row: zero shuffle, fully codegen'd.
     QueryDef(
       "d_simhash",
-      s"""$shingleCte,
-        |hs AS (SELECT doc_id,
-        |         list_transform(sh, x -> ${duckHex60("x")}) AS hs FROM sh)
-        |SELECT doc_id,
-        |       CAST(list_sum(list_transform(generate_series(0,31), b ->
-        |         CASE WHEN 2 * len(list_filter(hs, h -> (h >> b) & 1 = 1)) > len(hs)
-        |              THEN (1::BIGINT << b) ELSE 0 END)) AS BIGINT) AS simhash
-        |FROM hs ORDER BY doc_id""".stripMargin) { (s, d) =>
-      // The Scala DSL's shiftleft/shiftright only accept Int shift
-      // amounts; the SQL forms accept expressions — same codegen'd
-      // Catalyst ShiftLeft/ShiftRight underneath.
-      shingled(s, d)
-        .select(col("doc_id"),
-          transform(col("sh"), x => hex60(x)).as("hs"))
-        .select(col("doc_id"),
-          expr("""aggregate(sequence(0, 31), 0L, (acc, b) ->
-                 acc + CASE WHEN 2 * size(filter(hs, h -> (shiftright(h, b) & 1) = 1)) > size(hs)
-                            THEN shiftleft(CAST(1 AS BIGINT), b) ELSE 0L END)""")
-            .as("simhash"))
-        .orderBy("doc_id")
+      s"""$simhashCte
+        |SELECT doc_id, simhash FROM sig ORDER BY doc_id""".stripMargin) { (s, d) =>
+      simhashDF(s, d).orderBy("doc_id")
+    },
+
+    // SimHash Hamming-radius join — the Google-style near-dup pipe:
+    // pairs within Hamming distance ≤ 2 of each other's 32-bit
+    // signatures. Pigeonhole blocking makes the candidate set EXACT
+    // (not probabilistic): the signature splits into r+1 = 3 blocks,
+    // and any pair within distance 2 must agree on ≥ 1 whole block,
+    // so a per-block equi-self-join (never an all-pairs cross)
+    // surfaces every true pair; bit_count on the XOR then verifies.
+    // Same plan shape at 100 TB: three shuffles on 10-11-bit block
+    // keys, candidate volume ∝ Σ per-bucket n² with bucket count
+    // growing via wider blocks. HammingCompletenessSpec asserts set
+    // equality with the brute-force all-pairs answer.
+    QueryDef(
+      "d_simhash_hamming",
+      s"""$simhashCte,
+        |k AS (SELECT doc_id, simhash,
+        |        (simhash >> 0) & 2047 AS k0,
+        |        (simhash >> 11) & 2047 AS k1,
+        |        (simhash >> 22) & 1023 AS k2 FROM sig),
+        |cand AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2,
+        |         a.simhash AS s1, b.simhash AS s2
+        |  FROM k a JOIN k b ON a.k0 = b.k0 AND a.doc_id < b.doc_id
+        |  UNION
+        |  SELECT a.doc_id, b.doc_id, a.simhash, b.simhash
+        |  FROM k a JOIN k b ON a.k1 = b.k1 AND a.doc_id < b.doc_id
+        |  UNION
+        |  SELECT a.doc_id, b.doc_id, a.simhash, b.simhash
+        |  FROM k a JOIN k b ON a.k2 = b.k2 AND a.doc_id < b.doc_id)
+        |SELECT d1, d2, hdist FROM (
+        |  SELECT d1, d2,
+        |         CAST(bit_count(xor(s1, s2)) AS BIGINT) AS hdist
+        |  FROM cand)
+        |WHERE hdist <= 2 ORDER BY d1, d2""".stripMargin) { (s, d) =>
+      val sig = simhashDF(s, d)
+      val blocks = Seq((0, 2047L), (11, 2047L), (22, 1023L))
+      val cand = blocks.map { case (sh, mask) =>
+        val kk = sig.select(col("doc_id"), col("simhash"),
+          shiftright(col("simhash"), sh).bitwiseAND(lit(mask)).as("bk"))
+        kk.alias("a").join(kk.alias("b"),
+          col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+            col("a.simhash").as("s1"), col("b.simhash").as("s2"))
+      }.reduce(_ unionByName _).distinct()
+      cand
+        .withColumn("hdist",
+          bit_count(col("s1").bitwiseXOR(col("s2"))).cast("bigint"))
+        .where(col("hdist") <= 2)
+        .select("d1", "d2", "hdist")
+        .orderBy("d1", "d2")
     },
 
     // Embedding-cosine near-dup with sign-LSH banded blocking: each

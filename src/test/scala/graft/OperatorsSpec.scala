@@ -444,6 +444,20 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out.length == direct.size)
   }
 
+  test("simhash hamming join: pigeonhole blocking is complete vs brute force") {
+    val d = "/root/testdata/sf0.001"
+    val out = graft.SparkEntry.queries("d_simhash_hamming")(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val sigs = graft.SparkEntry.queries("d_simhash")(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val brute = (for {
+      (id1, s1) <- sigs; (id2, s2) <- sigs if id1 < id2
+      h = java.lang.Long.bitCount(s1 ^ s2) if h <= 2
+    } yield (id1, id2, h.toLong)).toSet
+    assert(out == brute, "pigeonhole candidates must be EXACTLY the ball")
+    assert(out.nonEmpty, "fixture dups must yield hamming-close pairs")
+  }
+
   test("weighted priority sample: bottom-32 by integer u/w priority") {
     val d = "/root/testdata/sf0.001"
     val out = graft.SparkEntry.queries("smp_weighted_priority")(spark, d).collect()
