@@ -332,6 +332,16 @@ class PlanQualitySpec extends AnyFunSuite {
       "σ-product terms must combine map-side")
   }
 
+  test("hamming join: per-block equi-joins only, no cartesian candidates") {
+    val plan = planOf("d_simhash_hamming")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      "pigeonhole blocking must never fall back to all-pairs")
+    // three block joins, each a hash-partitioned equi-join on bk
+    assert("SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin".r
+      .findAllIn(plan).nonEmpty)
+  }
+
   test("merge upsert: map-side top-1 compaction, no re-shuffle into the join") {
     val plan = planOf("o_merge_upsert")
     // CDC compaction must run the rank-1 WindowGroupLimit BEFORE its
