@@ -81,7 +81,7 @@ object SimilarityQueries {
     new java.util.WeakHashMap[SparkSession,
       scala.collection.mutable.Map[String, (DataFrame, DataFrame)]]())
 
-  private def kmeansIndex(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+  private[queries] def kmeansIndex(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     val perSession = kmeansCache.synchronized {
       var m = kmeansCache.get(s)
       if (m == null) { m = scala.collection.mutable.Map.empty; kmeansCache.put(s, m) }
@@ -116,6 +116,101 @@ object SimilarityQueries {
         (assign, centroids)
       })
     }
+  }
+
+  /** IVF serve-path oracle: `asgCte` supplies a CTE chain (after `e`
+    * and `cents`) ending in `fasg(vec_id, cell_id)` — the trained
+    * assignment for v_ann_kmeans, standing ∪ nearest-centroid-added
+    * for v_ann_incremental. Everything downstream (probe ranking,
+    * candidates, exact re-rank, top-k) is shared text. */
+  private def ivfServeSql(asgCte: String): String =
+    s"""WITH e AS ($duckVecs),
+       |cents AS (SELECT c_id, list(cj ORDER BY j) AS cv
+       |          FROM ${aux("ann_centroids")} GROUP BY 1),
+       |$asgCte,
+       |q AS (SELECT * FROM e WHERE vec_id < $nQueries),
+       |probe AS (
+       |  SELECT q.vec_id AS q_id, c.c_id,
+       |         round(sqrt(list_dot_product(c.cv, c.cv))
+       |                 * sqrt(list_dot_product(c.cv, c.cv))
+       |               - 2 * list_dot_product(q.v, c.cv) / q.nrm, 6)
+       |           AS cdist
+       |  FROM q CROSS JOIN cents c),
+       |pr AS (SELECT q_id, c_id AS cell_id FROM (
+       |  SELECT q_id, c_id,
+       |         row_number() OVER (PARTITION BY q_id
+       |                            ORDER BY cdist ASC, c_id) AS rn
+       |  FROM probe) WHERE rn <= $nProbe),
+       |cand AS (SELECT pr.q_id, a.vec_id AS n_id
+       |         FROM pr JOIN fasg a ON a.cell_id = pr.cell_id
+       |         WHERE a.vec_id <> pr.q_id),
+       |scored AS (
+       |  SELECT cand.q_id, cand.n_id,
+       |         round(list_dot_product(qe.v, ne.v) / (qe.nrm * ne.nrm), 4)
+       |           AS sim
+       |  FROM cand
+       |  JOIN e qe ON qe.vec_id = cand.q_id
+       |  JOIN e ne ON ne.vec_id = cand.n_id)
+       |SELECT q_id, n_id, sim FROM (
+       |  SELECT q_id, n_id, sim,
+       |         row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rn
+       |  FROM scored)
+       |WHERE rn <= $ivfK ORDER BY q_id, n_id""".stripMargin
+
+  /** Rounded unit-space squared-L2 rank key to `centroids` (cols cv,
+    * cnrm must be in scope via crossJoin). Probe with the SAME metric
+    * k-means assigned with — squared L2 of the UNIT vector to the
+    * centroid (|v̂|² is constant, so rank by |c|² − 2·v̂·c); 6-decimal
+    * rounding makes the order bit-stable across engines. */
+  private def centroidRank(v: Column, nrm: Column): Column =
+    round(col("cnrm") * col("cnrm") - lit(2) * dot(v, col("cv")) / nrm, 6)
+
+  /** Incremental ADD: nearest-centroid cell per batch vector — the
+    * refit-free ingest step; scan-local (centroids broadcast). */
+  private[queries] def assignToCells(
+      batch: DataFrame, centroids: DataFrame): DataFrame =
+    batch.crossJoin(broadcast(centroids))
+      .select(col("vec_id"), col("c_id"),
+        centroidRank(col("v"), col("nrm")).as("cdist"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("cdist").asc, col("c_id"))))
+      .where(col("rn") === 1)
+      .select(col("vec_id"), col("c_id").as("cell_id"))
+
+  /** IVF serve path against any (vec_id, cell_id) assignment: probe
+    * nProbe cells per query, pull cell members as candidates, exact
+    * cosine re-rank to ivfK. The trained index is the oracle's trust
+    * boundary ([[dumpAux]] snapshot); this whole serve path replays
+    * in DuckDB from raw vectors + the snapshot. */
+  private def ivfServe(
+      e: DataFrame, centroids: DataFrame, asg: DataFrame): DataFrame = {
+    val q = e.where(col("vec_id") < nQueries)
+    val probe = q.crossJoin(broadcast(centroids))
+      .select(col("vec_id").as("q_id"), col("c_id"),
+        centroidRank(col("v"), col("nrm")).as("cdist"))
+      .withColumn("rn",
+        row_number().over(Window.partitionBy("q_id")
+          .orderBy(col("cdist").asc, col("c_id"))))
+      .where(col("rn") <= nProbe)
+      .select(col("q_id"), col("c_id").as("cell_id"))
+    val cand = broadcast(probe)
+      .join(asg, "cell_id")
+      .where(col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"))
+    val scored = cand
+      .join(broadcast(q.select(col("vec_id").as("q_id"),
+        col("v").as("qv"), col("nrm").as("qnrm"))), "q_id")
+      .join(e.select(col("vec_id").as("n_id"),
+        col("v").as("nv"), col("nrm").as("nnrm")), "n_id")
+      .select(col("q_id"), col("n_id"),
+        round(dot(col("qv"), col("nv")) / (col("qnrm") * col("nnrm")), 4)
+          .as("sim"))
+    scored.withColumn("rn",
+      row_number().over(Window.partitionBy("q_id")
+        .orderBy(col("sim").desc, col("n_id"))))
+      .where(col("rn") <= ivfK)
+      .select("q_id", "n_id", "sim")
+      .orderBy("q_id", "n_id")
   }
 
   private val pqSubspaces = 8 // 64-d → 8 sub-vectors of 8 dims
@@ -407,78 +502,44 @@ object SimilarityQueries {
     // every query its own centroid, trivially co-locating neighbors.)
     QueryDef(
       "v_ann_kmeans",
-      s"""WITH e AS ($duckVecs),
-        |cents AS (SELECT c_id, list(cj ORDER BY j) AS cv
-        |          FROM ${aux("ann_centroids")} GROUP BY 1),
-        |asg AS (SELECT vec_id, cell_id FROM ${aux("ann_assign")}),
-        |q AS (SELECT * FROM e WHERE vec_id < $nQueries),
-        |probe AS (
-        |  SELECT q.vec_id AS q_id, c.c_id,
-        |         round(sqrt(list_dot_product(c.cv, c.cv))
-        |                 * sqrt(list_dot_product(c.cv, c.cv))
-        |               - 2 * list_dot_product(q.v, c.cv) / q.nrm, 6)
-        |           AS cdist
-        |  FROM q CROSS JOIN cents c),
-        |pr AS (SELECT q_id, c_id AS cell_id FROM (
-        |  SELECT q_id, c_id,
-        |         row_number() OVER (PARTITION BY q_id
-        |                            ORDER BY cdist ASC, c_id) AS rn
-        |  FROM probe) WHERE rn <= $nProbe),
-        |cand AS (SELECT pr.q_id, a.vec_id AS n_id
-        |         FROM pr JOIN asg a ON a.cell_id = pr.cell_id
-        |         WHERE a.vec_id <> pr.q_id),
-        |scored AS (
-        |  SELECT cand.q_id, cand.n_id,
-        |         round(list_dot_product(qe.v, ne.v) / (qe.nrm * ne.nrm), 4)
-        |           AS sim
-        |  FROM cand
-        |  JOIN e qe ON qe.vec_id = cand.q_id
-        |  JOIN e ne ON ne.vec_id = cand.n_id)
-        |SELECT q_id, n_id, sim FROM (
-        |  SELECT q_id, n_id, sim,
-        |         row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rn
-        |  FROM scored)
-        |WHERE rn <= $ivfK ORDER BY q_id, n_id""".stripMargin) { (s, d) =>
+      ivfServeSql(
+        s"""fasg AS (SELECT vec_id, cell_id FROM ${aux("ann_assign")})""")) { (s, d) =>
       val e = vecs(s, d)
       val (assign, centroids) = kmeansIndex(s, d)
-      // Probe with the SAME metric k-means assigned with — squared L2
-      // of the UNIT query to the centroid (|q̂|² is constant, so rank
-      // by |c|² − 2·q̂·c). Mixing metrics between assign and probe
-      // ranks boundary cells wrong and recall collapses. cdist is
-      // rounded to 6 decimals before ranking so the probe order is
-      // bit-stable across engines (the sim-rounding trick); the
-      // trained index itself is snapshot to [[dumpAux]] — training is
-      // the trust boundary, probe/candidate/re-rank all replay in
-      // DuckDB from raw vectors + the snapshot.
-      val q = e.where(col("vec_id") < nQueries)
-      val probe = q.crossJoin(broadcast(centroids))
-        .select(col("vec_id").as("q_id"), col("c_id"),
-          round(col("cnrm") * col("cnrm") -
-            lit(2) * dot(col("v"), col("cv")) / col("nrm"), 6)
-            .as("cdist"))
-        .withColumn("rn",
-          row_number().over(Window.partitionBy("q_id")
-            .orderBy(col("cdist").asc, col("c_id"))))
-        .where(col("rn") <= nProbe)
-        .select(col("q_id"), col("c_id").as("cell_id"))
-      val cand = broadcast(probe)
-        .join(assign, "cell_id")
-        .where(col("q_id") =!= col("vec_id"))
-        .select(col("q_id"), col("vec_id").as("n_id"))
-      val scored = cand
-        .join(broadcast(q.select(col("vec_id").as("q_id"),
-          col("v").as("qv"), col("nrm").as("qnrm"))), "q_id")
-        .join(e.select(col("vec_id").as("n_id"),
-          col("v").as("nv"), col("nrm").as("nnrm")), "n_id")
-        .select(col("q_id"), col("n_id"),
-          round(dot(col("qv"), col("nv")) / (col("qnrm") * col("nnrm")), 4)
-            .as("sim"))
-      scored.withColumn("rn",
-        row_number().over(Window.partitionBy("q_id")
-          .orderBy(col("sim").desc, col("n_id"))))
-        .where(col("rn") <= ivfK)
-        .select("q_id", "n_id", "sim")
-        .orderBy("q_id", "n_id")
+      ivfServe(e, centroids, assign)
+    },
+
+    // Incremental index maintenance — the ADD path of a stored IVF
+    // index: a new vector batch (vec_id % 10 = 7) joins the index by
+    // nearest-centroid assignment alone — NO refit, the O(batch ×
+    // centroids) scan-local step a vector store runs on every ingest
+    // — and the serve path probes the standing assignment unioned
+    // with the fresh one. The assignment metric is the same rounded
+    // cdist as the probe, so unlike the training step the ENTIRE
+    // incremental path replays in DuckDB from raw vectors + the
+    // centroid snapshot; only the original training stays the trust
+    // boundary. OperatorsSpec pins add-assignment ≡ trained
+    // assignment on re-assigned vectors (nearest-centroid is exactly
+    // what the fitted model's transform computes).
+    QueryDef(
+      "v_ann_incremental",
+      ivfServeSql(s"""sasg AS (SELECT vec_id, cell_id FROM ${aux("ann_assign")}
+        |        WHERE vec_id % 10 <> 7),
+        |newv AS (SELECT * FROM e WHERE vec_id % 10 = 7),
+        |nasg AS (SELECT vec_id, cell_id FROM (
+        |  SELECT n.vec_id, c.c_id AS cell_id,
+        |    row_number() OVER (PARTITION BY n.vec_id ORDER BY
+        |      round(sqrt(list_dot_product(c.cv, c.cv))
+        |              * sqrt(list_dot_product(c.cv, c.cv))
+        |            - 2 * list_dot_product(n.v, c.cv) / n.nrm, 6) ASC,
+        |      c.c_id) AS rn
+        |  FROM newv n CROSS JOIN cents c) WHERE rn = 1),
+        |fasg AS (SELECT * FROM sasg UNION ALL SELECT * FROM nasg)""".stripMargin)) { (s, d) =>
+      val e = vecs(s, d)
+      val (assign, centroids) = kmeansIndex(s, d)
+      val standing = assign.where(col("vec_id") % 10 =!= 7)
+      val fresh = assignToCells(e.where(col("vec_id") % 10 === 7), centroids)
+      ivfServe(e, centroids, standing.unionByName(fresh))
     },
 
     // Int8-quantized top-k: per-vector symmetric quantization

@@ -444,6 +444,29 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out.length == direct.size)
   }
 
+  test("incremental ANN add: nearest-centroid assignment == trained transform") {
+    // The refit-free ADD step must agree with what the fitted model
+    // would assign: spherical k-means transform IS nearest-centroid
+    // in unit space, so re-assigning the whole corpus through
+    // assignToCells reproduces the trained assignment (up to rounded
+    // boundary ties, which the fixture does not produce).
+    val d = "/root/testdata/sf0.001"
+    import graft.queries.SimilarityTestAccess
+    val e = SimilarityTestAccess.vecs(spark, d)
+    val (assign, centroids) = SimilarityTestAccess.kmeansIndex(spark, d)
+    val trained = assign.collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val readded = SimilarityTestAccess.assignToCells(e, centroids).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(readded.keySet == trained.keySet)
+    val agree = readded.count { case (id, c) => trained(id) == c }
+    assert(agree == trained.size,
+      s"add-path assignment diverged on ${trained.size - agree} vectors")
+    // and the served query returns rows for every query id
+    val out = graft.SparkEntry.queries("v_ann_incremental")(spark, d).collect()
+    assert(out.nonEmpty && out.map(_.getLong(0)).distinct.length >= 4)
+  }
+
   test("simhash hamming join: pigeonhole blocking is complete vs brute force") {
     val d = "/root/testdata/sf0.001"
     val out = graft.SparkEntry.queries("d_simhash_hamming")(spark, d).collect()

@@ -15,3 +15,13 @@ object SketchTestAccess {
   def cmsProbeTopk(counters: DataFrame, docs: DataFrame): DataFrame =
     SketchQueries.cmsProbeTopk(counters, docs)
 }
+
+/** Test bridge into `private[queries]` similarity internals. */
+object SimilarityTestAccess {
+  def vecs(s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
+    SimilarityQueries.vecs(s, d)
+  def kmeansIndex(s: org.apache.spark.sql.SparkSession, d: String): (DataFrame, DataFrame) =
+    SimilarityQueries.kmeansIndex(s, d)
+  def assignToCells(batch: DataFrame, centroids: DataFrame): DataFrame =
+    SimilarityQueries.assignToCells(batch, centroids)
+}
