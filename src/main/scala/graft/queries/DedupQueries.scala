@@ -55,16 +55,34 @@ object DedupQueries {
   /** Spark twin of [[simhashCte]]: (doc_id, simhash). The Scala DSL's
     * shiftleft/shiftright only accept Int shift amounts; the SQL
     * forms accept expressions — same codegen'd Catalyst
-    * ShiftLeft/ShiftRight underneath. */
-  private[queries] def simhashDF(s: SparkSession, d: String): DataFrame =
-    shingled(s, d)
-      .select(col("doc_id"),
-        transform(col("sh"), x => hex60(x)).as("hs"))
-      .select(col("doc_id"),
-        expr("""aggregate(sequence(0, 31), 0L, (acc, b) ->
-               acc + CASE WHEN 2 * size(filter(hs, h -> (shiftright(h, b) & 1) = 1)) > size(hs)
-                          THEN shiftleft(CAST(1 AS BIGINT), b) ELSE 0L END)""")
-          .as("simhash"))
+    * ShiftLeft/ShiftRight underneath. Memoized per (session, dir):
+    * the hamming join references the signature table six times (two
+    * sides × three block joins), and the 32-bit vote aggregate per
+    * row is the dominant cost — without the cache it recomputes per
+    * reference. */
+  private val simhashCache = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.mutable.Map[String, DataFrame]]())
+
+  private[queries] def simhashDF(s: SparkSession, d: String): DataFrame = {
+    val perSession = simhashCache.synchronized {
+      var m = simhashCache.get(s)
+      if (m == null) { m = scala.collection.mutable.Map.empty; simhashCache.put(s, m) }
+      m
+    }
+    perSession.synchronized {
+      perSession.getOrElseUpdate(d,
+        shingled(s, d)
+          .select(col("doc_id"),
+            transform(col("sh"), x => hex60(x)).as("hs"))
+          .select(col("doc_id"),
+            expr("""aggregate(sequence(0, 31), 0L, (acc, b) ->
+                   acc + CASE WHEN 2 * size(filter(hs, h -> (shiftright(h, b) & 1) = 1)) > size(hs)
+                              THEN shiftleft(CAST(1 AS BIGINT), b) ELSE 0L END)""")
+              .as("simhash"))
+          .cache())
+    }
+  }
 
   private val nHashes = 8 // minhash signature width
   private val nBands = 4 // bands of 2 rows each
