@@ -270,9 +270,9 @@ object StreamingQueries {
         .hllRegisters(Tables.events(s, d), "event_type", col("user_id"))
         .where(lit(false))
       val finalRegs = EventStreams.cdcApply(s, changes, init, stateDir,
-        (state, batch) => state
-          .unionByName(SketchQueries
-            .hllRegisters(batch, "event_type", col("user_id")))
+        Seq("event_type", "idx"),
+        batch => SketchQueries.hllRegisters(batch, "event_type", col("user_id")),
+        (state, delta) => state.unionByName(delta)
           .groupBy("event_type", "idx").agg(max("mrho").as("mrho")))
       SketchQueries.hllEstimate(finalRegs, "event_type")
         .orderBy("event_type")
@@ -296,8 +296,9 @@ object StreamingQueries {
       val init = SketchQueries.cmsCounters(Tables.documents(s, d))
         .where(lit(false))
       val finalCounters = EventStreams.cdcApply(s, changes, init, stateDir,
-        (state, batch) => state
-          .unionByName(SketchQueries.cmsCounters(batch))
+        Seq("r", "b"),
+        batch => SketchQueries.cmsCounters(batch),
+        (state, delta) => state.unionByName(delta)
           .groupBy("r", "b").agg(sum("cnt").as("cnt")))
       SketchQueries.cmsProbeTopk(finalCounters, Tables.documents(s, d))
     },

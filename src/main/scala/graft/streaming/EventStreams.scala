@@ -385,44 +385,147 @@ object EventStreams {
 
   // ----- continuous CDC apply (streaming MERGE INTO) -----
 
-  /** Generic continuous CDC apply: each micro-batch of the `changes`
-    * stream folds into a versioned parquet state table via
-    * `foreachBatch` — the streaming form of
-    * [[graft.operators.MergeInto]]. `applyBatch(state, batch)`
-    * returns the next state; versions land at `stateDir/v{n}` (the
-    * lakehouse copy-on-write pattern: a reader always sees a complete
-    * committed version, and `_chk` gives exactly-once batch replay).
-    * Returns the final state.
+  /** Bucket id for a state row: Murmur3 hash of the merge key(s) mod
+    * `numBuckets` — the same deterministic function partitions state
+    * files and routes batch deltas, so a key always lives in exactly
+    * one bucket across every version. */
+  private def bucketCol(stateKeys: Seq[String], numBuckets: Int): Column =
+    pmod(hash(stateKeys.map(col): _*), lit(numBuckets))
+
+  private def hadoopFs(spark: SparkSession, dir: String) = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
+
+  /** Manifest v{n}: one line per bucket, `bucket version` — the
+    * version whose rewrite last touched the bucket (−1 = bucket has
+    * no rows / no file). A version is exactly a manifest plus the
+    * bucket files it newly wrote; unchanged buckets are inherited by
+    * reference, which is what makes a micro-batch's I/O proportional
+    * to the DIRTY state, not the whole table. */
+  private def writeManifest(
+      spark: SparkSession, path: String, m: Map[Int, Int]): Unit = {
+    val (fs, p) = hadoopFs(spark, path)
+    val out = fs.create(p, true)
+    try out.write(m.toSeq.sorted.map { case (k, v) => s"$k $v" }
+      .mkString("", "\n", "\n").getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  private def readManifest(spark: SparkSession, path: String): Map[Int, Int] = {
+    val (fs, p) = hadoopFs(spark, path)
+    val in = fs.open(p)
+    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+    txt.linesIterator.filter(_.nonEmpty).map { l =>
+      val Array(k, v) = l.split(' '); k.toInt -> v.toInt
+    }.toMap
+  }
+
+  /** Write `state` hash-partitioned by bucket under `dir` (one
+    * `_graft_bucket=k/` leaf per non-empty bucket; the virtual column
+    * is partition metadata, not data, so bucket files carry the clean
+    * state schema). Returns the set of buckets actually written —
+    * a bucket whose rows all disappeared produces no leaf and must be
+    * recorded as empty in the manifest. */
+  private def writeBuckets(
+      state: DataFrame, stateKeys: Seq[String], numBuckets: Int,
+      dir: String): Set[Int] = {
+    state
+      .withColumn("_graft_bucket", bucketCol(stateKeys, numBuckets))
+      .repartition(col("_graft_bucket"))
+      .write.partitionBy("_graft_bucket").mode("overwrite").parquet(dir)
+    val (fs, p) = hadoopFs(state.sparkSession, dir)
+    fs.listStatus(p).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith("_graft_bucket="))
+      .map(_.stripPrefix("_graft_bucket=").toInt).toSet
+  }
+
+  private def bucketPath(stateDir: String, version: Int, bucket: Int) =
+    s"$stateDir/v$version/_graft_bucket=$bucket"
+
+  /** Generic continuous CDC apply over a KEY-PARTITIONED versioned
+    * state store — the streaming form of
+    * [[graft.operators.MergeInto]]. State lives at `stateDir` as
+    * `numBuckets` hash-buckets of the merge key(s): each micro-batch
+    * maps to a keyed delta via `toDelta`, only the buckets containing
+    * delta keys are read, merged (`merge(stateBucket, delta)` must be
+    * key-local, which every per-key merge policy is), and rewritten;
+    * the per-version manifest points unchanged buckets at the version
+    * that last wrote them. Per-batch I/O is therefore
+    * O(|dirty buckets|) ≈ O(|batch| · |state|/numBuckets), not
+    * O(|state|) — the property that keeps a 1k-row change batch from
+    * rewriting 100 TB of keyed state.
     *
-    * Scale shape: state and batch are both keyed tables; a policy
-    * built on [[graft.operators.MergeInto.latestPerKey]] plus a keyed
-    * full-outer join shuffles once per batch on the merge key, and
-    * the batch side is typically small enough to broadcast. With a
-    * key-partitioned state layout only partitions containing changed
-    * keys need rewriting.
+    * Replay contract: the version is derived from the micro-batch id
+    * (read manifest v{id}, write bucket files + manifest v{id+1}), so
+    * a foreachBatch retry deterministically re-reads the pre-batch
+    * state and overwrites the same outputs, and a `_chk` restart
+    * resumes from the last committed manifest — exactly-once by
+    * construction, with no driver-side mutable cursor.
+    *
+    * Scale shape: `toDelta` runs once per batch (checkpointed), the
+    * dirty-bucket set is a ≤`numBuckets` driver list, and the merge
+    * is ONE keyed job over the union of dirty buckets (hash-join on
+    * the merge key; the delta side is batch-sized and broadcastable).
+    * `numBuckets` trades write amplification against small-file
+    * count: 16 here for fixture scale, thousands for a 100 TB store.
     */
   def cdcApply(
       spark: SparkSession,
       changes: DataFrame,
       initState: DataFrame,
       stateDir: String,
-      applyBatch: (DataFrame, DataFrame) => DataFrame): DataFrame = {
-    initState.write.mode("overwrite").parquet(s"$stateDir/v0")
-    val cur = new java.util.concurrent.atomic.AtomicReference(s"$stateDir/v0")
+      stateKeys: Seq[String],
+      toDelta: DataFrame => DataFrame,
+      merge: (DataFrame, DataFrame) => DataFrame,
+      numBuckets: Int = 16): DataFrame = {
+    def manifestPath(v: Int) = s"$stateDir/manifest/v$v"
+    // Schema-carrying empty state: the read side for buckets that
+    // have never held rows (an empty partitionBy write creates no
+    // leaf directory to point at).
+    initState.limit(0).coalesce(1)
+      .write.mode("overwrite").parquet(s"$stateDir/_empty")
+    val initPresent = writeBuckets(
+      initState, stateKeys, numBuckets, s"$stateDir/v0")
+    writeManifest(spark, manifestPath(0),
+      (0 until numBuckets).map(k =>
+        k -> (if (initPresent(k)) 0 else -1)).toMap)
+    def readState(ss: SparkSession, manifest: Map[Int, Int]): DataFrame = {
+      val paths = manifest.toSeq.sorted.collect {
+        case (k, v) if v >= 0 => bucketPath(stateDir, v, k) }
+      if (paths.isEmpty) ss.read.parquet(s"$stateDir/_empty")
+      else ss.read.parquet(paths: _*)
+    }
     val q = changes.writeStream
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
         val ss = batch.sparkSession
-        val next = s"$stateDir/v${id + 1}"
-        applyBatch(ss.read.parquet(cur.get), batch.toDF())
-          .write.mode("overwrite").parquet(next)
-        cur.set(next)
+        val base = readManifest(ss, manifestPath(id.toInt))
+        val delta = toDelta(batch.toDF()).localCheckpoint()
+        val dirty = delta
+          .select(bucketCol(stateKeys, numBuckets).as("_b"))
+          .distinct().collect().map(_.getInt(0)).toSet
+        val next =
+          if (dirty.isEmpty) base
+          else {
+            val dirtyState = readState(ss, base.filter {
+              case (k, _) => dirty(k) })
+            val written = writeBuckets(
+              merge(dirtyState, delta), stateKeys, numBuckets,
+              s"$stateDir/v${id + 1}")
+            base ++ dirty.map(k =>
+              k -> (if (written(k)) id.toInt + 1 else -1))
+          }
+        writeManifest(ss, manifestPath(id.toInt + 1), next)
         ()
       }
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", s"$stateDir/_chk")
       .start()
     q.awaitTermination()
-    spark.read.parquet(cur.get)
+    val (fs, mdir) = hadoopFs(spark, s"$stateDir/manifest")
+    val last = fs.listStatus(mdir).map(_.getPath.getName.stripPrefix("v").toInt).max
+    readState(spark, readManifest(spark, manifestPath(last)))
   }
 
   /** Lift the customer snapshot into CDC state: payload columns plus
@@ -442,21 +545,30 @@ object EventStreams {
       lit(Long.MinValue).as("last_ts_us"),
       lit(Long.MinValue).as("last_event_id"))
 
-  /** One CDC batch: map events to keyed changes (same feed as
-    * `o_merge_upsert`), compact to the newest change per key, then
-    * full-outer apply onto the state — changes at-or-below the
-    * state's monotonic guard are dropped, deletes become tombstones.
-    * `private[graft]` so the batching-invariance property test can
-    * fold arbitrary batch splits without the streaming machinery. */
-  private[graft] def applyCdcBatch(state: DataFrame, batch: DataFrame): DataFrame = {
+  /** Map one micro-batch of raw events to a keyed CDC delta (same
+    * feed as `o_merge_upsert`), compacted to the newest change per
+    * key. Key-local by construction, so per-bucket compaction equals
+    * global compaction restricted to the bucket. */
+  private[graft] def cdcDelta(batch: DataFrame): DataFrame = {
     val ch = batch.select(
       when(col("event_type") === "signup", col("user_id") + 1500)
         .otherwise(col("user_id") * 10).as("custkey"),
       when(col("event_type") === "error", lit("D")).otherwise(lit("U")).as("op"),
       col("event_type"), col("value"),
       unix_micros(col("ts")).as("ts_us"), col("event_id"))
-    val latest = graft.operators.MergeInto.latestPerKey(ch, "custkey",
+    graft.operators.MergeInto.latestPerKey(ch, "custkey",
       Seq(col("ts_us").desc, col("event_id").desc))
+  }
+
+  /** One CDC batch: full-outer apply a compacted delta onto the
+    * state — changes at-or-below the state's monotonic guard are
+    * dropped, deletes become tombstones. `private[graft]` so the
+    * batching-invariance property test can fold arbitrary batch
+    * splits without the streaming machinery. */
+  private[graft] def applyCdcBatch(state: DataFrame, batch: DataFrame): DataFrame =
+    mergeCdcState(state, cdcDelta(batch))
+
+  private[graft] def mergeCdcState(state: DataFrame, latest: DataFrame): DataFrame = {
     val newer = col("c.ts_us") > col("t.last_ts_us") ||
       (col("c.ts_us") === col("t.last_ts_us") &&
         col("c.event_id") > col("t.last_event_id"))
@@ -501,7 +613,8 @@ object EventStreams {
     val changes = graft.Tables.normalizeTs(
       streamSource(spark, eventsPath, sourceOptions))
     val state = cdcApply(
-      spark, changes, initCdcState(snapshot), stateDir, applyCdcBatch)
+      spark, changes, initCdcState(snapshot), stateDir,
+      Seq("custkey"), cdcDelta, mergeCdcState)
     state.where(!col("deleted")).select(
       col("custkey").as("c_custkey"), col("name").as("c_name"),
       col("nationkey").as("c_nationkey"), col("acctbal_cents"),

@@ -437,6 +437,54 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(streamed.toSeq == batch.toSeq)
   }
 
+  test("cdc state is key-partitioned: a 1-key batch rewrites 1 of N buckets") {
+    // The scale contract of the versioned store: per-batch I/O is
+    // proportional to the buckets the batch touches, not |state|. A
+    // single-event batch touches one merge key -> exactly one of the
+    // 16 hash-buckets may be rewritten at v1; the other buckets are
+    // inherited from v0 by manifest reference, never re-read or
+    // re-written.
+    val srcDir = java.nio.file.Files.createTempDirectory("cdc_1key_src")
+    val part = java.nio.file.Files.createTempDirectory("cdc_1key_part")
+    spark.read.parquet(s"$sfDir/events.parquet")
+      .orderBy("event_id").limit(1)
+      .coalesce(1).write.mode("overwrite").parquet(part.toString)
+    val f = java.nio.file.Files.list(part).toArray.map(_.toString)
+      .filter(_.endsWith(".parquet")).head
+    java.nio.file.Files.move(
+      java.nio.file.Paths.get(f), srcDir.resolve("0.parquet"))
+    val stateDir = java.nio.file.Files.createTempDirectory("cdc_1key_state")
+    val streamed = EventStreams.cdcCustomerStream(
+      spark, srcDir.toString, Tables.customer(spark, sfDir),
+      stateDir.toString)
+      .orderBy("c_custkey").collect()
+    def buckets(v: Int): Set[String] = {
+      val d = stateDir.resolve(s"v$v")
+      java.nio.file.Files.list(d).toArray.map(_.toString.split('/').last)
+        .filter(_.startsWith("_graft_bucket=")).toSet
+    }
+    assert(buckets(0).size > 1,
+      "snapshot state must spread across multiple buckets at v0")
+    assert(buckets(1).size == 1,
+      s"1-key batch must rewrite exactly 1 bucket, saw ${buckets(1)}")
+    // Manifest: the rewritten bucket points at v1, every other bucket
+    // is inherited at its v0 version (-1 = never held rows).
+    val manifest = java.nio.file.Files
+      .readAllLines(stateDir.resolve("manifest/v1")).toArray
+      .map(_.toString.split(' ')).map(a => a(0).toInt -> a(1).toInt).toMap
+    assert(manifest.values.count(_ == 1) == 1)
+    assert(manifest.size == 16)
+    // And the fold itself is still right: equal to the batch
+    // apply of that single event onto the snapshot state.
+    val oneEvent = Tables.normalizeTs(
+      spark.read.parquet(srcDir.toString))
+    val expect = EventStreams.applyCdcBatch(
+      EventStreams.initCdcState(Tables.customer(spark, sfDir)), oneEvent)
+      .where(!col("deleted"))
+      .orderBy("custkey").select(col("custkey")).collect()
+    assert(streamed.length == expect.length)
+  }
+
   test("sketch maintenance: multi-batch register fold == batch sketch") {
     // Register max-merge is commutative + idempotent, so the
     // streaming fold over a hash-split (time-shuffled) 3-batch source
@@ -450,8 +498,9 @@ class EventStreamsSpec extends AnyFunSuite {
       Tables.events(spark, sfDir)).where(lit(false))
     val finalRegs = EventStreams.cdcApply(spark, changes, init,
       stateDir.toString,
-      (state, batch) => state
-        .unionByName(graft.queries.SketchTestAccess.hllRegisters(batch))
+      Seq("event_type", "idx"),
+      batch => graft.queries.SketchTestAccess.hllRegisters(batch),
+      (state, delta) => state.unionByName(delta)
         .groupBy("event_type", "idx")
         .agg(max("mrho").as("mrho")))
     val streamed = graft.queries.SketchTestAccess.hllEstimate(finalRegs)
@@ -482,8 +531,9 @@ class EventStreamsSpec extends AnyFunSuite {
       .cmsCounters(Tables.documents(spark, sfDir)).where(lit(false))
     val finalCounters = EventStreams.cdcApply(spark, changes, init,
       stateDir.toString,
-      (state, batch) => state
-        .unionByName(graft.queries.SketchTestAccess.cmsCounters(batch))
+      Seq("r", "b"),
+      batch => graft.queries.SketchTestAccess.cmsCounters(batch),
+      (state, delta) => state.unionByName(delta)
         .groupBy("r", "b").agg(sum("cnt").as("cnt")))
     val streamed = graft.queries.SketchTestAccess
       .cmsProbeTopk(finalCounters, Tables.documents(spark, sfDir))
