@@ -59,20 +59,12 @@ object DedupQueries {
     * the hamming join references the signature table six times (two
     * sides × three block joins), and the 32-bit vote aggregate per
     * row is the dominant cost — without the cache it recomputes per
-    * reference. */
-  private val simhashCache = java.util.Collections.synchronizedMap(
-    new java.util.WeakHashMap[SparkSession,
-      scala.collection.mutable.Map[String, DataFrame]]())
+    * reference. Lifecycle via [[Memo]]. */
+  private val simhashCache = Memo.dfTable
 
-  private[queries] def simhashDF(s: SparkSession, d: String): DataFrame = {
-    val perSession = simhashCache.synchronized {
-      var m = simhashCache.get(s)
-      if (m == null) { m = scala.collection.mutable.Map.empty; simhashCache.put(s, m) }
-      m
-    }
-    perSession.synchronized {
-      perSession.getOrElseUpdate(d,
-        shingled(s, d)
+  private[queries] def simhashDF(s: SparkSession, d: String): DataFrame =
+    simhashCache(s, d) {
+      shingled(s, d)
           .select(col("doc_id"),
             transform(col("sh"), x => hex60(x)).as("hs"))
           .select(col("doc_id"),
@@ -80,9 +72,8 @@ object DedupQueries {
                    acc + CASE WHEN 2 * size(filter(hs, h -> (shiftright(h, b) & 1) = 1)) > size(hs)
                               THEN shiftleft(CAST(1 AS BIGINT), b) ELSE 0L END)""")
               .as("simhash"))
-          .cache())
+          .cache()
     }
-  }
 
   private val nHashes = 8 // minhash signature width
   private val nBands = 4 // bands of 2 rows each
@@ -93,27 +84,20 @@ object DedupQueries {
   /** Spark-side doc_id + distinct-shingles frame — memoized per
     * (session, dir) with weak session keys: four operators (minhash,
     * jaccard, simhash, clusters) consume it, and at scale it is the
-    * materialized shingle table every dedup pass shares. */
-  private val shingleCache = java.util.Collections.synchronizedMap(
-    new java.util.WeakHashMap[SparkSession, scala.collection.mutable.Map[String, DataFrame]]())
+    * materialized shingle table every dedup pass shares. Lifecycle
+    * via [[Memo]]. */
+  private val shingleCache = Memo.dfTable
 
   /** Positional trigram table (doc_id, p, gh) — memoized per
     * (session, dir): the aligned-run query references it three times
     * (df filter + both self-join sides), and at scale it is the
     * materialized positional index a substring-dedup pass writes once.
     * Without the memo the explode + 60-bit hash re-evaluates per
-    * reference. */
-  private val positionalCache = java.util.Collections.synchronizedMap(
-    new java.util.WeakHashMap[SparkSession, scala.collection.mutable.Map[String, DataFrame]]())
+    * reference. Lifecycle via [[Memo]]. */
+  private val positionalCache = Memo.dfTable
 
-  private[queries] def positional(s: SparkSession, d: String): DataFrame = {
-    val perSession = positionalCache.synchronized {
-      var m = positionalCache.get(s)
-      if (m == null) { m = scala.collection.mutable.Map.empty; positionalCache.put(s, m) }
-      m
-    }
-    perSession.synchronized {
-      perSession.getOrElseUpdate(d, {
+  private[queries] def positional(s: SparkSession, d: String): DataFrame =
+    positionalCache(s, d) {
         val w = tokens(col("text"))
         // 0-based p (vs the oracle's 1-based) is immaterial: positions
         // only ever appear as same-base differences (offsets).
@@ -130,65 +114,38 @@ object DedupQueries {
               i => hex60(concat_ws(" ", slice(w, i, lit(3))))))
               .as(Seq("p", "gh")))
           .cache()
-      })
     }
-  }
 
-  private def shingled(s: SparkSession, d: String): DataFrame = {
-    val perSession = shingleCache.synchronized {
-      var m = shingleCache.get(s)
-      if (m == null) { m = scala.collection.mutable.Map.empty; shingleCache.put(s, m) }
-      m
+  private def shingled(s: SparkSession, d: String): DataFrame =
+    shingleCache(s, d) {
+      // Same split-vs-compute decoupling as `positional`.
+      Tables.documents(s, d)
+        .repartition(col("doc_id"))
+        .select(col("doc_id"), shingles(tokens(col("text"))).as("sh"))
+        .cache()
     }
-    perSession.synchronized {
-      perSession.getOrElseUpdate(d,
-        // Same split-vs-compute decoupling as `positional`.
-        Tables.documents(s, d)
-          .repartition(col("doc_id"))
-          .select(col("doc_id"), shingles(tokens(col("text"))).as("sh"))
-          .cache())
-    }
-  }
 
   /** LSH candidate pairs (d1 < d2) — the shared core of
     * d_minhash_lsh and d_dup_clusters. Memoized per (session, dir):
     * at scale the signature/pair tables are written ONCE and reused by
     * every downstream dedup consumer, so the engine mirrors that
     * instead of re-hashing the corpus per query. */
-  // Weak session keys: a stopped session's cached plans must be
-  // collectable, not pinned by this memo forever.
-  private val pairsCache = java.util.Collections.synchronizedMap(
-    new java.util.WeakHashMap[SparkSession, scala.collection.mutable.Map[String, DataFrame]]())
+  // Lifecycle via [[Memo]] (weak session keys, explicit evict).
+  private val pairsCache = Memo.dfTable
 
-  private def lshPairs(s: SparkSession, d: String): DataFrame = {
-    val perSession = pairsCache.synchronized {
-      var m = pairsCache.get(s)
-      if (m == null) { m = scala.collection.mutable.Map.empty; pairsCache.put(s, m) }
-      m
-    }
-    perSession.synchronized {
-      perSession.getOrElseUpdate(d, lshPairsUncached(s, d).cache())
-    }
-  }
+  private def lshPairs(s: SparkSession, d: String): DataFrame =
+    pairsCache(s, d) { lshPairsUncached(s, d).cache() }
 
   /** Banded minhash keys (doc_id, band, bk) — the LSH index relation.
     * Memoized per (session, dir): the pair self-join reads it twice
     * and incremental dedup probes it, mirroring the materialized band
-    * index a real pipeline writes once and serves lookups from. */
-  private val bandsCache = java.util.Collections.synchronizedMap(
-    new java.util.WeakHashMap[SparkSession, scala.collection.mutable.Map[String, DataFrame]]())
+    * index a real pipeline writes once and serves lookups from.
+    * Lifecycle via [[Memo]]. */
+  private val bandsCache = Memo.dfTable
 
-  private[graft] def bandedKeys(s: SparkSession, d: String): DataFrame = {
-    val perSession = bandsCache.synchronized {
-      var m = bandsCache.get(s)
-      if (m == null) { m = scala.collection.mutable.Map.empty; bandsCache.put(s, m) }
-      m
-    }
-    perSession.synchronized {
-      // Materialize before any self-join (see d_minhash_lsh note).
-      perSession.getOrElseUpdate(d, bandsOf(shingled(s, d)).cache())
-    }
-  }
+  private[graft] def bandedKeys(s: SparkSession, d: String): DataFrame =
+    // Materialize before any self-join (see d_minhash_lsh note).
+    bandsCache(s, d) { bandsOf(shingled(s, d)).cache() }
 
   /** Screen a (possibly STREAMING) incoming doc frame against static
     * corpus dedup state: emit the doc_ids that collide — exact
@@ -258,17 +215,10 @@ object DedupQueries {
     * d_semantic_survivors. Memoized per (session, dir): at scale the
     * pair table is written once and every semantic-dedup consumer
     * joins it. */
-  private val embPairsCache = java.util.Collections.synchronizedMap(
-    new java.util.WeakHashMap[SparkSession, scala.collection.mutable.Map[String, DataFrame]]())
+  private val embPairsCache = Memo.dfTable
 
-  private def embPairs(s: SparkSession, d: String): DataFrame = {
-    val perSession = embPairsCache.synchronized {
-      var m = embPairsCache.get(s)
-      if (m == null) { m = scala.collection.mutable.Map.empty; embPairsCache.put(s, m) }
-      m
-    }
-    perSession.synchronized {
-      perSession.getOrElseUpdate(d, {
+  private def embPairs(s: SparkSession, d: String): DataFrame =
+    embPairsCache(s, d) {
         graft.functions.NativeFunctions.register(s)
         def dot(a: Column, b: Column) = call_udf("graft_dot", a, b)
         // Shared pre-normalized vector table (SimilarityQueries.vecs).
@@ -302,9 +252,7 @@ object DedupQueries {
               .as("sim"))
           .where(col("sim") >= 0.4)
           .cache()
-      })
     }
-  }
 
   /** Shared DuckDB CTE text for the scored semantic pairs. */
   private val embPairsSql: String =
@@ -643,27 +591,77 @@ object DedupQueries {
         .orderBy("doc_id")
     },
 
-    // Sampled-pivot Brandes betweenness — the production path for big
-    // graphs (O(|S|·E) forward BFS + backward δ-accumulation instead
-    // of the exact form's all-pairs table), run end-to-end on the
-    // same deterministic doc_id%3 pivot set as the sampled harmonic.
-    // Rows-only like gfe_pagerank: δ-accumulation divides by σ, so
-    // the scores are genuinely fractional and no engine-independent
-    // integer form exists; the semantic contract lives in
-    // GraphAlgorithmsSpec instead — path/star/square goldens for the
-    // full form, the single-pivot partial golden, and the round-8
-    // sampled contracts (all-sources ≡ exact; subset partials are
-    // monotone lower bounds; determinism across runs).
-    QueryDef.noOracle("d_dup_betweenness_sampled") { (s, d) =>
+    // Sampled-pivot Brandes betweenness, forward phase — the
+    // production path for big graphs (O(|S|·E) multi-source BFS
+    // instead of the exact form's all-pairs table), on the same
+    // deterministic doc_id%3 pivot set as the sampled harmonic.
+    // HASH-ORACLED on the (src, vertex, dist, σ) relation: dist and
+    // the shortest-path counts are exact integers with a
+    // layer-synchronous recurrence, and DuckDB re-derives the whole
+    // relation INDEPENDENTLY from the pair graph via the same
+    // unrolled adjacency powers as d_dup_betweenness's oracle
+    // (A^k[s,v] at minimal k IS σ), restricted to the pivot set.
+    // Only the backward δ fold (betweennessDF's fractional
+    // dependency accumulation over this very relation) stays a spec
+    // contract — GraphAlgorithmsSpec pins path/star/square goldens,
+    // all-sources ≡ exact, subset-partial monotonicity, and
+    // run-to-run determinism.
+    QueryDef(
+      "d_dup_betweenness_sampled",
+      s"""$lshPairsSql,
+        |und AS (SELECT d1 AS a, d2 AS b FROM pairs
+        |        UNION SELECT d2, d1 FROM pairs),
+        |a1 AS (SELECT a, b, CAST(1 AS BIGINT) AS cnt FROM und),
+        |a2 AS (SELECT x.a, y.b, sum(x.cnt * y.cnt) AS cnt
+        |       FROM a1 x JOIN a1 y ON x.b = y.a GROUP BY 1, 2),
+        |a3 AS (SELECT x.a, y.b, sum(x.cnt * y.cnt) AS cnt
+        |       FROM a2 x JOIN a1 y ON x.b = y.a GROUP BY 1, 2),
+        |a4 AS (SELECT x.a, y.b, sum(x.cnt * y.cnt) AS cnt
+        |       FROM a3 x JOIN a1 y ON x.b = y.a GROUP BY 1, 2),
+        |a5 AS (SELECT x.a, y.b, sum(x.cnt * y.cnt) AS cnt
+        |       FROM a4 x JOIN a1 y ON x.b = y.a GROUP BY 1, 2),
+        |a6 AS (SELECT x.a, y.b, sum(x.cnt * y.cnt) AS cnt
+        |       FROM a5 x JOIN a1 y ON x.b = y.a GROUP BY 1, 2),
+        |a7 AS (SELECT x.a, y.b, sum(x.cnt * y.cnt) AS cnt
+        |       FROM a6 x JOIN a1 y ON x.b = y.a GROUP BY 1, 2),
+        |a8 AS (SELECT x.a, y.b, sum(x.cnt * y.cnt) AS cnt
+        |       FROM a7 x JOIN a1 y ON x.b = y.a GROUP BY 1, 2),
+        |walks AS (SELECT a, b, 1 AS hops, cnt FROM a1
+        |  UNION ALL SELECT a, b, 2, cnt FROM a2
+        |  UNION ALL SELECT a, b, 3, cnt FROM a3
+        |  UNION ALL SELECT a, b, 4, cnt FROM a4
+        |  UNION ALL SELECT a, b, 5, cnt FROM a5
+        |  UNION ALL SELECT a, b, 6, cnt FROM a6
+        |  UNION ALL SELECT a, b, 7, cnt FROM a7
+        |  UNION ALL SELECT a, b, 8, cnt FROM a8),
+        |sp AS (SELECT s, v, hops AS dist, cnt AS sigma FROM (
+        |         SELECT a AS s, b AS v, hops, cnt,
+        |                row_number() OVER (PARTITION BY a, b
+        |                                   ORDER BY hops) AS rn
+        |         FROM walks) WHERE rn = 1 AND s <> v),
+        |s0 AS (SELECT id FROM (SELECT DISTINCT d1 AS id FROM pairs
+        |                       UNION SELECT DISTINCT d2 FROM pairs)
+        |       WHERE id % 3 = 0)
+        |SELECT CAST(id AS BIGINT) AS src_id, CAST(id AS BIGINT) AS doc_id,
+        |       CAST(0 AS BIGINT) AS dist, CAST(1 AS BIGINT) AS sigma
+        |FROM s0
+        |UNION ALL
+        |SELECT CAST(sp.s AS BIGINT), CAST(sp.v AS BIGINT),
+        |       CAST(sp.dist AS BIGINT), CAST(sp.sigma AS BIGINT)
+        |FROM sp JOIN s0 ON s0.id = sp.s
+        |ORDER BY src_id, doc_id""".stripMargin) { (s, d) =>
       val pairs = lshPairs(s, d)
       val sources = pairs.select(col("d1").as("id"))
         .unionByName(pairs.select(col("d2").as("id")))
         .distinct().where(col("id") % 3 === 0)
         .select(col("id").cast("string"))
       graft.graph.GraphAlgorithms
-        .betweennessDF(pairs, "d1", "d2", sources, maxDepth = 8)
-        .select(col("id").cast("long").as("doc_id"), col("betweenness"))
-        .orderBy("doc_id")
+        .bfsSigmaDF(pairs, "d1", "d2", sources, maxDepth = 8)
+        .select(col("s").cast("long").as("src_id"),
+          col("v").cast("long").as("doc_id"),
+          col("dist").cast("long").as("dist"),
+          col("sigma").as("sigma"))
+        .orderBy("src_id", "doc_id")
     },
 
     // Louvain community detection over the LSH candidate-pair graph
@@ -1085,8 +1083,8 @@ object DedupQueries {
     // surfaces every true pair; bit_count on the XOR then verifies.
     // Same plan shape at 100 TB: three shuffles on 10-11-bit block
     // keys, candidate volume ∝ Σ per-bucket n² with bucket count
-    // growing via wider blocks. HammingCompletenessSpec asserts set
-    // equality with the brute-force all-pairs answer.
+    // growing via wider blocks. OperatorsSpec asserts set equality
+    // with the brute-force all-pairs answer.
     QueryDef(
       "d_simhash_hamming",
       s"""$simhashCte,

@@ -1,0 +1,88 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Per-(session, dataDir) memoization of the engine's shared cached
+  * tables (shingle/signature/positional indexes, normalized vectors,
+  * trained ANN indexes) — WITH an explicit lifecycle.
+  *
+  * The memos exist because at scale these tables are written once and
+  * served to every downstream consumer; rebuilding a corpus index per
+  * query would re-shuffle the corpus each time. But a long-lived
+  * session that walks many corpus dirs must also be able to let one
+  * go: `Memo.evict(spark, dir)` unpersists and drops every memoized
+  * table built from `dir`, and `Memo.clear(spark)` resets the
+  * session's whole memo set — without touching other dirs' cached
+  * plans and without the caller reaching for
+  * `spark.catalog.clearCache()` (which would blow away every cached
+  * table in the session, theirs included).
+  *
+  * Session keys are weak so a stopped session stays collectable; GC
+  * of an entry does not unpersist (the session's storage died with
+  * the session).
+  */
+object Memo {
+  private val registry =
+    new java.util.ArrayList[Table[_]]()
+
+  /** One memo table: a value built once per (session, dataDir) and
+    * unpersisted when evicted. */
+  final class Table[V] private[Memo] (unpersistValue: V => Unit) {
+    private val cache = java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession,
+        scala.collection.mutable.Map[String, V]]())
+
+    private def perSession(s: SparkSession) = cache.synchronized {
+      var m = cache.get(s)
+      if (m == null) {
+        m = scala.collection.mutable.Map.empty[String, V]
+        cache.put(s, m)
+      }
+      m
+    }
+
+    def apply(s: SparkSession, d: String)(build: => V): V = {
+      val m = perSession(s)
+      m.synchronized(m.getOrElseUpdate(d, build))
+    }
+
+    private[Memo] def evict(s: SparkSession, d: String): Unit = {
+      val m = perSession(s)
+      m.synchronized(m.remove(d)).foreach(unpersistValue)
+    }
+
+    private[Memo] def clear(s: SparkSession): Unit = {
+      val m = perSession(s)
+      val vs = m.synchronized { val v = m.values.toList; m.clear(); v }
+      vs.foreach(unpersistValue)
+    }
+  }
+
+  def table[V](unpersist: V => Unit): Table[V] = {
+    val t = new Table[V](unpersist)
+    registry.synchronized { registry.add(t); () }
+    t
+  }
+
+  /** The common case: a single cached DataFrame per (session, dir). */
+  def dfTable: Table[DataFrame] = table(df => { df.unpersist(); () })
+
+  /** A cached DataFrame pair (e.g. a trained index's assignment +
+    * centroid tables). */
+  def dfPairTable: Table[(DataFrame, DataFrame)] =
+    table { case (a, b) => a.unpersist(); b.unpersist(); () }
+
+  private def tables: List[Table[_]] =
+    registry.synchronized {
+      scala.jdk.CollectionConverters.ListHasAsScala(registry).asScala.toList
+    }
+
+  /** Unpersist + drop every memoized table built from `dataDir` in
+    * session `s`; other dirs' memos are untouched. */
+  def evict(s: SparkSession, dataDir: String): Unit =
+    tables.foreach(_.evict(s, dataDir))
+
+  /** Unpersist + drop ALL of session `s`'s memoized tables. */
+  def clear(s: SparkSession): Unit =
+    tables.foreach(_.clear(s))
+}

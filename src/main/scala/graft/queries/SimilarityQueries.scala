@@ -39,27 +39,17 @@ object SimilarityQueries {
     * vector table every ANN system keeps. Memoized per (session, dir)
     * with weak session keys — calling .cache() on a fresh DataFrame
     * per invocation would pin a new InMemoryRelation each call. */
-  private val vecsCache = java.util.Collections.synchronizedMap(
-    new java.util.WeakHashMap[SparkSession,
-      scala.collection.mutable.Map[String, DataFrame]]())
+  private val vecsCache = Memo.dfTable
 
-  private[queries] def vecs(s: SparkSession, d: String): DataFrame = {
-    val perSession = vecsCache.synchronized {
-      var m = vecsCache.get(s)
-      if (m == null) { m = scala.collection.mutable.Map.empty; vecsCache.put(s, m) }
-      m
+  private[queries] def vecs(s: SparkSession, d: String): DataFrame =
+    vecsCache(s, d) {
+      graft.functions.NativeFunctions.register(s)
+      Tables.embeddings(s, d)
+        .select(col("vec_id"),
+          transform(col("embedding"), x => x.cast("double")).as("v"))
+        .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+        .cache()
     }
-    perSession.synchronized {
-      perSession.getOrElseUpdate(d, {
-        graft.functions.NativeFunctions.register(s)
-        Tables.embeddings(s, d)
-          .select(col("vec_id"),
-            transform(col("embedding"), x => x.cast("double")).as("v"))
-          .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
-          .cache()
-      })
-    }
-  }
 
   private val duckVecs =
     "SELECT vec_id, embedding::DOUBLE[] AS v, sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm FROM embeddings"
@@ -77,18 +67,11 @@ object SimilarityQueries {
     * assignment, memoized per (session, dir) — the index is built once
     * and served to every probe, exactly like a stored IVF index file.
     * Returns (assign: vec_id → cell_id, centroids: c_id, cv, cnrm). */
-  private val kmeansCache = java.util.Collections.synchronizedMap(
-    new java.util.WeakHashMap[SparkSession,
-      scala.collection.mutable.Map[String, (DataFrame, DataFrame)]]())
+  private val kmeansCache = Memo.dfPairTable
 
-  private[queries] def kmeansIndex(s: SparkSession, d: String): (DataFrame, DataFrame) = {
-    val perSession = kmeansCache.synchronized {
-      var m = kmeansCache.get(s)
-      if (m == null) { m = scala.collection.mutable.Map.empty; kmeansCache.put(s, m) }
-      m
-    }
-    perSession.synchronized {
-      perSession.getOrElseUpdate(d, {
+  private[queries] def kmeansIndex(s: SparkSession, d: String): (DataFrame, DataFrame) =
+    kmeansCache(s, d) {
+      locally {
         import org.apache.spark.ml.clustering.KMeans
         import org.apache.spark.ml.functions.array_to_vector
         // Spherical k-means: fit on UNIT vectors, where squared L2 is
@@ -114,9 +97,8 @@ object SimilarityQueries {
           .withColumn("cnrm", sqrt(dot(col("cv"), col("cv"))))
           .cache()
         (assign, centroids)
-      })
+      }
     }
-  }
 
   /** IVF serve-path oracle: `asgCte` supplies a CTE chain (after `e`
     * and `cents`) ending in `fasg(vec_id, cell_id)` — the trained
@@ -224,18 +206,11 @@ object SimilarityQueries {
     * 4-bit codes per vector — a 64× compression of float64 — stored
     * alongside the corpus and scanned instead of it. Returns
     * (codes: vec_id, subspace, code; codebook: subspace, code, cv). */
-  private val pqCache = java.util.Collections.synchronizedMap(
-    new java.util.WeakHashMap[SparkSession,
-      scala.collection.mutable.Map[String, (DataFrame, DataFrame)]]())
+  private val pqCache = Memo.dfPairTable
 
-  private def pqIndex(s: SparkSession, d: String): (DataFrame, DataFrame) = {
-    val perSession = pqCache.synchronized {
-      var m = pqCache.get(s)
-      if (m == null) { m = scala.collection.mutable.Map.empty; pqCache.put(s, m) }
-      m
-    }
-    perSession.synchronized {
-      perSession.getOrElseUpdate(d, {
+  private def pqIndex(s: SparkSession, d: String): (DataFrame, DataFrame) =
+    pqCache(s, d) {
+      locally {
         import org.apache.spark.ml.clustering.KMeans
         import org.apache.spark.ml.functions.array_to_vector
         val e = vecs(s, d)
@@ -259,9 +234,8 @@ object SimilarityQueries {
         val codebook = s.createDataFrame(fitted.flatMap(_._2))
           .toDF("subspace", "code", "cv").cache()
         (codes, codebook)
-      })
+      }
     }
-  }
 
   val all: Seq[QueryDef] = Seq(
 

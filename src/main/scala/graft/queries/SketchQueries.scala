@@ -102,21 +102,18 @@ object SketchQueries {
       .select(col(key), col("users_est"), col("zero_regs"))
   }
 
-  /** Shared estimate SQL over an `mx(key, idx, mrho)` CTE. */
+  /** Shared estimate SQL over an `mx(key, idx, mrho)` CTE — composed
+    * from [[hllEstCtes]], so the estimator constants and the
+    * linear-counting branch exist in exactly ONE place (two copies
+    * silently drifting would desynchronize a_hll_intersect's oracle
+    * from a_hll_distinct's). Ends mid-SELECT at `AS $estCol`: callers
+    * append extra projections and the `FROM est ...` tail. */
   private def hllEstimateSql(key: String, estCol: String): String =
-    s"""agg AS (SELECT $key,
-       |        CAST(sum(1::BIGINT << CAST(52 - mrho AS INT)) AS BIGINT)
-       |          + (512 - count(*)) * $TwoP52 AS reg_sum,
-       |        512 - count(*) AS zero_regs
-       |      FROM mx GROUP BY 1),
-       |ln_tab(v, lnm) AS (SELECT * FROM (VALUES $lnTabSql)),
-       |est AS (SELECT $key, zero_regs,
-       |        CAST($ANumStr // reg_sum // 1000000 AS BIGINT) AS raw_est
-       |      FROM agg)
+    s"""${hllEstCtes(key)},
+       |est AS (SELECT hest.$key AS $key, hraw.zero_regs, hest.est
+       |        FROM hest JOIN hraw USING ($key))
        |SELECT est.$key,
-       |       CASE WHEN est.zero_regs > 0 AND est.raw_est <= 1280
-       |            THEN CAST((512 * lt.lnm) // 1000000 AS BIGINT)
-       |            ELSE est.raw_est END AS $estCol""".stripMargin
+       |       est.est AS $estCol""".stripMargin
 
   /** Estimate CTEs over an `mx($key, idx, mrho)` CTE, composable form:
     * emits `hagg`/`ln_tab`/`hraw`/`hest($key, est)` so callers can
@@ -150,7 +147,7 @@ object SketchQueries {
        |       FROM regs GROUP BY 1, 2),
        |${hllEstimateSql("event_type", "users_est")},
        |       CAST(est.zero_regs AS BIGINT) AS zero_regs
-       |FROM est LEFT JOIN ln_tab lt ON lt.v = est.zero_regs
+       |FROM est
        |ORDER BY est.event_type""".stripMargin
 
   // ---- deterministic count-min (d = 4 rows, w = 1024 buckets) ------
@@ -239,7 +236,7 @@ object SketchQueries {
         |mx AS (SELECT event_type, idx, max(srho) AS mrho
         |       FROM shard_regs GROUP BY 1, 2),
         |${hllEstimateSql("event_type", "users")}
-        |FROM est LEFT JOIN ln_tab lt ON lt.v = est.zero_regs
+        |FROM est
         |ORDER BY est.event_type""".stripMargin) { (s, d) =>
       val h = hex60(col("user_id").cast("string"))
       val shardRegs = Tables.events(s, d)

@@ -25,3 +25,11 @@ object SimilarityTestAccess {
   def assignToCells(batch: DataFrame, centroids: DataFrame): DataFrame =
     SimilarityQueries.assignToCells(batch, centroids)
 }
+
+/** Test bridge into `private[queries]` dedup internals. */
+object DedupTestAccess {
+  def simhash(s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
+    DedupQueries.simhashDF(s, d)
+  def shingleStorage(s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
+    DedupQueries.positional(s, d)
+}
