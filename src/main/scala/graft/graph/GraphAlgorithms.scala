@@ -66,6 +66,25 @@ object GraphAlgorithms {
     math.max(2, math.min(spark.sparkContext.defaultParallelism,
       (edgeCount / 1000000L).toInt + 1))
 
+  /** Run `body` with `spark.sql.shuffle.partitions` sized to the
+    * derived graph (≈[[graphParallelism]], floored at 4 for join
+    * intermediates), restoring the session value after. The iterative
+    * fixpoints shuffle SMALL frames dozens of times per run; at the
+    * session default (32 on the bench, 200 on a stock cluster) each
+    * round pays partitions × stages of task-scheduling latency for
+    * kilobyte tasks, and AQE's coalescing cannot help because every
+    * round's `localCheckpoint` materializes before the next plan is
+    * seen. Right-sizing the shuffle up front is worth 1.5-2× on the
+    * multi-round ops at the 1.2M-edge xdist scale. */
+  private def withGraphShuffle[T](spark: SparkSession, edgeCount: Long)(
+      body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key,
+      math.max(4, graphParallelism(edgeCount, spark)).toString)
+    try body finally spark.conf.set(key, prev)
+  }
+
   /** Connected components over an undirected string-keyed pair list.
     * Returns (id, component) where component = min member id
     * (lexicographic) of the cluster — a stable cluster label. */
@@ -1387,6 +1406,153 @@ object GraphAlgorithms {
       acc = acc.unionByName(cur)
     }
     acc.select(col("walk"), col("step"), col("node"))
+  }
+
+  /** Strongly connected components (GDS `gds.scc` capability parity,
+    * template.yaml:262-263) over a DIRECTED string-keyed edge list.
+    * Returns (id, component), component = the UTF-8-minimal member id
+    * — the same labeling contract as [[connectedComponentsDF]].
+    *
+    * Small-graph fast path below `localThreshold` collected edges:
+    * iterative Kosaraju (finish-order DFS on G, then DFS on Gᵀ in
+    * reverse finish order; explicit stacks, no recursion depth
+    * limit). Distributed path: forward/backward min-label peeling —
+    * each round runs a min-label propagation fixpoint along edge
+    * direction (fwd = min id that reaches v) and one against it
+    * (bwd = min id v reaches) over the still-unassigned subgraph;
+    * vertices with fwd = bwd = m form exactly SCC(m) (m reaches v
+    * and v reaches m, and m is then the SCC's minimal member) and
+    * peel off. The globally minimal alive id always satisfies the
+    * test, so every round assigns ≥1 SCC: rounds ≤ condensation-DAG
+    * peel depth (shallow on the near-symmetric graphs dedup
+    * pipelines produce), each round O(E) joins with
+    * checkpoint-truncated lineage, loud failure past `maxIter` like
+    * every sibling fixpoint.
+    */
+  def stronglyConnectedComponentsDF(edges: DataFrame, src: String,
+      dst: String, maxIter: Int = 50,
+      localThreshold: Long = 1000000L): DataFrame = {
+    val spark = edges.sparkSession
+    val es = edges
+      .select(col(src).cast("string").as("a"), col(dst).cast("string").as("b"))
+      .cache()
+    if (localThreshold > 0 && es.count() <= localThreshold) {
+      import spark.implicits._
+      val rows = es.collect().map(r => (r.getString(0), r.getString(1)))
+      es.unpersist()
+      val verts = scala.collection.mutable.LinkedHashSet.empty[String]
+      val adj = scala.collection.mutable.Map
+        .empty[String, ArrayBuffer[String]]
+      val radj = scala.collection.mutable.Map
+        .empty[String, ArrayBuffer[String]]
+      rows.foreach { case (a, b) =>
+        verts += a; verts += b
+        if (a != b) {
+          adj.getOrElseUpdate(a, ArrayBuffer.empty) += b
+          radj.getOrElseUpdate(b, ArrayBuffer.empty) += a
+        }
+      }
+      // pass 1: finish order (iterative DFS with explicit child cursors)
+      val seen = scala.collection.mutable.HashSet.empty[String]
+      val order = ArrayBuffer.empty[String]
+      verts.foreach { root =>
+        if (!seen(root)) {
+          seen += root
+          val stack = ArrayBuffer((root, 0))
+          while (stack.nonEmpty) {
+            val (v, ci) = stack.last
+            val out = adj.getOrElse(v, ArrayBuffer.empty)
+            if (ci < out.length) {
+              stack(stack.length - 1) = (v, ci + 1)
+              val w = out(ci)
+              if (!seen(w)) { seen += w; stack += ((w, 0)) }
+            } else {
+              stack.remove(stack.length - 1)
+              order += v
+            }
+          }
+        }
+      }
+      // pass 2: Gᵀ DFS in reverse finish order; each tree is one SCC
+      val comp = scala.collection.mutable.HashMap.empty[String, String]
+      order.reverseIterator.foreach { root =>
+        if (!comp.contains(root)) {
+          val members = ArrayBuffer.empty[String]
+          val stack = ArrayBuffer(root)
+          comp(root) = root // placeholder, relabeled below
+          while (stack.nonEmpty) {
+            val v = stack.remove(stack.length - 1)
+            members += v
+            radj.getOrElse(v, ArrayBuffer.empty).foreach { w =>
+              if (!comp.contains(w)) { comp(w) = root; stack += w }
+            }
+          }
+          val label = members.min(utf8Ordering)
+          members.foreach(m => comp(m) = label)
+        }
+      }
+      return spark.createDataset(comp.toSeq).toDF("id", "component")
+    }
+    val e0 = es.where(col("a") =!= col("b")).distinct()
+      .localCheckpoint(eager = true)
+    // Vertex set from the RAW edge list (a vertex with only
+    // self-loops is still its own SCC).
+    val verts0 = es.select(col("a").as("id"))
+      .unionByName(es.select(col("b").as("id"))).distinct()
+      .localCheckpoint(eager = true)
+    es.unpersist()
+    // Min-label propagation fixpoint: lbl(v) = min over {v} ∪
+    // {u : u →* v in e}. One equi-join + partial-agg per round.
+    def minProp(e: DataFrame, verts: DataFrame): DataFrame = {
+      var lbl = verts.withColumn("lbl", col("id"))
+        .localCheckpoint(eager = true)
+      var converged = false
+      var i = 0
+      while (!converged && i < maxIter) {
+        val nbrMin = e
+          .join(lbl.select(col("id").as("a"), col("lbl").as("albl")), "a")
+          .groupBy(col("b").as("id")).agg(min("albl").as("nbr"))
+        val next = lbl.join(nbrMin, Seq("id"), "left")
+          .select(col("id"),
+            least(col("lbl"), coalesce(col("nbr"), col("lbl"))).as("lbl"))
+          .localCheckpoint(eager = true)
+        val changed = next
+          .join(lbl.withColumnRenamed("lbl", "old"), "id")
+          .where(col("lbl") =!= col("old")).limit(1).count()
+        lbl = next
+        converged = changed == 0
+        i += 1
+      }
+      if (!converged) throw new IllegalStateException(
+        s"scc min-label propagation did not converge in $maxIter rounds")
+      lbl
+    }
+    var alive = verts0
+    val comps = ArrayBuffer.empty[DataFrame]
+    var round = 0
+    while (round < maxIter && alive.limit(1).count() > 0) {
+      val e = e0
+        .join(alive.select(col("id").as("a")), Seq("a"), "left_semi")
+        .join(alive.select(col("id").as("b")), Seq("b"), "left_semi")
+        .select("a", "b")
+        .localCheckpoint(eager = true)
+      val fwd = minProp(e, alive)
+      val bwd = minProp(e.select(col("b").as("a"), col("a").as("b")), alive)
+      val scc = fwd
+        .join(bwd.withColumnRenamed("lbl", "blbl"), "id")
+        .where(col("lbl") === col("blbl"))
+        .select(col("id"), col("lbl").as("component"))
+        .localCheckpoint(eager = true)
+      comps += scc
+      alive = alive.join(scc, Seq("id"), "left_anti")
+        .localCheckpoint(eager = true)
+      round += 1
+    }
+    if (alive.limit(1).count() > 0) throw new IllegalStateException(
+      s"stronglyConnectedComponentsDF did not peel all SCCs in $maxIter " +
+        "rounds; raise maxIter (rounds needed = condensation peel depth)")
+    if (comps.isEmpty) verts0.withColumn("component", col("id")).limit(0)
+    else comps.reduceLeft(_ unionByName _)
   }
 
   def labelPropagation(pairs: DataFrame, src: String, dst: String,

@@ -664,6 +664,54 @@ object DedupQueries {
         .orderBy("src_id", "doc_id")
     },
 
+    // Strongly connected components (GDS gds.scc parity — the last
+    // commonly-used family member; WCC covers the undirected dup
+    // graph, SCC the DIRECTED ad-hoc case). The pair graph is made
+    // directed deterministically — each near-dup pair points from its
+    // even-parity endpoint — so cycles inside dense dup clusters
+    // become non-trivial SCCs while chain links split, and both
+    // engines derive the identical graph. Oracle: DuckDB recursive
+    // transitive closure; component = min over the mutual-reach set,
+    // fixture-scale only (the closure is the oracle's crutch, not the
+    // engine's plan — stronglyConnectedComponentsDF peels via
+    // fwd/bwd min-label fixpoints, O(E) joins per round).
+    QueryDef(
+      "d_dup_scc",
+      s"""${lshPairsSql.replaceFirst("^WITH ", "WITH RECURSIVE ")},
+        |de AS (SELECT CASE WHEN (d1 + d2) % 2 = 0 THEN d1 ELSE d2 END AS a,
+        |              CASE WHEN (d1 + d2) % 2 = 0 THEN d2 ELSE d1 END AS b
+        |       FROM pairs),
+        |verts AS (SELECT DISTINCT d1 AS id FROM pairs
+        |          UNION SELECT DISTINCT d2 FROM pairs),
+        |reach AS (SELECT a AS s, b AS t FROM de
+        |  UNION
+        |  SELECT r.s, d.b FROM reach r JOIN de d ON d.a = r.t),
+        |mutual AS (SELECT r1.s AS v, r1.t AS u FROM reach r1
+        |           JOIN reach r2 ON r2.s = r1.t AND r2.t = r1.s),
+        |comp AS (SELECT v.id,
+        |               LEAST(v.id, COALESCE(min(m.u), v.id)) AS component
+        |         FROM verts v LEFT JOIN mutual m ON m.v = v.id
+        |         GROUP BY v.id)
+        |SELECT CAST(id AS BIGINT) AS doc_id,
+        |       CAST(component AS BIGINT) AS component
+        |FROM comp ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val pairs = lshPairs(s, d)
+      val even = (col("d1") + col("d2")) % 2 === 0
+      val de = pairs.select(
+        when(even, col("d1")).otherwise(col("d2")).as("a"),
+        when(even, col("d2")).otherwise(col("d1")).as("b"))
+      val scc = graft.graph.GraphAlgorithms
+        .stronglyConnectedComponentsDF(de, "a", "b")
+      // relabel numerically: the engine's component key is the UTF-8
+      // min member; the cross-engine form is the numeric min
+      val relabel = scc.groupBy("component")
+        .agg(min(col("id").cast("long")).as("comp_num"))
+      scc.join(relabel, "component")
+        .select(col("id").cast("long").as("doc_id"),
+          col("comp_num").as("component"))
+        .orderBy("doc_id")
+    },
+
     // Louvain community detection over the LSH candidate-pair graph
     // (GDS louvain parity): modularity communities REFINE the
     // connected components d_dup_clusters finds — a chain of

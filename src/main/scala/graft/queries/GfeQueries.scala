@@ -314,6 +314,41 @@ object GfeQueries {
         .dropDuplicates("term", "rank")
         .orderBy("term", "rank")
     }),
+    // Variable-length traversal (Cypher `-[*1..3]-`, undirected —
+    // the everyday ad-hoc idiom reference.rst:34-37 is written in,
+    // which the fixed-hop Motif.path cannot express): simple-path
+    // reachability with multiplicity over the GFE–IPD_Allele–
+    // IPD_Accession subgraph. Oracle: a DuckDB recursive CTE
+    // enumerating the SAME node-distinct walks (list-visited guard)
+    // over the aux edge snapshot — dist/counts are exact integers,
+    // full hash parity.
+    QueryDef("gfe_motif_varlen",
+      s"""WITH RECURSIVE e0 AS (
+         |  SELECT CAST(src AS VARCHAR) AS a, CAST(dst AS VARCHAR) AS b
+         |  FROM ${aux("e_HAS_IPD_ALLELE")}
+         |  UNION SELECT CAST(src AS VARCHAR), CAST(dst AS VARCHAR)
+         |  FROM ${aux("e_HAS_IPD_ACCESSION")}),
+         |e AS (SELECT a, b FROM e0 WHERE a <> b
+         |      UNION SELECT b, a FROM e0 WHERE a <> b),
+         |walk(n_start, n_end, visited, len) AS (
+         |  SELECT a, b, [a, b], 1 FROM e
+         |  UNION ALL
+         |  SELECT w.n_start, e.b, list_append(w.visited, e.b), w.len + 1
+         |  FROM walk w JOIN e ON e.a = w.n_end
+         |  WHERE w.len < 3 AND NOT list_contains(w.visited, e.b))
+         |SELECT n_start, n_end, CAST(len AS BIGINT) AS len,
+         |       CAST(count(*) AS BIGINT) AS n_paths
+         |FROM walk
+         |GROUP BY 1, 2, 3
+         |ORDER BY 1, 2, 3""".stripMargin)((s, _) => {
+      import org.apache.spark.sql.functions._
+      import graft.graph.Motif
+      Motif.varPath(graph(s),
+          Seq("HAS_IPD_ALLELE", "HAS_IPD_ACCESSION"), 1, 3, either = true)
+        .select(col("n_start"), col("n_end"),
+          col("len").cast("long").as("len"), col("n_paths"))
+        .orderBy("n_start", "n_end", "len")
+    }),
     // GDS parity: PageRank over the GFE→Feature bipartite edges.
     // Integer-scaled (pageRankIntDF: long micro-units, floor-divided
     // edge mass, fixed 10 iterations) so the DuckDB oracle replays the

@@ -234,4 +234,47 @@ class GfeBuildSpec extends AnyFunSuite {
       badStart.collect().mkString("; "))
     assert(fresh.count() > 0, "3570 fixture must introduce new features")
   }
+
+  test("10-release ordered registry fold: stable accessions, max+1 " +
+      "contiguity at history breadth (asl.json:153 MaxConcurrency-1 " +
+      "ordering; reference history is 57 releases, README.md:535)") {
+    // Nested-prefix synthetic releases (each a superset of the last,
+    // the real IMGT growth pattern): fold all 10 through the registry
+    // serially and re-assert the two store_features invariants at
+    // EVERY step — no persisted key ever renumbers, and each step's
+    // new keys extend their (locus, term, rank) partition from
+    // old-max+1 contiguously.
+    import graft.gfe.SyntheticRelease
+    val sizes = (1 to 10).map(k => 40 + 20 * k)
+    val k = Seq("locus", "term", "rank", "sequence")
+    var reg: Option[org.apache.spark.sql.DataFrame] = None
+    var newKeySteps = 0
+    sizes.zipWithIndex.foreach { case (n, i) =>
+      val r = GfeBuild.run(spark,
+        ImgtFlatFile.read(spark, SyntheticRelease.materialize(n).toString),
+        (3500 + 10 * i).toString, registry = reg)
+      val cur = r.registry.localCheckpoint(true)
+      reg.foreach { prev =>
+        assert(cur.as("n").join(prev.as("o"), k)
+          .where(col("n.accession") =!= col("o.accession")).count() == 0,
+          s"step $i renumbered a persisted accession")
+        val oldMax = prev.groupBy("locus", "term", "rank")
+          .agg(max("accession").as("old_max"))
+        val fresh = cur.as("n")
+          .join(prev.select(k.map(col): _*), k, "left_anti")
+        if (fresh.limit(1).count() > 0) newKeySteps += 1
+        val bad = fresh.groupBy("locus", "term", "rank")
+          .agg(min("accession").as("new_min"),
+            max("accession").as("new_max"), count(lit(1)).as("n_new"))
+          .join(oldMax, Seq("locus", "term", "rank"), "left")
+          .where(col("new_min") =!= coalesce(col("old_max"), lit(0L)) + 1 ||
+            col("new_max") =!= coalesce(col("old_max"), lit(0L)) + col("n_new"))
+        assert(bad.count() == 0, s"step $i: " + bad.collect().mkString("; "))
+        assert(cur.count() >= prev.count(), "registry only grows")
+      }
+      reg = Some(cur)
+    }
+    assert(newKeySteps >= 3,
+      s"fold must keep introducing new feature keys (saw $newKeySteps steps)")
+  }
 }

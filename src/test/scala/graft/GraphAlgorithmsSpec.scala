@@ -622,4 +622,47 @@ class GraphAlgorithmsSpec extends AnyFunSuite {
     // pure function of (graph, sources): identical on re-run
     assert(run().toSet == rows)
   }
+
+  test("scc: cycles fuse, DAG edges split, direction matters") {
+    val edges = Seq(
+      ("a", "b"), ("b", "c"), ("c", "a"), // 3-cycle {a,b,c}
+      ("c", "d"), ("d", "e"), ("e", "d"), // 2-cycle {d,e} downstream
+      ("e", "f"), // singleton sink f
+      ("g", "g") // self-loop: its own SCC
+    ).toDF("s", "t")
+    val scc = GraphAlgorithms
+      .stronglyConnectedComponentsDF(edges, "s", "t")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(scc == Map(
+      "a" -> "a", "b" -> "a", "c" -> "a",
+      "d" -> "d", "e" -> "d",
+      "f" -> "f", "g" -> "g"))
+    // the same edges UNDIRECTED would be one big component — SCC is
+    // not WCC
+    val wcc = GraphAlgorithms.connectedComponentsDF(edges, "s", "t")
+      .where($"id" =!= "g").select("component").distinct().count()
+    assert(wcc == 1)
+  }
+
+  test("scc: local Kosaraju == distributed peel, bit for bit") {
+    // pseudo-random functional graph + extra chords: every vertex has
+    // out-degree >= 1, cycles are the non-trivial SCCs, tree tails are
+    // singletons — the shape a directed dependency feed produces
+    // multiplier 4 shares a factor with n, so the map is many-to-one:
+    // real tree tails (singleton SCCs) hang off the cycles
+    val n = 60
+    val edges = ((0 until n).map(i => (s"v$i", s"v${(i * 4 + 3) % n}")) ++
+      (0 until n by 5).map(i => (s"v$i", s"v${(i + 13) % n}")))
+      .toDF("s", "t")
+    val local = GraphAlgorithms
+      .stronglyConnectedComponentsDF(edges, "s", "t")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val dist = GraphAlgorithms
+      .stronglyConnectedComponentsDF(edges, "s", "t", localThreshold = 0)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(local == dist)
+    // sanity: at least one non-trivial SCC and at least one singleton
+    val sizes = local.groupBy(_._2).map(_._2.size)
+    assert(sizes.exists(_ > 1) && sizes.exists(_ == 1))
+  }
 }

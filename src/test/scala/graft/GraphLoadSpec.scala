@@ -119,6 +119,31 @@ class GraphLoadSpec extends AnyFunSuite {
     assert(cols == Set("n0", "n1", "e0_release"))
   }
 
+  test("Motif.varPath: *min..max expansion, either-direction, cycle guard") {
+    import graft.graph.Motif
+    import spark.implicits._
+    // chain a-b-c-d, directed triangle x-y-z-x, diamond p-(q1|q2)-r
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "d"),
+      ("x", "y"), ("y", "z"), ("z", "x"),
+      ("p", "q1"), ("p", "q2"), ("q1", "r"), ("q2", "r"))
+      .toDF("src", "dst")
+    def m(df: org.apache.spark.sql.DataFrame) =
+      df.collect()
+        .map(r => (r.getString(0), r.getString(1), r.getInt(2)) -> r.getLong(3))
+        .toMap
+    val dir = m(Motif.varPath(edges, "src", "dst", 1, 3))
+    assert(dir(("a", "d", 3)) == 1L)
+    assert(dir(("a", "c", 2)) == 1L)
+    assert(dir(("p", "r", 2)) == 2L, "two simple paths via q1/q2")
+    assert(!dir.contains(("x", "x", 3)),
+      "visited guard: a cycle must not close back onto its start")
+    val und = m(Motif.varPath(edges, "src", "dst", 2, 2, either = true))
+    assert(und(("d", "b", 2)) == 1L, "either-direction hops")
+    assert(!und.contains(("a", "a", 2)), "backtrack a-b-a blocked")
+    assert(Motif.varPath(edges, "src", "dst", 2, 3)
+      .where(col("len") === 1).count() == 0, "minLen prunes")
+  }
+
   test("IPD_Allele G/lg from groups rows; lgx built but never loaded (J2)") {
     import graft.gfe.ArdReduction
     val r1 = GfeBuild.run(spark, ImgtFlatFile.fromText(spark,
