@@ -76,12 +76,19 @@ object GraphAlgorithms {
     * round's `localCheckpoint` materializes before the next plan is
     * seen. Right-sizing the shuffle up front is worth 1.5-2× on the
     * multi-round ops at the 1.2M-edge xdist scale. */
-  private def withGraphShuffle[T](spark: SparkSession, edgeCount: Long)(
-      body: => T): T = {
+  /** `perPartition` sizes the trade: label-frame fixpoints (CC, the
+    * SCC peel) want few partitions (~1M edges each — the rounds are
+    * scheduling-bound, measured 23→9 s at 1.2M edges going 32→4);
+    * gain-scan fixpoints whose per-round work is several edge-sized
+    * joins (Louvain) stay compute-bound and want real parallelism
+    * (~150k edges/partition measured best at the same scale). */
+  private def withGraphShuffle[T](spark: SparkSession, edgeCount: Long,
+      perPartition: Long = 1000000L)(body: => T): T = {
     val key = "spark.sql.shuffle.partitions"
     val prev = spark.conf.get(key)
-    spark.conf.set(key,
-      math.max(4, graphParallelism(edgeCount, spark)).toString)
+    val p = math.max(2, math.min(spark.sparkContext.defaultParallelism,
+      (edgeCount / perPartition).toInt + 1))
+    spark.conf.set(key, math.max(4, p).toString)
     try body finally spark.conf.set(key, prev)
   }
 
@@ -161,37 +168,39 @@ object GraphAlgorithms {
       edgesSmall.unpersist()
       return spark.createDataset(rows).toDF("id", "component")
     }
-    val und = edgesSmall.toDF("a", "b")
-      .unionByName(edgesSmall.toDF("b", "a").select(col("a"), col("b")))
-      .cache()
-    var labels = und.select(col("a").as("id")).distinct()
-      .withColumn("component", col("id")).cache()
-    var converged = false
-    var i = 0
-    while (!converged && i < maxIter) {
-      val nbrMin = und.join(labels.withColumnRenamed("id", "b"), "b")
-        .groupBy(col("a").as("id")).agg(min("component").as("nbr"))
-      val next = labels.join(nbrMin, Seq("id"), "left")
-        .select(col("id"),
-          least(col("component"), coalesce(col("nbr"), col("component")))
-            .as("component"))
-        .localCheckpoint(eager = true) // truncate the iterative lineage
-      val changed = next
-        .join(labels.withColumnRenamed("component", "old"), "id")
-        .where(col("component") =!= col("old")).limit(1).count()
-      labels.unpersist()
-      labels = next
-      converged = changed == 0
-      i += 1
+    withGraphShuffle(spark, edgesSmall.count()) {
+      val und = edgesSmall.toDF("a", "b")
+        .unionByName(edgesSmall.toDF("b", "a").select(col("a"), col("b")))
+        .cache()
+      var labels = und.select(col("a").as("id")).distinct()
+        .withColumn("component", col("id")).cache()
+      var converged = false
+      var i = 0
+      while (!converged && i < maxIter) {
+        val nbrMin = und.join(labels.withColumnRenamed("id", "b"), "b")
+          .groupBy(col("a").as("id")).agg(min("component").as("nbr"))
+        val next = labels.join(nbrMin, Seq("id"), "left")
+          .select(col("id"),
+            least(col("component"), coalesce(col("nbr"), col("component")))
+              .as("component"))
+          .localCheckpoint(eager = true) // truncate the iterative lineage
+        val changed = next
+          .join(labels.withColumnRenamed("component", "old"), "id")
+          .where(col("component") =!= col("old")).limit(1).count()
+        labels.unpersist()
+        labels = next
+        converged = changed == 0
+        i += 1
+      }
+      und.unpersist()
+      edgesSmall.unpersist()
+      // A partially-converged result would silently split components —
+      // fail loudly; callers raise maxIter (diameter bound) instead.
+      if (!converged) throw new IllegalStateException(
+        s"connectedComponentsDF did not converge in $maxIter rounds; " +
+          "raise maxIter (rounds needed = max component diameter)")
+      labels
     }
-    und.unpersist()
-    edgesSmall.unpersist()
-    // A partially-converged result would silently split components —
-    // fail loudly; callers raise maxIter (diameter bound) instead.
-    if (!converged) throw new IllegalStateException(
-      s"connectedComponentsDF did not converge in $maxIter rounds; " +
-        "raise maxIter (rounds needed = max component diameter)")
-    labels
   }
 
   /** PageRank over a directed string-keyed edge list.
@@ -285,20 +294,22 @@ object GraphAlgorithms {
         ids.iterator.map(v => (v, rankM(v))).toSeq)
         .toDF("id", "rank_ppm")
     }
-    var rank = verts.withColumn("r", lit(scale))
-    var i = 0
-    while (i < iterations) {
-      val contrib = eDeg
-        .join(rank.select(col("id").as("a"), col("r")), "a")
-        .groupBy(col("b").as("id"))
-        .agg(sum(expr(s"(r * 85) div (100 * deg)")).as("in_mass"))
-      rank = verts.join(contrib, Seq("id"), "left")
-        .select(col("id"),
-          (lit(reset) + coalesce(col("in_mass"), lit(0L))).as("r"))
-        .localCheckpoint(eager = true)
-      i += 1
+    withGraphShuffle(edges.sparkSession, eDeg.count()) {
+      var rank = verts.withColumn("r", lit(scale))
+      var i = 0
+      while (i < iterations) {
+        val contrib = eDeg
+          .join(rank.select(col("id").as("a"), col("r")), "a")
+          .groupBy(col("b").as("id"))
+          .agg(sum(expr(s"(r * 85) div (100 * deg)")).as("in_mass"))
+        rank = verts.join(contrib, Seq("id"), "left")
+          .select(col("id"),
+            (lit(reset) + coalesce(col("in_mass"), lit(0L))).as("r"))
+          .localCheckpoint(eager = true)
+        i += 1
+      }
+      rank.select(col("id"), col("r").as("rank_ppm"))
     }
-    rank.select(col("id"), col("r").as("rank_ppm"))
   }
 
   /** DataFrame-native BFS / unweighted single-source shortest path
@@ -546,6 +557,7 @@ object GraphAlgorithms {
         nbrs.keysIterator.map(v => (v, cnt(v))).toSeq)
         .toDF("id", "n_tri")
     }
+    withGraphShuffle(spark, e0.count()) {
     val deg = e0.select(col("x").as("id"))
       .unionByName(e0.select(col("y").as("id")))
       .groupBy("id").agg(count(lit(1)).as("deg"))
@@ -584,6 +596,7 @@ object GraphAlgorithms {
     deg.unpersist()
     oriented.unpersist()
     out
+    }
   }
 
   /** Neighbor-set Jaccard for every vertex pair sharing ≥1 neighbor
@@ -844,6 +857,11 @@ object GraphAlgorithms {
             .distinct().withColumn("community", col("id"))
       }
     }
+    // NOT wrapped in withGraphShuffle: Louvain's rounds are several
+    // edge-sized gain-scan joins, compute-bound at this scale —
+    // measured 27.5 s at the session default vs 35-39 s with the
+    // graph-sized (4-9 partition) shuffle that wins for CC/triangles.
+    locally {
     var selfW = spark.createDataFrame(
       new java.util.ArrayList[org.apache.spark.sql.Row](),
       org.apache.spark.sql.types.StructType(Seq(
@@ -1005,6 +1023,7 @@ object GraphAlgorithms {
       val lbl = assign.groupBy("com").agg(min("id").as("community"))
       assign.join(lbl, "com").select(col("id"), col("community"))
         .localCheckpoint(eager = true)
+    }
     }
   }
 

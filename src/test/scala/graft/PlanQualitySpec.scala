@@ -30,6 +30,15 @@ class PlanQualitySpec extends AnyFunSuite {
   private def planOf(name: String): String =
     finalPlan(SparkEntry.queries(name)(spark, sfDir))
 
+  test("varlen motif: every hop is an equi-join, never a cartesian") {
+    // The visited-node guard is a post-join FILTER on the frontier
+    // row, not a join condition — a planner that fell back to a
+    // nested loop for it would explode at scale.
+    val plan = planOf("gfe_motif_varlen")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoop"),
+      plan.take(2000))
+  }
+
   test("filters and column pruning reach the parquet scan (s7)") {
     val plan = planOf("s7_scan_filter_project")
     assert(plan.contains("PushedFilters: ["), plan.take(2000))
