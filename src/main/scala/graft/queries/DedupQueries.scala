@@ -382,6 +382,51 @@ object DedupQueries {
         .orderBy("doc_id")
     },
 
+    // Leakage-free train/test split: smp_split_assign's content hash
+    // stops EXACT duplicates from straddling the split, but a
+    // near-duplicate pair split train/test is still evaluation
+    // leakage — the assignment unit has to be the near-dup CLUSTER,
+    // not the document. Split = 60-bit hash of the cluster label mod
+    // 100 (same recipe as smp_split_assign), so every member of a
+    // cluster lands on the same side by construction; unclustered
+    // docs fall back to their own id. Scale shape: the cluster table
+    // is CC over the banded pair list (corpus-fraction sized), joined
+    // back LEFT onto the corpus on its key — one shuffle, no
+    // all-pairs anything.
+    QueryDef(
+      "d_split_leakfree",
+      s"""${lshPairsSql.replaceFirst("^WITH ", "WITH RECURSIVE ")},
+        |und AS (SELECT CAST(d1 AS VARCHAR) AS a, CAST(d2 AS VARCHAR) AS b FROM pairs
+        |        UNION SELECT CAST(d2 AS VARCHAR), CAST(d1 AS VARCHAR) FROM pairs),
+        |reach(n, m) AS (
+        |  SELECT DISTINCT a, a FROM und
+        |  UNION
+        |  SELECT r.n, u.b FROM reach r JOIN und u ON r.m = u.a),
+        |cc AS (SELECT n, min(m) AS component FROM reach GROUP BY n),
+        |lbl AS (SELECT d.doc_id,
+        |               COALESCE(cc.component, CAST(d.doc_id AS VARCHAR)) AS cluster
+        |        FROM documents d LEFT JOIN cc ON cc.n = CAST(d.doc_id AS VARCHAR))
+        |SELECT doc_id, cluster,
+        |       CAST(${duckHex60("cluster")} % 100 AS BIGINT) AS bucket,
+        |       CASE WHEN ${duckHex60("cluster")} % 100 < 90
+        |            THEN 'train' ELSE 'test' END AS split
+        |FROM lbl ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val cc = graft.graph.GraphAlgorithms.connectedComponentsDF(
+        lshPairs(s, d)
+          .select(col("d1").cast("string").as("d1"),
+            col("d2").cast("string").as("d2")),
+        "d1", "d2")
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("doc_id").cast("string").as("id"))
+        .join(cc, Seq("id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("component"), col("id")).as("cluster"))
+        .withColumn("bucket", hex60(col("cluster")) % 100)
+        .select(col("doc_id"), col("cluster"), col("bucket"),
+          when(col("bucket") < 90, "train").otherwise("test").as("split"))
+        .orderBy("doc_id")
+    },
+
     // Triangle counts over the LSH candidate-pair graph (GDS
     // triangleCount parity, fully oracled): a dup-cluster density
     // signal — near-clique clusters have high per-doc triangle

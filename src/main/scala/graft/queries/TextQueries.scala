@@ -136,6 +136,48 @@ object TextQueries {
       ).orderBy("doc_id")
     },
 
+    // Sequence packing (the concat-and-chunk manifest every LLM
+    // pretraining pipeline computes: concatenate the corpus in a
+    // deterministic order, split into fixed 256-token context
+    // windows, record where each document lands). The global token
+    // offset is the interesting operator: a naive
+    // Window.orderBy(doc_id) running sum plans a SINGLE-PARTITION
+    // WindowExec — the one shape that cannot survive 100 TB — so the
+    // offset comes from operators.PrefixSum's two-phase scan
+    // (range-repartition, partition-local running sums, per-partition
+    // totals folded into broadcast offsets: O(n/p) per task + a
+    // p-row driver fold). The oracle computes the same offsets with
+    // the plain sequential window — cross-engine equality proves the
+    // distributed scan exact. All-integer output (token counts,
+    // offsets, floor-div window ids).
+    QueryDef(
+      "t_pack_sequences",
+      """WITH t AS (SELECT doc_id,
+        |        CAST(len(string_split_regex(trim(text),'[ \t\n\x0B\f\r]+')) AS BIGINT) AS n_tok
+        |      FROM documents),
+        |o AS (SELECT doc_id, n_tok,
+        |        CAST(COALESCE(sum(n_tok) OVER (ORDER BY doc_id
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_offset
+        |      FROM t)
+        |SELECT doc_id, n_tok, tok_offset,
+        |       CAST(tok_offset // 256 AS BIGINT) AS pack_first,
+        |       CAST((tok_offset + greatest(n_tok, 1) - 1) // 256 AS BIGINT) AS pack_last,
+        |       CAST((tok_offset + greatest(n_tok, 1) - 1) // 256
+        |            - tok_offset // 256 + 1 AS BIGINT) AS n_packs
+        |FROM o ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(tokens(col("text"))).cast("long").as("n_tok"))
+      graft.operators.PrefixSum
+        .exclusive(docs, "doc_id", "n_tok", "tok_offset")
+        .select(col("doc_id"), col("n_tok"), col("tok_offset"),
+          expr("tok_offset div 256").as("pack_first"),
+          expr("(tok_offset + greatest(n_tok, 1) - 1) div 256").as("pack_last"),
+          expr("(tok_offset + greatest(n_tok, 1) - 1) div 256" +
+            " - tok_offset div 256 + 1").as("n_packs"))
+        .orderBy("doc_id")
+    },
+
     // Quality scoring: integer-only heuristics (length band, stopword
     // density via cross-multiplication, type/token diversity) so the
     // verdict is exact across engines.

@@ -491,12 +491,6 @@ object EventStreams {
     writeManifest(spark, manifestPath(0),
       (0 until numBuckets).map(k =>
         k -> (if (initPresent(k)) 0 else -1)).toMap)
-    def readState(ss: SparkSession, manifest: Map[Int, Int]): DataFrame = {
-      val paths = manifest.toSeq.sorted.collect {
-        case (k, v) if v >= 0 => bucketPath(stateDir, v, k) }
-      if (paths.isEmpty) ss.read.parquet(s"$stateDir/_empty")
-      else ss.read.parquet(paths: _*)
-    }
     val q = changes.writeStream
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
         val ss = batch.sparkSession
@@ -508,7 +502,7 @@ object EventStreams {
         val next =
           if (dirty.isEmpty) base
           else {
-            val dirtyState = readState(ss, base.filter {
+            val dirtyState = stateAt(ss, stateDir, base.filter {
               case (k, _) => dirty(k) })
             val written = writeBuckets(
               merge(dirtyState, delta), stateKeys, numBuckets,
@@ -523,9 +517,77 @@ object EventStreams {
       .option("checkpointLocation", s"$stateDir/_chk")
       .start()
     q.awaitTermination()
+    cdcState(spark, stateDir)
+  }
+
+  private def manifestVersions(spark: SparkSession, stateDir: String): Seq[Int] = {
     val (fs, mdir) = hadoopFs(spark, s"$stateDir/manifest")
-    val last = fs.listStatus(mdir).map(_.getPath.getName.stripPrefix("v").toInt).max
-    readState(spark, readManifest(spark, manifestPath(last)))
+    fs.listStatus(mdir).toSeq
+      .map(_.getPath.getName.stripPrefix("v").toInt).sorted
+  }
+
+  private def stateAt(spark: SparkSession, stateDir: String,
+      manifest: Map[Int, Int]): DataFrame = {
+    val paths = manifest.toSeq.sorted.collect {
+      case (k, v) if v >= 0 => bucketPath(stateDir, v, k) }
+    if (paths.isEmpty) spark.read.parquet(s"$stateDir/_empty")
+    else spark.read.parquet(paths: _*)
+  }
+
+  /** Read the newest committed state version of a [[cdcApply]] store —
+    * the serve-side API: resolve the latest manifest, read exactly the
+    * bucket files it references. */
+  def cdcState(spark: SparkSession, stateDir: String): DataFrame = {
+    val last = manifestVersions(spark, stateDir).max
+    stateAt(spark, stateDir, readManifest(spark, s"$stateDir/manifest/v$last"))
+  }
+
+  /** Vacuum superseded state versions: keep the newest `keepVersions`
+    * manifests plus every bucket file they reference; delete
+    * unreferenced bucket directories and older manifests. The GC dual
+    * of [[cdcApply]]'s copy-on-write — without it a long-running
+    * stream accumulates one rewritten bucket set per batch forever.
+    * Readers of kept versions are untouched (their manifests only
+    * reference kept files; unchanged buckets inherited from OLD
+    * versions stay because the kept manifests reference them).
+    * Returns (buckets deleted, manifests deleted). */
+  def cdcVacuum(spark: SparkSession, stateDir: String,
+      keepVersions: Int = 2): (Int, Int) = {
+    val versions = manifestVersions(spark, stateDir)
+    val keep = versions.takeRight(math.max(1, keepVersions)).toSet
+    val referenced: Set[(Int, Int)] = keep.flatMap { v =>
+      // .toSeq first: collecting (ver, b) tuples straight off the Map
+      // would re-key by ver and silently collapse all of a version's
+      // buckets to one entry
+      readManifest(spark, s"$stateDir/manifest/v$v").toSeq
+        .collect { case (b, ver) if ver >= 0 => (ver, b) }
+    }
+    val (fs, root) = hadoopFs(spark, stateDir)
+    var droppedBuckets = 0
+    fs.listStatus(root).filter { st =>
+      val n = st.getPath.getName
+      st.isDirectory && n.startsWith("v") && n.drop(1).forall(_.isDigit)
+    }.foreach { vd =>
+      val ver = vd.getPath.getName.stripPrefix("v").toInt
+      fs.listStatus(vd.getPath)
+        .filter(_.getPath.getName.startsWith("_graft_bucket="))
+        .foreach { bd =>
+          val b = bd.getPath.getName.stripPrefix("_graft_bucket=").toInt
+          if (!referenced((ver, b))) {
+            fs.delete(bd.getPath, true); droppedBuckets += 1
+          }
+        }
+      if (!fs.listStatus(vd.getPath)
+          .exists(_.getPath.getName.startsWith("_graft_bucket=")))
+        fs.delete(vd.getPath, true) // version fully superseded
+      ()
+    }
+    var droppedManifests = 0
+    versions.filterNot(keep).foreach { v =>
+      val (mfs, mp) = hadoopFs(spark, s"$stateDir/manifest/v$v")
+      if (mfs.delete(mp, false)) droppedManifests += 1
+    }
+    (droppedBuckets, droppedManifests)
   }
 
   /** Lift the customer snapshot into CDC state: payload columns plus

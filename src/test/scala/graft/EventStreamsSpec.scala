@@ -485,6 +485,26 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(streamed.length == expect.length)
   }
 
+  test("cdc vacuum: newest version serves identically, superseded files drop") {
+    val srcDir = splitEventsDir(3)
+    val stateDir = java.nio.file.Files.createTempDirectory("cdc_vac")
+    EventStreams.cdcCustomerStream(spark, srcDir.toString,
+      Tables.customer(spark, sfDir), stateDir.toString,
+      Map("maxFilesPerTrigger" -> "1")).count()
+    val before = EventStreams.cdcState(spark, stateDir.toString)
+      .orderBy("custkey").collect().toSeq
+    val (buckets, manifests) =
+      EventStreams.cdcVacuum(spark, stateDir.toString, keepVersions = 1)
+    // 4 committed versions, only the newest kept -> something dropped
+    assert(buckets > 0, "superseded bucket files must be deleted")
+    assert(manifests == 3, s"3 old manifests must go, deleted $manifests")
+    // the kept manifest still reads the bit-identical state (it may
+    // reference buckets from OLD version dirs — those must survive)
+    val after = EventStreams.cdcState(spark, stateDir.toString)
+      .orderBy("custkey").collect().toSeq
+    assert(after == before)
+  }
+
   test("sketch maintenance: multi-batch register fold == batch sketch") {
     // Register max-merge is commutative + idempotent, so the
     // streaming fold over a hash-split (time-shuffled) 3-batch source

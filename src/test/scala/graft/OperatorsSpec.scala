@@ -501,4 +501,26 @@ class OperatorsSpec extends AnyFunSuite {
       .agg(min(col("p"))).as[Long].head()
     assert(pris.max <= minExcluded)
   }
+
+  test("PrefixSum.exclusive: distributed two-phase scan == sequential fold") {
+    // pseudo-random values on a shuffled-id frame, forced through
+    // MANY range partitions so the per-partition offsets actually
+    // compose; compare against the driver-side sequential scan
+    val n = 1000
+    val rows = (0 until n).map(i => (i.toLong, (i * 2654435761L % 97).toInt))
+    val df = spark.createDataset(rows).toDF("k", "v")
+      .repartition(7) // destroy input order; operator must re-range
+    val got = graft.operators.PrefixSum
+      .exclusive(df, "k", "v", "pre", partitions = 13)
+      .select("k", "pre").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    var acc = 0L
+    rows.foreach { case (k, v) =>
+      assert(got(k) == acc, s"key $k: got ${got(k)}, want $acc")
+      acc += v
+    }
+    // empty input: still well-formed
+    assert(graft.operators.PrefixSum
+      .exclusive(df.limit(0), "k", "v", "pre").count() == 0)
+  }
 }

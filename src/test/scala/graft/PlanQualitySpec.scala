@@ -39,6 +39,16 @@ class PlanQualitySpec extends AnyFunSuite {
       plan.take(2000))
   }
 
+  test("sequence packing: two-phase scan, never a single-partition window") {
+    // The global token offset must come from PrefixSum's
+    // range-repartition + partition-local window — a window specced
+    // without _pid would be the all-rows-through-one-task WindowExec.
+    val plan = planOf("t_pack_sequences")
+    assert(plan.contains("rangepartitioning(doc_id"), plan.take(2000))
+    assert(plan.contains("windowspecdefinition(_pid"),
+      "running sum must be partition-local, keyed by the range pid")
+  }
+
   test("filters and column pruning reach the parquet scan (s7)") {
     val plan = planOf("s7_scan_filter_project")
     assert(plan.contains("PushedFilters: ["), plan.take(2000))
