@@ -255,7 +255,8 @@ object GraphAlgorithms {
     */
   def pageRankIntDF(edges: DataFrame, src: String, dst: String,
       iterations: Int = 10, directed: Boolean = true,
-      scale: Long = 1000000L, localThreshold: Long = 1000000L): DataFrame = {
+      scale: Long = 1000000L, localThreshold: Long = 1000000L,
+      seeds: Option[DataFrame] = None): DataFrame = {
     val e0 = edges.select(col(src).cast("string").as("a"),
       col(dst).cast("string").as("b"))
       .where(col("a") =!= col("b"))
@@ -265,6 +266,19 @@ object GraphAlgorithms {
     val verts = e.select(col("a").as("id"))
       .unionByName(e.select(col("b").as("id"))).distinct()
       .localCheckpoint(eager = true)
+    // Personalization (GDS pageRank sourceNodes): seed vertices get
+    // the initial mass AND the per-iteration reset; everything else
+    // holds only what flows in — rank localizes around the seeds.
+    // seeds = None degenerates to the global form (every vertex
+    // seeded), bit-for-bit.
+    val seedDf = seeds.map(sd => sd
+      .select(col(sd.columns.head).cast("string").as("id")).distinct()
+      .withColumn("_seed", lit(1L)))
+    val mask = seedDf match {
+      case Some(sdf) => verts.join(sdf, Seq("id"), "left")
+        .select(col("id"), coalesce(col("_seed"), lit(0L)).as("_seed"))
+      case None => verts.withColumn("_seed", lit(1L))
+    }
     // out-degree-annotated edges, built once and reused per iteration
     val deg = e.groupBy(col("a")).agg(count(lit(1)).as("deg"))
     val eDeg = e.join(deg, "a").localCheckpoint(eager = true)
@@ -276,9 +290,11 @@ object GraphAlgorithms {
       val spark = edges.sparkSession
       val ed = eDeg.collect().map(r =>
         (r.getString(0), r.getString(1), r.getLong(2)))
-      val ids = verts.collect().map(_.getString(0))
+      val seedOf = mask.collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val ids = seedOf.keys.toSeq.sorted(utf8Ordering)
       var rankM = scala.collection.mutable.Map.empty[String, Long]
-      ids.foreach(v => rankM(v) = scale)
+      ids.foreach(v => rankM(v) = seedOf(v) * scale)
       for (_ <- 0 until iterations) {
         val inMass = scala.collection.mutable.Map
           .empty[String, Long].withDefaultValue(0L)
@@ -286,7 +302,7 @@ object GraphAlgorithms {
           inMass(b) += rankM(a) * 85L / (100L * dg)
         }
         val next = scala.collection.mutable.Map.empty[String, Long]
-        ids.foreach(v => next(v) = reset + inMass(v))
+        ids.foreach(v => next(v) = seedOf(v) * reset + inMass(v))
         rankM = next
       }
       import spark.implicits._
@@ -295,16 +311,17 @@ object GraphAlgorithms {
         .toDF("id", "rank_ppm")
     }
     withGraphShuffle(edges.sparkSession, eDeg.count()) {
-      var rank = verts.withColumn("r", lit(scale))
+      val vm = mask.localCheckpoint(eager = true)
+      var rank = vm.select(col("id"), (col("_seed") * scale).as("r"))
       var i = 0
       while (i < iterations) {
         val contrib = eDeg
           .join(rank.select(col("id").as("a"), col("r")), "a")
           .groupBy(col("b").as("id"))
           .agg(sum(expr(s"(r * 85) div (100 * deg)")).as("in_mass"))
-        rank = verts.join(contrib, Seq("id"), "left")
+        rank = vm.join(contrib, Seq("id"), "left")
           .select(col("id"),
-            (lit(reset) + coalesce(col("in_mass"), lit(0L))).as("r"))
+            (col("_seed") * reset + coalesce(col("in_mass"), lit(0L))).as("r"))
           .localCheckpoint(eager = true)
         i += 1
       }

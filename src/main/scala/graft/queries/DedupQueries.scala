@@ -882,6 +882,45 @@ object DedupQueries {
         .orderBy("doc_id")
     },
 
+    // Personalized PageRank (GDS pageRank sourceNodes parity): rank
+    // mass originates at and teleports back to a SEED set only
+    // (doc_id%5 here), so scores measure proximity to the seeds —
+    // the "expand from known-good/known-bad docs" primitive of
+    // curation pipelines. Same bit-exact integer recurrence as
+    // d_dup_pagerank with the reset masked to seeds; the oracle
+    // replays the identical 10 unrolled iterations with the seed
+    // CASE. seeds = all vertices degenerates to the global form
+    // (GraphAlgorithmsSpec pins both that and seed-locality).
+    QueryDef(
+      "d_dup_ppr",
+      s"""$lshPairsSql,
+        |und AS (SELECT d1 AS a, d2 AS b FROM pairs
+        |        UNION SELECT d2, d1 FROM pairs),
+        |verts AS (SELECT DISTINCT a AS id FROM und),
+        |vm AS (SELECT id, CASE WHEN id % 5 = 0 THEN 1 ELSE 0 END AS sd
+        |       FROM verts),
+        |deg AS (SELECT a, count(*) AS deg FROM und GROUP BY a),
+        |ed AS (SELECT u.a, u.b, d.deg FROM und u JOIN deg d ON d.a = u.a),
+        |r0 AS (SELECT id, CAST(sd * 1000000 AS BIGINT) AS r FROM vm),
+        |${(1 to 10).map(k =>
+          s"""r$k AS (SELECT v.id, v.sd * 150000 + COALESCE(m.in_mass, 0) AS r
+             |  FROM vm v LEFT JOIN (
+             |    SELECT e.b AS id, sum((r.r * 85) // (100 * e.deg)) AS in_mass
+             |    FROM ed e JOIN r${k - 1} r ON r.id = e.a GROUP BY e.b) m
+             |  ON m.id = v.id)""".stripMargin).mkString(",\n")}
+        |SELECT id AS doc_id, CAST(r AS BIGINT) AS rank_ppm FROM r10
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val pairs = lshPairs(s, d)
+      val seeds = pairs.select(col("d1").as("id"))
+        .unionByName(pairs.select(col("d2").as("id")))
+        .distinct().where(col("id") % 5 === 0)
+      graft.graph.GraphAlgorithms.pageRankIntDF(
+        pairs, "d1", "d2", iterations = 10, directed = false,
+        seeds = Some(seeds))
+        .select(col("id").cast("long").as("doc_id"), col("rank_ppm"))
+        .orderBy("doc_id")
+    },
+
     // Degree centrality over the LSH candidate-pair graph (GDS degree
     // parity, fully oracled): the per-doc near-dup fan-out. The
     // cheapest graph signal — one symmetrize + one fixed-width

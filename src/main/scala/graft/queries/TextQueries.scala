@@ -18,6 +18,40 @@ import graft.functions.GraftFunctions._
   */
 object TextQueries {
 
+  /** (doc_id, n_tok) token-count frame — the packing input; shared by
+    * the batch manifest and the streaming maintenance path. */
+  private[graft] def docTokens(docs: org.apache.spark.sql.DataFrame) =
+    docs.select(col("doc_id"),
+      size(tokens(col("text"))).cast("long").as("n_tok"))
+
+  /** Pack-window columns over an offset-bearing manifest
+    * (doc_id, n_tok, tok_offset): 256-token windows, floor-div ids —
+    * all-integer, shared by t_pack_sequences and st_pack_maintain. */
+  private[graft] def packColumns(m: org.apache.spark.sql.DataFrame) =
+    m.select(col("doc_id"), col("n_tok"), col("tok_offset"),
+      expr("tok_offset div 256").as("pack_first"),
+      expr("(tok_offset + greatest(n_tok, 1) - 1) div 256").as("pack_last"),
+      expr("(tok_offset + greatest(n_tok, 1) - 1) div 256" +
+        " - tok_offset div 256 + 1").as("n_packs"))
+
+  /** The packing-manifest oracle — sequential-window offsets; also
+    * st_pack_maintain's (the maintained manifest must equal the batch
+    * one exactly when batches arrive in doc_id-range order). */
+  private[graft] val PackSql: String =
+    """WITH t AS (SELECT doc_id,
+      |        CAST(len(string_split_regex(trim(text),'[ \t\n\x0B\f\r]+')) AS BIGINT) AS n_tok
+      |      FROM documents),
+      |o AS (SELECT doc_id, n_tok,
+      |        CAST(COALESCE(sum(n_tok) OVER (ORDER BY doc_id
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_offset
+      |      FROM t)
+      |SELECT doc_id, n_tok, tok_offset,
+      |       CAST(tok_offset // 256 AS BIGINT) AS pack_first,
+      |       CAST((tok_offset + greatest(n_tok, 1) - 1) // 256 AS BIGINT) AS pack_last,
+      |       CAST((tok_offset + greatest(n_tok, 1) - 1) // 256
+      |            - tok_offset // 256 + 1 AS BIGINT) AS n_packs
+      |FROM o ORDER BY doc_id""".stripMargin
+
   /** 3-word shingles of a token-array column (distinct set). */
   def shingles(w: Column): Column =
     array_distinct(transform(
@@ -152,29 +186,10 @@ object TextQueries {
     // offsets, floor-div window ids).
     QueryDef(
       "t_pack_sequences",
-      """WITH t AS (SELECT doc_id,
-        |        CAST(len(string_split_regex(trim(text),'[ \t\n\x0B\f\r]+')) AS BIGINT) AS n_tok
-        |      FROM documents),
-        |o AS (SELECT doc_id, n_tok,
-        |        CAST(COALESCE(sum(n_tok) OVER (ORDER BY doc_id
-        |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_offset
-        |      FROM t)
-        |SELECT doc_id, n_tok, tok_offset,
-        |       CAST(tok_offset // 256 AS BIGINT) AS pack_first,
-        |       CAST((tok_offset + greatest(n_tok, 1) - 1) // 256 AS BIGINT) AS pack_last,
-        |       CAST((tok_offset + greatest(n_tok, 1) - 1) // 256
-        |            - tok_offset // 256 + 1 AS BIGINT) AS n_packs
-        |FROM o ORDER BY doc_id""".stripMargin) { (s, d) =>
-      val docs = Tables.documents(s, d)
-        .select(col("doc_id"),
-          size(tokens(col("text"))).cast("long").as("n_tok"))
-      graft.operators.PrefixSum
-        .exclusive(docs, "doc_id", "n_tok", "tok_offset")
-        .select(col("doc_id"), col("n_tok"), col("tok_offset"),
-          expr("tok_offset div 256").as("pack_first"),
-          expr("(tok_offset + greatest(n_tok, 1) - 1) div 256").as("pack_last"),
-          expr("(tok_offset + greatest(n_tok, 1) - 1) div 256" +
-            " - tok_offset div 256 + 1").as("n_packs"))
+      PackSql) { (s, d) =>
+      packColumns(graft.operators.PrefixSum
+        .exclusive(docTokens(Tables.documents(s, d)),
+          "doc_id", "n_tok", "tok_offset"))
         .orderBy("doc_id")
     },
 

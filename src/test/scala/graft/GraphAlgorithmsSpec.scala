@@ -623,6 +623,27 @@ class GraphAlgorithmsSpec extends AnyFunSuite {
     assert(run().toSet == rows)
   }
 
+  test("personalized pagerank: seed locality, all-seeds ≡ global, parity") {
+    // path a-b-c-d-e plus a disconnected pair x-y
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"),
+      ("x", "y")).toDF("s", "t")
+    def run(seeds: Option[Seq[String]], thr: Long = 1000000L) =
+      GraphAlgorithms.pageRankIntDF(edges, "s", "t", directed = false,
+        localThreshold = thr,
+        seeds = seeds.map(ss => ss.toDF("id")))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val ppr = run(Some(Seq("a")))
+    // mass decays away from the seed; the disconnected component,
+    // which the seed can't reach, holds exactly zero
+    assert(ppr("a") > ppr("b") && ppr("b") > ppr("c") && ppr("c") > ppr("e"))
+    assert(ppr("x") == 0L && ppr("y") == 0L)
+    // seeding EVERY vertex is bit-identical to the global form
+    val verts = Seq("a", "b", "c", "d", "e", "x", "y")
+    assert(run(Some(verts)) == run(None))
+    // local fast path == distributed loop, bit for bit
+    assert(run(Some(Seq("a")), thr = 0L) == ppr)
+  }
+
   test("scc: cycles fuse, DAG edges split, direction matters") {
     val edges = Seq(
       ("a", "b"), ("b", "c"), ("c", "a"), // 3-cycle {a,b,c}
