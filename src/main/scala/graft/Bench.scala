@@ -134,7 +134,11 @@ object Bench {
       // marked dirty, up to 2 extra iterations run to replace them,
       // and the median is taken over clean iterations when ≥2 exist
       // (all, otherwise).
-      val runs = sys.env.getOrElse("GRAFT_SCALE_RUNS", "3").toInt
+      // Default raised 3 → 5 in round 11: with ≤1.46×-probe "clean"
+      // windows still spanning 2× wall time across a round, more
+      // samples (plus the min-merged bench_best.json below) pin the
+      // floor better than the probe alone can.
+      val runs = sys.env.getOrElse("GRAFT_SCALE_RUNS", "5").toInt
       val rawProbes = scala.collection.mutable.ArrayBuffer(calibParStart)
       var lastProbe = calibParMs()
       rawProbes += lastProbe
@@ -328,7 +332,27 @@ object Bench {
           t("xdist_pagerank") {
             graft.graph.GraphAlgorithms.pageRankIntDF(
               e, "src", "dst", directed = false,
-              localThreshold = 0L).count() })
+              localThreshold = 0L).count() },
+          // SCC gets a DIRECTED synthetic with BOTH shapes a real
+          // call/citation graph has: the cliques re-read as 5-cycles
+          // (non-trivial SCCs, ~600k edges) plus a 300-vertex
+          // condensation chain of singleton SCCs — the topology the
+          // round-10 peel could not finish (O(chain) rounds); trim +
+          // doubling + pair-class drop must absorb it in a handful.
+          t("xdist_scc") {
+            val cyc = spark.range(distCliques.toLong)
+              .crossJoin(broadcast((0 until 5).toDF("i")))
+              .select(
+                concat(lit("v"), col("id") * 5 + col("i")).as("src"),
+                concat(lit("v"),
+                  col("id") * 5 + (col("i") + 1) % 5).as("dst"))
+            val chain = spark.range(299)
+              .select(
+                format_string("c%06d", col("id")).as("src"),
+                format_string("c%06d", col("id") + 1).as("dst"))
+            graft.graph.GraphAlgorithms.stronglyConnectedComponentsDF(
+              cyc.unionByName(chain), "src", "dst",
+              localThreshold = 0).count() })
         e.unpersist()
         out
       } catch { case scala.util.control.NonFatal(ex) =>
@@ -336,34 +360,57 @@ object Bench {
         Map.empty
       }
 
-    // 10-release ordered registry fold (reference history is 57
-    // releases, README.md:535; MaxConcurrency-1 ordering,
-    // asl.json:153): nested-prefix synthetic releases folded through
-    // the accession registry, each step seeded with the previous
-    // step's registry — the serial control flow the state machine
-    // enforces. Excluded from the headline total (it measures the
-    // multi-release path, not the single-release reference workload);
-    // GfeBuildSpec asserts the accession-stability semantics at 10
-    // releases. GRAFT_REGISTRY_FOLD sizes it (0 disables).
-    val foldReleases = sys.env.getOrElse("GRAFT_REGISTRY_FOLD", "10").toInt
+    // Full-history ordered registry fold (the reference's actual
+    // envelope: 57 releases, README.md:535; MaxConcurrency-1
+    // ordering, asl.json:153): nested-prefix synthetic releases
+    // folded through the accession registry, each step seeded with
+    // the previous step's registry — the serial control flow the
+    // state machine enforces, at the real breadth. Excluded from the
+    // headline total (it measures the multi-release path, not the
+    // single-release reference workload); GfeBuildSpec asserts the
+    // accession-stability semantics per step at 10 and 57 releases,
+    // and the fold here re-asserts the end-to-end invariants (no
+    // persisted accession renumbered first→last, registry monotone)
+    // so a timing run can never silently time a broken fold.
+    // GRAFT_REGISTRY_FOLD sizes it (0 disables); per-release sizes
+    // are step·k, step shrinking at full breadth to keep the wall
+    // time ~linear-in-releases rather than quadratic-in-rows.
+    val foldReleases = sys.env.getOrElse("GRAFT_REGISTRY_FOLD", "57").toInt
     val regFold: Map[String, Double] =
       if (foldReleases <= 0) Map.empty
       else try {
-        val sizes = (1 to foldReleases).map(k => 1000 * k)
+        val step = sys.env.getOrElse("GRAFT_REGISTRY_FOLD_STEP",
+          if (foldReleases > 20) "150" else "1000").toInt
+        val sizes = (1 to foldReleases).map(k => step * k)
         sizes.foreach(graft.gfe.SyntheticRelease.materialize(_)) // untimed gen
         val t0 = System.nanoTime()
         var reg: Option[org.apache.spark.sql.DataFrame] = None
+        var firstReg: Option[org.apache.spark.sql.DataFrame] = None
+        var prevKeys = 0L
         sizes.zipWithIndex.foreach { case (n, i) =>
           val r = graft.gfe.GfeBuild.run(spark,
             graft.ingest.ImgtFlatFile.read(spark,
               graft.gfe.SyntheticRelease.materialize(n).toString),
             (3500 + 10 * i).toString, registry = reg)
-          reg = Some(r.registry.localCheckpoint(true))
+          val cur = r.registry.localCheckpoint(true)
+          val keys = cur.count()
+          require(keys >= prevKeys,
+            s"registry shrank at step $i: $prevKeys -> $keys")
+          prevKeys = keys
+          reg = Some(cur)
+          if (firstReg.isEmpty) firstReg = Some(cur)
         }
         val s = (System.nanoTime() - t0) / 1e9
+        import org.apache.spark.sql.functions.col
+        val renumbered = reg.get.as("n")
+          .join(firstReg.get.as("o"),
+            Seq("locus", "term", "rank", "sequence"))
+          .where(col("n.accession") =!= col("o.accession")).count()
+        require(renumbered == 0,
+          s"$renumbered accessions renumbered across the fold")
         System.err.println(
           f"[bench] registry fold: $foldReleases releases in $s%.2f s " +
-            f"(${reg.map(_.count()).getOrElse(0L)} registry keys)")
+            f"($prevKeys registry keys, first-release accessions stable)")
         Map(s"xfold_registry_$foldReleases" -> s)
       } catch { case scala.util.control.NonFatal(ex) =>
         System.err.println(s"[bench] registry fold failed: $ex")
@@ -432,6 +479,49 @@ object Bench {
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), fullJson + "\n")
     catch { case scala.util.control.NonFatal(e) =>
       System.err.println(s"[bench] could not write $outFile: $e")
+    }
+    // ROUND-BEST persistence (committed artifacts, round-11 noise
+    // model): probe ratios under-detect — r10's "clean" windows
+    // spanned 2× wall time — but throttle only ever INFLATES a
+    // reading, so the min over every bench invocation in the round is
+    // the throttle-proof floor a reader compares across rounds.
+    // bench_best.json is min-merged per query on each run (the
+    // builder deletes it at round start so it stays a per-round
+    // floor, not an all-time one); bench_scale_runs.jsonl appends
+    // each invocation's per-iteration scale evidence, which the
+    // driver's BENCH summarizer otherwise drops.
+    try {
+      import java.nio.file.{Files, Paths}
+      val bestFile = sys.env.getOrElse("GRAFT_BENCH_BEST", "bench_best.json")
+      val bp = Paths.get(bestFile)
+      val prev: Map[String, Double] =
+        if (Files.exists(bp)) {
+          val txt = new String(Files.readAllBytes(bp), "UTF-8")
+          """"([^"]+)":(-?[0-9][0-9.eE+-]*)""".r.findAllMatchIn(txt)
+            .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        } else Map.empty
+      val merged = (prev.keySet ++ all.keySet).toSeq.sorted.flatMap { k =>
+        val vs = (prev.get(k).toSeq ++ all.get(k).toSeq).filter(_ >= 0)
+        if (vs.isEmpty) None else Some(k -> vs.min)
+      }
+      val bestJson = merged
+        .map { case (k, v) => "\"" + k + "\":" + BigDecimal(v)
+          .setScale(3, BigDecimal.RoundingMode.HALF_UP) }
+        .mkString("{", ",", "}")
+      Files.writeString(bp, bestJson + "\n")
+      if (scaleRunsJson != "[]") {
+        val logFile = sys.env.getOrElse(
+          "GRAFT_BENCH_SCALE_LOG", "bench_scale_runs.jsonl")
+        val entry = s"""{"ts":${System.currentTimeMillis() / 1000}""" +
+          s""","sf":"$sfDir","alleles":$scaleN,"runs":$scaleRunsJson""" +
+          scaleExtra.toSeq.sortBy(_._1).map { case (k, v) =>
+            f""","$k":$v%.3f""" }.mkString + "}"
+        Files.writeString(Paths.get(logFile), entry + "\n",
+          java.nio.file.StandardOpenOption.CREATE,
+          java.nio.file.StandardOpenOption.APPEND)
+      }
+    } catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[bench] round-best persistence failed: $e")
     }
     println(line)
     spark.stop()

@@ -81,7 +81,16 @@ object GraphAlgorithms {
     * scheduling-bound, measured 23→9 s at 1.2M edges going 32→4);
     * gain-scan fixpoints whose per-round work is several edge-sized
     * joins (Louvain) stay compute-bound and want real parallelism
-    * (~150k edges/partition measured best at the same scale). */
+    * (~150k edges/partition measured best at the same scale).
+    *
+    * NOT concurrency-safe: the session conf is shared, so a query
+    * submitted on the same SparkSession while a fixpoint is inside
+    * this scope silently plans with the graph-sized partition count,
+    * and overlapping/nested calls restore a stale value. The engine's
+    * own callers run their fixpoints single-threaded per session (the
+    * bench, Verify, and every spec do); a caller that shares one
+    * session across query threads should hand the algorithm a
+    * `spark.newSession()` clone, which scopes the conf for free. */
   private def withGraphShuffle[T](spark: SparkSession, edgeCount: Long,
       perPartition: Long = 1000000L)(body: => T): T = {
     val key = "spark.sql.shuffle.partitions"
@@ -927,20 +936,54 @@ object GraphAlgorithms {
       var round = 0
       var quietRounds = 0
       movedInPass = false
+      // Dirty-vertex frontier (round 11): a vertex's candidate scores
+      // change only when a move touches its own community or a
+      // neighbor's community — k and kvc are static otherwise, and
+      // Σtot only changes for the moved vertices' old/new communities.
+      // So from round 2 on, only vertices whose community (or a
+      // neighbor's) was touched by a move in the last TWO rounds
+      // (both parity classes of the direction guard) are re-scored;
+      // everyone else provably repeats their last same-parity "stay"
+      // decision. Rounds 0 and 1 score everyone (no prior same-parity
+      // evaluation exists), so the move schedule is BIT-IDENTICAL to
+      // the full scan — louvainLocal parity and the modularity oracle
+      // are untouched — while settled regions drop out of the
+      // edge-sized gain scan in the rounds that dominate wall time.
+      var touched1: DataFrame = null // coms touched by last round
+      var touched2: DataFrame = null // ... and the round before
       // Exit only after TWO consecutive quiet rounds: the parity guard
       // alternates which vertices may move per round, so a single
       // quiet round only proves one parity class is settled — exiting
       // on it would strand the other class mid-move (e.g. a 2-node
       // graph whose ids both hash to parity 1 would never merge).
       while (round < maxRounds && quietRounds < 2) {
+        val dirtyIds: DataFrame =
+          if (round < 2) null
+          else {
+            val dcoms = touched1.unionByName(touched2).distinct()
+            val members = state.join(maybeB(dcoms), "com").select("id")
+            val nbrs = und
+              .join(maybeB(members.withColumnRenamed("id", "m")),
+                Seq("m"), "left_semi")
+              .select(col("n").as("id"))
+            members.unionByName(nbrs).distinct()
+              .localCheckpoint(eager = true)
+          }
         // Σtot per community, and k_{v,c} per (vertex, neighbor com)
         val tot = state.join(maybeB(deg), "id").groupBy("com")
           .agg(sum("k").as("tot"))
-        val kvc = und
+        val undS =
+          if (dirtyIds == null) und
+          else und.join(maybeB(dirtyIds.withColumnRenamed("id", "n")),
+            Seq("n"), "left_semi")
+        val kvc = undS
           .join(maybeB(state.select(col("id").as("m"), col("com"))), "m")
           .groupBy(col("n").as("id"), col("com"))
           .agg(sum("w").as("kvc"))
-        val cur = state.withColumnRenamed("com", "cur_com")
+        val curAll = state.withColumnRenamed("com", "cur_com")
+        val cur =
+          if (dirtyIds == null) curAll
+          else curAll.join(maybeB(dirtyIds), Seq("id"), "left_semi")
         // candidate score for v→c (c over neighbor coms ∪ current):
         // 2m·k_{v,c} − k_v·(Σtot_c − k_v·[c = cur]) , longs throughout
         val cand = kvc
@@ -985,13 +1028,26 @@ object GraphAlgorithms {
           .select(col("id"),
             when(col("moved"), col("cand_com")).otherwise(col("cur_com"))
               .as("com"),
-            col("moved"))
+            col("moved"),
+            col("cur_com").as("prev_com"))
         // the moved flag rides the checkpoint, so convergence detection
         // is a scan of already-materialized partitions, not a re-join
         // of this round's state against the previous round's
         val nextF = best.localCheckpoint(eager = true)
-        val movedInRound = nextF.where(col("moved")).limit(1).count() > 0
-        val next = nextF.select("id", "com")
+        val movedRows = nextF.where(col("moved"))
+        val movedInRound = movedRows.limit(1).count() > 0
+        // frontier bookkeeping: the communities this round's moves
+        // touched (old ∪ new) drive round+2's dirty set
+        touched2 = touched1
+        touched1 = movedRows
+          .select(explode(array(col("com"), col("prev_com"))).as("com"))
+          .distinct()
+          .localCheckpoint(eager = true)
+        val next =
+          if (dirtyIds == null) nextF.select("id", "com")
+          else nextF.select("id", "com").unionByName(
+              state.join(dirtyIds, Seq("id"), "left_anti"))
+            .localCheckpoint(eager = true)
         if (movedInRound) { movedInPass = true; quietRounds = 0 }
         else quietRounds += 1
         state = next
@@ -1459,11 +1515,32 @@ object GraphAlgorithms {
     * vertices with fwd = bwd = m form exactly SCC(m) (m reaches v
     * and v reaches m, and m is then the SCC's minimal member) and
     * peel off. The globally minimal alive id always satisfies the
-    * test, so every round assigns ≥1 SCC: rounds ≤ condensation-DAG
-    * peel depth (shallow on the near-symmetric graphs dedup
-    * pipelines produce), each round O(E) joins with
-    * checkpoint-truncated lineage, loud failure past `maxIter` like
-    * every sibling fixpoint.
+    * test, so every round assigns ≥1 SCC. Three accelerators keep the
+    * round count graph-shape-proof (round 10's form degenerated to
+    * O(condensation-chain-length) rounds and O(diameter) inner joins
+    * — a 200-link chain blew the budget):
+    *
+    *  1. TRIM — a vertex with no in-edge or no out-edge in the alive
+    *     subgraph lies on no cycle: a singleton SCC, peeled with two
+    *     distinct+semi-joins and no propagation. The acyclic fringe
+    *     (most of a real call/citation DAG) never pays a fixpoint.
+    *  2. Pointer-DOUBLING in the min-label fixpoint — each round
+    *     takes one edge hop and one label hop (lbl(v) ← lbl(lbl(v)),
+    *     sound because lbl(v) reaches v and lbl(lbl(v)) reaches
+    *     lbl(v)), so labels cross 2^i hops after i rounds:
+    *     convergence in O(log diameter) joins, not O(diameter).
+    *  3. Pair-class EDGE DROP — members of one SCC share identical
+    *     reach sets, hence identical (fwd, bwd) label pairs; an edge
+    *     whose endpoints disagree on the pair can never be intra-SCC
+    *     and is dropped after each peel. A condensation chain's pair
+    *     classes are all distinct, so every chain edge drops at once
+    *     and the next round's trim sweeps the chain in one pass —
+    *     O(1) outer rounds where peeling min-SCCs one at a time
+    *     needed O(chain).
+    *
+    * Each round is O(E) equi-joins with checkpoint-truncated
+    * lineage; loud failure past `maxIter` like every sibling
+    * fixpoint.
     */
   def stronglyConnectedComponentsDF(edges: DataFrame, src: String,
       dst: String, maxIter: Int = 50,
@@ -1472,7 +1549,8 @@ object GraphAlgorithms {
     val es = edges
       .select(col(src).cast("string").as("a"), col(dst).cast("string").as("b"))
       .cache()
-    if (localThreshold > 0 && es.count() <= localThreshold) {
+    val nE = es.count()
+    if (localThreshold > 0 && nE <= localThreshold) {
       import spark.implicits._
       val rows = es.collect().map(r => (r.getString(0), r.getString(1)))
       es.unpersist()
@@ -1529,6 +1607,11 @@ object GraphAlgorithms {
       }
       return spark.createDataset(comp.toSeq).toDF("id", "component")
     }
+    // Same right-sizing as connectedComponentsDF: the peel's rounds
+    // are V-sized label frames — scheduling-bound, not compute-bound
+    // — so the session shuffle width pays partitions × stages of task
+    // latency per round for kilobyte tasks.
+    withGraphShuffle(spark, nE) {
     val e0 = es.where(col("a") =!= col("b")).distinct()
       .localCheckpoint(eager = true)
     // Vertex set from the RAW edge list (a vertex with only
@@ -1537,8 +1620,9 @@ object GraphAlgorithms {
       .unionByName(es.select(col("b").as("id"))).distinct()
       .localCheckpoint(eager = true)
     es.unpersist()
-    // Min-label propagation fixpoint: lbl(v) = min over {v} ∪
-    // {u : u →* v in e}. One equi-join + partial-agg per round.
+    // Min-label propagation fixpoint with the doubling shortcut:
+    // lbl(v) = min over {v} ∪ {u : u →* v in e}. One edge hop + one
+    // label hop per round → O(log diameter) rounds.
     def minProp(e: DataFrame, verts: DataFrame): DataFrame = {
       var lbl = verts.withColumn("lbl", col("id"))
         .localCheckpoint(eager = true)
@@ -1548,14 +1632,27 @@ object GraphAlgorithms {
         val nbrMin = e
           .join(lbl.select(col("id").as("a"), col("lbl").as("albl")), "a")
           .groupBy(col("b").as("id")).agg(min("albl").as("nbr"))
-        val next = lbl.join(nbrMin, Seq("id"), "left")
+        val hop = lbl.withColumnRenamed("lbl", "old")
+          .join(nbrMin, Seq("id"), "left")
           .select(col("id"),
-            least(col("lbl"), coalesce(col("nbr"), col("lbl"))).as("lbl"))
+            least(col("old"), coalesce(col("nbr"), col("old"))).as("lbl"),
+            col("old"))
           .localCheckpoint(eager = true)
-        val changed = next
-          .join(lbl.withColumnRenamed("lbl", "old"), "id")
-          .where(col("lbl") =!= col("old")).limit(1).count()
-        lbl = next
+        // lbl(v) ← min(lbl(v), lbl(lbl(v))): lbl(v) reaches v and
+        // lbl(lbl(v)) reaches lbl(v), so the composed hop is a real
+        // reachability — labels cross 2^i hops after i rounds. The
+        // chg flag rides the checkpoint (louvainDF's trick), so the
+        // convergence test is a scan of materialized partitions, not
+        // a re-join against the previous round.
+        val dbl = least(col("lbl"), coalesce(col("_plbl"), col("lbl")))
+        val next = hop
+          .join(hop.select(col("id").as("_p"), col("lbl").as("_plbl")),
+            col("lbl") === col("_p"), "left")
+          .select(col("id"), dbl.as("lbl"),
+            (dbl =!= col("old")).as("chg"))
+          .localCheckpoint(eager = true)
+        val changed = next.where(col("chg")).limit(1).count()
+        lbl = next.select("id", "lbl")
         converged = changed == 0
         i += 1
       }
@@ -1564,24 +1661,75 @@ object GraphAlgorithms {
       lbl
     }
     var alive = verts0
+    var e = e0 // already self-loop-free, and endpoints ⊆ verts0
     val comps = ArrayBuffer.empty[DataFrame]
     var round = 0
     while (round < maxIter && alive.limit(1).count() > 0) {
-      val e = e0
-        .join(alive.select(col("id").as("a")), Seq("a"), "left_semi")
-        .join(alive.select(col("id").as("b")), Seq("b"), "left_semi")
-        .select("a", "b")
-        .localCheckpoint(eager = true)
-      val fwd = minProp(e, alive)
-      val bwd = minProp(e.select(col("b").as("a"), col("a").as("b")), alive)
-      val scc = fwd
-        .join(bwd.withColumnRenamed("lbl", "blbl"), "id")
-        .where(col("lbl") === col("blbl"))
-        .select(col("id"), col("lbl").as("component"))
-        .localCheckpoint(eager = true)
-      comps += scc
-      alive = alive.join(scc, Seq("id"), "left_anti")
-        .localCheckpoint(eager = true)
+      // Trim: no in-edge or no out-edge ⇒ on no cycle ⇒ singleton
+      // SCC. A few passes per round — each exposes the next layer of
+      // sources/sinks; anything deeper is the propagation's job.
+      var trimming = true
+      var trimRounds = 0
+      while (trimming && trimRounds < 3) {
+        // single-shuffle degree test: present as source AND as sink
+        val keep = e
+          .select(col("a").as("id"), lit(1).as("_o"), lit(0).as("_i"))
+          .unionByName(
+            e.select(col("b").as("id"), lit(0).as("_o"), lit(1).as("_i")))
+          .groupBy("id").agg(max("_o").as("_o"), max("_i").as("_i"))
+          .where(col("_o") === 1 && col("_i") === 1)
+          .select("id")
+          .localCheckpoint(eager = true)
+        val trimmed = alive.join(keep, Seq("id"), "left_anti")
+          .localCheckpoint(eager = true)
+        if (trimmed.limit(1).count() == 0) trimming = false
+        else {
+          comps += trimmed.withColumn("component", col("id"))
+          alive = keep
+          e = e
+            .join(keep.select(col("id").as("a")), Seq("a"), "left_semi")
+            .join(keep.select(col("id").as("b")), Seq("b"), "left_semi")
+            .select("a", "b")
+            .localCheckpoint(eager = true)
+        }
+        trimRounds += 1
+      }
+      if (alive.limit(1).count() > 0) {
+        // fwd and bwd are independent fixpoints over the same edges —
+        // run them as concurrent job streams: the rounds are
+        // scheduling-bound at graph-sized partition counts, so the
+        // scheduler interleaves them for ~2× on the propagation
+        // phase (same overlap trick as the bench's graph-load tails).
+        val (fwd, bwd) = {
+          import scala.concurrent.{Await, Future}
+          import scala.concurrent.duration.Duration
+          import scala.concurrent.ExecutionContext.Implicits.global
+          val f = Future(minProp(e, alive))
+          val g = Future(minProp(
+            e.select(col("b").as("a"), col("a").as("b")), alive))
+          (Await.result(f, Duration.Inf), Await.result(g, Duration.Inf))
+        }
+        val both = fwd.join(bwd.withColumnRenamed("lbl", "blbl"), "id")
+          .localCheckpoint(eager = true)
+        val scc = both.where(col("lbl") === col("blbl"))
+          .select(col("id"), col("lbl").as("component"))
+        comps += scc
+        alive = alive.join(scc, Seq("id"), "left_anti")
+          .localCheckpoint(eager = true)
+        // Pair-class edge drop (soundness: same SCC ⇒ same reach
+        // sets ⇒ same (fwd, bwd) minima). Edges into/out of a peeled
+        // SCC always disagree on the pair; the surviving intra-SCC
+        // edges of peeled components die on the alive semi-join.
+        e = e
+          .join(both.select(col("id").as("a"),
+            col("lbl").as("_fa"), col("blbl").as("_ba")), "a")
+          .join(both.select(col("id").as("b"),
+            col("lbl").as("_fb"), col("blbl").as("_bb")), "b")
+          .where(col("_fa") === col("_fb") && col("_ba") === col("_bb"))
+          .select("a", "b")
+          .join(alive.select(col("id").as("a")), Seq("a"), "left_semi")
+          .localCheckpoint(eager = true)
+      }
       round += 1
     }
     if (alive.limit(1).count() > 0) throw new IllegalStateException(
@@ -1589,6 +1737,7 @@ object GraphAlgorithms {
         "rounds; raise maxIter (rounds needed = condensation peel depth)")
     if (comps.isEmpty) verts0.withColumn("component", col("id")).limit(0)
     else comps.reduceLeft(_ unionByName _)
+    }
   }
 
   def labelPropagation(pairs: DataFrame, src: String, dst: String,

@@ -50,17 +50,27 @@ object Motif {
     * Cypher; reference.rst:34-37's documented traversal is written
     * with undirected edges), which [[path]]'s fixed-hop fold cannot
     * express. Implemented as the union of fixed-k expansions with a
-    * visited-node guard: SIMPLE paths (no vertex revisited), the
-    * standard no-revisit rule that keeps the expansion finite on
-    * cycles. (Cypher's native uniqueness is per-relationship, which
-    * additionally admits paths that return to an earlier vertex over
-    * fresh edges; on the gfe graph's multipartite shape the two
-    * semantics coincide for max ≤ diameter, and node-distinctness is
-    * the one that bounds state at 100 TB.)
+    * visited guard, in either of Cypher's two uniqueness semantics:
     *
-    * Returns one row per (n_start, n_end, len) with the simple-path
-    * count — the reachability-with-multiplicity relation ad-hoc
-    * traversals consume.
+    *  - `edgeDistinct = false` (default): SIMPLE paths — no vertex
+    *    revisited; the tighter rule, and the one that bounds state
+    *    at 100 TB (visited arrays stay ≤ max+1 node ids).
+    *  - `edgeDistinct = true`: TRAILS — Cypher's native
+    *    per-RELATIONSHIP uniqueness (`-[*1..k]-` proper): a path may
+    *    return to an earlier vertex over fresh edges, but no edge is
+    *    traversed twice; with `either = true` an edge's two
+    *    orientations are ONE relationship (the visited mark is the
+    *    canonical least‖greatest endpoint pair), exactly Cypher's
+    *    undirected-traversal rule. On the gfe graph's multipartite
+    *    shape the two semantics coincide for max ≤ diameter; on
+    *    cyclic subgraphs trails additionally count closed walks
+    *    (a triangle's x–y–z–x at len 3).
+    *
+    * Self-loops are dropped in both modes before expansion.
+    *
+    * Returns one row per (n_start, n_end, len) with the path count
+    * under the chosen uniqueness — the reachability-with-multiplicity
+    * relation ad-hoc traversals consume.
     *
     * Scale shape: hop k is ONE equi-join of the length-(k−1) frontier
     * with the edge list on the frontier's end key, guarded by an
@@ -70,23 +80,38 @@ object Motif {
     * downstream hop. No transitive-closure materialization.
     */
   def varPath(edges: DataFrame, src: String, dst: String,
-      minLen: Int, maxLen: Int, either: Boolean = false): DataFrame = {
+      minLen: Int, maxLen: Int, either: Boolean = false,
+      edgeDistinct: Boolean = false): DataFrame = {
     require(minLen >= 1 && maxLen >= minLen, "need 1 <= minLen <= maxLen")
     val e0 = edges
       .select(col(src).cast("string").as("a"), col(dst).cast("string").as("b"))
       .where(col("a") =!= col("b"))
     val e = (if (either) e0.unionByName(e0.select(col("b").as("a"), col("a").as("b")))
       else e0).distinct()
+    // Trail mode's visited mark is the traversed RELATIONSHIP: the
+    // canonical endpoint pair when either-direction traversal folds
+    // both orientations into one relationship, the ordered pair when
+    // direction distinguishes them. The \u0001 separator cannot
+    // appear in node keys (they derive from text columns), so the
+    // mark is collision-free.
+    def ekey(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
+      if (either) concat(least(x, y), lit("\u0001"), greatest(x, y))
+      else concat(x, lit("\u0001"), y)
+    val seed =
+      if (edgeDistinct) array(ekey(col("a"), col("b")))
+      else array(col("a"), col("b"))
     var frontier = e.select(col("a").as("n_start"), col("b").as("n_end"),
-      array(col("a"), col("b")).as("visited"), lit(1).as("len"))
+      seed.as("visited"), lit(1).as("len"))
     var out = frontier
     for (l <- 2 to maxLen) {
       val step = e.select(col("a").as("_sa"), col("b").as("_sb"))
+      val mark =
+        if (edgeDistinct) ekey(col("_sa"), col("_sb")) else col("_sb")
       frontier = frontier
         .join(step, col("n_end") === col("_sa"))
-        .where(!array_contains(col("visited"), col("_sb")))
+        .where(!array_contains(col("visited"), mark))
         .select(col("n_start"), col("_sb").as("n_end"),
-          concat(col("visited"), array(col("_sb"))).as("visited"),
+          concat(col("visited"), array(mark)).as("visited"),
           lit(l).as("len"))
       out = out.unionByName(frontier)
     }
@@ -100,7 +125,8 @@ object Motif {
     * (composite-key far ends get the same `:`-joined encoding as
     * [[path]]). */
   def varPath(g: GraphLoad.Graph, labels: Seq[String],
-      minLen: Int, maxLen: Int, either: Boolean): DataFrame = {
+      minLen: Int, maxLen: Int, either: Boolean,
+      edgeDistinct: Boolean): DataFrame = {
     val e = labels.map { lbl =>
       val t = g.edgeTables(lbl)
       val dstExpr =
@@ -110,6 +136,6 @@ object Motif {
             .map(col).toIndexedSeq: _*)
       t.select(col("src"), dstExpr.as("dst"))
     }.reduce(_ unionByName _)
-    varPath(e, "src", "dst", minLen, maxLen, either)
+    varPath(e, "src", "dst", minLen, maxLen, either, edgeDistinct)
   }
 }

@@ -29,7 +29,12 @@ object PrefixSum {
 
   /** Adds `out` = the EXCLUSIVE prefix sum of `valueCol` (as long) in
     * ascending `orderCol` order. `orderCol` must be unique (ties
-    * could straddle a range boundary). */
+    * could straddle a range boundary), and `df`'s lineage must be
+    * DETERMINISTIC: the ranged frame (and its `_pid` column) is
+    * evaluated twice — once for the totals job, once for the output
+    * job — so a nondeterministic upstream (unstable sampling, an
+    * unordered `limit`) would silently mis-offset rows rather than
+    * fail. NULL values count as 0. */
   def exclusive(df: DataFrame, orderCol: String, valueCol: String,
       out: String, partitions: Int = 0): DataFrame = {
     val spark = df.sparkSession
@@ -38,7 +43,10 @@ object PrefixSum {
     val v = col(valueCol).cast("long")
     val ranged = df.repartitionByRange(p, col(orderCol))
       .withColumn("_pid", spark_partition_id())
-    val totals = ranged.groupBy("_pid").agg(sum(v).as("_t"))
+    // coalesce: a range partition whose values are all NULL sums to
+    // NULL, which must fold as 0, not NPE the driver.
+    val totals = ranged.groupBy("_pid")
+      .agg(coalesce(sum(v), lit(0L)).as("_t"))
       .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
     if (totals.isEmpty) return df.withColumn(out, lit(0L))
     val offsets = totals

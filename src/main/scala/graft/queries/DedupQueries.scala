@@ -640,6 +640,10 @@ object DedupQueries {
     // production path for big graphs (O(|S|·E) multi-source BFS
     // instead of the exact form's all-pairs table), on the same
     // deterministic doc_id%3 pivot set as the sampled harmonic.
+    // Named for what it emits (the σ-BFS relation, NOT betweenness
+    // scores — renamed from d_dup_betweenness_sampled in round 11 so
+    // the contract matches the name; the sampled δ fold lives in
+    // betweennessDF, spec-bounded).
     // HASH-ORACLED on the (src, vertex, dist, σ) relation: dist and
     // the shortest-path counts are exact integers with a
     // layer-synchronous recurrence, and DuckDB re-derives the whole
@@ -652,7 +656,7 @@ object DedupQueries {
     // all-sources ≡ exact, subset-partial monotonicity, and
     // run-to-run determinism.
     QueryDef(
-      "d_dup_betweenness_sampled",
+      "d_dup_bfs_sigma_sampled",
       s"""$lshPairsSql,
         |und AS (SELECT d1 AS a, d2 AS b FROM pairs
         |        UNION SELECT d2, d1 FROM pairs),

@@ -344,7 +344,47 @@ object GfeQueries {
       import org.apache.spark.sql.functions._
       import graft.graph.Motif
       Motif.varPath(graph(s),
-          Seq("HAS_IPD_ALLELE", "HAS_IPD_ACCESSION"), 1, 3, either = true)
+          Seq("HAS_IPD_ALLELE", "HAS_IPD_ACCESSION"), 1, 3,
+          either = true, edgeDistinct = false)
+        .select(col("n_start"), col("n_end"),
+          col("len").cast("long").as("len"), col("n_paths"))
+        .orderBy("n_start", "n_end", "len")
+    }),
+    // Trail-uniqueness variant — Cypher's NATIVE `-[*1..3]-` rule
+    // (per-RELATIONSHIP uniqueness: nodes may recur over fresh
+    // edges; an undirected relationship's two orientations are one
+    // edge). Oracle: the same recursive CTE with the visited list
+    // carrying canonical least‖greatest edge keys instead of nodes —
+    // counts are exact integers, full hash parity.
+    QueryDef("gfe_motif_varlen_trail",
+      s"""WITH RECURSIVE e0 AS (
+         |  SELECT CAST(src AS VARCHAR) AS a, CAST(dst AS VARCHAR) AS b
+         |  FROM ${aux("e_HAS_IPD_ALLELE")}
+         |  UNION SELECT CAST(src AS VARCHAR), CAST(dst AS VARCHAR)
+         |  FROM ${aux("e_HAS_IPD_ACCESSION")}),
+         |e AS (SELECT a, b FROM e0 WHERE a <> b
+         |      UNION SELECT b, a FROM e0 WHERE a <> b),
+         |walk(n_start, n_end, visited, len) AS (
+         |  SELECT a, b, [concat(least(a, b), chr(1), greatest(a, b))], 1
+         |  FROM e
+         |  UNION ALL
+         |  SELECT w.n_start, e.b,
+         |         list_append(w.visited,
+         |           concat(least(e.a, e.b), chr(1), greatest(e.a, e.b))),
+         |         w.len + 1
+         |  FROM walk w JOIN e ON e.a = w.n_end
+         |  WHERE w.len < 3 AND NOT list_contains(w.visited,
+         |    concat(least(e.a, e.b), chr(1), greatest(e.a, e.b))))
+         |SELECT n_start, n_end, CAST(len AS BIGINT) AS len,
+         |       CAST(count(*) AS BIGINT) AS n_paths
+         |FROM walk
+         |GROUP BY 1, 2, 3
+         |ORDER BY 1, 2, 3""".stripMargin)((s, _) => {
+      import org.apache.spark.sql.functions._
+      import graft.graph.Motif
+      Motif.varPath(graph(s),
+          Seq("HAS_IPD_ALLELE", "HAS_IPD_ACCESSION"), 1, 3,
+          either = true, edgeDistinct = true)
         .select(col("n_start"), col("n_end"),
           col("len").cast("long").as("len"), col("n_paths"))
         .orderBy("n_start", "n_end", "len")

@@ -17,13 +17,39 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * `spark.catalog.clearCache()` (which would blow away every cached
   * table in the session, theirs included).
   *
-  * Session keys are weak so a stopped session stays collectable; GC
-  * of an entry does not unpersist (the session's storage died with
-  * the session).
+  * Session keys are weak, but weakness alone does not make a stopped
+  * session collectable: the map VALUES are DataFrames, which hold
+  * their SparkSession, and the WeakHashMap contract says a value
+  * that (transitively) references its own key pins the entry. So the
+  * first memo built for a session also registers a context
+  * application-end hook that DROPS that session's per-table maps
+  * outright — no unpersist (the session's storage died with the
+  * session), just releasing the plan objects so the session can be
+  * collected.
   */
 object Memo {
   private val registry =
     new java.util.ArrayList[Table[_]]()
+
+  private val hooked = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, java.lang.Boolean]())
+
+  private def hook(s: SparkSession): Unit =
+    if (hooked.put(s, java.lang.Boolean.TRUE) == null) {
+      // The listener must not strongly hold the session (that would
+      // recreate the leak it exists to fix) — weak-ref it.
+      val ref = new java.lang.ref.WeakReference(s)
+      try s.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onApplicationEnd(
+              e: org.apache.spark.scheduler
+                .SparkListenerApplicationEnd): Unit = {
+            val sess = ref.get()
+            if (sess != null) tables.foreach(_.drop(sess))
+          }
+        })
+      catch { case _: IllegalStateException => () } // already stopped
+    }
 
   /** One memo table: a value built once per (session, dataDir) and
     * unpersisted when evicted. */
@@ -42,8 +68,15 @@ object Memo {
     }
 
     def apply(s: SparkSession, d: String)(build: => V): V = {
+      hook(s)
       val m = perSession(s)
       m.synchronized(m.getOrElseUpdate(d, build))
+    }
+
+    /** Forget the session's map without unpersisting — the
+      * application-end path, where the executors are already gone. */
+    private[Memo] def drop(s: SparkSession): Unit = {
+      cache.remove(s); ()
     }
 
     private[Memo] def evict(s: SparkSession, d: String): Unit = {

@@ -444,6 +444,15 @@ object EventStreams {
   private def bucketPath(stateDir: String, version: Int, bucket: Int) =
     s"$stateDir/v$version/_graft_bucket=$bucket"
 
+  /** Store-width default for [[cdcApply]]: 16 at fixture scale
+    * (thousands on a 100 TB store — `numBuckets` trades per-batch
+    * write amplification against small-file count). Env-tunable
+    * (`GRAFT_CDC_BUCKETS`) so the bucketing's constant overhead is
+    * measurable without a code edit: a 1-bucket store is exactly the
+    * pre-bucketing single-table layout. */
+  private[graft] def defaultNumBuckets: Int =
+    sys.env.getOrElse("GRAFT_CDC_BUCKETS", "16").toInt
+
   /** Generic continuous CDC apply over a KEY-PARTITIONED versioned
     * state store — the streaming form of
     * [[graft.operators.MergeInto]]. State lives at `stateDir` as
@@ -479,18 +488,30 @@ object EventStreams {
       stateKeys: Seq[String],
       toDelta: DataFrame => DataFrame,
       merge: (DataFrame, DataFrame) => DataFrame,
-      numBuckets: Int = 16): DataFrame = {
+      numBuckets: Int = defaultNumBuckets): DataFrame = {
+    val stateSchema = initState.schema
     def manifestPath(v: Int) = s"$stateDir/manifest/v$v"
-    // Schema-carrying empty state: the read side for buckets that
-    // have never held rows (an empty partitionBy write creates no
-    // leaf directory to point at).
-    initState.limit(0).coalesce(1)
-      .write.mode("overwrite").parquet(s"$stateDir/_empty")
-    val initPresent = writeBuckets(
-      initState, stateKeys, numBuckets, s"$stateDir/v0")
-    writeManifest(spark, manifestPath(0),
-      (0 until numBuckets).map(k =>
-        k -> (if (initPresent(k)) 0 else -1)).toMap)
+    // Init is write-once: a `_chk` restart of a partially-processed
+    // stream must NOT re-materialize v0 — committed manifests
+    // inherit unchanged v0 buckets by reference, and the overwrite
+    // deletes those files before rewriting them, so a crash in that
+    // window would leave committed versions pointing at nothing (and
+    // a changed `initState` would silently splice into history). The
+    // v0 manifest is written LAST, so its existence certifies the
+    // bucket files and `_empty` schema are all complete on disk.
+    val (initFs, m0) = hadoopFs(spark, manifestPath(0))
+    if (!initFs.exists(m0)) {
+      // Schema-carrying empty state: the read side for buckets that
+      // have never held rows (an empty partitionBy write creates no
+      // leaf directory to point at).
+      initState.limit(0).coalesce(1)
+        .write.mode("overwrite").parquet(s"$stateDir/_empty")
+      val initPresent = writeBuckets(
+        initState, stateKeys, numBuckets, s"$stateDir/v0")
+      writeManifest(spark, manifestPath(0),
+        (0 until numBuckets).map(k =>
+          k -> (if (initPresent(k)) 0 else -1)).toMap)
+    }
     val q = changes.writeStream
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
         val ss = batch.sparkSession
@@ -503,7 +524,7 @@ object EventStreams {
           if (dirty.isEmpty) base
           else {
             val dirtyState = stateAt(ss, stateDir, base.filter {
-              case (k, _) => dirty(k) })
+              case (k, _) => dirty(k) }, Some(stateSchema))
             val written = writeBuckets(
               merge(dirtyState, delta), stateKeys, numBuckets,
               s"$stateDir/v${id + 1}")
@@ -527,11 +548,19 @@ object EventStreams {
   }
 
   private def stateAt(spark: SparkSession, stateDir: String,
-      manifest: Map[Int, Int]): DataFrame = {
+      manifest: Map[Int, Int],
+      schema: Option[org.apache.spark.sql.types.StructType] = None)
+      : DataFrame = {
     val paths = manifest.toSeq.sorted.collect {
       case (k, v) if v >= 0 => bucketPath(stateDir, v, k) }
-    if (paths.isEmpty) spark.read.parquet(s"$stateDir/_empty")
-    else spark.read.parquet(paths: _*)
+    // With the schema known (the apply loop knows it from initState —
+    // merge() is required to preserve it), the read skips per-batch
+    // parquet footer inference over every referenced bucket dir: at
+    // fixture scale that inference is a visible slice of the
+    // bucketed store's per-batch constant cost.
+    val rd = schema.fold(spark.read)(spark.read.schema)
+    if (paths.isEmpty) rd.parquet(s"$stateDir/_empty")
+    else rd.parquet(paths: _*)
   }
 
   /** Read the newest committed state version of a [[cdcApply]] store —

@@ -277,4 +277,52 @@ class GfeBuildSpec extends AnyFunSuite {
     assert(newKeySteps >= 3,
       s"fold must keep introducing new feature keys (saw $newKeySteps steps)")
   }
+
+  test("57-release fold: the reference's full history envelope " +
+      "(README.md:535) — accessions stable end to end") {
+    // The real deployment replayed 57 releases through the registry
+    // exactly once, serially. Tiny per-release sizes keep the spec
+    // tractable; the invariant load is carried by SNAPSHOTS every 14
+    // steps (stability + contiguity between consecutive snapshots
+    // covers every persisted key — an accession renumbered at any
+    // intermediate step would still differ at the next snapshot,
+    // because renumbering is never undone by a later fold step: the
+    // registry carries accessions forward verbatim).
+    import graft.gfe.SyntheticRelease
+    val sizes = (1 to 57).map(k => 30 + 6 * k)
+    val k = Seq("locus", "term", "rank", "sequence")
+    var reg: Option[org.apache.spark.sql.DataFrame] = None
+    var snap: Option[org.apache.spark.sql.DataFrame] = None
+    var prevKeys = 0L
+    sizes.zipWithIndex.foreach { case (n, i) =>
+      val r = GfeBuild.run(spark,
+        ImgtFlatFile.read(spark, SyntheticRelease.materialize(n).toString),
+        (3300 + 5 * i).toString, registry = reg)
+      val cur = r.registry.localCheckpoint(true)
+      val keys = cur.count()
+      assert(keys >= prevKeys, s"step $i: registry shrank")
+      prevKeys = keys
+      if (i % 14 == 0 || i == 56) {
+        snap.foreach { prev =>
+          assert(cur.as("n").join(prev.as("o"), k)
+            .where(col("n.accession") =!= col("o.accession")).count() == 0,
+            s"snapshot at step $i renumbered a persisted accession")
+          val oldMax = prev.groupBy("locus", "term", "rank")
+            .agg(max("accession").as("old_max"))
+          val fresh = cur.as("n")
+            .join(prev.select(k.map(col): _*), k, "left_anti")
+          val bad = fresh.groupBy("locus", "term", "rank")
+            .agg(min("accession").as("new_min"),
+              max("accession").as("new_max"), count(lit(1)).as("n_new"))
+            .join(oldMax, Seq("locus", "term", "rank"), "left")
+            .where(col("new_min") =!= coalesce(col("old_max"), lit(0L)) + 1 ||
+              col("new_max") =!= coalesce(col("old_max"), lit(0L)) + col("n_new"))
+          assert(bad.count() == 0, s"step $i: " + bad.collect().mkString("; "))
+        }
+        snap = Some(cur)
+      }
+      reg = Some(cur)
+    }
+    assert(prevKeys > 0)
+  }
 }

@@ -686,4 +686,34 @@ class GraphAlgorithmsSpec extends AnyFunSuite {
     val sizes = local.groupBy(_._2).map(_._2.size)
     assert(sizes.exists(_ > 1) && sizes.exists(_ == 1))
   }
+
+  test("scc: a 220-link condensation chain peels within the round budget") {
+    // The round-10 peel degenerated on exactly this shape: a long
+    // chain of singleton SCCs (every DAG-ish call/citation graph has
+    // one) needed O(chain) rounds and O(diameter) inner joins — a
+    // 200+ chain threw at maxIter=50. Trim + doubling + pair-class
+    // edge drop must absorb it: two cycles (non-trivial SCCs) joined
+    // by a 220-vertex chain, with side tails hanging off the chain so
+    // trim has layered work too. Distributed path forced
+    // (localThreshold = 0), default maxIter.
+    def pad(i: Int) = f"c$i%04d" // zero-pad: UTF-8 order == numeric
+    val cycleA = (0 until 12).map(i => (s"a$i", s"a${(i + 1) % 12}"))
+    val cycleB = (0 until 9).map(i => (s"b$i", s"b${(i + 1) % 9}"))
+    val chain = (0 until 219).map(i => (pad(i), pad(i + 1)))
+    val edges = (cycleA ++ cycleB ++
+      Seq(("a0", pad(0)), (pad(219), "b0")) ++ // cycleA → chain → cycleB
+      (0 until 219 by 20).map(i => (pad(i), s"t$i")) // sink tails
+    ).toDF("s", "t")
+    val local = GraphAlgorithms
+      .stronglyConnectedComponentsDF(edges, "s", "t")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val dist = GraphAlgorithms
+      .stronglyConnectedComponentsDF(edges, "s", "t", localThreshold = 0)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(local == dist)
+    // shape sanity: the chain vertices are singletons, the cycles fuse
+    val byComp = local.groupBy(_._2)
+    assert(byComp("a0").size == 12 && byComp("b0").size == 9)
+    assert(byComp(pad(100)) == Set((pad(100), pad(100))))
+  }
 }

@@ -142,6 +142,19 @@ class GraphLoadSpec extends AnyFunSuite {
     assert(!und.contains(("a", "a", 2)), "backtrack a-b-a blocked")
     assert(Motif.varPath(edges, "src", "dst", 2, 3)
       .where(col("len") === 1).count() == 0, "minLen prunes")
+    // trail mode (edge-distinct): closed walks over fresh edges count
+    val trailDir = m(Motif.varPath(edges, "src", "dst", 1, 3,
+      edgeDistinct = true))
+    assert(trailDir(("x", "x", 3)) == 1L,
+      "trail uniqueness admits the directed triangle's closed walk")
+    assert(trailDir(("p", "r", 2)) == 2L, "diamond multiplicity kept")
+    val trailUnd = m(Motif.varPath(edges, "src", "dst", 1, 3,
+      either = true, edgeDistinct = true))
+    assert(!trailUnd.contains(("a", "a", 2)),
+      "an undirected relationship's two orientations are ONE edge: " +
+        "immediate backtrack a-b-a stays blocked")
+    assert(trailUnd(("x", "x", 3)) == 2L,
+      "either-direction triangle closes both ways")
   }
 
   test("IPD_Allele G/lg from groups rows; lgx built but never loaded (J2)") {

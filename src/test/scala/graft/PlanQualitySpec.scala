@@ -388,7 +388,8 @@ class PlanQualitySpec extends AnyFunSuite {
     // carry (key, count) partials, never exploded corpus rows; the
     // final top-30 is a TakeOrdered heap.
     assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
-    assert("Exchange hashpartitioning".r.findAllIn(plan).length == 2)
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length <= 2,
+      "pair counting must not add exchanges beyond the two aggregations")
     assert("partial_count\\(1\\)|partial_count".r.findFirstIn(plan).nonEmpty,
       "word-frequency aggregation must combine map-side")
   }
