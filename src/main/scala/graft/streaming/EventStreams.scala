@@ -431,9 +431,13 @@ object EventStreams {
   private def writeBuckets(
       state: DataFrame, stateKeys: Seq[String], numBuckets: Int,
       dir: String): Set[Int] = {
+    // exactly numBuckets partitions: one task and one file per
+    // bucket, instead of shuffle-width tasks each spraying files
+    // into every bucket dir (measured as part of the bucketing's
+    // per-batch constant at fixture scale)
     state
       .withColumn("_graft_bucket", bucketCol(stateKeys, numBuckets))
-      .repartition(col("_graft_bucket"))
+      .repartition(numBuckets, col("_graft_bucket"))
       .write.partitionBy("_graft_bucket").mode("overwrite").parquet(dir)
     val (fs, p) = hadoopFs(state.sparkSession, dir)
     fs.listStatus(p).toSeq.map(_.getPath.getName)
