@@ -352,7 +352,21 @@ object Bench {
                 format_string("c%06d", col("id") + 1).as("dst"))
             graft.graph.GraphAlgorithms.stronglyConnectedComponentsDF(
               cyc.unionByName(chain), "src", "dst",
-              localThreshold = 0).count() })
+              localThreshold = 0).count() },
+          // Variable-length traversal at scale (varPath has no local
+          // gate — this is its only above-fixture timing): *1..3
+          // either-direction over the 5-cycles, ~30 simple paths per
+          // cycle → a multi-million-row expansion whose per-hop joins
+          // and visited guards are the measured machinery.
+          t("xdist_varpath") {
+            val cyc = spark.range(distCliques.toLong)
+              .crossJoin(broadcast((0 until 5).toDF("i")))
+              .select(
+                concat(lit("v"), col("id") * 5 + col("i")).as("src"),
+                concat(lit("v"),
+                  col("id") * 5 + (col("i") + 1) % 5).as("dst"))
+            graft.graph.Motif.varPath(
+              cyc, "src", "dst", 1, 3, either = true).count() })
         e.unpersist()
         out
       } catch { case scala.util.control.NonFatal(ex) =>

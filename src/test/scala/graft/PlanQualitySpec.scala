@@ -37,6 +37,12 @@ class PlanQualitySpec extends AnyFunSuite {
     val plan = planOf("gfe_motif_varlen")
     assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoop"),
       plan.take(2000))
+    // trail mode adds canonical-edge visited marks but must keep the
+    // same join shape — the mark is a projected column, never a
+    // join condition that could defeat the equi-join planner
+    val trail = planOf("gfe_motif_varlen_trail")
+    assert(!trail.contains("CartesianProduct") && !trail.contains("NestedLoop"),
+      trail.take(2000))
   }
 
   test("sequence packing: two-phase scan, never a single-partition window") {
