@@ -716,4 +716,29 @@ class GraphAlgorithmsSpec extends AnyFunSuite {
     assert(byComp("a0").size == 12 && byComp("b0").size == 9)
     assert(byComp(pad(100)) == Set((pad(100), pad(100))))
   }
+
+  test("scc: a chain OF cycles — non-trivial SCCs in a deep condensation") {
+    // The harder composition: the condensation chain's nodes are
+    // themselves cycles (40 six-cycles linked head-to-tail), so trim
+    // never fires on them and the peel must rely on the pair-class
+    // drop — cycle members share BOTH reach-set minima, so intra-cycle
+    // edges survive the drop while every link edge dies, and all 40
+    // SCCs peel together the next round instead of one per round
+    // (which would blow maxIter at real condensation depths).
+    def v(c: Int, i: Int) = f"s$c%03d_$i"
+    val cycles = for (c <- 0 until 40; i <- 0 until 6)
+      yield (v(c, i), v(c, (i + 1) % 6))
+    val links = (0 until 39).map(c => (v(c, 0), v(c + 1, 0)))
+    val edges = (cycles ++ links).toDF("s", "t")
+    val local = GraphAlgorithms
+      .stronglyConnectedComponentsDF(edges, "s", "t")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val dist = GraphAlgorithms
+      .stronglyConnectedComponentsDF(edges, "s", "t", localThreshold = 0)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(local == dist)
+    val sizes = local.groupBy(_._2).map(_._2.size).toSeq
+    assert(sizes.length == 40 && sizes.forall(_ == 6),
+      "every six-cycle is its own SCC despite the links")
+  }
 }
