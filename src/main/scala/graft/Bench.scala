@@ -401,7 +401,8 @@ object Bench {
         var reg: Option[org.apache.spark.sql.DataFrame] = None
         var firstReg: Option[org.apache.spark.sql.DataFrame] = None
         var prevKeys = 0L
-        sizes.zipWithIndex.foreach { case (n, i) =>
+        val stepTimes = sizes.zipWithIndex.map { case (n, i) =>
+          val ts = System.nanoTime()
           val r = graft.gfe.GfeBuild.run(spark,
             graft.ingest.ImgtFlatFile.read(spark,
               graft.gfe.SyntheticRelease.materialize(n).toString),
@@ -413,7 +414,14 @@ object Bench {
           prevKeys = keys
           reg = Some(cur)
           if (firstReg.isEmpty) firstReg = Some(cur)
+          (System.nanoTime() - ts) / 1e9
         }
+        // per-release evidence for the ~linear-in-releases claim: the
+        // constant grows with cumulative registry size, so quartile
+        // means expose any super-linear drift at a glance
+        val q = stepTimes.grouped(math.max(1, stepTimes.size / 4)).toSeq
+        System.err.println("[bench] fold step-time quartile means: " +
+          q.map(g => f"${g.sum / g.size}%.2f").mkString(" -> ") + " s")
         val s = (System.nanoTime() - t0) / 1e9
         import org.apache.spark.sql.functions.col
         val renumbered = reg.get.as("n")

@@ -1745,7 +1745,9 @@ object GraphAlgorithms {
     }
     if (alive.limit(1).count() > 0) throw new IllegalStateException(
       s"stronglyConnectedComponentsDF did not peel all SCCs in $maxIter " +
-        "rounds; raise maxIter (rounds needed = condensation peel depth)")
+        "rounds; raise maxIter (trim + pair-class dropping compress " +
+        "most condensations to a few rounds — hitting this means an " +
+        "adversarially deep alternation of cycles and branching)")
     if (comps.isEmpty) verts0.withColumn("component", col("id")).limit(0)
     else comps.reduceLeft(_ unionByName _)
     }
