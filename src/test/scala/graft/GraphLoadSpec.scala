@@ -157,6 +157,52 @@ class GraphLoadSpec extends AnyFunSuite {
       "either-direction triangle closes both ways")
   }
 
+  test("varPath: differential vs exhaustive enumeration, random digraph, " +
+      "all four (either × uniqueness) modes") {
+    import graft.graph.Motif
+    import spark.implicits._
+    // Seeded random digraph, every mode checked against a driver-side
+    // DFS that enumerates the exact walks the semantics admit — the
+    // strongest guard against a guard/orientation slip that the fixed
+    // fixtures happen not to exercise.
+    val rnd = new scala.util.Random(42)
+    val n = 10
+    val edges0 = (for {
+      a <- 0 until n; b <- 0 until n
+      if a != b && rnd.nextDouble() < 0.22
+    } yield (s"v$a", s"v$b")).distinct.toSeq
+    val df = edges0.toDF("src", "dst")
+    val verts = edges0.flatMap(e => Seq(e._1, e._2)).distinct
+    def enumerate(either: Boolean, edgeDistinct: Boolean)
+        : Map[(String, String, Int), Long] = {
+      val dir = if (either)
+        (edges0 ++ edges0.map(e => (e._2, e._1))).distinct else edges0
+      val adj = dir.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+      def ekey(a: String, b: String) =
+        if (either) { if (a < b) (a, b) else (b, a) } else (a, b)
+      val counts = scala.collection.mutable.Map
+        .empty[(String, String, Int), Long].withDefaultValue(0L)
+      def dfs(start: String, cur: String, vn: Set[String],
+          ve: Set[(String, String)], len: Int): Unit = {
+        if (len > 0) counts((start, cur, len)) += 1
+        if (len < 4) adj.getOrElse(cur, Nil).foreach { nxt =>
+          val ok = if (edgeDistinct) !ve(ekey(cur, nxt)) else !vn(nxt)
+          if (ok) dfs(start, nxt, vn + nxt, ve + ekey(cur, nxt), len + 1)
+        }
+      }
+      verts.foreach(v => dfs(v, v, Set(v), Set.empty, 0))
+      counts.toMap
+    }
+    for (either <- Seq(false, true); ed <- Seq(false, true)) {
+      val got = Motif
+        .varPath(df, "src", "dst", 1, 4, either = either, edgeDistinct = ed)
+        .collect()
+        .map(r => (r.getString(0), r.getString(1), r.getInt(2)) -> r.getLong(3))
+        .toMap
+      assert(got == enumerate(either, ed), s"either=$either edgeDistinct=$ed")
+    }
+  }
+
   test("IPD_Allele G/lg from groups rows; lgx built but never loaded (J2)") {
     import graft.gfe.ArdReduction
     val r1 = GfeBuild.run(spark, ImgtFlatFile.fromText(spark,
