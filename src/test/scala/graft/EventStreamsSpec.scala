@@ -485,6 +485,40 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(streamed.length == expect.length)
   }
 
+  test("cdc apply: rerun over a consumed checkpoint is a no-op — " +
+      "init is write-once") {
+    // The exactly-once restart contract: committed manifests inherit
+    // v0 buckets by reference, so a `_chk` restart must NOT
+    // re-materialize v0 (the old overwrite deleted those files before
+    // rewriting — a crash in that window orphaned committed
+    // manifests, and a changed initState spliced into history).
+    // Pinned here byte-for-byte: a second run over the same consumed
+    // checkpoint serves the committed state and leaves every state
+    // file untouched.
+    val srcDir = splitEventsDir(2)
+    val stateDir = java.nio.file.Files.createTempDirectory("cdc_resume")
+    def run() = EventStreams.cdcCustomerStream(
+      spark, srcDir.toString, Tables.customer(spark, sfDir),
+      stateDir.toString, Map("maxFilesPerTrigger" -> "1"))
+      .orderBy("c_custkey").collect()
+    val first = run()
+    def snapshot(): Map[String, Long] = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(stateDir).iterator().asScala
+        .filter(java.nio.file.Files.isRegularFile(_))
+        .filterNot(_.toString.contains("_chk"))
+        .map(p => p.toString ->
+          java.nio.file.Files.getLastModifiedTime(p).toMillis)
+        .toMap
+    }
+    val before = snapshot()
+    val second = run()
+    assert(snapshot() == before,
+      "a consumed-checkpoint rerun must not touch any state file")
+    assert(second.toSeq == first.toSeq,
+      "the rerun must serve the committed state")
+  }
+
   test("cdc vacuum: newest version serves identically, superseded files drop") {
     val srcDir = splitEventsDir(3)
     val stateDir = java.nio.file.Files.createTempDirectory("cdc_vac")
