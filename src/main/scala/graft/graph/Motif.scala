@@ -91,12 +91,13 @@ object Motif {
     // Trail mode's visited mark is the traversed RELATIONSHIP: the
     // canonical endpoint pair when either-direction traversal folds
     // both orientations into one relationship, the ordered pair when
-    // direction distinguishes them. The \u0001 separator cannot
-    // appear in node keys (they derive from text columns), so the
-    // mark is collision-free.
+    // direction distinguishes them. The mark is a two-field STRUCT,
+    // not a delimited concat — collision-free for ARBITRARY node ids
+    // (this is a generic entrypoint; a separator-based key would
+    // silently merge distinct edges whose ids contain the separator).
     def ekey(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
-      if (either) concat(least(x, y), lit("\u0001"), greatest(x, y))
-      else concat(x, lit("\u0001"), y)
+      if (either) struct(least(x, y).as("u"), greatest(x, y).as("v"))
+      else struct(x.as("u"), y.as("v"))
     val seed =
       if (edgeDistinct) array(ekey(col("a"), col("b")))
       else array(col("a"), col("b"))

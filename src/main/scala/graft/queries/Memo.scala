@@ -25,7 +25,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * application-end hook that DROPS that session's per-table maps
   * outright — no unpersist (the session's storage died with the
   * session), just releasing the plan objects so the session can be
-  * collected.
+  * collected. The hook fires when the CONTEXT stops; a discarded
+  * `spark.newSession()` clone sharing a live context is not freed by
+  * it — release those explicitly with `Memo.clear(clone)` when the
+  * clone is retired.
   */
 object Memo {
   private val registry =

@@ -494,26 +494,60 @@ object EventStreams {
       merge: (DataFrame, DataFrame) => DataFrame,
       numBuckets: Int = defaultNumBuckets): DataFrame = {
     val stateSchema = initState.schema
+    def metaPath = s"$stateDir/_graft_store_meta"
     def manifestPath(v: Int) = s"$stateDir/manifest/v$v"
     // Init is write-once: a `_chk` restart of a partially-processed
     // stream must NOT re-materialize v0 — committed manifests
     // inherit unchanged v0 buckets by reference, and the overwrite
     // deletes those files before rewriting them, so a crash in that
     // window would leave committed versions pointing at nothing (and
-    // a changed `initState` would silently splice into history). The
-    // v0 manifest is written LAST, so its existence certifies the
-    // bucket files and `_empty` schema are all complete on disk.
-    val (initFs, m0) = hadoopFs(spark, manifestPath(0))
-    if (!initFs.exists(m0)) {
+    // a changed `initState` would silently splice into history).
+    // Resume detection is "ANY manifest exists", not "manifest v0
+    // exists" — cdcVacuum legitimately deletes superseded manifests
+    // (v0 first) while kept manifests still inherit v0 bucket files,
+    // so keying on v0 alone would re-run the destructive init on a
+    // restart-after-vacuum. The v0 manifest is written LAST within
+    // init, so on the creation path its existence certifies the
+    // bucket files and `_empty` schema are complete on disk.
+    val (initFs, mdir) = hadoopFs(spark, s"$stateDir/manifest")
+    val resumed = initFs.exists(mdir) && initFs.listStatus(mdir).nonEmpty
+    // The store's bucket count is a LAYOUT property: every manifest
+    // and bucket dir encodes it, so a restart must use the count the
+    // store was created with, whatever today's parameter/env says —
+    // a mismatched bucketCol would route keys to the wrong bucket
+    // and duplicate state. Persisted at creation, read on resume.
+    val storeBuckets =
+      if (!resumed) numBuckets
+      else {
+        val (fs, mp) = hadoopFs(spark, metaPath)
+        if (!fs.exists(mp)) numBuckets // pre-meta store: trust caller
+        else {
+          val in = fs.open(mp)
+          val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+          val stored = txt.trim.toInt
+          if (stored != numBuckets) System.err.println(
+            s"[cdcApply] $stateDir was created with $stored buckets; " +
+              s"ignoring requested $numBuckets")
+          stored
+        }
+      }
+    if (!resumed) {
       // Schema-carrying empty state: the read side for buckets that
       // have never held rows (an empty partitionBy write creates no
       // leaf directory to point at).
       initState.limit(0).coalesce(1)
         .write.mode("overwrite").parquet(s"$stateDir/_empty")
+      locally {
+        val (fs, mp) = hadoopFs(spark, metaPath)
+        val out = fs.create(mp, true)
+        try out.write(s"$storeBuckets\n".getBytes("UTF-8"))
+        finally out.close()
+      }
       val initPresent = writeBuckets(
-        initState, stateKeys, numBuckets, s"$stateDir/v0")
+        initState, stateKeys, storeBuckets, s"$stateDir/v0")
       writeManifest(spark, manifestPath(0),
-        (0 until numBuckets).map(k =>
+        (0 until storeBuckets).map(k =>
           k -> (if (initPresent(k)) 0 else -1)).toMap)
     }
     val q = changes.writeStream
@@ -522,7 +556,7 @@ object EventStreams {
         val base = readManifest(ss, manifestPath(id.toInt))
         val delta = toDelta(batch.toDF()).localCheckpoint()
         val dirty = delta
-          .select(bucketCol(stateKeys, numBuckets).as("_b"))
+          .select(bucketCol(stateKeys, storeBuckets).as("_b"))
           .distinct().collect().map(_.getInt(0)).toSet
         val next =
           if (dirty.isEmpty) base
@@ -530,7 +564,7 @@ object EventStreams {
             val dirtyState = stateAt(ss, stateDir, base.filter {
               case (k, _) => dirty(k) }, Some(stateSchema))
             val written = writeBuckets(
-              merge(dirtyState, delta), stateKeys, numBuckets,
+              merge(dirtyState, delta), stateKeys, storeBuckets,
               s"$stateDir/v${id + 1}")
             base ++ dirty.map(k =>
               k -> (if (written(k)) id.toInt + 1 else -1))

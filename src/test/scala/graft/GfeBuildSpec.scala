@@ -226,12 +226,16 @@ class GfeBuildSpec extends AnyFunSuite {
       .join(reloaded.select(k.map(col): _*), k, "left_anti")
     val badStart = fresh.groupBy("locus", "term", "rank")
       .agg(min("accession").as("new_min"), max("accession").as("new_max"),
-        count(lit(1)).as("n_new"))
+        count(lit(1)).as("n_new"),
+        countDistinct("accession").as("n_dist"))
       .join(oldMax, Seq("locus", "term", "rank"), "left")
+      // n_dist: min/max/count contiguity alone admits duplicated
+      // accessions inside the range — distinctness closes that hole
       .where(col("new_min") =!= coalesce(col("old_max"), lit(0L)) + 1 ||
-        col("new_max") =!= coalesce(col("old_max"), lit(0L)) + col("n_new"))
-    assert(badStart.count() == 0,
-      badStart.collect().mkString("; "))
+        col("new_max") =!= coalesce(col("old_max"), lit(0L)) + col("n_new") ||
+        col("n_dist") =!= col("n_new"))
+    val badStartRows = badStart.collect() // one job: clue is eager
+    assert(badStartRows.isEmpty, badStartRows.mkString("; "))
     assert(fresh.count() > 0, "3570 fixture must introduce new features")
   }
 
@@ -265,11 +269,14 @@ class GfeBuildSpec extends AnyFunSuite {
         if (fresh.limit(1).count() > 0) newKeySteps += 1
         val bad = fresh.groupBy("locus", "term", "rank")
           .agg(min("accession").as("new_min"),
-            max("accession").as("new_max"), count(lit(1)).as("n_new"))
+            max("accession").as("new_max"), count(lit(1)).as("n_new"),
+            countDistinct("accession").as("n_dist"))
           .join(oldMax, Seq("locus", "term", "rank"), "left")
           .where(col("new_min") =!= coalesce(col("old_max"), lit(0L)) + 1 ||
-            col("new_max") =!= coalesce(col("old_max"), lit(0L)) + col("n_new"))
-        assert(bad.count() == 0, s"step $i: " + bad.collect().mkString("; "))
+            col("new_max") =!= coalesce(col("old_max"), lit(0L)) + col("n_new") ||
+            col("n_dist") =!= col("n_new"))
+        val badRows = bad.collect() // one job: clue is eager
+        assert(badRows.isEmpty, s"step $i: " + badRows.mkString("; "))
         assert(cur.count() >= prev.count(), "registry only grows")
       }
       reg = Some(cur)
@@ -313,11 +320,14 @@ class GfeBuildSpec extends AnyFunSuite {
             .join(prev.select(k.map(col): _*), k, "left_anti")
           val bad = fresh.groupBy("locus", "term", "rank")
             .agg(min("accession").as("new_min"),
-              max("accession").as("new_max"), count(lit(1)).as("n_new"))
+              max("accession").as("new_max"), count(lit(1)).as("n_new"),
+              countDistinct("accession").as("n_dist"))
             .join(oldMax, Seq("locus", "term", "rank"), "left")
             .where(col("new_min") =!= coalesce(col("old_max"), lit(0L)) + 1 ||
-              col("new_max") =!= coalesce(col("old_max"), lit(0L)) + col("n_new"))
-          assert(bad.count() == 0, s"step $i: " + bad.collect().mkString("; "))
+              col("new_max") =!= coalesce(col("old_max"), lit(0L)) + col("n_new") ||
+              col("n_dist") =!= col("n_new"))
+          val badRows = bad.collect() // one job: clue is eager
+          assert(badRows.isEmpty, s"step $i: " + badRows.mkString("; "))
         }
         snap = Some(cur)
       }
