@@ -366,7 +366,34 @@ object Bench {
                 concat(lit("v"),
                   col("id") * 5 + (col("i") + 1) % 5).as("dst"))
             graft.graph.Motif.varPath(
-              cyc, "src", "dst", 1, 3, either = true).count() })
+              cyc, "src", "dst", 1, 3, either = true).count() },
+          // Dedup pipeline above ITS fixture gate — the training-data
+          // twin of the graph tier: 100 copies of every sf document
+          // (1-in-10 byte-identical → real dup families; the rest
+          // per-token mangled → no accidental near-dups), shingled +
+          // minhashed + band-joined via the public lshCandidatePairs
+          // API, clusters via the DISTRIBUTED CC path. ~500k docs,
+          // ~180M codegen md5 calls, one bucket join, no all-pairs.
+          t("xscale_dedup") {
+            val m = 100
+            val docs = graft.Tables.documents(spark, sfDir)
+            // repartition BEFORE the mangle projection (the per-token
+            // transform is interpreted — single-partition it pegs one
+            // core), and materialize: the corpus hands the pipeline
+            // plain rows, as a real on-disk corpus would.
+            val copies = docs
+              .crossJoin(broadcast(spark.range(m.toLong).toDF("i")))
+              .repartition(spark.sparkContext.defaultParallelism)
+              .select((col("doc_id") * m + col("i")).as("doc_id"),
+                when(col("i") % 10 === 0, col("text"))
+                  .otherwise(array_join(
+                    transform(split(col("text"), " "),
+                      t => concat(t, lit("#"), col("i"))), " "))
+                  .as("text"))
+              .localCheckpoint(true)
+            val pairs = graft.queries.DedupQueries.lshCandidatePairs(copies)
+            graft.graph.GraphAlgorithms.connectedComponentsDF(
+              pairs, "d1", "d2", localThreshold = 0).count() })
         e.unpersist()
         out
       } catch { case scala.util.control.NonFatal(ex) =>

@@ -194,6 +194,76 @@ object DedupQueries {
       .distinct()
   }
 
+  /** End-to-end MinHash-LSH candidate pairs for an ARBITRARY
+    * (doc_id, text) frame — the un-memoized library entrypoint the
+    * per-dir query surface wraps (same shingling, signature width,
+    * and banding as `d_minhash_lsh`, so downstream consumers agree).
+    * The band index is materialized once (`localCheckpoint`) before
+    * the self-join — without it the join's two branches would each
+    * re-run the full shingle→minhash scan, doubling the dominant
+    * cost. Returns (d1, d2) with d1 < d2, distinct.
+    *
+    * Scale shape: per-row projections until the ONE (band, bk)
+    * bucket-join — the corpus never all-pairs; bucket skew is the
+    * operator's natural hazard and belongs to the caller's banding
+    * parameters, not the plan. */
+  def lshCandidatePairs(docs: DataFrame): DataFrame = {
+    // self-sufficient entrypoint: the minhash family runs on the
+    // native Hex60 expression, registered idempotently here (the
+    // per-dir query surface registers it via SparkEntry)
+    graft.functions.NativeFunctions.register(docs.sparkSession)
+    // The signature is computed as explode → codegen'd hash-agg min,
+    // NOT bandsOf's array_min(transform(...)) projection: Spark's
+    // higher-order functions evaluate the lambda INTERPRETED, outside
+    // whole-stage codegen, and at 500k docs the 8 per-element
+    // transforms measured 350 s where this shape — one md5 per
+    // (shingle, hash) inside a map-side-combining aggregate — runs
+    // the identical 180M hashes in seconds. bandsOf keeps the
+    // projection form because corpusScreen needs per-row
+    // streaming-legal operators; this batch entrypoint wants
+    // throughput. Same minhash family, same values — except docs
+    // with ZERO shingles, which explode drops entirely (bandsOf
+    // gives them a null-minhash bucket): shingle-less docs cannot
+    // meaningfully near-dup, so this API emits no pairs for them.
+    // Spread narrow inputs first: the shingle+hash scan inherits the
+    // input's partitioning, and a synthesized or single-file corpus
+    // arrives as ONE partition — the whole 180M-hash scan then runs
+    // in one task (observed: a pegged single core for 17 minutes).
+    val sc = docs.sparkSession.sparkContext
+    val spread =
+      if (docs.rdd.getNumPartitions >= sc.defaultParallelism) docs
+      else docs.repartition(sc.defaultParallelism)
+    // Materialize the shingle arrays BEFORE exploding. Higher-order
+    // functions evaluate interpreted, and every operator that embeds
+    // the un-evaluated shingle expression (a generator, a join
+    // predicate after collapse) re-runs the per-element lambda far
+    // off the happy path — measured at 500k docs: explode over the
+    // live expression 280 s, explode over the checkpointed column
+    // <2 s, the projection itself 19 s. One corpus-sized
+    // materialization buys expression-free lineage for everything
+    // downstream (the memoized per-dir path makes the same trade
+    // with its shingle cache).
+    val sh = spread
+      .select(col("doc_id"), shingles(tokens(col("text"))).as("sh"))
+      .localCheckpoint(true)
+    val ex = sh.select(col("doc_id"), explode(col("sh")).as("x"))
+    val minAggs = (1 to nHashes).map(j =>
+      min(hex60(concat(col("x"), lit(s"#$j")))).as(s"m$j"))
+    val sig = ex.groupBy("doc_id").agg(minAggs.head, minAggs.tail: _*)
+    val bands = sig.select(
+        col("doc_id"),
+        posexplode(array((0 until nBands).map(b =>
+          concat_ws(":", col(s"m${2 * b + 1}"), col(s"m${2 * b + 2}"))): _*))
+          .as(Seq("band", "bk")))
+      .localCheckpoint(true)
+    bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bk") === col("b.bk") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .distinct()
+  }
+
   /** Shared DuckDB CTE text for the LSH candidate pairs. */
   private[queries] def lshPairsSql: String = {
     val sig = (1 to nHashes).map(j =>

@@ -523,4 +523,22 @@ class OperatorsSpec extends AnyFunSuite {
     assert(graft.operators.PrefixSum
       .exclusive(df.limit(0), "k", "v", "pre").count() == 0)
   }
+
+  test("lshCandidatePairs: the public DF entrypoint agrees with the " +
+      "memoized per-dir pipeline") {
+    // Same shingling, signature family, and banding — the throughput
+    // reformulation (explode → codegen'd hash-agg min instead of the
+    // interpreted per-element transforms) must change the plan shape
+    // only, never a pair. Docs with text are identical between paths;
+    // shingle-less docs (none in the fixture) are the documented
+    // divergence.
+    val d = "/root/testdata/sf0.001"
+    val viaApi = graft.queries.DedupQueries
+      .lshCandidatePairs(Tables.documents(spark, d))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaQuery = SparkEntry.queries("d_minhash_lsh")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaApi == viaQuery)
+    assert(viaApi.nonEmpty, "fixture must contain planted near-dups")
+  }
 }
