@@ -296,6 +296,20 @@ object Bench {
     // workload). GRAFT_DIST_GRAPH_CLIQUES sizes it (0 disables).
     val distCliques =
       sys.env.getOrElse("GRAFT_DIST_GRAPH_CLIQUES", "120000").toInt
+    // Per-ENTRY failure isolation (runBlocks discipline): a late
+    // entry's failure must not discard the tier's already-finished
+    // measurements — each records -1.0 on its own error instead.
+    def tTier(name: String, detail: => String)(f: => Long): (String, Double) =
+      try {
+        val t0 = System.nanoTime(); val n = f
+        val s = (System.nanoTime() - t0) / 1e9
+        System.err.println(
+          f"[bench] dist-graph $name: $s%.2f s ($n rows, $detail)")
+        name -> s
+      } catch { case scala.util.control.NonFatal(ex) =>
+        System.err.println(s"[bench] dist-graph $name failed: $ex")
+        name -> -1.0
+      }
     val distGraph: Map[String, Double] =
       if (distCliques <= 0) Map.empty
       else try {
@@ -311,14 +325,10 @@ object Bench {
             concat(lit("v"), col("c") * 5 + col("i")).as("src"),
             concat(lit("v"), col("c") * 5 + col("j")).as("dst"))
           .cache()
+        try {
         val nE = e.count()
-        def t(name: String)(f: => Long): (String, Double) = {
-          val t0 = System.nanoTime(); val n = f
-          val s = (System.nanoTime() - t0) / 1e9
-          System.err.println(
-            f"[bench] dist-graph $name: $s%.2f s ($n rows, $nE edges)")
-          name -> s
-        }
+        def t(name: String)(f: => Long): (String, Double) =
+          tTier(name, s"$nE edges")(f)
         val out = Map(
           t("xdist_cc") {
             graft.graph.GraphAlgorithms.connectedComponentsDF(
@@ -366,39 +376,50 @@ object Bench {
                 concat(lit("v"),
                   col("id") * 5 + (col("i") + 1) % 5).as("dst"))
             graft.graph.Motif.varPath(
-              cyc, "src", "dst", 1, 3, either = true).count() },
-          // Dedup pipeline above ITS fixture gate — the training-data
-          // twin of the graph tier: 100 copies of every sf document
-          // (1-in-10 byte-identical → real dup families; the rest
-          // per-token mangled → no accidental near-dups), shingled +
-          // minhashed + band-joined via the public lshCandidatePairs
-          // API, clusters via the DISTRIBUTED CC path. ~500k docs,
-          // ~180M codegen md5 calls, one bucket join, no all-pairs.
-          t("xscale_dedup") {
-            val m = 100
-            val docs = graft.Tables.documents(spark, sfDir)
-            // repartition BEFORE the mangle projection (the per-token
-            // transform is interpreted — single-partition it pegs one
-            // core), and materialize: the corpus hands the pipeline
-            // plain rows, as a real on-disk corpus would.
-            val copies = docs
-              .crossJoin(broadcast(spark.range(m.toLong).toDF("i")))
-              .repartition(spark.sparkContext.defaultParallelism)
-              .select((col("doc_id") * m + col("i")).as("doc_id"),
-                when(col("i") % 10 === 0, col("text"))
-                  .otherwise(array_join(
-                    transform(split(col("text"), " "),
-                      t => concat(t, lit("#"), col("i"))), " "))
-                  .as("text"))
-              .localCheckpoint(true)
-            val pairs = graft.queries.DedupQueries.lshCandidatePairs(copies)
-            graft.graph.GraphAlgorithms.connectedComponentsDF(
-              pairs, "d1", "d2", localThreshold = 0).count() })
-        e.unpersist()
+              cyc, "src", "dst", 1, 3, either = true).count() })
         out
+        } finally e.unpersist()
       } catch { case scala.util.control.NonFatal(ex) =>
         System.err.println(s"[bench] dist-graph workload failed: $ex")
         Map.empty
+      }
+
+    // Dedup pipeline above ITS fixture gate — the training-data twin
+    // of the graph tier, its own knob and failure domain (it does not
+    // depend on the clique synthetic at all): copies of every sf
+    // document (1-in-10 byte-identical → real dup families; the rest
+    // per-token mangled → no accidental near-dups), shingled +
+    // minhashed + band-joined via the public lshCandidatePairs API,
+    // clusters via the DISTRIBUTED CC path. At the default 100
+    // copies: ~500k docs, ~180M codegen md5 calls, one bucket join,
+    // no all-pairs. GRAFT_SCALE_DEDUP_COPIES sizes it (0 disables).
+    val dedupCopies =
+      sys.env.getOrElse("GRAFT_SCALE_DEDUP_COPIES", "100").toInt
+    val distDedup: Map[String, Double] =
+      if (dedupCopies <= 0) Map.empty
+      else {
+        import org.apache.spark.sql.functions._
+        Map(tTier("xscale_dedup", s"$dedupCopies copies") {
+          val docs = graft.Tables.documents(spark, sfDir)
+          // repartition BEFORE the mangle projection (the per-token
+          // transform is interpreted — single-partition it pegs one
+          // core), and materialize: the corpus hands the pipeline
+          // plain rows, as a real on-disk corpus would.
+          val copies = docs
+            .crossJoin(broadcast(
+              spark.range(dedupCopies.toLong).toDF("i")))
+            .repartition(spark.sparkContext.defaultParallelism)
+            .select((col("doc_id") * dedupCopies + col("i")).as("doc_id"),
+              when(col("i") % 10 === 0, col("text"))
+                .otherwise(array_join(
+                  transform(split(col("text"), " "),
+                    t => concat(t, lit("#"), col("i"))), " "))
+                .as("text"))
+            .localCheckpoint(true)
+          val pairs = graft.queries.DedupQueries.lshCandidatePairs(copies)
+          graft.graph.GraphAlgorithms.connectedComponentsDF(
+            pairs, "d1", "d2", localThreshold = 0).count()
+        })
       }
 
     // Full-history ordered registry fold (the reference's actual
@@ -466,7 +487,8 @@ object Bench {
         Map.empty
       }
 
-    val all = results ++ scale ++ scaleExtra ++ distGraph ++ regFold
+    val all =
+      results ++ scale ++ scaleExtra ++ distGraph ++ distDedup ++ regFold
     val total = (results ++ scale).values.filter(_ >= 0).sum
     // The driver recovers the JSON from the last ~2000 chars of the
     // captured output (r2 parsed at 1734 chars; r3's 2440-char line
@@ -549,8 +571,9 @@ object Bench {
       // driver's contract run sets none of them.
       val sized = Seq("GRAFT_SCALE_ALLELES", "GRAFT_DIST_GRAPH_CLIQUES",
         "GRAFT_REGISTRY_FOLD", "GRAFT_REGISTRY_FOLD_STEP",
-        "GRAFT_SCALE_RUNS", "GRAFT_CDC_BUCKETS")
-        .exists(sys.env.contains)
+        "GRAFT_SCALE_RUNS", "GRAFT_CDC_BUCKETS", "GRAFT_SCALE_DEDUP_COPIES")
+        .exists(sys.env.contains) ||
+        sfDir != "/root/testdata/sf0.1" // the sf knob is sizing too
       if (sized) System.err.println(
         "[bench] tier sizing overridden; skipping bench_best merge")
       else {

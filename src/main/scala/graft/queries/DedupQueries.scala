@@ -172,36 +172,47 @@ object DedupQueries {
 
   /** Banded signature keys of a pre-shingled (doc_id, sh) frame —
     * pure per-row projections, safe on batch and streaming inputs. */
-  private[queries] def bandsOf(shingledDf: DataFrame): DataFrame = {
-    val sig = shingledDf.select(
-      col("doc_id") +: (1 to nHashes).map(j =>
-        array_min(transform(col("sh"),
-          x => hex60(concat(x, lit(s"#$j"))))).as(s"m$j")): _*)
+  /** (doc_id, band, bk) keys from a (doc_id, m1..mN) signature frame
+    * — the ONE banding scheme, shared by every path that builds the
+    * index (a second copy of the key format is a silent-drift
+    * hazard the parity specs can't always catch). */
+  private def bandKeys(sig: DataFrame): DataFrame =
     sig.select(
       col("doc_id"),
       posexplode(array((0 until nBands).map(b =>
         concat_ws(":", col(s"m${2 * b + 1}"), col(s"m${2 * b + 2}"))): _*))
         .as(Seq("band", "bk")))
-  }
 
-  private def lshPairsUncached(s: SparkSession, d: String): DataFrame = {
-    val bands = bandedKeys(s, d)
+  /** The ONE band-bucket self-join producing (d1 < d2) pairs. */
+  private def bandJoin(bands: DataFrame): DataFrame =
     bands.as("a")
       .join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bk") === col("b.bk") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .distinct()
-  }
 
-  /** End-to-end MinHash-LSH candidate pairs for an ARBITRARY
+  private[queries] def bandsOf(shingledDf: DataFrame): DataFrame =
+    bandKeys(shingledDf.select(
+      col("doc_id") +: (1 to nHashes).map(j =>
+        array_min(transform(col("sh"),
+          x => hex60(concat(x, lit(s"#$j"))))).as(s"m$j")): _*))
+
+  private def lshPairsUncached(s: SparkSession, d: String): DataFrame =
+    bandJoin(bandedKeys(s, d))
+
+  /** End-to-end MinHash-LSH candidate pairs for a BATCH
     * (doc_id, text) frame — the un-memoized library entrypoint the
     * per-dir query surface wraps (same shingling, signature width,
     * and banding as `d_minhash_lsh`, so downstream consumers agree).
-    * The band index is materialized once (`localCheckpoint`) before
-    * the self-join — without it the join's two branches would each
-    * re-run the full shingle→minhash scan, doubling the dominant
-    * cost. Returns (d1, d2) with d1 < d2, distinct.
+    * `doc_id` must be UNIQUE: the signature aggregate is keyed on it,
+    * so duplicate ids would silently merge into one
+    * union-of-shingles signature matching neither row (the memoized
+    * path bands rows independently). The band index is materialized
+    * once (`localCheckpoint`) before the self-join — without it the
+    * join's two branches would each re-run the full shingle→minhash
+    * scan, doubling the dominant cost. Returns (d1, d2) with
+    * d1 < d2, distinct.
     *
     * Scale shape: per-row projections until the ONE (band, bk)
     * bucket-join — the corpus never all-pairs; bucket skew is the
@@ -225,14 +236,18 @@ object DedupQueries {
     // with ZERO shingles, which explode drops entirely (bandsOf
     // gives them a null-minhash bucket): shingle-less docs cannot
     // meaningfully near-dup, so this API emits no pairs for them.
-    // Spread narrow inputs first: the shingle+hash scan inherits the
-    // input's partitioning, and a synthesized or single-file corpus
-    // arrives as ONE partition — the whole 180M-hash scan then runs
-    // in one task (observed: a pegged single core for 17 minutes).
+    // Spread the input UNCONDITIONALLY: the shingle+hash scan
+    // inherits the input's partitioning, and a synthesized or
+    // single-file corpus arrives as ONE partition — the whole
+    // 180M-hash scan then runs in one task (observed: a pegged
+    // single core for 17 minutes). A partition-count probe
+    // (`docs.rdd.getNumPartitions`) is NOT used because under AQE it
+    // materializes every upstream shuffle just to read the count,
+    // and that work is then re-executed by the real pipeline; one
+    // even-spreading shuffle of (doc_id, text) is cheap next to the
+    // hash scan and also irons out skewed upstream partitioning.
     val sc = docs.sparkSession.sparkContext
-    val spread =
-      if (docs.rdd.getNumPartitions >= sc.defaultParallelism) docs
-      else docs.repartition(sc.defaultParallelism)
+    val spread = docs.repartition(sc.defaultParallelism)
     // Materialize the shingle arrays BEFORE exploding. Higher-order
     // functions evaluate interpreted, and every operator that embeds
     // the un-evaluated shingle expression (a generator, a join
@@ -250,18 +265,7 @@ object DedupQueries {
     val minAggs = (1 to nHashes).map(j =>
       min(hex60(concat(col("x"), lit(s"#$j")))).as(s"m$j"))
     val sig = ex.groupBy("doc_id").agg(minAggs.head, minAggs.tail: _*)
-    val bands = sig.select(
-        col("doc_id"),
-        posexplode(array((0 until nBands).map(b =>
-          concat_ws(":", col(s"m${2 * b + 1}"), col(s"m${2 * b + 2}"))): _*))
-          .as(Seq("band", "bk")))
-      .localCheckpoint(true)
-    bands.as("a")
-      .join(bands.as("b"),
-        col("a.band") === col("b.band") && col("a.bk") === col("b.bk") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-      .distinct()
+    bandJoin(bandKeys(sig).localCheckpoint(true))
   }
 
   /** Shared DuckDB CTE text for the LSH candidate pairs. */

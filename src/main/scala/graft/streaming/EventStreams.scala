@@ -403,24 +403,34 @@ object EventStreams {
     * bucket files it newly wrote; unchanged buckets are inherited by
     * reference, which is what makes a micro-batch's I/O proportional
     * to the DIRTY state, not the whole table. */
-  private def writeManifest(
-      spark: SparkSession, path: String, m: Map[Int, Int]): Unit = {
+  // ONE tested stream-IO path for every small control file the store
+  // keeps (manifests, _graft_store_meta) — a future move to e.g.
+  // atomic rename-based writes lands in one place.
+  private def writeSmallFile(
+      spark: SparkSession, path: String, body: String): Unit = {
     val (fs, p) = hadoopFs(spark, path)
     val out = fs.create(p, true)
-    try out.write(m.toSeq.sorted.map { case (k, v) => s"$k $v" }
-      .mkString("", "\n", "\n").getBytes("UTF-8"))
+    try out.write(body.getBytes("UTF-8"))
     finally out.close()
   }
 
-  private def readManifest(spark: SparkSession, path: String): Map[Int, Int] = {
+  private def readSmallFile(spark: SparkSession, path: String): String = {
     val (fs, p) = hadoopFs(spark, path)
     val in = fs.open(p)
-    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString
     finally in.close()
-    txt.linesIterator.filter(_.nonEmpty).map { l =>
+  }
+
+  private def writeManifest(
+      spark: SparkSession, path: String, m: Map[Int, Int]): Unit =
+    writeSmallFile(spark, path,
+      m.toSeq.sorted.map { case (k, v) => s"$k $v" }
+        .mkString("", "\n", "\n"))
+
+  private def readManifest(spark: SparkSession, path: String): Map[Int, Int] =
+    readSmallFile(spark, path).linesIterator.filter(_.nonEmpty).map { l =>
       val Array(k, v) = l.split(' '); k.toInt -> v.toInt
     }.toMap
-  }
 
   /** Write `state` hash-partitioned by bucket under `dir` (one
     * `_graft_bucket=k/` leaf per non-empty bucket; the virtual column
@@ -522,10 +532,7 @@ object EventStreams {
         val (fs, mp) = hadoopFs(spark, metaPath)
         if (!fs.exists(mp)) numBuckets // pre-meta store: trust caller
         else {
-          val in = fs.open(mp)
-          val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-          finally in.close()
-          val stored = txt.trim.toInt
+          val stored = readSmallFile(spark, metaPath).trim.toInt
           if (stored != numBuckets) System.err.println(
             s"[cdcApply] $stateDir was created with $stored buckets; " +
               s"ignoring requested $numBuckets")
@@ -538,12 +545,7 @@ object EventStreams {
       // leaf directory to point at).
       initState.limit(0).coalesce(1)
         .write.mode("overwrite").parquet(s"$stateDir/_empty")
-      locally {
-        val (fs, mp) = hadoopFs(spark, metaPath)
-        val out = fs.create(mp, true)
-        try out.write(s"$storeBuckets\n".getBytes("UTF-8"))
-        finally out.close()
-      }
+      writeSmallFile(spark, metaPath, s"$storeBuckets\n")
       val initPresent = writeBuckets(
         initState, stateKeys, storeBuckets, s"$stateDir/v0")
       writeManifest(spark, manifestPath(0),
