@@ -1498,14 +1498,18 @@ object GraphAlgorithms {
       .select(col("walk"), col("walk").as("node"), lit(0).as("step"))
     var acc = cur
     for (k <- 1 to steps) {
-      val w = Window.partitionBy("walk").orderBy(col("h"), col("b"))
+      // argmin by (hash, neighbor) as a map-side-combining aggregate:
+      // min over struct<h, b> orders field-by-field, so it selects
+      // exactly the row a (h, b)-ordered rank-1 window would — minus
+      // the per-walk sort and with partial aggregation before the
+      // shuffle (a walk's candidates combine within each map task).
       cur = cur.join(und, cur("node") === und("a"))
-        .select(col("walk"), col("b"),
+        .select(col("walk"), struct(
           md5(concat_ws("|", col("walk"), lit(k), col("node"), col("b")))
-            .as("h"))
-        .withColumn("rn", row_number().over(w))
-        .where(col("rn") === 1)
-        .select(col("walk"), col("b").as("node"), lit(k).as("step"))
+            .as("h"),
+          col("b")).as("hb"))
+        .groupBy("walk").agg(min("hb").as("hb"))
+        .select(col("walk"), col("hb.b").as("node"), lit(k).as("step"))
       acc = acc.unionByName(cur)
     }
     acc.select(col("walk"), col("step"), col("node"))
