@@ -184,6 +184,140 @@ object GraphLoad {
       hasIpdAllele, hasIpdAccession, submitted, hasSequence, hasFeature)
   }
 
+  /** Incremental per-release MERGE — the reference's actual operating
+    * mode: release N+1 MERGEs into the *existing* graph
+    * (load.cyp:7,93-95, serialized by pipeline.asl.json:153), so a
+    * standing pipeline pays O(delta) per release instead of refolding
+    * all history. Policies are the key-local form of [[loadAll]]'s
+    * window/agg choices:
+    *
+    *  - GFE / IPD_Accession / HAS_IPD_ACCESSION / SUBMITTED /
+    *    Feature / HAS_FEATURE: create-only — existing keys win, new
+    *    keys append (ON CREATE SET).
+    *  - Sequence: per-key overwrite (ON MATCH SET, load.cyp:23-31).
+    *  - IPD_Allele: gene create-only; G/lg overwritten when (and only
+    *    when) this release carries a groups row for the allele
+    *    (load.cyp:63-83's FOREACH-CASE).
+    *  - HAS_IPD_ALLELE.releases: sorted-set accumulate (load.cyp:93-95).
+    *  - HAS_SEQUENCE: new (gfe, seq_id) pairs resolved against the
+    *    post-merge Sequence nodes (the MATCH of load.cyp:119 runs
+    *    against the graph state at load time — identical to
+    *    [[loadAll]]'s final-state join because a GFE name is a
+    *    function of its sequence's features, so (name → seq_id) never
+    *    changes across releases).
+    *
+    * Within-release key ties are assumed key-determined (identical
+    * payload per key) — the same assumption [[loadAll]]'s
+    * load_seq-ordered windows already make, since rows of one release
+    * share a load_seq.
+    *
+    * Scale shape: every delta is release-sized (≤ tens of thousands of
+    * rows) and broadcastable; the anti-joins against existing tables
+    * are one scan each with the delta broadcast, and on the bucketed
+    * store ([[GraphStore]]) they collapse to O(dirty buckets) I/O.
+    * Fold-equality with [[loadAll]] is spec-pinned
+    * (GraphLoadSpec "incremental applyRelease fold == loadAll").
+    */
+  def applyRelease(
+      spark: SparkSession,
+      g: Graph,
+      release: (String, DataFrame, DataFrame, DataFrame),
+      submitDate: java.sql.Date = java.sql.Date.valueOf("2026-01-01")): Graph = {
+    val (_, seqs, featRel, groups) = release
+
+    // ---- vertices ----
+    val gfeNew = seqs
+      .select(col("gfe_name").as("name"), col("locus"))
+      .dropDuplicates("name")
+      .join(g.gfe.select("name"), Seq("name"), "left_anti")
+    val gfe = g.gfe.unionByName(gfeNew)
+
+    val seqNew = seqs.select(col("gfe_name").as("name"), col("locus"),
+      col("sequence"), col("length"), col("seq_id"))
+      .dropDuplicates("name")
+    val sequence = g.sequence
+      .join(seqNew.select("name"), Seq("name"), "left_anti")
+      .unionByName(seqNew)
+
+    val featKeys = Seq("locus", "rank", "term", "accession", "sequence")
+    val featNew = featRel.select(featKeys.map(col): _*)
+      .dropDuplicates(featKeys)
+      .join(g.feature, featKeys, "left_anti")
+    val feature = g.feature.unionByName(featNew)
+
+    val baseNew = seqs
+      .select(col("hla_name").as("name"), col("locus").as("gene"))
+      .dropDuplicates("name")
+      .join(g.ipdAllele.select("name"), Seq("name"), "left_anti")
+    def ardNew(ardName: String): DataFrame =
+      groups.where(col("ard_name") === ardName)
+        .select(col("hla_name").as("name"), col("ard_id"))
+        .dropDuplicates("name")
+    val ipdAllele = g.ipdAllele
+      .select(col("name"), col("gene"),
+        col("G").as("G_old"), col("lg").as("lg_old"))
+      .unionByName(baseNew
+        .select(col("name"), col("gene"),
+          lit(null).cast("string").as("G_old"),
+          lit(null).cast("string").as("lg_old")))
+      .join(ardNew("G").withColumnRenamed("ard_id", "G_new"),
+        Seq("name"), "left")
+      .join(ardNew("lg").withColumnRenamed("ard_id", "lg_new"),
+        Seq("name"), "left")
+      .select(col("name"), col("gene"),
+        coalesce(col("G_new"), col("G_old")).as("G"),
+        coalesce(col("lg_new"), col("lg_old")).as("lg"))
+
+    val ipdAccession = g.ipdAccession.unionByName(
+      seqs.select(col("acc_name").as("name")).dropDuplicates("name")
+        .join(g.ipdAccession, Seq("name"), "left_anti"))
+
+    // ---- edges ----
+    val emptyInts = array().cast("array<int>")
+    val relsNew = seqs
+      .select(col("gfe_name").as("src"), col("hla_name").as("dst"),
+        regexp_replace(col("imgt_release"), "\\.", "").cast("int").as("rel"))
+      .groupBy("src", "dst")
+      .agg(collect_set(col("rel")).as("new_rels"))
+    val hasIpdAllele = g.hasIpdAllele
+      .join(relsNew, Seq("src", "dst"), "full_outer")
+      .select(col("src"), col("dst"),
+        array_sort(array_distinct(concat(
+          coalesce(col("releases"), emptyInts),
+          coalesce(col("new_rels"), emptyInts)))).as("releases"))
+
+    val hasIpdAccession = g.hasIpdAccession.unionByName(
+      seqs.select(col("gfe_name").as("src"), col("acc_name").as("dst"),
+        col("imgt_release").as("release"))
+        .dropDuplicates("src", "dst")
+        .join(g.hasIpdAccession.select("src", "dst"),
+          Seq("src", "dst"), "left_anti"))
+
+    val submitted = g.submitted.unionByName(
+      gfeNew.select(lit("IPD-IMGT").as("src"), col("name").as("dst"),
+        lit(submitDate).as("submit_date")))
+
+    // Probe the post-merge Sequence nodes with the release's pairs —
+    // the delta side is release-sized, so broadcast it and keep the
+    // store side a single scan (an index probe on GraphStore).
+    val hsNew = sequence.select(col("seq_id"), col("name").as("dst"))
+      .join(broadcast(seqs.select(col("gfe_name").as("src"), col("seq_id"))
+        .dropDuplicates("src", "seq_id")), Seq("seq_id"))
+      .select("src", "dst")
+    val hasSequence = g.hasSequence.unionByName(hsNew)
+      .dropDuplicates("src", "dst")
+
+    val hfKeys = Seq("src", "locus", "rank", "term", "accession")
+    val hasFeature = g.hasFeature.unionByName(
+      featRel.select(col("gfe_name").as("src"), col("locus"),
+        col("rank"), col("term"), col("accession"))
+        .dropDuplicates(hfKeys)
+        .join(g.hasFeature, hfKeys, "left_anti"))
+
+    Graph(gfe, sequence, feature, ipdAllele, ipdAccession, g.submitter,
+      hasIpdAllele, hasIpdAccession, submitted, hasSequence, hasFeature)
+  }
+
   /** Tables partitioned on their pruning key in the store: the big
     * per-locus tables partition by locus so locus-scoped queries
     * (the common traversal anchor) read one directory. */
