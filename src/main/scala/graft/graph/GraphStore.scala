@@ -1,0 +1,305 @@
+package graft.graph
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.streaming.EventStreams
+
+/** Standing-pipeline form of the load plane: the graph persisted as
+  * key-bucketed, manifest-versioned parquet stores (one per table,
+  * the [[EventStreams.cdcApply]] layout) with [[applyRelease]]
+  * MERGE-ing one release at a time under the exact load.cyp policies
+  * of [[GraphLoad.applyRelease]].
+  *
+  * This is the reference's actual operating mode — release N+1 MERGEs
+  * into the EXISTING graph (load.cyp:7,93-95; one release at a time,
+  * pipeline.asl.json:153 MaxConcurrency 1) — with the I/O shape a
+  * 100 TB store needs: each apply reads and rewrites only the buckets
+  * containing this release's keys (O(dirty) ≈ O(|delta| ·
+  * |state|/numBuckets)), never the whole table; unchanged buckets are
+  * inherited by manifest reference. A whole-history refold
+  * ([[GraphLoad.loadAll]]) stays the right tool for a one-shot build;
+  * this is the O(delta)-per-release tool for every release cycle
+  * after it.
+  *
+  * HAS_SEQUENCE's MATCH-by-sequence (load.cyp:119, hashed to seq_id
+  * per SURVEY §4) needs a seq_id → Sequence-node lookup at apply
+  * time; a real graph engine answers that from an index, so the store
+  * keeps one: an internal `SEQ_INDEX` table bucketed BY seq_id (the
+  * probe key), maintained alongside Sequence and probed only at the
+  * delta's seq_id buckets.
+  *
+  * Equality with the refold is spec-pinned (GraphStoreSpec): fold of
+  * [[applyRelease]] over N releases == [[GraphLoad.loadAll]] of all N,
+  * table for table, and a release touching few keys dirties few
+  * buckets.
+  */
+object GraphStore {
+
+  /** (bucket/merge keys, createOnly?) per public table; IPD_Allele and
+    * HAS_IPD_ALLELE carry bespoke merges below. */
+  private val featKeys = Seq("locus", "rank", "term", "accession", "sequence")
+  private val hfKeys = Seq("src", "locus", "rank", "term", "accession")
+
+  private def numBuckets: Int =
+    sys.env.getOrElse("GRAFT_GRAPH_BUCKETS",
+      EventStreams.defaultNumBuckets.toString).toInt
+
+  // ---- per-table plumbing (cdcApply layout, batch-driven) ----
+
+  private def metaPath(tdir: String) = s"$tdir/_graft_store_meta"
+
+  private def initTable(spark: SparkSession, tdir: String,
+      snapshot: DataFrame, keys: Seq[String], buckets: Int): Unit = {
+    snapshot.limit(0).coalesce(1)
+      .write.mode("overwrite").parquet(s"$tdir/_empty")
+    EventStreams.writeSmallFile(spark, metaPath(tdir), s"$buckets\n")
+    val present = EventStreams.writeBuckets(
+      snapshot, keys, buckets, s"$tdir/v0")
+    EventStreams.writeManifest(spark, s"$tdir/manifest/v0",
+      (0 until buckets).map(k => k -> (if (present(k)) 0 else -1)).toMap)
+  }
+
+  private def tableBuckets(spark: SparkSession, tdir: String): Int =
+    EventStreams.readSmallFile(spark, metaPath(tdir)).trim.toInt
+
+  private def latestVersion(spark: SparkSession, tdir: String): Int =
+    EventStreams.manifestVersions(spark, tdir).max
+
+  private def tableSchema(spark: SparkSession, tdir: String) =
+    spark.read.parquet(s"$tdir/_empty").schema
+
+  private def latestManifest(spark: SparkSession, tdir: String) =
+    EventStreams.readManifest(spark,
+      s"$tdir/manifest/v${latestVersion(spark, tdir)}")
+
+  /** Latest committed state of one table. */
+  private def tableState(spark: SparkSession, tdir: String): DataFrame =
+    EventStreams.stateAt(spark, tdir, latestManifest(spark, tdir),
+      Some(tableSchema(spark, tdir)))
+
+  /** Read ONLY the buckets a key frame hashes to — the index-probe
+    * read: at scale this is a handful of bucket files, not the
+    * table. */
+  private def stateForKeys(spark: SparkSession, tdir: String,
+      keyRows: DataFrame, keys: Seq[String]): DataFrame = {
+    val buckets = tableBuckets(spark, tdir)
+    val hit = keyRows
+      .select(EventStreams.bucketCol(keys, buckets).as("_b"))
+      .distinct().collect().map(_.getInt(0)).toSet
+    EventStreams.stateAt(spark, tdir,
+      latestManifest(spark, tdir).filter { case (k, _) => hit(k) },
+      Some(tableSchema(spark, tdir)))
+  }
+
+  /** One MERGE step on one table: read dirty buckets, merge the
+    * (key-local) policy, rewrite only those buckets, commit manifest
+    * v+1. Returns the dirty-bucket count (the I/O proportionality
+    * evidence the spec asserts). */
+  private def applyTable(spark: SparkSession, tdir: String,
+      keys: Seq[String], delta: DataFrame,
+      merge: (DataFrame, DataFrame) => DataFrame): Int = {
+    val buckets = tableBuckets(spark, tdir)
+    val v = latestVersion(spark, tdir)
+    val base = latestManifest(spark, tdir)
+    val d = delta.localCheckpoint()
+    val dirty = d
+      .select(EventStreams.bucketCol(keys, buckets).as("_b"))
+      .distinct().collect().map(_.getInt(0)).toSet
+    val next =
+      if (dirty.isEmpty) base
+      else {
+        val dirtyState = EventStreams.stateAt(spark, tdir,
+          base.filter { case (k, _) => dirty(k) },
+          Some(tableSchema(spark, tdir)))
+        val written = EventStreams.writeBuckets(
+          merge(dirtyState, d), keys, buckets, s"$tdir/v${v + 1}")
+        base ++ dirty.map(k => k -> (if (written(k)) v + 1 else -1))
+      }
+    EventStreams.writeManifest(spark, s"$tdir/manifest/v${v + 1}", next)
+    dirty.size
+  }
+
+  // ---- merge policies (key-local forms of load.cyp) ----
+
+  private def createOnly(keys: Seq[String])(
+      state: DataFrame, delta: DataFrame): DataFrame =
+    state.unionByName(
+      delta.dropDuplicates(keys).join(
+        state.select(keys.map(col): _*), keys, "left_anti"))
+
+  private def overwrite(keys: Seq[String])(
+      state: DataFrame, delta: DataFrame): DataFrame =
+    delta.dropDuplicates(keys).unionByName(
+      state.join(delta.select(keys.map(col): _*), keys, "left_anti"))
+
+  /** IPD_Allele: gene create-only; G/lg overwritten only when the
+    * delta carries a groups value (delta columns G_new/lg_new). A
+    * delta row whose name is neither in state nor in this release's
+    * seqs (gene null both sides — a groups-only name) is dropped,
+    * matching [[GraphLoad.loadAll]]'s base-from-seqs join. */
+  private def mergeAllele(state: DataFrame, delta: DataFrame): DataFrame =
+    state
+      .select(col("name"), col("gene").as("gene_old"),
+        col("G").as("G_old"), col("lg").as("lg_old"))
+      .join(delta.dropDuplicates("name"), Seq("name"), "full_outer")
+      .select(col("name"),
+        coalesce(col("gene_old"), col("gene")).as("gene"),
+        coalesce(col("G_new"), col("G_old")).as("G"),
+        coalesce(col("lg_new"), col("lg_old")).as("lg"))
+      .where(col("gene").isNotNull)
+
+  /** HAS_IPD_ALLELE: sorted-set accumulate (delta column new_rels). */
+  private def mergeReleases(state: DataFrame, delta: DataFrame): DataFrame = {
+    val emptyInts = array().cast("array<int>")
+    state.join(delta, Seq("src", "dst"), "full_outer")
+      .select(col("src"), col("dst"),
+        array_sort(array_distinct(concat(
+          coalesce(col("releases"), emptyInts),
+          coalesce(col("new_rels"), emptyInts)))).as("releases"))
+  }
+
+  // ---- public API ----
+
+  /** One-shot store creation from a built graph (normally
+    * `loadAll(firstRelease)`). */
+  def init(spark: SparkSession, dir: String, g: GraphLoad.Graph,
+      buckets: Int = numBuckets): Unit = {
+    initTable(spark, s"$dir/GFE", g.gfe, Seq("name"), buckets)
+    initTable(spark, s"$dir/Sequence", g.sequence, Seq("name"), buckets)
+    initTable(spark, s"$dir/Feature", g.feature, featKeys, buckets)
+    initTable(spark, s"$dir/IPD_Allele", g.ipdAllele, Seq("name"), buckets)
+    initTable(spark, s"$dir/IPD_Accession", g.ipdAccession,
+      Seq("name"), buckets)
+    initTable(spark, s"$dir/Submitter", g.submitter, Seq("name"), buckets)
+    initTable(spark, s"$dir/HAS_IPD_ALLELE", g.hasIpdAllele,
+      Seq("src", "dst"), buckets)
+    initTable(spark, s"$dir/HAS_IPD_ACCESSION", g.hasIpdAccession,
+      Seq("src", "dst"), buckets)
+    initTable(spark, s"$dir/SUBMITTED", g.submitted,
+      Seq("src", "dst"), buckets)
+    initTable(spark, s"$dir/HAS_SEQUENCE", g.hasSequence,
+      Seq("src", "dst"), buckets)
+    initTable(spark, s"$dir/HAS_FEATURE", g.hasFeature, hfKeys, buckets)
+    // the seq_id-keyed Sequence-node index HAS_SEQUENCE probes
+    initTable(spark, s"$dir/SEQ_INDEX",
+      g.sequence.select(col("seq_id"), col("name")), Seq("seq_id"), buckets)
+  }
+
+  /** Per-table dirty-bucket counts of one [[applyRelease]]. */
+  final case class ApplyStats(dirtyBuckets: Map[String, Int]) {
+    def total: Int = dirtyBuckets.values.sum
+  }
+
+  /** MERGE one release into the store — O(dirty buckets) read+write
+    * per table. Same policy set as [[GraphLoad.applyRelease]]; fold
+    * equality with the refold is spec-pinned. */
+  def applyRelease(
+      spark: SparkSession,
+      dir: String,
+      release: (String, DataFrame, DataFrame, DataFrame),
+      submitDate: java.sql.Date = java.sql.Date.valueOf("2026-01-01"))
+      : ApplyStats = {
+    val (_, seqs0, featRel0, groups0) = release
+    // deltas are release-sized; checkpoint so the (possibly 15-stage)
+    // build pipeline feeding them runs once, not once per table
+    val seqs = seqs0.localCheckpoint()
+    val featRel = featRel0.localCheckpoint()
+    val groups = groups0.localCheckpoint()
+
+    val gfeDelta = seqs.select(col("gfe_name").as("name"), col("locus"))
+      .dropDuplicates("name")
+    val seqDelta = seqs.select(col("gfe_name").as("name"), col("locus"),
+      col("sequence"), col("length"), col("seq_id"))
+      .dropDuplicates("name")
+    def ardNew(ardName: String): DataFrame =
+      groups.where(col("ard_name") === ardName)
+        .select(col("hla_name").as("name"), col("ard_id"))
+        .dropDuplicates("name")
+    // delta keys = this release's alleles ∪ its groups-row alleles: a
+    // groups row may update an allele the release does not re-list
+    // (ON MATCH of load.cyp:63-83); a groups-only name that never
+    // appeared in any release's seqs is dropped by mergeAllele
+    val alleleNames = seqs
+      .select(col("hla_name").as("name"), col("locus").as("gene"))
+      .dropDuplicates("name")
+    val alleleDelta = alleleNames
+      .unionByName(groups.select(col("hla_name").as("name"))
+        .dropDuplicates("name")
+        .join(alleleNames.select("name"), Seq("name"), "left_anti")
+        .withColumn("gene", lit(null).cast("string")))
+      .join(ardNew("G").withColumnRenamed("ard_id", "G_new"),
+        Seq("name"), "left")
+      .join(ardNew("lg").withColumnRenamed("ard_id", "lg_new"),
+        Seq("name"), "left")
+    val relsDelta = seqs
+      .select(col("gfe_name").as("src"), col("hla_name").as("dst"),
+        regexp_replace(col("imgt_release"), "\\.", "").cast("int").as("rel"))
+      .groupBy("src", "dst")
+      .agg(collect_set(col("rel")).as("new_rels"))
+
+    val stats = scala.collection.mutable.Map.empty[String, Int]
+    def apply1(table: String, keys: Seq[String], delta: DataFrame,
+        merge: (DataFrame, DataFrame) => DataFrame): Unit =
+      stats(table) = applyTable(spark, s"$dir/$table", keys, delta, merge)
+
+    apply1("GFE", Seq("name"), gfeDelta, createOnly(Seq("name")))
+    apply1("Sequence", Seq("name"), seqDelta, overwrite(Seq("name")))
+    apply1("Feature", featKeys,
+      featRel.select(featKeys.map(col): _*).dropDuplicates(featKeys),
+      createOnly(featKeys))
+    apply1("IPD_Allele", Seq("name"), alleleDelta, mergeAllele)
+    apply1("IPD_Accession", Seq("name"),
+      seqs.select(col("acc_name").as("name")).dropDuplicates("name"),
+      createOnly(Seq("name")))
+    apply1("HAS_IPD_ALLELE", Seq("src", "dst"), relsDelta, mergeReleases)
+    apply1("HAS_IPD_ACCESSION", Seq("src", "dst"),
+      seqs.select(col("gfe_name").as("src"), col("acc_name").as("dst"),
+        col("imgt_release").as("release")).dropDuplicates("src", "dst"),
+      createOnly(Seq("src", "dst")))
+    // SUBMITTED create-only on dst: only this release's genuinely-new
+    // GFEs land (existing dsts keep their first submit_date)
+    apply1("SUBMITTED", Seq("src", "dst"),
+      gfeDelta.select(lit("IPD-IMGT").as("src"), col("name").as("dst"),
+        lit(submitDate).as("submit_date")),
+      createOnly(Seq("src", "dst")))
+    apply1("HAS_FEATURE", hfKeys,
+      featRel.select(col("gfe_name").as("src"), col("locus"),
+        col("rank"), col("term"), col("accession")).dropDuplicates(hfKeys),
+      createOnly(hfKeys))
+    // SEQ_INDEX first (a new sequence node must be probe-visible to
+    // its own release's pairs), then HAS_SEQUENCE from the probe
+    apply1("SEQ_INDEX", Seq("seq_id"),
+      seqDelta.select(col("seq_id"), col("name")),
+      createOnly(Seq("seq_id", "name")))
+    val pairs = seqs.select(col("gfe_name").as("src"), col("seq_id"))
+      .dropDuplicates("src", "seq_id").localCheckpoint()
+    val hsDelta = stateForKeys(spark, s"$dir/SEQ_INDEX", pairs, Seq("seq_id"))
+      .withColumnRenamed("name", "dst")
+      .join(broadcast(pairs), Seq("seq_id"))
+      .select("src", "dst")
+    apply1("HAS_SEQUENCE", Seq("src", "dst"), hsDelta,
+      createOnly(Seq("src", "dst")))
+    ApplyStats(stats.toMap)
+  }
+
+  /** Latest committed graph. */
+  def read(spark: SparkSession, dir: String): GraphLoad.Graph = {
+    def t(n: String) = tableState(spark, s"$dir/$n")
+    GraphLoad.Graph(t("GFE"), t("Sequence"), t("Feature"), t("IPD_Allele"),
+      t("IPD_Accession"), t("Submitter"), t("HAS_IPD_ALLELE"),
+      t("HAS_IPD_ACCESSION"), t("SUBMITTED"), t("HAS_SEQUENCE"),
+      t("HAS_FEATURE"))
+  }
+
+  /** GC superseded versions of every table (the
+    * [[EventStreams.cdcVacuum]] dual, per table). Returns total
+    * (buckets, manifests) deleted. */
+  def vacuum(spark: SparkSession, dir: String,
+      keepVersions: Int = 2): (Int, Int) = {
+    val (fs, root) = EventStreams.hadoopFs(spark, dir)
+    fs.listStatus(root).toSeq.filter(_.isDirectory)
+      .map(st => EventStreams.cdcVacuum(
+        spark, st.getPath.toString, keepVersions))
+      .foldLeft((0, 0)) { case ((a, b), (x, y)) => (a + x, b + y) }
+  }
+}

@@ -133,6 +133,36 @@ object GfeQueries {
       }
     }
 
+  // The INCREMENTAL twin of the fixture graph: release 3560 loaded as
+  // a one-shot refold, then 3570 MERGEd into the bucketed store
+  // (GraphStore.applyRelease) — the reference's actual per-release
+  // operating mode (load.cyp:7,93-95; asl.json:153). The gfe_incremental_*
+  // oracles compare this store-built graph against the aux snapshot of
+  // the REFOLD graph, so the driver hash-verifies
+  // `loadAll(r1, r2) == applyRelease(loadAll(r1), r2)` end-to-end
+  // through the store plumbing.
+  private val incCache = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, GraphLoad.Graph]())
+
+  private def incrementalGraph(s: SparkSession): GraphLoad.Graph =
+    incCache.synchronized {
+      val hit = incCache.get(s)
+      if (hit != null) hit
+      else {
+        val r1 = build(s, "3560")
+        val r2 = build(s, "3570", Some(r1.registry))
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft_fixture_inc_store").toString
+        graft.graph.GraphStore.init(s, dir, GraphLoad.loadAll(s,
+          Seq(("3560", r1.gfeSequences, r1.allFeatures, r1.allGroups))))
+        graft.graph.GraphStore.applyRelease(s, dir,
+          ("3570", r2.gfeSequences, r2.allFeatures, r2.allGroups))
+        val g = graft.graph.GraphStore.read(s, dir)
+        incCache.put(s, g)
+        g
+      }
+    }
+
   private def buildGraph(s: SparkSession): GraphLoad.Graph = {
       val r1 = build(s, "3560")
       val r2 = build(s, "3570", Some(r1.registry))
@@ -388,6 +418,55 @@ object GfeQueries {
         .select(col("n_start"), col("n_end"),
           col("len").cast("long").as("len"), col("n_paths"))
         .orderBy("n_start", "n_end", "len")
+    }),
+    // Incremental per-release MERGE (load.cyp's ON CREATE/ON MATCH
+    // envelope): the store-folded graph's accumulate edge vs the aux
+    // snapshot of the refold — hash equality IS the
+    // `loadAll == applyRelease-fold` proof, driver-verified.
+    QueryDef("gfe_incremental_load",
+      s"""SELECT src, dst, array_to_string(releases, ',') AS releases
+         |FROM ${aux("e_HAS_IPD_ALLELE")}
+         |ORDER BY src, dst""".stripMargin)((s, _) => {
+      import org.apache.spark.sql.functions._
+      incrementalGraph(s).hasIpdAllele
+        .select(col("src"), col("dst"),
+          concat_ws(",", col("releases")).as("releases"))
+        .orderBy("src", "dst")
+    }),
+    // ...and the per-column-policy vertex (gene create-only, G/lg
+    // conditional overwrite) built incrementally vs the refold aux.
+    QueryDef("gfe_incremental_alleles",
+      s"""SELECT name, gene, G AS g_group, lg AS lg_group
+         |FROM ${aux("v_IPD_Allele")}
+         |ORDER BY name""".stripMargin)((s, _) => {
+      import org.apache.spark.sql.functions.col
+      incrementalGraph(s).ipdAllele
+        .select(col("name"), col("gene"), col("G").as("g_group"),
+          col("lg").as("lg_group")).orderBy("name")
+    }),
+    // ...and every table's cardinality: cheap full-surface check that
+    // the incremental store created/merged exactly the refold's rows.
+    QueryDef("gfe_incremental_counts",
+      s"""SELECT * FROM (
+         |  SELECT 'Feature' AS label, count(*) AS n FROM ${aux("v_Feature")}
+         |  UNION ALL SELECT 'GFE', count(*) FROM ${aux("v_GFE")}
+         |  UNION ALL SELECT 'HAS_FEATURE', count(*) FROM ${aux("e_HAS_FEATURE")}
+         |  UNION ALL SELECT 'HAS_IPD_ACCESSION', count(*) FROM ${aux("e_HAS_IPD_ACCESSION")}
+         |  UNION ALL SELECT 'HAS_IPD_ALLELE', count(*) FROM ${aux("e_HAS_IPD_ALLELE")}
+         |  UNION ALL SELECT 'HAS_SEQUENCE', count(*) FROM ${aux("e_HAS_SEQUENCE")}
+         |  UNION ALL SELECT 'IPD_Accession', count(*) FROM ${aux("v_IPD_Accession")}
+         |  UNION ALL SELECT 'IPD_Allele', count(*) FROM ${aux("v_IPD_Allele")}
+         |  UNION ALL SELECT 'SUBMITTED', count(*) FROM ${aux("e_SUBMITTED")}
+         |  UNION ALL SELECT 'Sequence', count(*) FROM ${aux("v_Sequence")}
+         |  UNION ALL SELECT 'Submitter', count(*) FROM ${aux("v_Submitter")})
+         |ORDER BY label""".stripMargin)((s, _) => {
+      import org.apache.spark.sql.functions._
+      val g = incrementalGraph(s)
+      (g.vertexTables ++ g.edgeTables).toSeq.sortBy(_._1)
+        .map { case (n, df) =>
+          df.agg(count(lit(1)).as("n")).select(lit(n).as("label"), col("n")) }
+        .reduce(_ unionByName _)
+        .orderBy("label")
     }),
     // GDS parity: PageRank over the GFE→Feature bipartite edges.
     // Integer-scaled (pageRankIntDF: long micro-units, floor-divided

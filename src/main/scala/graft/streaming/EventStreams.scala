@@ -389,10 +389,10 @@ object EventStreams {
     * `numBuckets` — the same deterministic function partitions state
     * files and routes batch deltas, so a key always lives in exactly
     * one bucket across every version. */
-  private def bucketCol(stateKeys: Seq[String], numBuckets: Int): Column =
+  private[graft] def bucketCol(stateKeys: Seq[String], numBuckets: Int): Column =
     pmod(hash(stateKeys.map(col): _*), lit(numBuckets))
 
-  private def hadoopFs(spark: SparkSession, dir: String) = {
+  private[graft] def hadoopFs(spark: SparkSession, dir: String) = {
     val p = new org.apache.hadoop.fs.Path(dir)
     (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
   }
@@ -406,7 +406,7 @@ object EventStreams {
   // ONE tested stream-IO path for every small control file the store
   // keeps (manifests, _graft_store_meta) — a future move to e.g.
   // atomic rename-based writes lands in one place.
-  private def writeSmallFile(
+  private[graft] def writeSmallFile(
       spark: SparkSession, path: String, body: String): Unit = {
     val (fs, p) = hadoopFs(spark, path)
     val out = fs.create(p, true)
@@ -414,20 +414,20 @@ object EventStreams {
     finally out.close()
   }
 
-  private def readSmallFile(spark: SparkSession, path: String): String = {
+  private[graft] def readSmallFile(spark: SparkSession, path: String): String = {
     val (fs, p) = hadoopFs(spark, path)
     val in = fs.open(p)
     try scala.io.Source.fromInputStream(in, "UTF-8").mkString
     finally in.close()
   }
 
-  private def writeManifest(
+  private[graft] def writeManifest(
       spark: SparkSession, path: String, m: Map[Int, Int]): Unit =
     writeSmallFile(spark, path,
       m.toSeq.sorted.map { case (k, v) => s"$k $v" }
         .mkString("", "\n", "\n"))
 
-  private def readManifest(spark: SparkSession, path: String): Map[Int, Int] =
+  private[graft] def readManifest(spark: SparkSession, path: String): Map[Int, Int] =
     readSmallFile(spark, path).linesIterator.filter(_.nonEmpty).map { l =>
       val Array(k, v) = l.split(' '); k.toInt -> v.toInt
     }.toMap
@@ -438,7 +438,7 @@ object EventStreams {
     * state schema). Returns the set of buckets actually written —
     * a bucket whose rows all disappeared produces no leaf and must be
     * recorded as empty in the manifest. */
-  private def writeBuckets(
+  private[graft] def writeBuckets(
       state: DataFrame, stateKeys: Seq[String], numBuckets: Int,
       dir: String): Set[Int] = {
     // exactly numBuckets partitions: one task and one file per
@@ -455,7 +455,7 @@ object EventStreams {
       .map(_.stripPrefix("_graft_bucket=").toInt).toSet
   }
 
-  private def bucketPath(stateDir: String, version: Int, bucket: Int) =
+  private[graft] def bucketPath(stateDir: String, version: Int, bucket: Int) =
     s"$stateDir/v$version/_graft_bucket=$bucket"
 
   /** Store-width default for [[cdcApply]]: 16 at fixture scale
@@ -581,13 +581,13 @@ object EventStreams {
     cdcState(spark, stateDir)
   }
 
-  private def manifestVersions(spark: SparkSession, stateDir: String): Seq[Int] = {
+  private[graft] def manifestVersions(spark: SparkSession, stateDir: String): Seq[Int] = {
     val (fs, mdir) = hadoopFs(spark, s"$stateDir/manifest")
     fs.listStatus(mdir).toSeq
       .map(_.getPath.getName.stripPrefix("v").toInt).sorted
   }
 
-  private def stateAt(spark: SparkSession, stateDir: String,
+  private[graft] def stateAt(spark: SparkSession, stateDir: String,
       manifest: Map[Int, Int],
       schema: Option[org.apache.spark.sql.types.StructType] = None)
       : DataFrame = {

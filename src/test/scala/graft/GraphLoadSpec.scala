@@ -269,61 +269,15 @@ class GraphLoadSpec extends AnyFunSuite {
 
   // ---- incremental per-release MERGE (applyRelease) ----
 
-  private def rowsOf(df: org.apache.spark.sql.DataFrame): Seq[String] = {
-    val cols = df.columns.sorted.toIndexedSeq
-    df.select(cols.map(col): _*).collect().map(_.toString).sorted.toSeq
-  }
-
-  private def assertSameGraph(a: GraphLoad.Graph, b: GraphLoad.Graph,
-      clue: String): Unit =
-    (a.vertexTables ++ a.edgeTables).foreach { case (n, df) =>
-      val other = (b.vertexTables ++ b.edgeTables)(n)
-      assert(df.columns.toSeq == other.columns.toSeq, s"$clue: $n columns")
-      assert(rowsOf(df) == rowsOf(other), s"$clue: table $n differs")
-    }
-
   /** Hand-built 3-release policy matrix: every load.cyp merge policy
     * exercised where incremental and refold could diverge. */
   test("applyRelease fold == loadAll on a policy-matrix synthetic") {
-    import spark.implicits._
-    def seqsDf(rel: String, rows: Seq[(String, String, String, String, String, Long)]) =
-      rows.toDF("gfe_name", "acc_name", "hla_name", "seq_id", "sequence", "length")
-        .withColumn("locus", split(col("hla_name"), "\\*").getItem(0))
-        .withColumn("imgt_release", lit(rel))
-    def featsDf(rows: Seq[(String, String, Int, String, String)]) =
-      rows.toDF("gfe_name", "term", "rank", "accession", "sequence")
-        .withColumn("locus", lit("HLA-A"))
-    def groupsDf(rows: Seq[(String, String, String)]) =
-      rows.toDF("hla_name", "ard_name", "ard_id")
-    // r1: alleles H1 (gfe A, acc AC1), H2 (gfe B, acc AC2); H1 reduced G→g1
-    val r1 = ("3570",
-      seqsDf("3.57.0", Seq(
-        ("A", "AC1", "HLA-A*01:01", "s1", "ACGT", 4L),
-        ("B", "AC2", "HLA-A*02:01", "s2", "CCGT", 4L))),
-      featsDf(Seq(("A", "EXON", 1, "1", "AC"), ("B", "EXON", 1, "2", "CC"))),
-      groupsDf(Seq(("HLA-A*01:01", "G", "g1"))))
-    // r2: A re-listed (releases accumulate; Sequence length overwritten
-    // 4→5); NEW gfe C for the same allele H1 under the same accession
-    // AC1 (new HAS_IPD_ACCESSION pair, first-wins keeps (A,AC1)@3.57.0);
-    // H1's G overwritten g1→g2; H2 gains lg (G stays null)
-    val r2 = ("3580",
-      seqsDf("3.58.0", Seq(
-        ("A", "AC1", "HLA-A*01:01", "s1", "ACGT", 5L),
-        ("C", "AC1", "HLA-A*01:01", "s3", "AGGT", 4L))),
-      featsDf(Seq(("A", "EXON", 1, "1", "AC"), ("C", "EXON", 1, "3", "AG"))),
-      groupsDf(Seq(("HLA-A*01:01", "G", "g2"), ("HLA-A*02:01", "lg", "l1"))))
-    // r3: brand-new allele/gfe D, no groups rows at all
-    val r3 = ("3590",
-      seqsDf("3.59.0", Seq(
-        ("D", "AC3", "HLA-B*07:02", "s4", "TTGT", 4L))),
-      featsDf(Seq(("D", "EXON", 1, "4", "TT"))),
-      groupsDf(Seq.empty))
-
+    val Seq(r1, r2, r3) = LoadFixtures.policyMatrix(spark)
     val refold = GraphLoad.loadAll(spark, Seq(r1, r2, r3))
     val inc = GraphLoad.applyRelease(spark,
       GraphLoad.applyRelease(spark,
         GraphLoad.loadAll(spark, Seq(r1)), r2), r3)
-    assertSameGraph(refold, inc, "policy matrix")
+    LoadFixtures.assertSameGraph(refold, inc, "policy matrix")
     // point-check the interesting policies on the incremental result
     val seqA = inc.sequence.where(col("name") === "A").collect().head
     assert(seqA.getAs[Long]("length") == 5L, "Sequence overwrite (ON MATCH)")
@@ -359,6 +313,6 @@ class GraphLoadSpec extends AnyFunSuite {
     val refold = GraphLoad.loadAll(spark, Seq(rel1, rel2))
     val inc = GraphLoad.applyRelease(spark,
       GraphLoad.loadAll(spark, Seq(rel1)), rel2)
-    assertSameGraph(refold, inc, "IMGT fixture")
+    LoadFixtures.assertSameGraph(refold, inc, "IMGT fixture")
   }
 }

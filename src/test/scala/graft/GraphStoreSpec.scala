@@ -1,0 +1,73 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.graph.{GraphLoad, GraphStore}
+
+class GraphStoreSpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.spark
+
+  private def tmp(tag: String): String =
+    java.nio.file.Files.createTempDirectory(tag).toString
+
+  test("store fold == loadAll refold on the policy matrix; vacuum-safe") {
+    val Seq(r1, r2, r3) = LoadFixtures.policyMatrix(spark)
+    val dir = tmp("graphstore_fold")
+    GraphStore.init(spark, dir, GraphLoad.loadAll(spark, Seq(r1)),
+      buckets = 4)
+    GraphStore.applyRelease(spark, dir, r2)
+    GraphStore.applyRelease(spark, dir, r3)
+    val refold = GraphLoad.loadAll(spark, Seq(r1, r2, r3))
+    LoadFixtures.assertSameGraph(refold, GraphStore.read(spark, dir),
+      "bucketed store fold")
+    // vacuum keeps the newest versions readable and drops superseded
+    // files; the state must be byte-identical before/after
+    val before = LoadFixtures.rowsOf(GraphStore.read(spark, dir).sequence)
+    val (buckets, manifests) = GraphStore.vacuum(spark, dir, keepVersions = 1)
+    assert(manifests > 0, "3 applies must supersede some manifests")
+    assert(LoadFixtures.rowsOf(GraphStore.read(spark, dir).sequence) == before)
+    assert(buckets >= 0)
+  }
+
+  test("apply I/O is O(dirty buckets): a 1-key release dirties ≤1 " +
+      "bucket per table") {
+    val Seq(r1, _, r3) = LoadFixtures.policyMatrix(spark)
+    val dir = tmp("graphstore_dirty")
+    GraphStore.init(spark, dir, GraphLoad.loadAll(spark, Seq(r1)),
+      buckets = 16)
+    // r3 is a single brand-new allele: one key per table → each
+    // table's apply reads and rewrites at most 1 of its 16 buckets
+    // (HAS_IPD_ALLELE etc. have exactly one delta key each)
+    val stats = GraphStore.applyRelease(spark, dir, r3)
+    stats.dirtyBuckets.foreach { case (t, n) =>
+      assert(n <= 1, s"$t dirtied $n buckets for a 1-allele release")
+    }
+    // 10 graph tables + SEQ_INDEX (Submitter is static, never applied)
+    assert(stats.dirtyBuckets.size == 11, "all 11 applied stores reported")
+  }
+
+  test("store fold == refold on the two-release IMGT fixture") {
+    import graft.ingest.ImgtFlatFile
+    import graft.gfe.{ArdReduction, GfeBuild}
+    def ardOf(rel: String) = ArdReduction.fromNames(
+      ImgtFlatFile.fromText(spark,
+        ImgtFlatFile.resourceText(s"/graft/hla.$rel.dat"))
+        .toDF().select(split(col("description"), ",")
+          .getItem(0).as("hla_name")))
+    val r1 = GfeBuild.run(spark, ImgtFlatFile.fromText(spark,
+      ImgtFlatFile.resourceText("/graft/hla.3560.dat")), "3560",
+      ard = Some(ardOf("3560")))
+    val r2 = GfeBuild.run(spark, ImgtFlatFile.fromText(spark,
+      ImgtFlatFile.resourceText("/graft/hla.3570.dat")), "3570",
+      registry = Some(r1.registry), ard = Some(ardOf("3570")))
+    val rel1 = ("3560", r1.gfeSequences, r1.allFeatures, r1.allGroups)
+    val rel2 = ("3570", r2.gfeSequences, r2.allFeatures, r2.allGroups)
+    val dir = tmp("graphstore_imgt")
+    GraphStore.init(spark, dir, GraphLoad.loadAll(spark, Seq(rel1)))
+    GraphStore.applyRelease(spark, dir, rel2)
+    LoadFixtures.assertSameGraph(
+      GraphLoad.loadAll(spark, Seq(rel1, rel2)),
+      GraphStore.read(spark, dir), "IMGT fixture store fold")
+  }
+}
