@@ -265,13 +265,29 @@ object GraphAlgorithms {
   def pageRankIntDF(edges: DataFrame, src: String, dst: String,
       iterations: Int = 10, directed: Boolean = true,
       scale: Long = 1000000L, localThreshold: Long = 1000000L,
-      seeds: Option[DataFrame] = None): DataFrame = {
+      seeds: Option[DataFrame] = None,
+      weight: Option[String] = None): DataFrame = {
+    // Weighted form (GDS relationshipWeightProperty parity): integer
+    // edge weights w, out-mass split ∝ w — each iteration adds
+    // ⌊85·r(u)·w(u,v) / (100·W(u))⌋ with W(u) = Σ out-weight, still
+    // pure integer floor math (bit-exact on any engine; caller keeps
+    // 85·r·w < 2^63 — micro-unit ranks with ≤10^4-scaled weights are
+    // 4 orders under that at test SF). weight = None is the w ≡ 1
+    // degenerate: Σw = deg and ⌊85·r·1/(100·deg)⌋ is the unweighted
+    // term, so unweighted results are bit-identical to the old form.
+    // Parallel delta edges aggregate by SUM (the common GDS projection
+    // choice); the unweighted path keeps its distinct() collapse.
     val e0 = edges.select(col(src).cast("string").as("a"),
-      col(dst).cast("string").as("b"))
+      col(dst).cast("string").as("b"),
+      weight.map(w => col(w).cast("long")).getOrElse(lit(1L)).as("w"))
       .where(col("a") =!= col("b"))
-    val e = (if (directed) e0
-      else e0.unionByName(e0.select(col("b").as("a"), col("a").as("b"))))
-      .distinct()
+    val eDir = if (directed) e0
+      else e0.unionByName(
+        e0.select(col("b").as("a"), col("a").as("b"), col("w")))
+    val e = weight match {
+      case None => eDir.select("a", "b").distinct().withColumn("w", lit(1L))
+      case Some(_) => eDir.groupBy("a", "b").agg(sum("w").as("w"))
+    }
     val verts = e.select(col("a").as("id"))
       .unionByName(e.select(col("b").as("id"))).distinct()
       .localCheckpoint(eager = true)
@@ -288,17 +304,20 @@ object GraphAlgorithms {
         .select(col("id"), coalesce(col("_seed"), lit(0L)).as("_seed"))
       case None => verts.withColumn("_seed", lit(1L))
     }
-    // out-degree-annotated edges, built once and reused per iteration
-    val deg = e.groupBy(col("a")).agg(count(lit(1)).as("deg"))
-    val eDeg = e.join(deg, "a").localCheckpoint(eager = true)
+    // out-weight-annotated edges, built once and reused per iteration
+    // (w ≡ 1 ⇒ sum(w) = the old count(*) out-degree, bit-identical)
+    val deg = e.groupBy(col("a")).agg(sum(col("w")).as("deg"))
+    val eDeg = e.join(deg, "a")
+      .select(col("a"), col("b"), col("w"), col("deg"))
+      .localCheckpoint(eager = true)
     val reset = scale * 15L / 100L
     // Small-graph fast path (louvainDF discipline): the recurrence is
     // pure integer floor-division, so the local replay is bit-exact —
-    // same per-edge ⌊r·85/(100·deg)⌋ contributions, same reset mass.
+    // same per-edge ⌊r·85·w/(100·W)⌋ contributions, same reset mass.
     if (localThreshold > 0 && eDeg.count() <= localThreshold) {
       val spark = edges.sparkSession
       val ed = eDeg.collect().map(r =>
-        (r.getString(0), r.getString(1), r.getLong(2)))
+        (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
       val seedOf = mask.collect()
         .map(r => r.getString(0) -> r.getLong(1)).toMap
       val ids = seedOf.keys.toSeq.sorted(utf8Ordering)
@@ -307,8 +326,8 @@ object GraphAlgorithms {
       for (_ <- 0 until iterations) {
         val inMass = scala.collection.mutable.Map
           .empty[String, Long].withDefaultValue(0L)
-        ed.foreach { case (a, b, dg) =>
-          inMass(b) += rankM(a) * 85L / (100L * dg)
+        ed.foreach { case (a, b, ew, dg) =>
+          inMass(b) += rankM(a) * 85L * ew / (100L * dg)
         }
         val next = scala.collection.mutable.Map.empty[String, Long]
         ids.foreach(v => next(v) = seedOf(v) * reset + inMass(v))
@@ -327,7 +346,7 @@ object GraphAlgorithms {
         val contrib = eDeg
           .join(rank.select(col("id").as("a"), col("r")), "a")
           .groupBy(col("b").as("id"))
-          .agg(sum(expr(s"(r * 85) div (100 * deg)")).as("in_mass"))
+          .agg(sum(expr(s"(r * 85 * w) div (100 * deg)")).as("in_mass"))
         rank = vm.join(contrib, Seq("id"), "left")
           .select(col("id"),
             (col("_seed") * reset + coalesce(col("in_mass"), lit(0L))).as("r"))
@@ -847,19 +866,37 @@ object GraphAlgorithms {
   def louvainDF(pairs: DataFrame, src: String, dst: String,
       maxPasses: Int = 3, maxRounds: Int = 8,
       broadcastVertsMax: Long = 4000000L,
-      localThreshold: Long = 1000000L): DataFrame = {
+      localThreshold: Long = 1000000L,
+      weight: Option[String] = None): DataFrame = {
     val spark = pairs.sparkSession
     // Level-graph state: simple undirected edges (x < y, weight w)
     // plus per-node self-loop mass (2× the contracted-away internal
     // weight, so degrees stay consistent across levels).
-    var edges = pairs
-      .select(col(src).cast("string").as("x"), col(dst).cast("string").as("y"))
-      .where(col("x") =!= col("y"))
-      .select(least(col("x"), col("y")).as("x"),
-        greatest(col("x"), col("y")).as("y"))
-      .distinct()
-      .withColumn("w", lit(1L))
-      .localCheckpoint(eager = true)
+    //
+    // Weighted form (GDS relationshipWeightProperty parity): the
+    // level graph already runs on integer edge weights (contraction
+    // sums them), so a weighted input just seeds w from the caller's
+    // integer column instead of 1 — gains, Σtot, and modularity all
+    // inherit the weights with the identical deterministic move
+    // schedule. Parallel input edges aggregate by SUM; weight = None
+    // keeps the old distinct()+w≡1 path bit-identical.
+    var edges = (weight match {
+      case None => pairs
+        .select(col(src).cast("string").as("x"),
+          col(dst).cast("string").as("y"))
+        .where(col("x") =!= col("y"))
+        .select(least(col("x"), col("y")).as("x"),
+          greatest(col("x"), col("y")).as("y"))
+        .distinct()
+        .withColumn("w", lit(1L))
+      case Some(wc) => pairs
+        .select(col(src).cast("string").as("x0"),
+          col(dst).cast("string").as("y0"), col(wc).cast("long").as("w"))
+        .where(col("x0") =!= col("y0"))
+        .select(least(col("x0"), col("y0")).as("x"),
+          greatest(col("x0"), col("y0")).as("y"), col("w"))
+        .groupBy("x", "y").agg(sum("w").as("w"))
+    }).localCheckpoint(eager = true)
     // Same small-graph discipline as connectedComponentsDF: below the
     // threshold, a driver-local run of the IDENTICAL deterministic
     // move schedule (same integer gains, same (score desc, com asc)

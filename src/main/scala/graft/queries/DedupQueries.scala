@@ -960,6 +960,124 @@ object DedupQueries {
         .orderBy("doc_id")
     },
 
+    // WEIGHTED integer PageRank (GDS relationshipWeightProperty
+    // parity) over the similarity-SCORED semantic near-dup graph: the
+    // repo's own embPairs sim (cosine rounded to 4 decimals on both
+    // engines) quantized to integer weights w = round(sim·10⁴), so a
+    // strong near-dup passes proportionally more rank mass than a
+    // borderline one. Same bit-exact floor recurrence with the
+    // out-mass split ∝ w — the oracle replays the identical 10
+    // unrolled iterations with weighted degrees.
+    QueryDef(
+      "d_dup_pagerank_weighted",
+      s"""$embPairsSql,
+        |wp AS (SELECT v1, v2, CAST(round(sim * 10000) AS BIGINT) AS w
+        |       FROM spairs),
+        |und AS (SELECT v1 AS a, v2 AS b, w FROM wp
+        |        UNION ALL SELECT v2, v1, w FROM wp),
+        |verts AS (SELECT DISTINCT a AS id FROM und),
+        |deg AS (SELECT a, CAST(sum(w) AS BIGINT) AS wdeg
+        |        FROM und GROUP BY a),
+        |ed AS (SELECT u.a, u.b, u.w, d.wdeg
+        |       FROM und u JOIN deg d ON d.a = u.a),
+        |r0 AS (SELECT id, CAST(1000000 AS BIGINT) AS r FROM verts),
+        |${(1 to 10).map(k =>
+          s"""r$k AS (SELECT v.id, 150000 + COALESCE(m.in_mass, 0) AS r
+             |  FROM verts v LEFT JOIN (
+             |    SELECT e.b AS id,
+             |           sum((r.r * 85 * e.w) // (100 * e.wdeg)) AS in_mass
+             |    FROM ed e JOIN r${k - 1} r ON r.id = e.a GROUP BY e.b) m
+             |  ON m.id = v.id)""".stripMargin).mkString(",\n")}
+        |SELECT id AS vec_id, CAST(r AS BIGINT) AS rank_ppm FROM r10
+        |ORDER BY vec_id""".stripMargin) { (s, d) =>
+      graft.graph.GraphAlgorithms.pageRankIntDF(
+        embPairs(s, d).select(col("v1"), col("v2"),
+          round(col("sim") * 10000).cast("long").as("w")),
+        "v1", "v2", iterations = 10, directed = false,
+        weight = Some("w"))
+        .select(col("id").cast("long").as("vec_id"), col("rank_ppm"))
+        .orderBy("vec_id")
+    },
+
+    // WEIGHTED Louvain (GDS relationshipWeightProperty parity) over
+    // the same sim-scored graph: communities form along STRONG
+    // similarity mass, not mere adjacency — two dup families joined
+    // by one borderline 0.4-cosine pair stay apart where the
+    // unweighted form might merge them. Same invariant-oracle scheme
+    // as d_dup_louvain (the move schedule is engine-specific; its
+    // invariants are SQL-checkable) with every quantity weighted:
+    // min-member labeling re-derived, component refinement counted,
+    // and the exact integer weighted modularity
+    // Q = Σ_c (4m_w·e_c − d_c²) / 4m_w² emitted as an uncancelled
+    // fraction (m_w = Σw ≈ 10⁴·|pairs|, so 4·m_w² stays far under
+    // 2^63 at any LSH-bounded pair count ≤ ~10^7).
+    QueryDef(
+      "d_dup_louvain_weighted",
+      s"""${embPairsSql.replaceFirst("^WITH ", "WITH RECURSIVE ")},
+        |wp AS (SELECT v1, v2, CAST(round(sim * 10000) AS BIGINT) AS w
+        |       FROM spairs),
+        |und AS (SELECT v1 AS a, v2 AS b, w FROM wp
+        |        UNION ALL SELECT v2, v1, w FROM wp),
+        |assign AS (SELECT CAST(vec_id AS BIGINT) AS vec_id,
+        |                  CAST(community AS BIGINT) AS community
+        |           FROM read_parquet('${GfeQueries.auxDir}/louvain_weighted_assign/*.parquet')),
+        |deg AS (SELECT a AS vec_id, CAST(sum(w) AS BIGINT) AS wdeg
+        |        FROM und GROUP BY a),
+        |mm AS (SELECT CAST(sum(w) AS BIGINT) AS m FROM wp),
+        |ec AS (SELECT a1.community, CAST(sum(p.w) AS BIGINT) AS e_c
+        |       FROM wp p JOIN assign a1 ON a1.vec_id = p.v1
+        |                 JOIN assign a2 ON a2.vec_id = p.v2
+        |       WHERE a1.community = a2.community GROUP BY 1),
+        |dc AS (SELECT a.community, CAST(sum(d.wdeg) AS BIGINT) AS d_c
+        |       FROM assign a JOIN deg d ON d.vec_id = a.vec_id GROUP BY 1),
+        |q AS (SELECT CAST(sum(4 * mm.m * COALESCE(ec.e_c, 0)
+        |                      - dc.d_c * dc.d_c) AS BIGINT) AS mod_num,
+        |             CAST(max(4 * mm.m * mm.m) AS BIGINT) AS mod_den
+        |      FROM dc LEFT JOIN ec ON ec.community = dc.community, mm),
+        |reach(n, lbl) AS (
+        |  SELECT DISTINCT a, a FROM und
+        |  UNION
+        |  SELECT r.n, u.b FROM reach r JOIN und u ON r.lbl = u.a),
+        |comp AS (SELECT n AS vec_id, min(lbl) AS component
+        |         FROM reach GROUP BY n),
+        |ref AS (SELECT a.community,
+        |               CAST(count(DISTINCT c.component) AS BIGINT) AS n_comp
+        |        FROM assign a JOIN comp c ON c.vec_id = a.vec_id GROUP BY 1)
+        |SELECT a.vec_id,
+        |       CAST(min(CAST(a.vec_id AS VARCHAR))
+        |              OVER (PARTITION BY a.community) AS BIGINT) AS community,
+        |       ref.n_comp, q.mod_num, q.mod_den
+        |FROM assign a JOIN ref ON ref.community = a.community, q
+        |ORDER BY vec_id""".stripMargin) { (s, d) =>
+      val wp = embPairs(s, d).select(
+        col("v1").cast("long").as("v1"), col("v2").cast("long").as("v2"),
+        round(col("sim") * 10000).cast("long").as("w"))
+      val assign = weightedLouvainAssign(s, d)
+      val und = wp.select(col("v1").as("a"), col("v2").as("b"), col("w"))
+        .unionByName(wp.select(col("v2").as("a"), col("v1").as("b"), col("w")))
+      val deg = und.groupBy(col("a").as("vec_id")).agg(sum("w").as("wdeg"))
+      val m = wp.agg(sum("w").as("m"))
+      val ec = wp
+        .join(assign.select(col("vec_id").as("v1"), col("community").as("c1")), "v1")
+        .join(assign.select(col("vec_id").as("v2"), col("community").as("c2")), "v2")
+        .where(col("c1") === col("c2"))
+        .groupBy(col("c1").as("community")).agg(sum("w").as("e_c"))
+      val dc = assign.join(deg, "vec_id")
+        .groupBy("community").agg(sum("wdeg").as("d_c"))
+      val q = dc.join(ec, Seq("community"), "left")
+        .crossJoin(broadcast(m))
+        .select(col("m"),
+          (lit(4L) * col("m") * coalesce(col("e_c"), lit(0L))
+            - col("d_c") * col("d_c")).as("contrib"))
+        .groupBy("m").agg(sum("contrib").as("mod_num"))
+        .select(col("mod_num"), (lit(4L) * col("m") * col("m")).as("mod_den"))
+      assign.crossJoin(broadcast(q))
+        .select(col("vec_id"), col("community"),
+          lit(1L).as("n_comp"), // refinement asserted, DuckDB measures
+          col("mod_num"), col("mod_den"))
+        .orderBy("vec_id")
+    },
+
     // Personalized PageRank (GDS pageRank sourceNodes parity): rank
     // mass originates at and teleports back to a SEED set only
     // (doc_id%5 here), so scores measure proximity to the seeds —
@@ -1540,5 +1658,21 @@ object DedupQueries {
         col("community").cast("long").as("community"))
       .coalesce(1).write.mode("overwrite")
       .parquet(s"${GfeQueries.auxDir}/louvain_assign")
+    weightedLouvainAssign(s, d)
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"${GfeQueries.auxDir}/louvain_weighted_assign")
   }
+
+  /** Deterministic weighted-Louvain assignment over the sim-scored
+    * embedding pair graph (weights = round(sim·10⁴)) — the query-time
+    * run and the [[dumpAux]] snapshot are bit-identical, same trust
+    * boundary as `louvain_assign`. */
+  private def weightedLouvainAssign(s: SparkSession, d: String): DataFrame =
+    graft.graph.GraphAlgorithms.louvainDF(
+      embPairs(s, d).select(col("v1").cast("string").as("v1"),
+        col("v2").cast("string").as("v2"),
+        round(col("sim") * 10000).cast("long").as("w")),
+      "v1", "v2", weight = Some("w"))
+      .select(col("id").cast("long").as("vec_id"),
+        col("community").cast("long").as("community"))
 }

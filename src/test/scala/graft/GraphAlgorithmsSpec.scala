@@ -741,4 +741,76 @@ class GraphAlgorithmsSpec extends AnyFunSuite {
     assert(sizes.length == 40 && sizes.forall(_ == 6),
       "every six-cycle is its own SCC despite the links")
   }
+
+  test("weighted integer pagerank: weights steer mass; w≡1 ≡ unweighted; " +
+      "local == distributed") {
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // hub splits its mass 9:1 between the leaves → l9 must outrank l1
+    val wg = Seq(("hub", "l9", 9L), ("hub", "l1", 1L)).toDF("s", "t", "w")
+    val pr = rows(GraphAlgorithms.pageRankIntDF(
+      wg, "s", "t", directed = false, weight = Some("w")))
+    assert(pr("l9") > pr("l1"), s"weight must steer rank mass: $pr")
+    // unit weights reproduce the unweighted form bit-for-bit
+    val g = Seq(("hub", "l1"), ("hub", "l2"), ("l1", "l2"), ("p", "q"))
+      .toDF("s", "t")
+    val unw = rows(GraphAlgorithms.pageRankIntDF(g, "s", "t",
+      directed = false))
+    val ones = rows(GraphAlgorithms.pageRankIntDF(
+      g.withColumn("w", org.apache.spark.sql.functions.lit(1L)),
+      "s", "t", directed = false, weight = Some("w")))
+    assert(unw == ones, "w ≡ 1 must be bit-identical to unweighted")
+    // weighted local fast path == weighted distributed loop
+    for (dir <- Seq(true, false)) {
+      val local = rows(GraphAlgorithms.pageRankIntDF(wg, "s", "t",
+        directed = dir, weight = Some("w")))
+      val dist = rows(GraphAlgorithms.pageRankIntDF(wg, "s", "t",
+        directed = dir, weight = Some("w"), localThreshold = 0L))
+      assert(local == dist, s"directed=$dir weighted divergence")
+    }
+    // parallel edges aggregate by SUM: (a,b,2)+(a,b,7) == (a,b,9)
+    val par = Seq(("hub", "l9", 2L), ("hub", "l9", 7L), ("hub", "l1", 1L))
+      .toDF("s", "t", "w")
+    assert(rows(GraphAlgorithms.pageRankIntDF(par, "s", "t",
+      directed = false, weight = Some("w"))) == pr)
+  }
+
+  test("weighted louvain: weights steer the split; w≡1 ≡ unweighted; " +
+      "local == distributed") {
+    def run(df: org.apache.spark.sql.DataFrame, w: Option[String],
+        thr: Long = 1000000L) =
+      GraphAlgorithms.louvainDF(df, "d1", "d2", weight = w,
+        localThreshold = thr)
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    // 4-cycle with heavy opposite edges: communities must pair along
+    // the HEAVY edges, whichever they are — flipping the weights must
+    // flip the split (pure weight-steering, independent of label
+    // tie-breaks)
+    val heavyAB = Seq(("a", "b", 10L), ("b", "c", 1L),
+      ("c", "d", 10L), ("d", "a", 1L)).toDF("d1", "d2", "w")
+    val comAB = run(heavyAB, Some("w"))
+    assert(comAB("a") == comAB("b") && comAB("c") == comAB("d") &&
+      comAB("a") != comAB("c"), s"heavy a-b/c-d must pair: $comAB")
+    val heavyBC = Seq(("a", "b", 1L), ("b", "c", 10L),
+      ("c", "d", 1L), ("d", "a", 10L)).toDF("d1", "d2", "w")
+    val comBC = run(heavyBC, Some("w"))
+    assert(comBC("b") == comBC("c") && comBC("d") == comBC("a") &&
+      comBC("a") != comBC("b"), s"heavy b-c/d-a must pair: $comBC")
+    // unit weights reproduce the unweighted assignment exactly
+    def k4(v: Seq[String]) = for {
+      i <- v.indices; j <- v.indices if i < j
+    } yield (v(i), v(j))
+    val cliques = (k4(Seq("a", "b", "c", "d")) ++
+      k4(Seq("e", "f", "g", "h")) ++ Seq(("d", "e"))).toDF("d1", "d2")
+    assert(run(cliques.withColumn("w",
+        org.apache.spark.sql.functions.lit(1L)), Some("w")) ==
+      run(cliques, None), "w ≡ 1 must match unweighted")
+    // weighted local fast path == weighted distributed fixpoint
+    assert(run(heavyAB, Some("w"), thr = 0L) == comAB,
+      "weighted local/distributed divergence")
+    // parallel edges aggregate by SUM
+    val par = Seq(("a", "b", 4L), ("b", "a", 6L), ("b", "c", 1L),
+      ("c", "d", 10L), ("d", "a", 1L)).toDF("d1", "d2", "w")
+    assert(run(par, Some("w")) == comAB)
+  }
 }
