@@ -357,6 +357,68 @@ object GraphAlgorithms {
     }
   }
 
+  /** FastRP-style node embeddings (GDS `gds.fastRP` capability parity
+    * — the last big GDS block: node vectors the ANN tier consumes),
+    * integer-exact so a DuckDB unrolled-CTE oracle replays it
+    * bit-for-bit, same discipline as [[pageRankIntDF]].
+    *
+    * Very-sparse random projection (Achlioptas-style): each vertex's
+    * initial vector e₀(v,d) is a deterministic PRF draw from
+    * {+scale, −scale, 0} (density 1/2) via the 60-bit md5 hash of
+    * `"$id:$d"` mod 4 — no RNG, both engines compute the identical
+    * draw. Then `iterations` rounds of integer neighbor-MEAN
+    * propagation, eₖ(v,d) = (Σ_{u∈N(v)} eₖ₋₁(u,d)) div deg(v)
+    * (truncated integer division — Spark `div` and DuckDB `//` agree
+    * toward-zero on negatives), and the output embedding is the sum
+    * of the iteration frames (GDS iterationWeights ≡ [0, 1, 1, …]),
+    * in micro-units of `scale`.
+    *
+    * Scale shape: each round is ONE equi-join of the (E·dims)-row
+    * frame on the fixed-width vertex key + a codegen'd hash
+    * aggregate; lineage checkpoint-truncated per round. dims rides as
+    * a row dimension (vectorizing into arrays would trade the
+    * hash-agg for interpreted HOF lambdas — the round-11 lesson).
+    *
+    * Returns (id, dim, val) exploded rows; callers needing vector
+    * columns `collect_list` over dim order.
+    */
+  def fastRpEmbedDF(edges: DataFrame, src: String, dst: String,
+      dims: Int = 8, iterations: Int = 2,
+      scale: Long = 1000000L): DataFrame = {
+    val spark = edges.sparkSession
+    graft.functions.NativeFunctions.register(spark)
+    val e = edges.select(col(src).cast("string").as("a"),
+      col(dst).cast("string").as("b"))
+      .where(col("a") =!= col("b"))
+    val und = e.unionByName(e.select(col("b").as("a"), col("a").as("b")))
+      .distinct()
+    val deg = und.groupBy("a").agg(count(lit(1)).as("deg"))
+    val undDeg = und.join(deg, "a").localCheckpoint(eager = true)
+    val verts = und.select(col("a").as("id")).distinct()
+    val dimsDf = spark.range(dims).toDF("dim")
+    val h = pmod(call_udf("graft_hex60",
+      concat(col("id"), lit(":"), col("dim").cast("string"))), lit(4))
+    var ek = verts.crossJoin(broadcast(dimsDf))
+      .select(col("id"), col("dim"),
+        when(h === 0, lit(scale)).when(h === 1, lit(-scale))
+          .otherwise(lit(0L)).as("val"))
+      .localCheckpoint(eager = true)
+    var acc: DataFrame = null
+    var k = 0
+    while (k < iterations) {
+      ek = undDeg
+        .join(ek.select(col("id").as("b"), col("dim"), col("val")), "b")
+        .groupBy(col("a").as("id"), col("dim"), col("deg"))
+        .agg(sum("val").as("s"))
+        .select(col("id"), col("dim"), expr("s div deg").as("val"))
+        .localCheckpoint(eager = true)
+      acc = if (acc == null) ek else acc.unionByName(ek)
+      k += 1
+    }
+    if (acc == null) ek
+    else acc.groupBy("id", "dim").agg(sum("val").as("val"))
+  }
+
   /** DataFrame-native BFS / unweighted single-source shortest path
     * (GDS `gds.bfs` / `gds.shortestPath` capability parity —
     * template.yaml:262-263 ships the plugin unrestricted; no scripted

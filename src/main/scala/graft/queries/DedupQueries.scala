@@ -133,7 +133,7 @@ object DedupQueries {
   // Lifecycle via [[Memo]] (weak session keys, explicit evict).
   private val pairsCache = Memo.dfTable
 
-  private def lshPairs(s: SparkSession, d: String): DataFrame =
+  private[queries] def lshPairs(s: SparkSession, d: String): DataFrame =
     pairsCache(s, d) { lshPairsUncached(s, d).cache() }
 
   /** Banded minhash keys (doc_id, band, bk) — the LSH index relation.

@@ -239,6 +239,51 @@ object SimilarityQueries {
 
   val all: Seq[QueryDef] = Seq(
 
+    // Graph embeddings (GDS fastRP capability parity): node vectors
+    // for the LSH dup-pair graph via deterministic very-sparse random
+    // projection + 2 rounds of integer neighbor-mean propagation
+    // (GraphAlgorithms.fastRpEmbedDF) — the bridge from the graph
+    // tier into this ANN tier (same-community docs land near each
+    // other; OperatorsSpec-style locality pinned in
+    // GraphAlgorithmsSpec). Fully oracled: the PRF init (60-bit md5
+    // mod 4 → {+1e6, −1e6, 0}) and both propagation rounds replay as
+    // unrolled CTEs; Spark `div` and DuckDB `//` agree (toward-zero)
+    // on negatives, so the hash is bit-exact.
+    QueryDef(
+      "v_graph_embed",
+      s"""${DedupQueries.lshPairsSql},
+        |und AS (SELECT d1 AS a, d2 AS b FROM pairs
+        |        UNION SELECT d2, d1 FROM pairs),
+        |verts AS (SELECT DISTINCT a AS id FROM und),
+        |deg AS (SELECT a, count(*) AS deg FROM und GROUP BY a),
+        |dims AS (SELECT unnest(generate_series(0, 7)) AS dim),
+        |e0 AS (SELECT v.id, d.dim,
+        |         CASE ${DedupQueries.duckHex60(
+               "(CAST(v.id AS VARCHAR) || ':' || CAST(d.dim AS VARCHAR))")} % 4
+        |           WHEN 0 THEN CAST(1000000 AS BIGINT)
+        |           WHEN 1 THEN CAST(-1000000 AS BIGINT)
+        |           ELSE CAST(0 AS BIGINT) END AS val
+        |       FROM verts v, dims d),
+        |e1 AS (SELECT u.a AS id, e.dim,
+        |         CAST(sum(e.val) AS BIGINT) // dg.deg AS val
+        |       FROM und u JOIN deg dg ON dg.a = u.a
+        |                  JOIN e0 e ON e.id = u.b
+        |       GROUP BY u.a, e.dim, dg.deg),
+        |e2 AS (SELECT u.a AS id, e.dim,
+        |         CAST(sum(e.val) AS BIGINT) // dg.deg AS val
+        |       FROM und u JOIN deg dg ON dg.a = u.a
+        |                  JOIN e1 e ON e.id = u.b
+        |       GROUP BY u.a, e.dim, dg.deg)
+        |SELECT e1.id AS doc_id, e1.dim AS dim, e1.val + e2.val AS val
+        |FROM e1 JOIN e2 ON e2.id = e1.id AND e2.dim = e1.dim
+        |ORDER BY doc_id, e1.dim""".stripMargin) { (s, d) =>
+      graft.graph.GraphAlgorithms.fastRpEmbedDF(
+        DedupQueries.lshPairs(s, d), "d1", "d2",
+        dims = 8, iterations = 2)
+        .select(col("id").cast("long").as("doc_id"), col("dim"), col("val"))
+        .orderBy("doc_id", "dim")
+    },
+
     // Product-quantization ANN (the classic 100 TB vector tier):
     // corpus vectors live as 8 codebook codes (64× smaller than the
     // floats), each query builds a 8×16-entry inner-product table

@@ -813,4 +813,34 @@ class GraphAlgorithmsSpec extends AnyFunSuite {
       ("c", "d", 10L), ("d", "a", 1L)).toDF("d1", "d2", "w")
     assert(run(par, Some("w")) == comAB)
   }
+
+  test("fastRP embeddings: same-clique vertices are nearer than " +
+      "cross-clique; deterministic") {
+    def k4(v: Seq[String]) = for {
+      i <- v.indices; j <- v.indices if i < j
+    } yield (v(i), v(j))
+    val cliqueA = Seq("a1", "a2", "a3", "a4")
+    val cliqueB = Seq("b1", "b2", "b3", "b4")
+    val pairs = (k4(cliqueA) ++ k4(cliqueB) ++ Seq(("a4", "b1")))
+      .toDF("d1", "d2")
+    def embed() = GraphAlgorithms
+      .fastRpEmbedDF(pairs, "d1", "d2", dims = 8, iterations = 2)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val e = embed()
+    assert(e == embed(), "PRF init + integer propagation must be " +
+      "deterministic across runs")
+    val verts = cliqueA ++ cliqueB
+    def vec(v: String): Seq[Long] = (0L until 8L).map(d => e((v, d)))
+    def dotP(x: String, y: String): Long =
+      vec(x).zip(vec(y)).map { case (p, q) => p * q }.sum
+    def cliqueOf(v: String) = if (cliqueA.contains(v)) cliqueA else cliqueB
+    // the ANN-consumption contract: every vertex's nearest neighbor by
+    // (integer) dot product over the embedding is a same-clique vertex
+    verts.foreach { v =>
+      val nearest = verts.filter(_ != v).maxBy(u => (dotP(v, u), u))
+      assert(cliqueOf(nearest) == cliqueOf(v),
+        s"$v's nearest embedding neighbor $nearest crossed the bridge")
+    }
+  }
 }
