@@ -198,6 +198,21 @@ object DedupQueries {
         array_min(transform(col("sh"),
           x => hex60(concat(x, lit(s"#$j"))))).as(s"m$j")): _*))
 
+  /** Band-index rows (doc_id, band, bk) for a raw (doc_id, text)
+    * batch — the per-micro-batch index delta `st_index_maintain`
+    * folds into versioned state (same shingling/signature/banding as
+    * the batch-built [[bandedKeys]], so the maintained index and the
+    * batch index agree row-for-row). Self-sufficient entrypoint:
+    * the minhash family runs on the native Hex60 expression,
+    * registered idempotently here (foreachBatch hands this the
+    * micro-batch's session, which on a cluster may not be the one
+    * the query surface registered on). */
+  private[graft] def bandRows(docs: DataFrame): DataFrame = {
+    graft.functions.NativeFunctions.register(docs.sparkSession)
+    bandsOf(docs.select(col("doc_id"),
+      shingles(tokens(col("text"))).as("sh")))
+  }
+
   private def lshPairsUncached(s: SparkSession, d: String): DataFrame =
     bandJoin(bandedKeys(s, d))
 

@@ -240,6 +240,35 @@ object StreamingQueries {
         .orderBy("doc_id")
     },
 
+    // Continuous LSH band-index maintenance — closes the dedup loop:
+    // each micro-batch of documents appends its banded minhash keys
+    // (doc_id, band, bk) into the cdcApply versioned index, so an
+    // ingest-time screen (st_corpus_screen) probes a GROWING corpus
+    // state rather than a static one. Banding is per-row and
+    // append-only (union + key-dedup merge = idempotent under
+    // foreachBatch retries), so the maintained index equals the
+    // batch-built bandedKeys for ANY micro-batch partitioning — the
+    // oracle replays the full batch banding in SQL and hash-checks
+    // the real streaming path. Per-batch I/O: only the buckets the
+    // batch's doc_ids hash to (O(dirty), the 100 TB property).
+    QueryDef(
+      "st_index_maintain",
+      s"""${DedupQueries.lshPairsSql}
+        |SELECT doc_id, band, bk FROM bands
+        |ORDER BY doc_id, band""".stripMargin) { (s, d) =>
+      val stateDir = java.nio.file.Files
+        .createTempDirectory("band_index_state").toString
+      val changes = EventStreams.streamSource(s, s"$d/documents.parquet")
+      val init = DedupQueries.bandRows(Tables.documents(s, d))
+        .where(lit(false))
+      EventStreams.cdcApply(s, changes, init, stateDir,
+        Seq("doc_id", "band"),
+        batch => DedupQueries.bandRows(batch),
+        (state, delta) => state.unionByName(delta)
+          .dropDuplicates("doc_id", "band"))
+        .orderBy("doc_id", "band")
+    },
+
     // Continuous CDC apply — the streaming form of o_merge_upsert,
     // and unlike the other st_* entries this one runs the REAL
     // streaming path (readStream → foreachBatch folding each

@@ -597,6 +597,48 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("band-index maintenance: multi-batch fold == batch band index") {
+    // Banding is per-row and the merge is key-deduped append, so the
+    // maintained index must equal the batch-built one for ANY
+    // micro-batch partitioning of the corpus — the property that
+    // lets st_corpus_screen probe a continuously-growing index with
+    // no rebuild. Driven here through a hash-split (doc-order-
+    // shuffled) 3-batch source over the REAL cdcApply machinery.
+    val srcDir = java.nio.file.Files.createTempDirectory("bidx_src")
+    (0 until 3).foreach { p =>
+      val part = java.nio.file.Files.createTempDirectory(s"bidx_part$p")
+      Tables.documents(spark, sfDir)
+        .where(pmod(col("doc_id"), lit(3)) === p)
+        .coalesce(1).write.mode("overwrite").parquet(part.toString)
+      val f = java.nio.file.Files.list(part).toArray.map(_.toString)
+        .filter(_.endsWith(".parquet")).head
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get(f), srcDir.resolve(s"$p.parquet"))
+    }
+    val stateDir = java.nio.file.Files.createTempDirectory("bidx_state")
+    val changes = EventStreams.streamSource(
+      spark, srcDir.toString, Map("maxFilesPerTrigger" -> "1"))
+    val init = graft.queries.DedupQueries
+      .bandRows(Tables.documents(spark, sfDir)).where(lit(false))
+    val streamed = EventStreams.cdcApply(spark, changes, init,
+      stateDir.toString,
+      Seq("doc_id", "band"),
+      batch => graft.queries.DedupQueries.bandRows(batch),
+      (state, delta) => state.unionByName(delta)
+        .dropDuplicates("doc_id", "band"))
+      .orderBy("doc_id", "band").collect().toSeq
+    val batch = graft.queries.DedupQueries
+      .bandRows(Tables.documents(spark, sfDir))
+      .orderBy("doc_id", "band").collect().toSeq
+    assert(streamed == batch)
+    assert(batch.nonEmpty)
+    // three 1-file micro-batches -> the state really was folded
+    // incrementally (v0 init + one committed version per batch)
+    val versions = java.nio.file.Files.list(stateDir).toArray
+      .map(_.toString.split('/').last).count(_.startsWith("v"))
+    assert(versions >= 4, s"expected v0..v3+, saw $versions versions")
+  }
+
   test("cdc fold is batching-invariant: any split, any order, same state") {
     // Pure algebra check (no streaming machinery): fold the same
     // change set through different batch partitionings — including a
