@@ -299,17 +299,32 @@ object Bench {
     // Per-ENTRY failure isolation (runBlocks discipline): a late
     // entry's failure must not discard the tier's already-finished
     // measurements — each records -1.0 on its own error instead.
-    def tTier(name: String, detail: => String)(f: => Long): (String, Double) =
-      try {
-        val t0 = System.nanoTime(); val n = f
-        val s = (System.nanoTime() - t0) / 1e9
-        System.err.println(
-          f"[bench] dist-graph $name: $s%.2f s ($n rows, $detail)")
-        name -> s
-      } catch { case scala.util.control.NonFatal(ex) =>
-        System.err.println(s"[bench] dist-graph $name failed: $ex")
-        name -> -1.0
+    //
+    // Min-of-N (round 12): the x-tier entries were the last min-of-1
+    // numbers in the snapshot — BENCH_r11 carried an xscale_dedup
+    // reading 3.2× its same-round floor from one noisy window, which
+    // reads as a regression that never happened. Same discipline as
+    // the fixture queries (min-of-2 recovers steady-state latency):
+    // each x-tier body runs GRAFT_XTIER_RUNS times (default 2) and
+    // the min is reported; a per-attempt failure keeps earlier valid
+    // samples, -1 only when every attempt fails.
+    val xtierRuns =
+      math.max(1, sys.env.getOrElse("GRAFT_XTIER_RUNS", "2").toInt)
+    def tTier(name: String, detail: => String)(f: => Long): (String, Double) = {
+      val samples = (1 to xtierRuns).flatMap { i =>
+        try {
+          val t0 = System.nanoTime(); val n = f
+          val s = (System.nanoTime() - t0) / 1e9
+          System.err.println(
+            f"[bench] dist-graph $name run $i: $s%.2f s ($n rows, $detail)")
+          Some(s)
+        } catch { case scala.util.control.NonFatal(ex) =>
+          System.err.println(s"[bench] dist-graph $name run $i failed: $ex")
+          None
+        }
       }
+      name -> (if (samples.isEmpty) -1.0 else samples.min)
+    }
     val distGraph: Map[String, Double] =
       if (distCliques <= 0) Map.empty
       else try {
@@ -445,43 +460,59 @@ object Bench {
           if (foldReleases > 20) "150" else "1000").toInt
         val sizes = (1 to foldReleases).map(k => step * k)
         sizes.foreach(graft.gfe.SyntheticRelease.materialize(_)) // untimed gen
-        val t0 = System.nanoTime()
-        var reg: Option[org.apache.spark.sql.DataFrame] = None
-        var firstReg: Option[org.apache.spark.sql.DataFrame] = None
-        var prevKeys = 0L
-        val stepTimes = sizes.zipWithIndex.map { case (n, i) =>
-          val ts = System.nanoTime()
-          val r = graft.gfe.GfeBuild.run(spark,
-            graft.ingest.ImgtFlatFile.read(spark,
-              graft.gfe.SyntheticRelease.materialize(n).toString),
-            (3500 + 10 * i).toString, registry = reg)
-          val cur = r.registry.localCheckpoint(true)
-          val keys = cur.count()
-          require(keys >= prevKeys,
-            s"registry shrank at step $i: $prevKeys -> $keys")
-          prevKeys = keys
-          reg = Some(cur)
-          if (firstReg.isEmpty) firstReg = Some(cur)
-          (System.nanoTime() - ts) / 1e9
+        // One complete invariant-checked fold; run min-of-N like the
+        // rest of the x-tier (the invariants re-assert on EVERY
+        // timed run — a timing run can never silently time a broken
+        // fold, however many samples are taken).
+        def oneFold(run: Int): Double = {
+          val t0 = System.nanoTime()
+          var reg: Option[org.apache.spark.sql.DataFrame] = None
+          var firstReg: Option[org.apache.spark.sql.DataFrame] = None
+          var prevKeys = 0L
+          val stepTimes = sizes.zipWithIndex.map { case (n, i) =>
+            val ts = System.nanoTime()
+            val r = graft.gfe.GfeBuild.run(spark,
+              graft.ingest.ImgtFlatFile.read(spark,
+                graft.gfe.SyntheticRelease.materialize(n).toString),
+              (3500 + 10 * i).toString, registry = reg)
+            val cur = r.registry.localCheckpoint(true)
+            val keys = cur.count()
+            require(keys >= prevKeys,
+              s"registry shrank at step $i: $prevKeys -> $keys")
+            prevKeys = keys
+            reg = Some(cur)
+            if (firstReg.isEmpty) firstReg = Some(cur)
+            (System.nanoTime() - ts) / 1e9
+          }
+          // per-release evidence for the ~linear-in-releases claim:
+          // the constant grows with cumulative registry size, so
+          // quartile means expose any super-linear drift at a glance
+          val q = stepTimes.grouped(math.max(1, stepTimes.size / 4)).toSeq
+          System.err.println("[bench] fold step-time quartile means: " +
+            q.map(g => f"${g.sum / g.size}%.2f").mkString(" -> ") + " s")
+          val s = (System.nanoTime() - t0) / 1e9
+          import org.apache.spark.sql.functions.col
+          val renumbered = reg.get.as("n")
+            .join(firstReg.get.as("o"),
+              Seq("locus", "term", "rank", "sequence"))
+            .where(col("n.accession") =!= col("o.accession")).count()
+          require(renumbered == 0,
+            s"$renumbered accessions renumbered across the fold")
+          System.err.println(
+            f"[bench] registry fold run $run: $foldReleases releases " +
+              f"in $s%.2f s ($prevKeys registry keys, " +
+              "first-release accessions stable)")
+          s
         }
-        // per-release evidence for the ~linear-in-releases claim: the
-        // constant grows with cumulative registry size, so quartile
-        // means expose any super-linear drift at a glance
-        val q = stepTimes.grouped(math.max(1, stepTimes.size / 4)).toSeq
-        System.err.println("[bench] fold step-time quartile means: " +
-          q.map(g => f"${g.sum / g.size}%.2f").mkString(" -> ") + " s")
-        val s = (System.nanoTime() - t0) / 1e9
-        import org.apache.spark.sql.functions.col
-        val renumbered = reg.get.as("n")
-          .join(firstReg.get.as("o"),
-            Seq("locus", "term", "rank", "sequence"))
-          .where(col("n.accession") =!= col("o.accession")).count()
-        require(renumbered == 0,
-          s"$renumbered accessions renumbered across the fold")
-        System.err.println(
-          f"[bench] registry fold: $foldReleases releases in $s%.2f s " +
-            f"($prevKeys registry keys, first-release accessions stable)")
-        Map(s"xfold_registry_$foldReleases" -> s)
+        val samples = (1 to xtierRuns).flatMap { i =>
+          try Some(oneFold(i))
+          catch { case scala.util.control.NonFatal(ex) =>
+            System.err.println(s"[bench] registry fold run $i failed: $ex")
+            None
+          }
+        }
+        if (samples.isEmpty) Map.empty[String, Double]
+        else Map(s"xfold_registry_$foldReleases" -> samples.min)
       } catch { case scala.util.control.NonFatal(ex) =>
         System.err.println(s"[bench] registry fold failed: $ex")
         Map.empty

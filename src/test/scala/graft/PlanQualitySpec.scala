@@ -72,8 +72,14 @@ class PlanQualitySpec extends AnyFunSuite {
   test("small dimension joins broadcast (j1, j4)") {
     assert(planOf("j1_broadcast_join").contains("BroadcastHashJoin"))
     val j4 = planOf("j4_multiway_join")
-    assert("BroadcastHashJoin".r.findAllIn(j4).length == 2,
+    // >= not ==: the contract is "no small-dim join falls back to a
+    // shuffle", not an exact operator census — an AQE plan change
+    // that (say) folds a join away must not fail this
+    assert("BroadcastHashJoin".r.findAllIn(j4).length >= 2,
       "both nation and region joins must broadcast")
+    assert(!j4.contains("SortMergeJoin") &&
+      !j4.contains("ShuffledHashJoin"),
+      "no small-dim join may take a shuffle path")
   }
 
   test("stream-join batch twin is an equi-join with pushed type filters") {
