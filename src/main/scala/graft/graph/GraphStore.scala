@@ -237,49 +237,75 @@ object GraphStore {
       .groupBy("src", "dst")
       .agg(collect_set(col("rel")).as("new_rels"))
 
-    val stats = scala.collection.mutable.Map.empty[String, Int]
+    // The per-table MERGEs are independent stores (disjoint
+    // directories, own manifests) — run them as concurrent job
+    // streams. Each step is a handful of small jobs (dirty-bucket
+    // collect, bucket rewrite, manifest commit) whose cost at any
+    // scale is dominated by per-job latency, not compute; serialized
+    // they cost 11 × that latency per release (measured 10 s/release
+    // at fixture scale), interleaved the scheduler overlaps them
+    // (same trick as SCC's fwd/bwd fixpoints). Only ordering
+    // constraint: SEQ_INDEX commits before HAS_SEQUENCE probes it (a
+    // new Sequence node must be visible to its own release's pairs).
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val stats =
+      new java.util.concurrent.ConcurrentHashMap[String, Int]()
     def apply1(table: String, keys: Seq[String], delta: DataFrame,
-        merge: (DataFrame, DataFrame) => DataFrame): Unit =
-      stats(table) = applyTable(spark, s"$dir/$table", keys, delta, merge)
+        merge: (DataFrame, DataFrame) => DataFrame): Future[Unit] =
+      Future {
+        stats.put(table,
+          applyTable(spark, s"$dir/$table", keys, delta, merge))
+        ()
+      }
 
-    apply1("GFE", Seq("name"), gfeDelta, createOnly(Seq("name")))
-    apply1("Sequence", Seq("name"), seqDelta, overwrite(Seq("name")))
-    apply1("Feature", featKeys,
-      featRel.select(featKeys.map(col): _*).dropDuplicates(featKeys),
-      createOnly(featKeys))
-    apply1("IPD_Allele", Seq("name"), alleleDelta, mergeAllele)
-    apply1("IPD_Accession", Seq("name"),
-      seqs.select(col("acc_name").as("name")).dropDuplicates("name"),
-      createOnly(Seq("name")))
-    apply1("HAS_IPD_ALLELE", Seq("src", "dst"), relsDelta, mergeReleases)
-    apply1("HAS_IPD_ACCESSION", Seq("src", "dst"),
-      seqs.select(col("gfe_name").as("src"), col("acc_name").as("dst"),
-        col("imgt_release").as("release")).dropDuplicates("src", "dst"),
-      createOnly(Seq("src", "dst")))
-    // SUBMITTED create-only on dst: only this release's genuinely-new
-    // GFEs land (existing dsts keep their first submit_date)
-    apply1("SUBMITTED", Seq("src", "dst"),
-      gfeDelta.select(lit("IPD-IMGT").as("src"), col("name").as("dst"),
-        lit(submitDate).as("submit_date")),
-      createOnly(Seq("src", "dst")))
-    apply1("HAS_FEATURE", hfKeys,
-      featRel.select(col("gfe_name").as("src"), col("locus"),
-        col("rank"), col("term"), col("accession")).dropDuplicates(hfKeys),
-      createOnly(hfKeys))
-    // SEQ_INDEX first (a new sequence node must be probe-visible to
-    // its own release's pairs), then HAS_SEQUENCE from the probe
-    apply1("SEQ_INDEX", Seq("seq_id"),
-      seqDelta.select(col("seq_id"), col("name")),
-      createOnly(Seq("seq_id", "name")))
-    val pairs = seqs.select(col("gfe_name").as("src"), col("seq_id"))
-      .dropDuplicates("src", "seq_id").localCheckpoint()
-    val hsDelta = stateForKeys(spark, s"$dir/SEQ_INDEX", pairs, Seq("seq_id"))
-      .withColumnRenamed("name", "dst")
-      .join(broadcast(pairs), Seq("seq_id"))
-      .select("src", "dst")
-    apply1("HAS_SEQUENCE", Seq("src", "dst"), hsDelta,
-      createOnly(Seq("src", "dst")))
-    ApplyStats(stats.toMap)
+    val independent = Seq(
+      apply1("GFE", Seq("name"), gfeDelta, createOnly(Seq("name"))),
+      apply1("Sequence", Seq("name"), seqDelta, overwrite(Seq("name"))),
+      apply1("Feature", featKeys,
+        featRel.select(featKeys.map(col): _*).dropDuplicates(featKeys),
+        createOnly(featKeys)),
+      apply1("IPD_Allele", Seq("name"), alleleDelta, mergeAllele),
+      apply1("IPD_Accession", Seq("name"),
+        seqs.select(col("acc_name").as("name")).dropDuplicates("name"),
+        createOnly(Seq("name"))),
+      apply1("HAS_IPD_ALLELE", Seq("src", "dst"), relsDelta, mergeReleases),
+      apply1("HAS_IPD_ACCESSION", Seq("src", "dst"),
+        seqs.select(col("gfe_name").as("src"), col("acc_name").as("dst"),
+          col("imgt_release").as("release")).dropDuplicates("src", "dst"),
+        createOnly(Seq("src", "dst"))),
+      // SUBMITTED create-only on dst: only this release's genuinely-
+      // new GFEs land (existing dsts keep their first submit_date)
+      apply1("SUBMITTED", Seq("src", "dst"),
+        gfeDelta.select(lit("IPD-IMGT").as("src"), col("name").as("dst"),
+          lit(submitDate).as("submit_date")),
+        createOnly(Seq("src", "dst"))),
+      apply1("HAS_FEATURE", hfKeys,
+        featRel.select(col("gfe_name").as("src"), col("locus"),
+          col("rank"), col("term"), col("accession")).dropDuplicates(hfKeys),
+        createOnly(hfKeys)),
+      // SEQ_INDEX first, then HAS_SEQUENCE from the probe (chained
+      // below so the probe reads this release's committed index)
+      apply1("SEQ_INDEX", Seq("seq_id"),
+        seqDelta.select(col("seq_id"), col("name")),
+        createOnly(Seq("seq_id", "name")))
+        .map { _ =>
+          val pairs = seqs.select(col("gfe_name").as("src"), col("seq_id"))
+            .dropDuplicates("src", "seq_id").localCheckpoint()
+          val hsDelta = stateForKeys(
+            spark, s"$dir/SEQ_INDEX", pairs, Seq("seq_id"))
+            .withColumnRenamed("name", "dst")
+            .join(broadcast(pairs), Seq("seq_id"))
+            .select("src", "dst")
+          stats.put("HAS_SEQUENCE",
+            applyTable(spark, s"$dir/HAS_SEQUENCE", Seq("src", "dst"),
+              hsDelta, createOnly(Seq("src", "dst"))))
+          ()
+        })
+    independent.foreach(Await.result(_, Duration.Inf))
+    import scala.jdk.CollectionConverters._
+    ApplyStats(stats.asScala.toMap)
   }
 
   /** Latest committed graph. */
