@@ -310,10 +310,11 @@ object Bench {
     // samples, -1 only when every attempt fails.
     val xtierRuns =
       math.max(1, sys.env.getOrElse("GRAFT_XTIER_RUNS", "2").toInt)
-    def tTier(name: String, detail: => String)(f: => Long): (String, Double) = {
-      val samples = (1 to xtierRuns).flatMap { i =>
+    def tTier(name: String, detail: => String,
+        runsFor: Int = xtierRuns)(f: => Long): (String, Double) = {
+      val samples = (1 to runsFor).flatMap { i =>
         try {
-          val t0 = System.nanoTime(); val n = f
+          val t0 = System.nanoTime(); val n: Long = f
           val s = (System.nanoTime() - t0) / 1e9
           System.err.println(
             f"[bench] dist-graph $name run $i: $s%.2f s ($n rows, $detail)")
@@ -396,6 +397,136 @@ object Bench {
         } finally e.unpersist()
       } catch { case scala.util.control.NonFatal(ex) =>
         System.err.println(s"[bench] dist-graph workload failed: $ex")
+        Map.empty
+      }
+
+    // One real order-of-magnitude step above the 1.2M-edge tier
+    // (round 12): CC and SCC at ~10M edges, same synthetic shapes so
+    // the two tiers are comparable — the datapoint that checks
+    // withGraphShuffle sizing, checkpoint cadence, and the
+    // trim/doubling round counts hold OFF the local-gate boundary
+    // ("the plan you'd want at 100×" deserves a measured 10×).
+    // Single-timed by default (GRAFT_XTIER_RUNS_10M): its signal is
+    // round counts and ~linear scaling vs the 1.2M tier, not a
+    // latency floor — bench_best still min-merges it across runs.
+    // GRAFT_DIST_GRAPH_10M sizes it in CC-cliques (0 disables).
+    val cliques10m =
+      sys.env.getOrElse("GRAFT_DIST_GRAPH_10M", "1000000").toInt
+    val runs10m =
+      math.max(1, sys.env.getOrElse("GRAFT_XTIER_RUNS_10M", "1").toInt)
+    val distGraph10m: Map[String, Double] =
+      if (cliques10m <= 0) Map.empty
+      else try {
+        import org.apache.spark.sql.functions._
+        import spark.implicits._
+        val pairsIdx =
+          (for (i <- 0 until 5; j <- (i + 1) until 5) yield (i, j))
+            .toDF("i", "j")
+        Map(
+          tTier("xdist_cc_10m", s"$cliques10m cliques", runs10m) {
+            // 5-cliques: 10 edges each → 10M edges, 5M vertices
+            val e = spark.range(cliques10m.toLong)
+              .select(col("id").as("c"))
+              .crossJoin(broadcast(pairsIdx))
+              .select(
+                concat(lit("v"), col("c") * 5 + col("i")).as("src"),
+                concat(lit("v"), col("c") * 5 + col("j")).as("dst"))
+            graft.graph.GraphAlgorithms.connectedComponentsDF(
+              e, "src", "dst", localThreshold = 0).count() },
+          tTier("xdist_scc_10m", s"${2 * cliques10m} cycles", runs10m) {
+            // directed 5-cycles: 5 edges each → 2× cliques for the
+            // same 10M edges (10M vertices), plus the 300-vertex
+            // condensation chain the r10 peel could not finish
+            val cyc = spark.range(2L * cliques10m)
+              .crossJoin(broadcast((0 until 5).toDF("i")))
+              .select(
+                concat(lit("v"), col("id") * 5 + col("i")).as("src"),
+                concat(lit("v"),
+                  col("id") * 5 + (col("i") + 1) % 5).as("dst"))
+            val chain = spark.range(299)
+              .select(
+                format_string("c%06d", col("id")).as("src"),
+                format_string("c%06d", col("id") + 1).as("dst"))
+            graft.graph.GraphAlgorithms.stronglyConnectedComponentsDF(
+              cyc.unionByName(chain), "src", "dst",
+              localThreshold = 0).count() })
+      } catch { case scala.util.control.NonFatal(ex) =>
+        System.err.println(s"[bench] dist-graph-10m workload failed: $ex")
+        Map.empty
+      }
+
+    // Incremental per-release MERGE vs whole-history refold
+    // (round 12): the standing-pipeline claim — GraphStore.applyRelease
+    // is O(delta + dirty buckets) per release while GraphLoad.loadAll
+    // refolds O(total history) — made measurable. K synthetic releases
+    // are built once UNTIMED (the build path has its own tiers; each
+    // frame checkpointed so apply/refold consume plain rows), then
+    // xinc_apply_K times store-init-from-release-1 plus K−1 MERGEs
+    // (per-step times + dirty-bucket counts to stderr: the flatness
+    // evidence), and xinc_refold_K times the full-history refold of
+    // the same releases — the pair a reader compares. Fold equality
+    // is spec-pinned (GraphStoreSpec) and driver-oracled
+    // (gfe_incremental_*); here a cardinality cross-check re-asserts
+    // it so a timing run can never time a broken fold.
+    // GRAFT_INC_GRAPH sizes it in releases (0 disables).
+    val incReleases = sys.env.getOrElse("GRAFT_INC_GRAPH", "10").toInt
+    val incGraph: Map[String, Double] =
+      if (incReleases <= 0) Map.empty
+      else try {
+        val step = sys.env.getOrElse("GRAFT_INC_GRAPH_STEP", "1000").toInt
+        val sizes = (1 to incReleases).map(k => step * k)
+        sizes.foreach(graft.gfe.SyntheticRelease.materialize(_))
+        var reg: Option[org.apache.spark.sql.DataFrame] = None
+        val rels = sizes.zipWithIndex.map { case (n, i) =>
+          val r = graft.gfe.GfeBuild.run(spark,
+            graft.ingest.ImgtFlatFile.read(spark,
+              graft.gfe.SyntheticRelease.materialize(n).toString),
+            (3500 + 10 * i).toString, registry = reg)
+          reg = Some(r.registry.localCheckpoint(true))
+          ((3500 + 10 * i).toString,
+            r.gfeSequences.localCheckpoint(true),
+            r.allFeatures.localCheckpoint(true),
+            r.allGroups.localCheckpoint(true))
+        }
+        var storeEdges = -1L
+        val apply = tTier(s"xinc_apply_$incReleases", s"$step-allele steps") {
+          val dir = java.nio.file.Files
+            .createTempDirectory("graft_inc_store").toString
+          graft.graph.GraphStore.init(spark, dir,
+            graft.graph.GraphLoad.loadAll(spark, Seq(rels.head)))
+          val stepTimes = rels.tail.map { rel =>
+            val t0 = System.nanoTime()
+            val st = graft.graph.GraphStore.applyRelease(spark, dir, rel)
+            ((System.nanoTime() - t0) / 1e9, st.total)
+          }
+          System.err.println("[bench] inc-apply per-release (s, dirty): " +
+            stepTimes.map { case (s, d) => f"$s%.2f/$d" }.mkString(" "))
+          storeEdges = graft.graph.GraphStore.read(spark, dir)
+            .hasIpdAllele.count()
+          storeEdges
+        }
+        val refold = tTier(s"xinc_refold_$incReleases", "full history") {
+          // half-history datapoint first: the growth evidence — a
+          // reader sees refold(K/2) < refold(K) while the apply steps
+          // above are flat in K. (At fixture scale refold's absolute
+          // time still beats apply: apply's floor is per-job latency
+          // × tables, amortized only when state >> delta. The pair
+          // measures the SLOPES — O(history) vs O(delta) — which is
+          // what decides at 100 TB.)
+          val th = System.nanoTime()
+          graft.graph.GraphLoad.loadAll(spark, rels.take(rels.size / 2))
+            .hasIpdAllele.count()
+          System.err.println(f"[bench] inc-refold half-history: " +
+            f"${(System.nanoTime() - th) / 1e9}%.2f s")
+          val n = graft.graph.GraphLoad.loadAll(spark, rels)
+            .hasIpdAllele.count()
+          require(storeEdges < 0 || n == storeEdges,
+            s"store fold ($storeEdges edges) != refold ($n edges)")
+          n
+        }
+        Map(apply, refold)
+      } catch { case scala.util.control.NonFatal(ex) =>
+        System.err.println(s"[bench] inc-graph workload failed: $ex")
         Map.empty
       }
 
@@ -519,7 +650,8 @@ object Bench {
       }
 
     val all =
-      results ++ scale ++ scaleExtra ++ distGraph ++ distDedup ++ regFold
+      results ++ scale ++ scaleExtra ++ distGraph ++ distGraph10m ++
+        incGraph ++ distDedup ++ regFold
     val total = (results ++ scale).values.filter(_ >= 0).sum
     // The driver recovers the JSON from the last ~2000 chars of the
     // captured output (r2 parsed at 1734 chars; r3's 2440-char line
@@ -602,7 +734,8 @@ object Bench {
       // driver's contract run sets none of them.
       val sized = Seq("GRAFT_SCALE_ALLELES", "GRAFT_DIST_GRAPH_CLIQUES",
         "GRAFT_REGISTRY_FOLD", "GRAFT_REGISTRY_FOLD_STEP",
-        "GRAFT_SCALE_RUNS", "GRAFT_CDC_BUCKETS", "GRAFT_SCALE_DEDUP_COPIES")
+        "GRAFT_SCALE_RUNS", "GRAFT_CDC_BUCKETS", "GRAFT_SCALE_DEDUP_COPIES",
+        "GRAFT_DIST_GRAPH_10M", "GRAFT_INC_GRAPH", "GRAFT_INC_GRAPH_STEP")
         .exists(sys.env.contains) ||
         sfDir != "/root/testdata/sf0.1" // the sf knob is sizing too
       if (sized) System.err.println(

@@ -1846,6 +1846,11 @@ object GraphAlgorithms {
       }
       round += 1
     }
+    // scale-shape evidence for off-gate runs (the 10M-edge bench
+    // tier's round-count claim reads from here): outer peel rounds
+    // stay O(1) on trim+pair-drop-compressible condensations
+    System.err.println(
+      s"[scc] distributed peel finished: $round outer rounds, $nE edges")
     if (alive.limit(1).count() > 0) throw new IllegalStateException(
       s"stronglyConnectedComponentsDF did not peel all SCCs in $maxIter " +
         "rounds; raise maxIter (trim + pair-class dropping compress " +
