@@ -469,7 +469,10 @@ object Bench {
     // (gfe_incremental_*); here a cardinality cross-check re-asserts
     // it so a timing run can never time a broken fold.
     // GRAFT_INC_GRAPH sizes it in releases (0 disables).
-    val incReleases = sys.env.getOrElse("GRAFT_INC_GRAPH", "10").toInt
+    // K = 6: the flat-per-release signal needs a handful of steps,
+    // not a long fold — at K = 10 the tier ran 90+ s per sample and
+    // host-throttle windows mid-fold dominated the sum
+    val incReleases = sys.env.getOrElse("GRAFT_INC_GRAPH", "6").toInt
     val incGraph: Map[String, Double] =
       if (incReleases <= 0) Map.empty
       else try {
@@ -505,19 +508,22 @@ object Bench {
             .hasIpdAllele.count()
           storeEdges
         }
-        val refold = tTier(s"xinc_refold_$incReleases", "full history") {
-          // half-history datapoint first: the growth evidence — a
-          // reader sees refold(K/2) < refold(K) while the apply steps
-          // above are flat in K. (At fixture scale refold's absolute
-          // time still beats apply: apply's floor is per-job latency
-          // × tables, amortized only when state >> delta. The pair
-          // measures the SLOPES — O(history) vs O(delta) — which is
-          // what decides at 100 TB.)
+        // Half-history datapoint OUTSIDE the timed entry (folding it
+        // into the entry would overstate the full refold ~1.5×): the
+        // growth evidence — a reader sees refold(K/2) < refold(K)
+        // while the apply steps above are flat in K. (At fixture
+        // scale refold's absolute time still beats apply: apply's
+        // floor is per-job latency × tables, amortized only when
+        // state >> delta. The pair measures the SLOPES — O(history)
+        // vs O(delta) — which is what decides at 100 TB.)
+        locally {
           val th = System.nanoTime()
           graft.graph.GraphLoad.loadAll(spark, rels.take(rels.size / 2))
             .hasIpdAllele.count()
           System.err.println(f"[bench] inc-refold half-history: " +
             f"${(System.nanoTime() - th) / 1e9}%.2f s")
+        }
+        val refold = tTier(s"xinc_refold_$incReleases", "full history") {
           val n = graft.graph.GraphLoad.loadAll(spark, rels)
             .hasIpdAllele.count()
           require(storeEdges < 0 || n == storeEdges,

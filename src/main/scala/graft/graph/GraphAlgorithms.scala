@@ -277,10 +277,18 @@ object GraphAlgorithms {
     // term, so unweighted results are bit-identical to the old form.
     // Parallel delta edges aggregate by SUM (the common GDS projection
     // choice); the unweighted path keeps its distinct() collapse.
+    // Non-positive weights are dropped up front (GDS requires
+    // positive relationship weights): a w = 0 edge routes no mass by
+    // construction, and admitting w ≤ 0 would let a vertex's
+    // out-weight SUM reach zero — where the local replay's integer
+    // division throws while the distributed `div` yields null-skipped
+    // contributions, a crash-vs-answer divergence on the same input.
+    // After the filter every surviving out-weight sum is > 0 on both
+    // paths.
     val e0 = edges.select(col(src).cast("string").as("a"),
       col(dst).cast("string").as("b"),
       weight.map(w => col(w).cast("long")).getOrElse(lit(1L)).as("w"))
-      .where(col("a") =!= col("b"))
+      .where(col("a") =!= col("b") && col("w") > 0)
     val eDir = if (directed) e0
       else e0.unionByName(
         e0.select(col("b").as("a"), col("a").as("b"), col("w")))
@@ -385,6 +393,11 @@ object GraphAlgorithms {
   def fastRpEmbedDF(edges: DataFrame, src: String, dst: String,
       dims: Int = 8, iterations: Int = 2,
       scale: Long = 1000000L): DataFrame = {
+    // the initial projection frame carries iteration-weight 0 (only
+    // propagated frames contribute), so iterations = 0 would return
+    // raw projections under the embedding's name — fail loudly
+    require(iterations >= 1,
+      s"fastRpEmbedDF needs iterations >= 1 (got $iterations)")
     val spark = edges.sparkSession
     graft.functions.NativeFunctions.register(spark)
     val e = edges.select(col(src).cast("string").as("a"),
@@ -954,7 +967,11 @@ object GraphAlgorithms {
       case Some(wc) => pairs
         .select(col(src).cast("string").as("x0"),
           col(dst).cast("string").as("y0"), col(wc).cast("long").as("w"))
-        .where(col("x0") =!= col("y0"))
+        // w > 0: GDS requires positive relationship weights, and the
+        // same guard keeps this consistent with pageRankIntDF's
+        // weighted form (a w ≤ 0 edge carries no community affinity
+        // and would only distort Σtot/modularity)
+        .where(col("x0") =!= col("y0") && col("w") > 0)
         .select(least(col("x0"), col("y0")).as("x"),
           greatest(col("x0"), col("y0")).as("y"), col("w"))
         .groupBy("x", "y").agg(sum("w").as("w"))

@@ -224,95 +224,69 @@ object GraphLoad {
       release: (String, DataFrame, DataFrame, DataFrame),
       submitDate: java.sql.Date = java.sql.Date.valueOf("2026-01-01")): Graph = {
     val (_, seqs, featRel, groups) = release
+    // ONE derivation of what this release means (shared with
+    // GraphStore.applyRelease — see ReleaseDeltas/MergePolicies): the
+    // whole-frame path applies each policy to the full table where
+    // the store applies it to dirty-bucket slices, same (state,
+    // delta) => merged function either way.
+    val d = new ReleaseDeltas(seqs, featRel, groups)
+    val seqNew = d.seqDelta
 
     // ---- vertices ----
-    val gfeNew = seqs
-      .select(col("gfe_name").as("name"), col("locus"))
-      .dropDuplicates("name")
-      .join(g.gfe.select("name"), Seq("name"), "left_anti")
-    val gfe = g.gfe.unionByName(gfeNew)
-
-    val seqNew = seqs.select(col("gfe_name").as("name"), col("locus"),
-      col("sequence"), col("length"), col("seq_id"))
-      .dropDuplicates("name")
-    val sequence = g.sequence
-      .join(seqNew.select("name"), Seq("name"), "left_anti")
-      .unionByName(seqNew)
-
-    val featKeys = Seq("locus", "rank", "term", "accession", "sequence")
-    val featNew = featRel.select(featKeys.map(col): _*)
-      .dropDuplicates(featKeys)
-      .join(g.feature, featKeys, "left_anti")
-    val feature = g.feature.unionByName(featNew)
-
-    val baseNew = seqs
-      .select(col("hla_name").as("name"), col("locus").as("gene"))
-      .dropDuplicates("name")
-      .join(g.ipdAllele.select("name"), Seq("name"), "left_anti")
-    def ardNew(ardName: String): DataFrame =
-      groups.where(col("ard_name") === ardName)
-        .select(col("hla_name").as("name"), col("ard_id"))
-        .dropDuplicates("name")
-    val ipdAllele = g.ipdAllele
-      .select(col("name"), col("gene"),
-        col("G").as("G_old"), col("lg").as("lg_old"))
-      .unionByName(baseNew
-        .select(col("name"), col("gene"),
-          lit(null).cast("string").as("G_old"),
-          lit(null).cast("string").as("lg_old")))
-      .join(ardNew("G").withColumnRenamed("ard_id", "G_new"),
-        Seq("name"), "left")
-      .join(ardNew("lg").withColumnRenamed("ard_id", "lg_new"),
-        Seq("name"), "left")
-      .select(col("name"), col("gene"),
-        coalesce(col("G_new"), col("G_old")).as("G"),
-        coalesce(col("lg_new"), col("lg_old")).as("lg"))
-
-    val ipdAccession = g.ipdAccession.unionByName(
-      seqs.select(col("acc_name").as("name")).dropDuplicates("name")
-        .join(g.ipdAccession, Seq("name"), "left_anti"))
+    val gfe = MergePolicies.createOnly(Seq("name"))(g.gfe, d.gfeDelta)
+    val sequence = MergePolicies.overwrite(Seq("name"))(g.sequence, seqNew)
+    val feature = MergePolicies.createOnly(ReleaseDeltas.featureKeys)(
+      g.feature, d.featDelta)
+    val ipdAllele = MergePolicies.mergeAllele(g.ipdAllele, d.alleleDelta)
+    val ipdAccession =
+      MergePolicies.createOnly(Seq("name"))(g.ipdAccession, d.accDelta)
 
     // ---- edges ----
-    val emptyInts = array().cast("array<int>")
-    val relsNew = seqs
-      .select(col("gfe_name").as("src"), col("hla_name").as("dst"),
-        regexp_replace(col("imgt_release"), "\\.", "").cast("int").as("rel"))
-      .groupBy("src", "dst")
-      .agg(collect_set(col("rel")).as("new_rels"))
-    val hasIpdAllele = g.hasIpdAllele
-      .join(relsNew, Seq("src", "dst"), "full_outer")
-      .select(col("src"), col("dst"),
-        array_sort(array_distinct(concat(
-          coalesce(col("releases"), emptyInts),
-          coalesce(col("new_rels"), emptyInts)))).as("releases"))
+    val hasIpdAllele =
+      MergePolicies.mergeReleases(g.hasIpdAllele, d.relsDelta)
+    val hasIpdAccession = MergePolicies.createOnly(Seq("src", "dst"))(
+      g.hasIpdAccession, d.hasAccDelta)
+    val submitted = MergePolicies.createOnly(Seq("src", "dst"))(
+      g.submitted, d.submittedDelta(lit(submitDate)))
 
-    val hasIpdAccession = g.hasIpdAccession.unionByName(
-      seqs.select(col("gfe_name").as("src"), col("acc_name").as("dst"),
-        col("imgt_release").as("release"))
-        .dropDuplicates("src", "dst")
-        .join(g.hasIpdAccession.select("src", "dst"),
-          Seq("src", "dst"), "left_anti"))
-
-    val submitted = g.submitted.unionByName(
-      gfeNew.select(lit("IPD-IMGT").as("src"), col("name").as("dst"),
-        lit(submitDate).as("submit_date")))
-
+    // The incremental HAS_SEQUENCE probe is sound iff seq_id ↔ name
+    // stays a bijection across releases (the model guarantees it:
+    // gfe_name encodes its sequence's feature decomposition). A
+    // repeated seq_id under a NEW name would need the reverse probe
+    // (old pairs × new sequence row) this delta-sized join cannot
+    // see, and a name whose seq_id CHANGED would leave stale
+    // accumulated edges — either way the fold would silently diverge
+    // from the refold, so both directions are asserted here with
+    // delta-sized probes (at scale: two index lookups, not scans).
+    locally {
+      val crossName = seqNew.select(col("seq_id"), col("name"))
+        .join(g.sequence.select(col("seq_id"), col("name").as("_oname")),
+          Seq("seq_id"))
+        .where(col("name") =!= col("_oname")).limit(1).count()
+      require(crossName == 0,
+        "applyRelease: a sequence (seq_id) reappeared under a new GFE " +
+          "name — the incremental HAS_SEQUENCE probe cannot see old " +
+          "pairs; refold this history with loadAll")
+      val reId = seqNew.select(col("name"), col("seq_id"))
+        .join(g.sequence.select(col("name"), col("seq_id").as("_oid")),
+          Seq("name"))
+        .where(col("seq_id") =!= col("_oid")).limit(1).count()
+      require(reId == 0,
+        "applyRelease: a GFE name changed its sequence (seq_id) — " +
+          "accumulated HAS_SEQUENCE edges would go stale; refold this " +
+          "history with loadAll")
+    }
     // Probe the post-merge Sequence nodes with the release's pairs —
     // the delta side is release-sized, so broadcast it and keep the
     // store side a single scan (an index probe on GraphStore).
     val hsNew = sequence.select(col("seq_id"), col("name").as("dst"))
-      .join(broadcast(seqs.select(col("gfe_name").as("src"), col("seq_id"))
-        .dropDuplicates("src", "seq_id")), Seq("seq_id"))
+      .join(broadcast(d.pairsDelta), Seq("seq_id"))
       .select("src", "dst")
     val hasSequence = g.hasSequence.unionByName(hsNew)
       .dropDuplicates("src", "dst")
 
-    val hfKeys = Seq("src", "locus", "rank", "term", "accession")
-    val hasFeature = g.hasFeature.unionByName(
-      featRel.select(col("gfe_name").as("src"), col("locus"),
-        col("rank"), col("term"), col("accession"))
-        .dropDuplicates(hfKeys)
-        .join(g.hasFeature, hfKeys, "left_anti"))
+    val hasFeature = MergePolicies.createOnly(ReleaseDeltas.hasFeatureKeys)(
+      g.hasFeature, d.hasFeatDelta)
 
     Graph(gfe, sequence, feature, ipdAllele, ipdAccession, g.submitter,
       hasIpdAllele, hasIpdAccession, submitted, hasSequence, hasFeature)

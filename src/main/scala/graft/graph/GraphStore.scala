@@ -37,8 +37,8 @@ object GraphStore {
 
   /** (bucket/merge keys, createOnly?) per public table; IPD_Allele and
     * HAS_IPD_ALLELE carry bespoke merges below. */
-  private val featKeys = Seq("locus", "rank", "term", "accession", "sequence")
-  private val hfKeys = Seq("src", "locus", "rank", "term", "accession")
+  private val featKeys = ReleaseDeltas.featureKeys
+  private val hfKeys = ReleaseDeltas.hasFeatureKeys
 
   private def numBuckets: Int =
     sys.env.getOrElse("GRAFT_GRAPH_BUCKETS",
@@ -119,44 +119,11 @@ object GraphStore {
     dirty.size
   }
 
-  // ---- merge policies (key-local forms of load.cyp) ----
-
-  private def createOnly(keys: Seq[String])(
-      state: DataFrame, delta: DataFrame): DataFrame =
-    state.unionByName(
-      delta.dropDuplicates(keys).join(
-        state.select(keys.map(col): _*), keys, "left_anti"))
-
-  private def overwrite(keys: Seq[String])(
-      state: DataFrame, delta: DataFrame): DataFrame =
-    delta.dropDuplicates(keys).unionByName(
-      state.join(delta.select(keys.map(col): _*), keys, "left_anti"))
-
-  /** IPD_Allele: gene create-only; G/lg overwritten only when the
-    * delta carries a groups value (delta columns G_new/lg_new). A
-    * delta row whose name is neither in state nor in this release's
-    * seqs (gene null both sides — a groups-only name) is dropped,
-    * matching [[GraphLoad.loadAll]]'s base-from-seqs join. */
-  private def mergeAllele(state: DataFrame, delta: DataFrame): DataFrame =
-    state
-      .select(col("name"), col("gene").as("gene_old"),
-        col("G").as("G_old"), col("lg").as("lg_old"))
-      .join(delta.dropDuplicates("name"), Seq("name"), "full_outer")
-      .select(col("name"),
-        coalesce(col("gene_old"), col("gene")).as("gene"),
-        coalesce(col("G_new"), col("G_old")).as("G"),
-        coalesce(col("lg_new"), col("lg_old")).as("lg"))
-      .where(col("gene").isNotNull)
-
-  /** HAS_IPD_ALLELE: sorted-set accumulate (delta column new_rels). */
-  private def mergeReleases(state: DataFrame, delta: DataFrame): DataFrame = {
-    val emptyInts = array().cast("array<int>")
-    state.join(delta, Seq("src", "dst"), "full_outer")
-      .select(col("src"), col("dst"),
-        array_sort(array_distinct(concat(
-          coalesce(col("releases"), emptyInts),
-          coalesce(col("new_rels"), emptyInts)))).as("releases"))
-  }
+  // Merge policies and delta derivation live in [[MergePolicies]] /
+  // [[ReleaseDeltas]] — ONE definition shared with
+  // [[GraphLoad.applyRelease]], so the two incremental paths cannot
+  // drift on what a release means.
+  import MergePolicies.{createOnly, overwrite, mergeAllele, mergeReleases}
 
   // ---- public API ----
 
@@ -206,36 +173,9 @@ object GraphStore {
     val featRel = featRel0.localCheckpoint()
     val groups = groups0.localCheckpoint()
 
-    val gfeDelta = seqs.select(col("gfe_name").as("name"), col("locus"))
-      .dropDuplicates("name")
-    val seqDelta = seqs.select(col("gfe_name").as("name"), col("locus"),
-      col("sequence"), col("length"), col("seq_id"))
-      .dropDuplicates("name")
-    def ardNew(ardName: String): DataFrame =
-      groups.where(col("ard_name") === ardName)
-        .select(col("hla_name").as("name"), col("ard_id"))
-        .dropDuplicates("name")
-    // delta keys = this release's alleles ∪ its groups-row alleles: a
-    // groups row may update an allele the release does not re-list
-    // (ON MATCH of load.cyp:63-83); a groups-only name that never
-    // appeared in any release's seqs is dropped by mergeAllele
-    val alleleNames = seqs
-      .select(col("hla_name").as("name"), col("locus").as("gene"))
-      .dropDuplicates("name")
-    val alleleDelta = alleleNames
-      .unionByName(groups.select(col("hla_name").as("name"))
-        .dropDuplicates("name")
-        .join(alleleNames.select("name"), Seq("name"), "left_anti")
-        .withColumn("gene", lit(null).cast("string")))
-      .join(ardNew("G").withColumnRenamed("ard_id", "G_new"),
-        Seq("name"), "left")
-      .join(ardNew("lg").withColumnRenamed("ard_id", "lg_new"),
-        Seq("name"), "left")
-    val relsDelta = seqs
-      .select(col("gfe_name").as("src"), col("hla_name").as("dst"),
-        regexp_replace(col("imgt_release"), "\\.", "").cast("int").as("rel"))
-      .groupBy("src", "dst")
-      .agg(collect_set(col("rel")).as("new_rels"))
+    val d = new ReleaseDeltas(seqs, featRel, groups)
+    val gfeDelta = d.gfeDelta
+    val seqDelta = d.seqDelta
 
     // The per-table MERGEs are independent stores (disjoint
     // directories, own manifests) — run them as concurrent job
@@ -260,39 +200,62 @@ object GraphStore {
         ()
       }
 
+    // Bijection guard BEFORE any apply commits (serial — probing the
+    // Sequence store while its own overwrite apply runs would race
+    // and could read post-merge state, masking the violation): the
+    // incremental HAS_SEQUENCE probe is sound iff seq_id ↔ name
+    // stays 1:1 across releases (see GraphLoad.applyRelease — a
+    // repeated seq_id under a new name needs a reverse probe this
+    // release-sized join cannot see; a renamed seq_id strands
+    // accumulated edges). Both checks are O(dirty-bucket) index
+    // reads, the same I/O class as the apply itself.
+    locally {
+      val crossName = stateForKeys(spark, s"$dir/SEQ_INDEX",
+        seqDelta.select("seq_id"), Seq("seq_id"))
+        .withColumnRenamed("name", "_oname")
+        .join(broadcast(seqDelta.select(col("seq_id"), col("name"))),
+          Seq("seq_id"))
+        .where(col("name") =!= col("_oname")).limit(1).count()
+      require(crossName == 0,
+        "GraphStore.applyRelease: a sequence (seq_id) reappeared " +
+          "under a new GFE name — the incremental HAS_SEQUENCE probe " +
+          "cannot see old pairs; rebuild the store from a refold")
+      val reId = stateForKeys(spark, s"$dir/Sequence",
+        seqDelta.select("name"), Seq("name"))
+        .select(col("name"), col("seq_id").as("_oid"))
+        .join(broadcast(seqDelta.select(col("name"), col("seq_id"))),
+          Seq("name"))
+        .where(col("seq_id") =!= col("_oid")).limit(1).count()
+      require(reId == 0,
+        "GraphStore.applyRelease: a GFE name changed its sequence " +
+          "(seq_id) — accumulated HAS_SEQUENCE edges would go stale; " +
+          "rebuild the store from a refold")
+    }
+
     val independent = Seq(
       apply1("GFE", Seq("name"), gfeDelta, createOnly(Seq("name"))),
       apply1("Sequence", Seq("name"), seqDelta, overwrite(Seq("name"))),
-      apply1("Feature", featKeys,
-        featRel.select(featKeys.map(col): _*).dropDuplicates(featKeys),
-        createOnly(featKeys)),
-      apply1("IPD_Allele", Seq("name"), alleleDelta, mergeAllele),
-      apply1("IPD_Accession", Seq("name"),
-        seqs.select(col("acc_name").as("name")).dropDuplicates("name"),
+      apply1("Feature", featKeys, d.featDelta, createOnly(featKeys)),
+      apply1("IPD_Allele", Seq("name"), d.alleleDelta, mergeAllele),
+      apply1("IPD_Accession", Seq("name"), d.accDelta,
         createOnly(Seq("name"))),
-      apply1("HAS_IPD_ALLELE", Seq("src", "dst"), relsDelta, mergeReleases),
-      apply1("HAS_IPD_ACCESSION", Seq("src", "dst"),
-        seqs.select(col("gfe_name").as("src"), col("acc_name").as("dst"),
-          col("imgt_release").as("release")).dropDuplicates("src", "dst"),
+      apply1("HAS_IPD_ALLELE", Seq("src", "dst"), d.relsDelta,
+        mergeReleases),
+      apply1("HAS_IPD_ACCESSION", Seq("src", "dst"), d.hasAccDelta,
         createOnly(Seq("src", "dst"))),
       // SUBMITTED create-only on dst: only this release's genuinely-
       // new GFEs land (existing dsts keep their first submit_date)
       apply1("SUBMITTED", Seq("src", "dst"),
-        gfeDelta.select(lit("IPD-IMGT").as("src"), col("name").as("dst"),
-          lit(submitDate).as("submit_date")),
+        d.submittedDelta(lit(submitDate)),
         createOnly(Seq("src", "dst"))),
-      apply1("HAS_FEATURE", hfKeys,
-        featRel.select(col("gfe_name").as("src"), col("locus"),
-          col("rank"), col("term"), col("accession")).dropDuplicates(hfKeys),
-        createOnly(hfKeys)),
+      apply1("HAS_FEATURE", hfKeys, d.hasFeatDelta, createOnly(hfKeys)),
       // SEQ_INDEX first, then HAS_SEQUENCE from the probe (chained
       // below so the probe reads this release's committed index)
       apply1("SEQ_INDEX", Seq("seq_id"),
         seqDelta.select(col("seq_id"), col("name")),
         createOnly(Seq("seq_id", "name")))
         .map { _ =>
-          val pairs = seqs.select(col("gfe_name").as("src"), col("seq_id"))
-            .dropDuplicates("src", "seq_id").localCheckpoint()
+          val pairs = d.pairsDelta.localCheckpoint()
           val hsDelta = stateForKeys(
             spark, s"$dir/SEQ_INDEX", pairs, Seq("seq_id"))
             .withColumnRenamed("name", "dst")
@@ -303,6 +266,12 @@ object GraphStore {
               hsDelta, createOnly(Seq("src", "dst"))))
           ()
         })
+    // Completion BARRIER before failure propagation: if one table's
+    // apply fails, the others must finish (or fail) before this call
+    // returns — a caller's retry must never race a still-running
+    // sibling applyTable on the same table directory (two writers
+    // would both read manifest v and both commit v+1).
+    independent.foreach(f => Await.ready(f, Duration.Inf))
     independent.foreach(Await.result(_, Duration.Inf))
     import scala.jdk.CollectionConverters._
     ApplyStats(stats.asScala.toMap)

@@ -295,6 +295,34 @@ class GraphLoadSpec extends AnyFunSuite {
     assert(relsA == Seq(3570, 3580), "releases accumulate sorted distinct")
   }
 
+  test("applyRelease rejects seq_id/name bijection violations loudly") {
+    // The incremental HAS_SEQUENCE probe assumes seq_id ↔ name is
+    // 1:1 across releases; a violating release must fail loudly
+    // (silently it would diverge from the refold — the refold's
+    // final-state join sees cross edges the delta probe cannot).
+    val Seq(r1, _, _) = LoadFixtures.policyMatrix(spark)
+    val g1 = GraphLoad.loadAll(spark, Seq(r1))
+    // r1's sequence s1 (name A) reappears under NEW gfe name Z
+    val crossName = ("3580", LoadFixtures.seqsDf(spark, "3.58.0", Seq(
+      ("Z", "AC9", "HLA-A*09:01", "s1", "ACGT", 4L))),
+      LoadFixtures.featsDf(spark, Seq(("Z", "EXON", 1, "9", "AC"))),
+      LoadFixtures.groupsDf(spark, Seq.empty))
+    val e1 = intercept[IllegalArgumentException] {
+      GraphLoad.applyRelease(spark, g1, crossName)
+        .hasSequence.count()
+    }
+    assert(e1.getMessage.contains("new GFE name"), e1.getMessage)
+    // name A re-ships with a CHANGED sequence (new seq_id s9)
+    val reId = ("3580", LoadFixtures.seqsDf(spark, "3.58.0", Seq(
+      ("A", "AC1", "HLA-A*01:01", "s9", "AAAA", 4L))),
+      LoadFixtures.featsDf(spark, Seq(("A", "EXON", 1, "1", "AC"))),
+      LoadFixtures.groupsDf(spark, Seq.empty))
+    val e2 = intercept[IllegalArgumentException] {
+      GraphLoad.applyRelease(spark, g1, reId).hasSequence.count()
+    }
+    assert(e2.getMessage.contains("changed its sequence"), e2.getMessage)
+  }
+
   test("applyRelease fold == loadAll on the two-release IMGT fixture") {
     import graft.gfe.ArdReduction
     def ardOf(rel: String) = ArdReduction.fromNames(

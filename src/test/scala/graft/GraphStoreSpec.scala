@@ -47,6 +47,42 @@ class GraphStoreSpec extends AnyFunSuite {
     assert(stats.dirtyBuckets.size == 11, "all 11 applied stores reported")
   }
 
+  test("store applyRelease rejects seq_id/name bijection violations loudly") {
+    // Same guard as GraphLoad.applyRelease, O(dirty-bucket) probes:
+    // a violating release must fail BEFORE any table commits.
+    val Seq(r1, _, _) = LoadFixtures.policyMatrix(spark)
+    val dir = tmp("graphstore_guard")
+    GraphStore.init(spark, dir, GraphLoad.loadAll(spark, Seq(r1)))
+    val crossName = ("3580", LoadFixtures.seqsDf(spark, "3.58.0", Seq(
+      ("Z", "AC9", "HLA-A*09:01", "s1", "ACGT", 4L))),
+      LoadFixtures.featsDf(spark, Seq(("Z", "EXON", 1, "9", "AC"))),
+      LoadFixtures.groupsDf(spark, Seq.empty))
+    val e1 = intercept[IllegalArgumentException] {
+      GraphStore.applyRelease(spark, dir, crossName)
+    }
+    assert(e1.getMessage.contains("new GFE name"), e1.getMessage)
+    val reId = ("3580", LoadFixtures.seqsDf(spark, "3.58.0", Seq(
+      ("A", "AC1", "HLA-A*01:01", "s9", "AAAA", 4L))),
+      LoadFixtures.featsDf(spark, Seq(("A", "EXON", 1, "1", "AC"))),
+      LoadFixtures.groupsDf(spark, Seq.empty))
+    val e2 = intercept[IllegalArgumentException] {
+      GraphStore.applyRelease(spark, dir, reId)
+    }
+    assert(e2.getMessage.contains("changed its sequence"), e2.getMessage)
+    // the guard fired before any commit: every table still at v0
+    val root = java.nio.file.Paths.get(dir)
+    java.nio.file.Files.list(root).forEach { t =>
+      val m = t.resolve("manifest")
+      if (java.nio.file.Files.isDirectory(m)) {
+        val vs = java.nio.file.Files.list(m).toArray.map(_.toString).toSeq
+          .filterNot(_.split('/').last.startsWith(".")) // hadoop .crc
+        assert(vs.forall(_.endsWith("/v0")),
+          s"${t.getFileName}: rejected release must not commit " +
+            s"(${vs.mkString(", ")})")
+      }
+    }
+  }
+
   test("store fold == refold on the two-release IMGT fixture") {
     import graft.ingest.ImgtFlatFile
     import graft.gfe.{ArdReduction, GfeBuild}
