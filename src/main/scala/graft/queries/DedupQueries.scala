@@ -227,6 +227,215 @@ object DedupQueries {
     bandKeys(ex.groupBy("doc_id").agg(minAggs.head, minAggs.tail: _*))
   }
 
+  /** Incremental dup-cluster maintenance — the streaming closure of
+    * [[graft.queries]]' `d_dup_clusters`: every micro-batch of
+    * documents updates a persisted (doc → component) assignment so an
+    * ingest pipeline always has current duplicate clusters without
+    * ever recomputing CC over the corpus. The full streaming dedup
+    * loop: band the batch → probe the maintained band index for
+    * candidate pairs (batch×batch and batch×corpus — a pair's LATER
+    * endpoint always finds the earlier one in the index, so the
+    * maintained pair set equals the batch-built one) → union-find the
+    * batch-sized edge set → commit.
+    *
+    * State (all versioned by micro-batch id, cdcApply's replay
+    * contract: a retry re-reads v{id} and overwrites v{id+1}):
+    *  - `A`: (doc_id, lbl, paired) keyed by doc_id — lbl is the
+    *    component root AT WRITE TIME and is never rewritten (merges
+    *    that happen later are carried by the remap); `paired` marks
+    *    docs that ever hit a candidate pair (d_dup_clusters's
+    *    population). Key-local merge: lbl first-write-wins, paired
+    *    ORs — so per batch only the batch's and its pair-partners'
+    *    buckets rewrite, O(dirty).
+    *  - `BANDS`: (doc_id, band, bk) keyed by (band, bk) — the probe
+    *    index; a batch reads exactly the buckets its own band keys
+    *    hash to.
+    *  - `B/v{id}`: the root remap (root → canon), path-compressed on
+    *    every write so read-side resolution is ONE hop. Its size is
+    *    O(#component merges) — the one piece read whole per batch,
+    *    broadcast-class at any corpus size (a 100 TB corpus with 10M
+    *    dup-family merges is a ~200 MB table; the per-doc state
+    *    stays bucketed).
+    *
+    * The per-batch union-find runs on the driver over the batch's
+    * candidate EDGES (≤ pairs + batch size, the LSH banding contract
+    * bounds it) — the same bounded-driver-list class as cdcApply's
+    * dirty-bucket set; fail-loud cap below. Component labels are
+    * UTF-8-minimal member ids, matching connectedComponentsDF, so
+    * the fold is bit-equal to the batch CC (spec-pinned multi-batch;
+    * driver-oracled by the d_dup_clusters recursive CTE). */
+  def clustersMaintain(
+      s: SparkSession, srcPath: String, stateDir: String,
+      options: Map[String, String] = Map.empty): DataFrame = {
+    import graft.streaming.EventStreams._
+    import org.apache.spark.sql.types._
+    graft.functions.NativeFunctions.register(s)
+    val nb = defaultNumBuckets
+    val cap = 2000000
+    val aSchema = StructType(Seq(StructField("doc_id", StringType),
+      StructField("lbl", StringType), StructField("paired", BooleanType)))
+    val bandSchema = StructType(Seq(StructField("doc_id", StringType),
+      StructField("band", IntegerType), StructField("bk", StringType)))
+    val bSchema = StructType(Seq(StructField("root", StringType),
+      StructField("canon", StringType)))
+    def empty(schema: StructType) =
+      s.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+        schema)
+    // init is write-once (cdcApply's resume rule: ANY manifest exists)
+    val (fs, mdir) = hadoopFs(s, s"$stateDir/A/manifest")
+    val resumed = fs.exists(mdir) && fs.listStatus(mdir).nonEmpty
+    if (!resumed) {
+      Seq("A" -> aSchema, "BANDS" -> bandSchema).foreach { case (t, sch) =>
+        empty(sch).coalesce(1)
+          .write.mode("overwrite").parquet(s"$stateDir/$t/_empty")
+        writeManifest(s, s"$stateDir/$t/manifest/v0",
+          (0 until nb).map(_ -> -1).toMap)
+      }
+      empty(bSchema).coalesce(1)
+        .write.mode("overwrite").parquet(s"$stateDir/B/v0")
+    }
+    val ord = graft.graph.GraphAlgorithms.utf8Ordering
+    val q = streamSource(s, srcPath, options).writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[
+          org.apache.spark.sql.Row], id: Long) =>
+        val ss = batch.sparkSession
+        val docs = batch.toDF()
+          .select(col("doc_id").cast("string").as("doc_id"), col("text"))
+          .localCheckpoint()
+        val bands = bandRows(docs).localCheckpoint()
+        val aBase = readManifest(ss, s"$stateDir/A/manifest/v$id")
+        val bandBase = readManifest(ss, s"$stateDir/BANDS/manifest/v$id")
+        val bPrev = ss.read.schema(bSchema).parquet(s"$stateDir/B/v$id")
+          .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+        require(bPrev.size <= cap, s"root remap exceeded $cap entries")
+        // candidate pairs: batch×batch plus batch×index (dirty-bucket
+        // probe); distinct undirected endpoints
+        val within = bands.as("x").join(bands.as("y"),
+          col("x.band") === col("y.band") && col("x.bk") === col("y.bk") &&
+            col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("p"), col("y.doc_id").as("q"))
+        val hit = bands.select(bucketCol(Seq("band", "bk"), nb).as("_b"))
+          .distinct().collect().map(_.getInt(0)).toSet
+        val bandState = stateAt(ss, s"$stateDir/BANDS",
+          bandBase.filter { case (k, _) => hit(k) }, Some(bandSchema))
+        val cross = bandState.as("o").join(bands.as("n"),
+          col("o.band") === col("n.band") && col("o.bk") === col("n.bk"))
+          .select(col("o.doc_id").as("p"), col("n.doc_id").as("q"))
+          .localCheckpoint()
+        // old endpoints' write-time labels, resolved through bPrev
+        val oldDocs = cross.select(col("p").as("doc_id")).distinct()
+        val aHit = oldDocs.select(bucketCol(Seq("doc_id"), nb).as("_b"))
+          .distinct().collect().map(_.getInt(0)).toSet
+        val oldLbl = stateAt(ss, s"$stateDir/A",
+          aBase.filter { case (k, _) => aHit(k) }, Some(aSchema))
+          .join(oldDocs, Seq("doc_id"))
+          .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+        def resolve(doc: String): String = {
+          val l = oldLbl.getOrElse(doc,
+            throw new IllegalStateException(
+              s"band index names doc $doc but the doc store does not"))
+          bPrev.getOrElse(l, l)
+        }
+        // driver union-find over batch-sized edges; roots = UTF-8 min.
+        // Endpoint provenance is structural (within = batch×batch,
+        // cross = corpus×batch), so only the EDGES ever reach the
+        // driver — never the batch itself; the cap is the same
+        // bounded-driver-list class as cdcApply's dirty-bucket set.
+        val withinE = within.distinct().collect()
+          .map(r => (r.getString(0), r.getString(1)))
+        val crossE = cross.distinct().collect()
+          .map(r => (r.getString(0), r.getString(1)))
+        require(withinE.length + crossE.length <= cap,
+          s"batch produced ${withinE.length + crossE.length} candidate " +
+            s"pairs (> $cap); banding parameters admit too-wide buckets " +
+            "for this corpus")
+        val parent = scala.collection.mutable.HashMap.empty[String, String]
+        def find(x: String): String = {
+          var r = x
+          while (parent.getOrElse(r, r) != r) r = parent(r)
+          var c = x
+          while (parent.getOrElse(c, c) != c) {
+            val nxt = parent(c); parent(c) = r; c = nxt
+          }
+          r
+        }
+        def union(x: String, y: String): Unit = {
+          val (rx, ry) = (find(x), find(y))
+          if (rx != ry) {
+            if (ord.lt(rx, ry)) parent(ry) = rx else parent(rx) = ry
+          }
+        }
+        withinE.foreach { case (p, q) => union(p, q) }
+        crossE.foreach { case (p, q) => union(resolve(p), q) }
+        // remap: old roots that merged further, previous entries
+        // compressed through the new unions (batch docs never land
+        // in the remap — their A rows are written post-union below)
+        val pairedBatch = (withinE.iterator.flatMap {
+          case (p, q) => Iterator(p, q) } ++ crossE.iterator.map(_._2)).toSet
+        val touched = parent.keysIterator.filterNot(pairedBatch).toSeq
+        val newEntries = touched.map(r => r -> find(r)).filter(t => t._1 != t._2)
+        val bNext = (bPrev.view.mapValues(v => find(v)).toMap ++ newEntries)
+          .toSeq.sortBy(_._1)
+        // A delta: batch docs distributed (the paired ones' roots ride
+        // a broadcast ≤2·|edges| table; the rest are a projection),
+        // plus paired-flag touches for old endpoints
+        import ss.implicits._
+        val pairedRoots = pairedBatch.toSeq.sorted
+          .map(d0 => (d0, find(d0))).toDF("doc_id", "_r")
+        val aDelta = docs.select("doc_id")
+          .join(broadcast(pairedRoots), Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("_r"), col("doc_id")).as("lbl"),
+            col("_r").isNotNull.as("paired"))
+          .unionByName(oldDocs.select(col("doc_id"),
+            lit(null).cast("string").as("lbl"), lit(true).as("paired")))
+        val aDirty = aDelta.select(bucketCol(Seq("doc_id"), nb).as("_b"))
+          .distinct().collect().map(_.getInt(0)).toSet
+        val aOld = stateAt(ss, s"$stateDir/A",
+          aBase.filter { case (k, _) => aDirty(k) }, Some(aSchema))
+        val aMerged = aOld
+          .select(col("doc_id"), col("lbl").as("_ol"), col("paired").as("_op"))
+          .join(aDelta.dropDuplicates("doc_id"), Seq("doc_id"), "full_outer")
+          .select(col("doc_id"),
+            coalesce(col("_ol"), col("lbl")).as("lbl"),
+            (coalesce(col("_op"), lit(false)) ||
+              coalesce(col("paired"), lit(false))).as("paired"))
+        val aWritten = writeBuckets(aMerged, Seq("doc_id"), nb,
+          s"$stateDir/A/v${id + 1}")
+        writeManifest(ss, s"$stateDir/A/manifest/v${id + 1}",
+          aBase ++ aDirty.map(k =>
+            k -> (if (aWritten(k)) id.toInt + 1 else -1)))
+        // BANDS append (create-only on the full key)
+        val bandMerged = stateAt(ss, s"$stateDir/BANDS",
+          bandBase.filter { case (k, _) => hit(k) }, Some(bandSchema))
+          .unionByName(bands.select("doc_id", "band", "bk"))
+          .dropDuplicates("doc_id", "band", "bk")
+        val bandWritten = writeBuckets(bandMerged, Seq("band", "bk"), nb,
+          s"$stateDir/BANDS/v${id + 1}")
+        writeManifest(ss, s"$stateDir/BANDS/manifest/v${id + 1}",
+          bandBase ++ hit.map(k =>
+            k -> (if (bandWritten(k)) id.toInt + 1 else -1)))
+        bNext.toDF("root", "canon").coalesce(1)
+          .write.mode("overwrite").parquet(s"$stateDir/B/v${id + 1}")
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", s"$stateDir/_chk")
+      .start()
+    q.awaitTermination()
+    // final read: paired docs, write-time label resolved one hop
+    val vA = manifestVersions(s, s"$stateDir/A").max
+    val vB = (0 to vA).filter(v =>
+      fs.exists(new org.apache.hadoop.fs.Path(s"$stateDir/B/v$v"))).max
+    val bFinal = s.read.schema(bSchema).parquet(s"$stateDir/B/v$vB")
+    stateAt(s, s"$stateDir/A",
+      readManifest(s, s"$stateDir/A/manifest/v$vA"), Some(aSchema))
+      .where(col("paired"))
+      .join(broadcast(bFinal), col("lbl") === col("root"), "left")
+      .select(col("doc_id"), coalesce(col("canon"), col("lbl")).as("component"))
+      .orderBy("doc_id")
+  }
+
   private def lshPairsUncached(s: SparkSession, d: String): DataFrame =
     bandJoin(bandedKeys(s, d))
 
@@ -296,6 +505,20 @@ object DedupQueries {
     val sig = ex.groupBy("doc_id").agg(minAggs.head, minAggs.tail: _*)
     bandJoin(bandKeys(sig).localCheckpoint(true))
   }
+
+  /** Shared recursive-CTE oracle for CC over the LSH pairs — used by
+    * d_dup_clusters (batch) AND st_clusters_maintain (the maintained
+    * fold), so one SQL text hash-checks both forms. */
+  private[queries] lazy val dupClustersSql: String =
+    s"""${lshPairsSql.replaceFirst("^WITH ", "WITH RECURSIVE ")},
+      |und AS (SELECT CAST(d1 AS VARCHAR) AS a, CAST(d2 AS VARCHAR) AS b FROM pairs
+      |        UNION SELECT CAST(d2 AS VARCHAR), CAST(d1 AS VARCHAR) FROM pairs),
+      |reach(n, m) AS (
+      |  SELECT DISTINCT a, a FROM und
+      |  UNION
+      |  SELECT r.n, u.b FROM reach r JOIN und u ON r.m = u.a)
+      |SELECT n AS doc_id, min(m) AS component
+      |FROM reach GROUP BY n ORDER BY doc_id""".stripMargin
 
   /** Shared DuckDB CTE text for the LSH candidate pairs. */
   private[queries] def lshPairsSql: String = {
@@ -467,15 +690,7 @@ object DedupQueries {
     // closure with min-label convergence — same fixpoint).
     QueryDef(
       "d_dup_clusters",
-      s"""${lshPairsSql.replaceFirst("^WITH ", "WITH RECURSIVE ")},
-        |und AS (SELECT CAST(d1 AS VARCHAR) AS a, CAST(d2 AS VARCHAR) AS b FROM pairs
-        |        UNION SELECT CAST(d2 AS VARCHAR), CAST(d1 AS VARCHAR) FROM pairs),
-        |reach(n, m) AS (
-        |  SELECT DISTINCT a, a FROM und
-        |  UNION
-        |  SELECT r.n, u.b FROM reach r JOIN und u ON r.m = u.a)
-        |SELECT n AS doc_id, min(m) AS component
-        |FROM reach GROUP BY n ORDER BY doc_id""".stripMargin) { (s, d) =>
+      dupClustersSql) { (s, d) =>
       graft.graph.GraphAlgorithms.connectedComponentsDF(
         lshPairs(s, d)
           .select(col("d1").cast("string").as("d1"),

@@ -269,6 +269,26 @@ object StreamingQueries {
         .orderBy("doc_id", "band")
     },
 
+    // Incremental dup-cluster maintenance — the streaming closure of
+    // d_dup_clusters and the last stage of the streaming dedup loop
+    // (screen → index → clusters): every micro-batch updates a
+    // persisted (doc → component) assignment via the maintained band
+    // index + a driver union-find over the batch-sized candidate
+    // edges + a path-compressed root remap, so ingest always has
+    // current duplicate clusters with per-batch I/O proportional to
+    // the batch's dirty buckets, never the corpus. The batch CC
+    // oracle hash-checks the real streaming fold end-to-end;
+    // EventStreamsSpec pins a hash-split multi-batch fold (cross-
+    // batch merges of previously-disjoint components) to the batch
+    // result.
+    QueryDef(
+      "st_clusters_maintain",
+      DedupQueries.dupClustersSql) { (s, d) =>
+      val stateDir = java.nio.file.Files
+        .createTempDirectory("dup_clusters_state").toString
+      DedupQueries.clustersMaintain(s, s"$d/documents.parquet", stateDir)
+    },
+
     // Continuous CDC apply — the streaming form of o_merge_upsert,
     // and unlike the other st_* entries this one runs the REAL
     // streaming path (readStream → foreachBatch folding each

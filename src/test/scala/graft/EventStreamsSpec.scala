@@ -639,6 +639,70 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(versions >= 4, s"expected v0..v3+, saw $versions versions")
   }
 
+  test("cluster maintenance: multi-batch fold == batch dup clusters") {
+    // The full streaming dedup loop: maintained band index → per-
+    // batch candidate pairs → union-find fold → path-compressed
+    // remap. A hash-split source forces CROSS-BATCH merges (doc_id%3
+    // scatters dup families across batches) including merges of two
+    // components that were disjoint when written — the remap's whole
+    // job. The fold must equal the batch CC exactly, labels included.
+    val srcDir = java.nio.file.Files.createTempDirectory("clm_src")
+    (0 until 3).foreach { p =>
+      val part = java.nio.file.Files.createTempDirectory(s"clm_part$p")
+      Tables.documents(spark, sfDir)
+        .where(pmod(col("doc_id"), lit(3)) === p)
+        .coalesce(1).write.mode("overwrite").parquet(part.toString)
+      val f = java.nio.file.Files.list(part).toArray.map(_.toString)
+        .filter(_.endsWith(".parquet")).head
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get(f), srcDir.resolve(s"$p.parquet"))
+    }
+    val stateDir = java.nio.file.Files.createTempDirectory("clm_state")
+    val streamed = graft.queries.DedupQueries.clustersMaintain(
+      spark, srcDir.toString, stateDir.toString,
+      Map("maxFilesPerTrigger" -> "1"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    val batch = SparkEntry.queries("d_dup_clusters")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(streamed == batch)
+    assert(batch.nonEmpty, "fixture must contain dup families")
+    // the split really folded incrementally: one committed A bucket
+    // version per micro-batch (the empty init writes no v0 dir)
+    val versions = java.nio.file.Files
+      .list(stateDir.resolve("A")).toArray
+      .map(_.toString.split('/').last).count(_.startsWith("v"))
+    assert(versions >= 3, s"expected v1..v3, saw $versions A versions")
+  }
+
+  test("cluster maintenance: consumed-checkpoint rerun is a no-op") {
+    // Same exactly-once contract as cdcApply: init is write-once
+    // (resume = any manifest exists), every batch's reads/writes are
+    // keyed by the batch id, so a second run over the same consumed
+    // checkpoint must serve the committed state and touch nothing.
+    val srcDir = java.nio.file.Files.createTempDirectory("clm2_src")
+    Tables.documents(spark, sfDir).coalesce(1)
+      .write.mode("overwrite").parquet(srcDir.toString)
+    val stateDir = java.nio.file.Files.createTempDirectory("clm2_state")
+    def run() = graft.queries.DedupQueries.clustersMaintain(
+      spark, srcDir.toString, stateDir.toString)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    val first = run()
+    def snapshot(): Map[String, Long] = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(stateDir).iterator().asScala
+        .filter(java.nio.file.Files.isRegularFile(_))
+        .filterNot(_.toString.contains("_chk"))
+        .map(p => p.toString ->
+          java.nio.file.Files.getLastModifiedTime(p).toMillis)
+        .toMap
+    }
+    val before = snapshot()
+    val second = run()
+    assert(snapshot() == before,
+      "a consumed-checkpoint rerun must not touch any state file")
+    assert(second == first, "the rerun must serve the committed state")
+  }
+
   test("cdc fold is batching-invariant: any split, any order, same state") {
     // Pure algebra check (no streaming machinery): fold the same
     // change set through different batch partitionings — including a
