@@ -219,9 +219,17 @@ object DedupQueries {
     * at sf0.1: st_index_maintain 5.5 → ~2 s. */
   private[graft] def bandRows(docs: DataFrame): DataFrame = {
     graft.functions.NativeFunctions.register(docs.sparkSession)
-    val ex = docs
+    // Materialize the shingle arrays BEFORE the explode —
+    // lshCandidatePairs' lesson applies verbatim: a generator over
+    // the live transform(...) expression re-runs the interpreted
+    // lambda per element (measured here: 8.3 s vs 4.0 s per
+    // maintenance fold at sf0.1, and 100× at 500k docs). Callers
+    // wanting only the schema must pass `docs.limit(0)`, not filter
+    // afterwards — the checkpoint is eager.
+    val sh = docs
       .select(col("doc_id"), shingles(tokens(col("text"))).as("sh"))
-      .select(col("doc_id"), explode(col("sh")).as("x"))
+      .localCheckpoint(true)
+    val ex = sh.select(col("doc_id"), explode(col("sh")).as("x"))
     val minAggs = (1 to nHashes).map(j =>
       min(hex60(concat(col("x"), lit(s"#$j")))).as(s"m$j"))
     bandKeys(ex.groupBy("doc_id").agg(minAggs.head, minAggs.tail: _*))

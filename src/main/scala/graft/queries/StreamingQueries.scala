@@ -259,8 +259,10 @@ object StreamingQueries {
       val stateDir = java.nio.file.Files
         .createTempDirectory("band_index_state").toString
       val changes = EventStreams.streamSource(s, s"$d/documents.parquet")
-      val init = DedupQueries.bandRows(Tables.documents(s, d))
-        .where(lit(false))
+      // schema-only seed: limit(0) BEFORE banding (bandRows eagerly
+      // materializes its shingle arrays; a post-hoc filter would
+      // still pay the full corpus scan)
+      val init = DedupQueries.bandRows(Tables.documents(s, d).limit(0))
       EventStreams.cdcApply(s, changes, init, stateDir,
         Seq("doc_id", "band"),
         batch => DedupQueries.bandRows(batch),

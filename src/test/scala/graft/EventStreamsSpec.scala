@@ -619,7 +619,7 @@ class EventStreamsSpec extends AnyFunSuite {
     val changes = EventStreams.streamSource(
       spark, srcDir.toString, Map("maxFilesPerTrigger" -> "1"))
     val init = graft.queries.DedupQueries
-      .bandRows(Tables.documents(spark, sfDir)).where(lit(false))
+      .bandRows(Tables.documents(spark, sfDir).limit(0))
     val streamed = EventStreams.cdcApply(spark, changes, init,
       stateDir.toString,
       Seq("doc_id", "band"),

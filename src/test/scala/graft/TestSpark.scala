@@ -14,6 +14,9 @@ object TestSpark {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    // the native function family up front: individual tests must not
+    // depend on whichever earlier test happened to register it
+    graft.functions.NativeFunctions.register(s)
     s
   }
 }
