@@ -206,7 +206,11 @@ object DedupQueries {
     * the minhash family runs on the native Hex60 expression,
     * registered idempotently here (foreachBatch hands this the
     * micro-batch's session, which on a cluster may not be the one
-    * the query surface registered on).
+    * the query surface registered on). `doc_id` must be UNIQUE in
+    * `docs` — the signature aggregate is keyed on it, so a repeated
+    * id would silently band a union-of-shingles signature matching
+    * neither row (same contract as [[lshCandidatePairs]];
+    * clustersMaintain asserts it per batch).
     *
     * Signature via explode → codegen'd hash-agg min, not bandsOf's
     * array_min(transform(...)) projection: this runs INSIDE
@@ -278,7 +282,6 @@ object DedupQueries {
     import graft.streaming.EventStreams._
     import org.apache.spark.sql.types._
     graft.functions.NativeFunctions.register(s)
-    val nb = defaultNumBuckets
     val cap = 2000000
     val aSchema = StructType(Seq(StructField("doc_id", StringType),
       StructField("lbl", StringType), StructField("paired", BooleanType)))
@@ -289,18 +292,32 @@ object DedupQueries {
     def empty(schema: StructType) =
       s.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
         schema)
-    // init is write-once (cdcApply's resume rule: ANY manifest exists)
+    // init is write-once (cdcApply's resume rule: ANY A-manifest
+    // exists), and A's v0 manifest is the LAST artifact written — on
+    // the creation path its existence certifies BANDS, B/v0 and the
+    // bucket-count meta are complete on disk (a crash mid-init
+    // restarts cleanly instead of wedging the dir). The bucket count
+    // is a LAYOUT property persisted at creation and read on resume
+    // (cdcApply's _graft_store_meta rule): a resume under a different
+    // env value would probe/rewrite the wrong buckets silently.
     val (fs, mdir) = hadoopFs(s, s"$stateDir/A/manifest")
     val resumed = fs.exists(mdir) && fs.listStatus(mdir).nonEmpty
+    val metaPath = s"$stateDir/_graft_store_meta"
+    val nb =
+      if (resumed) readSmallFile(s, metaPath).trim.toInt
+      else defaultNumBuckets
     if (!resumed) {
-      Seq("A" -> aSchema, "BANDS" -> bandSchema).foreach { case (t, sch) =>
-        empty(sch).coalesce(1)
-          .write.mode("overwrite").parquet(s"$stateDir/$t/_empty")
-        writeManifest(s, s"$stateDir/$t/manifest/v0",
-          (0 until nb).map(_ -> -1).toMap)
-      }
+      empty(bandSchema).coalesce(1)
+        .write.mode("overwrite").parquet(s"$stateDir/BANDS/_empty")
+      writeManifest(s, s"$stateDir/BANDS/manifest/v0",
+        (0 until nb).map(_ -> -1).toMap)
       empty(bSchema).coalesce(1)
         .write.mode("overwrite").parquet(s"$stateDir/B/v0")
+      writeSmallFile(s, metaPath, s"$nb\n")
+      empty(aSchema).coalesce(1)
+        .write.mode("overwrite").parquet(s"$stateDir/A/_empty")
+      writeManifest(s, s"$stateDir/A/manifest/v0",
+        (0 until nb).map(_ -> -1).toMap)
     }
     val ord = graft.graph.GraphAlgorithms.utf8Ordering
     val q = streamSource(s, srcPath, options).writeStream
@@ -317,19 +334,31 @@ object DedupQueries {
           .collect().map(r => r.getString(0) -> r.getString(1)).toMap
         require(bPrev.size <= cap, s"root remap exceeded $cap entries")
         // candidate pairs: batch×batch plus batch×index (dirty-bucket
-        // probe); distinct undirected endpoints
+        // probe); distinct undirected endpoints. The dirty band
+        // slice is checkpointed ONCE and reused by the probe and the
+        // merge below — a second stateAt would be the key-derivation
+        // drift hazard this file documents, and a second bucket scan.
         val within = bands.as("x").join(bands.as("y"),
           col("x.band") === col("y.band") && col("x.bk") === col("y.bk") &&
             col("x.doc_id") < col("y.doc_id"))
           .select(col("x.doc_id").as("p"), col("y.doc_id").as("q"))
+          .distinct().localCheckpoint()
         val hit = bands.select(bucketCol(Seq("band", "bk"), nb).as("_b"))
           .distinct().collect().map(_.getInt(0)).toSet
         val bandState = stateAt(ss, s"$stateDir/BANDS",
           bandBase.filter { case (k, _) => hit(k) }, Some(bandSchema))
+          .localCheckpoint()
         val cross = bandState.as("o").join(bands.as("n"),
           col("o.band") === col("n.band") && col("o.bk") === col("n.bk"))
           .select(col("o.doc_id").as("p"), col("n.doc_id").as("q"))
-          .localCheckpoint()
+          .distinct().localCheckpoint()
+        // fail-loud BEFORE anything pair-sized reaches the driver:
+        // the counts run on the materialized checkpoints, so a
+        // degenerate bucket dies with this message, not a driver OOM
+        val nPairs = within.count() + cross.count()
+        require(nPairs <= cap,
+          s"batch produced $nPairs candidate pairs (> $cap); banding " +
+            "parameters admit too-wide buckets for this corpus")
         // old endpoints' write-time labels, resolved through bPrev
         val oldDocs = cross.select(col("p").as("doc_id")).distinct()
         val aHit = oldDocs.select(bucketCol(Seq("doc_id"), nb).as("_b"))
@@ -349,14 +378,10 @@ object DedupQueries {
         // cross = corpus×batch), so only the EDGES ever reach the
         // driver — never the batch itself; the cap is the same
         // bounded-driver-list class as cdcApply's dirty-bucket set.
-        val withinE = within.distinct().collect()
+        val withinE = within.collect()
           .map(r => (r.getString(0), r.getString(1)))
-        val crossE = cross.distinct().collect()
+        val crossE = cross.collect()
           .map(r => (r.getString(0), r.getString(1)))
-        require(withinE.length + crossE.length <= cap,
-          s"batch produced ${withinE.length + crossE.length} candidate " +
-            s"pairs (> $cap); banding parameters admit too-wide buckets " +
-            "for this corpus")
         val parent = scala.collection.mutable.HashMap.empty[String, String]
         def find(x: String): String = {
           var r = x
@@ -384,6 +409,18 @@ object DedupQueries {
         val newEntries = touched.map(r => r -> find(r)).filter(t => t._1 != t._2)
         val bNext = (bPrev.view.mapValues(v => find(v)).toMap ++ newEntries)
           .toSeq.sortBy(_._1)
+        // Append-only corpus contract, ASSERTED (the graph store's
+        // bijection-guard discipline): a doc_id repeated within a
+        // batch would union-of-shingles its signature (the
+        // lshCandidatePairs hazard), and one re-ingested across
+        // batches would union only against its NEW text's band
+        // collisions while its stored label kept the old component —
+        // silent divergence from the batch CC either way. Both are
+        // one bounded job over frames this batch already computes.
+        require(docs.groupBy("doc_id").count()
+          .where(col("count") > 1).limit(1).count() == 0,
+          "clustersMaintain: duplicate doc_id within a batch — " +
+            "doc_id must be unique")
         // A delta: batch docs distributed (the paired ones' roots ride
         // a broadcast ≤2·|edges| table; the rest are a projection),
         // plus paired-flag touches for old endpoints
@@ -401,6 +438,11 @@ object DedupQueries {
           .distinct().collect().map(_.getInt(0)).toSet
         val aOld = stateAt(ss, s"$stateDir/A",
           aBase.filter { case (k, _) => aDirty(k) }, Some(aSchema))
+          .localCheckpoint()
+        require(aOld.join(docs.select("doc_id"), Seq("doc_id"), "left_semi")
+          .limit(1).count() == 0,
+          "clustersMaintain: a doc_id was re-ingested — the corpus is " +
+            "append-only; rebuild the cluster state for mutable docs")
         val aMerged = aOld
           .select(col("doc_id"), col("lbl").as("_ol"), col("paired").as("_op"))
           .join(aDelta.dropDuplicates("doc_id"), Seq("doc_id"), "full_outer")
@@ -413,9 +455,9 @@ object DedupQueries {
         writeManifest(ss, s"$stateDir/A/manifest/v${id + 1}",
           aBase ++ aDirty.map(k =>
             k -> (if (aWritten(k)) id.toInt + 1 else -1)))
-        // BANDS append (create-only on the full key)
-        val bandMerged = stateAt(ss, s"$stateDir/BANDS",
-          bandBase.filter { case (k, _) => hit(k) }, Some(bandSchema))
+        // BANDS append (create-only on the full key; same
+        // checkpointed dirty slice the probe read)
+        val bandMerged = bandState
           .unionByName(bands.select("doc_id", "band", "bk"))
           .dropDuplicates("doc_id", "band", "bk")
         val bandWritten = writeBuckets(bandMerged, Seq("band", "bk"), nb,

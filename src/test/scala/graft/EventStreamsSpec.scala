@@ -703,6 +703,38 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(second == first, "the rerun must serve the committed state")
   }
 
+  test("cluster maintenance: re-ingested doc_id fails loudly") {
+    // The fold's append-only corpus contract: a re-delivered doc_id
+    // could only union against its NEW text's collisions while its
+    // stored label kept the old component — silent divergence, so it
+    // must die with the named error instead (same discipline as the
+    // graph store's bijection guard).
+    val srcDir = java.nio.file.Files.createTempDirectory("clm3_src")
+    def addFile(name: String, cond: org.apache.spark.sql.Column): Unit = {
+      val part = java.nio.file.Files.createTempDirectory(s"clm3_$name")
+      Tables.documents(spark, sfDir).where(cond)
+        .coalesce(1).write.mode("overwrite").parquet(part.toString)
+      val f = java.nio.file.Files.list(part).toArray.map(_.toString)
+        .filter(_.endsWith(".parquet")).head
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get(f), srcDir.resolve(s"$name.parquet"))
+    }
+    val stateDir = java.nio.file.Files.createTempDirectory("clm3_state")
+    addFile("a", col("doc_id") < 50)
+    graft.queries.DedupQueries.clustersMaintain(
+      spark, srcDir.toString, stateDir.toString)
+    addFile("b", col("doc_id") < 10) // overlapping ids, new batch
+    val e = intercept[Exception] {
+      graft.queries.DedupQueries.clustersMaintain(
+        spark, srcDir.toString, stateDir.toString)
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("re-ingested")),
+      s"expected the re-ingest guard, got: ${messages(e)}")
+  }
+
   test("cdc fold is batching-invariant: any split, any order, same state") {
     // Pure algebra check (no streaming machinery): fold the same
     // change set through different batch partitionings — including a
