@@ -293,6 +293,44 @@ object Multimodal {
         meta = MediaMeta(uw, uh, 3, 0, 1))
     }.getOrElse(m)
 
+  /** 32-bit amplitude-invariant audio fingerprint: the decoded
+    * waveform is cut into 33 equal windows and bit b is the sign of
+    * the energy DELTA between windows b and b+1 — the core trick of
+    * the Chromaprint/Shazam family (minus the FFT, which the energy
+    * profile stands in for at fingerprint-blocking fidelity). A
+    * global volume change multiplies every window energy by the same
+    * factor, so the comparisons — hence the fingerprint — are
+    * invariant (the audio analogue of aHash64's mean-relative bits);
+    * any time-structure change flips bits. None when the payload is
+    * not JDK-parseable audio; clips shorter than 33 samples
+    * fingerprint as 0 (all-equal empty energies). */
+  def audioFp32(payload: Array[Byte]): Option[Long] =
+    WavCodec.decode(payload).map { case (_, samples) =>
+      val w = 33
+      val energies = Array.tabulate(w) { i =>
+        val lo = (samples.length.toLong * i / w).toInt
+        val hi = (samples.length.toLong * (i + 1) / w).toInt
+        var e = 0.0; var j = lo
+        while (j < hi) { e += samples(j).toDouble * samples(j); j += 1 }
+        e
+      }
+      (0 until 32).foldLeft(0L)((acc, b) =>
+        if (energies(b) > energies(b + 1)) acc | (1L << b) else acc)
+    }
+
+  /** Volume-attenuated WAV re-encode: different bytes, same temporal
+    * structure — the controlled "re-mastered level" shape audio dedup
+    * must catch (the audio analogue of [[upscaled]]). Scaling happens
+    * on the recovered 16-bit samples, so the twin is a deterministic
+    * function of the original payload. Non-audio payloads pass
+    * through unchanged. */
+  def attenuated(m: MediaRecord, den: Int): MediaRecord =
+    WavCodec.decode(m.payload).map { case (sr, samples) =>
+      val shorts = samples.map(f =>
+        (math.round(f * 32768f) / den).toShort)
+      m.copy(payload = WavCodec.encode(shorts, sr))
+    }.getOrElse(m)
+
   /** Per-record embedding from REAL decoded content: images and video
     * key-frames decode via imageio then resize(8x8)+pool; audio
     * decodes via AudioSystem then pools the waveform directly. The

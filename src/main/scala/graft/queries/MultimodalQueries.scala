@@ -57,13 +57,39 @@ object MultimodalQueries {
         size(col("embedding")).as("dim"),
         round(element_at(col("embedding"), 1).cast("double"), 6).as("e0"))
 
+  /** (media_id, afp) over the audio corpus + planted volume-
+    * attenuated twins — the scan-stage decode/fingerprint shared by
+    * mm_audio_neardup and its aux snapshot (the audio mirror of
+    * [[imageHashes]]). */
+  private[queries] def audioFps(
+      s: org.apache.spark.sql.SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    val media = Multimodal.fromDocuments(s, docs)
+      .filter(_.kind == "audio")
+    val twins = Multimodal
+      .fromDocuments(s, docs.where(col("doc_id") % 30 === 1))
+      .filter(_.kind == "audio")
+      .map(m => Multimodal.attenuated(m, 2)
+        .copy(media_id = m.media_id + 2000000L))
+    media.union(twins)
+      .mapPartitions(_.flatMap(m =>
+        Multimodal.audioFp32(m.payload).map(h => (m.media_id, h))))
+      .toDF("media_id", "afp")
+  }
+
   /** Aux snapshots for the multimodal oracles: the decoded-image hash
-    * table (mm_image_neardup) and the embedding head (mm_featurize).
+    * table (mm_image_neardup), the audio fingerprint table
+    * (mm_audio_neardup), and the embedding head (mm_featurize).
     * Called by [[graft.Verify]]. */
   def dumpAux(s: org.apache.spark.sql.SparkSession, d: String): Unit = {
     imageHashes(s, d)
       .coalesce(1).write.mode("overwrite")
       .parquet(s"${GfeQueries.auxDir}/mm_ahash")
+    audioFps(s, d)
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"${GfeQueries.auxDir}/mm_afp")
     featureRows(s, d)
       .select(col("media_id"), col("dim"), col("e0"))
       .coalesce(1).write.mode("overwrite")
@@ -142,6 +168,29 @@ object MultimodalQueries {
           min("media_id").as("survivor_id"),
           max("media_id").as("dup_id"))
         .where(col("n_images") >= 2)
+        .orderBy("survivor_id")
+    },
+
+    // Audio near-dup via the 32-bit energy-delta fingerprint: planted
+    // volume-attenuated re-encodes (different bytes, same temporal
+    // structure) must collapse onto their originals, exactly like the
+    // image tier's upscaled twins. Oracle: the dedup groupBy replayed
+    // from the [[dumpAux]] fingerprint snapshot (decode+fingerprint
+    // is the trust boundary; the amplitude-invariance property itself
+    // is pinned by MultimodalSpec against freshly scaled payloads).
+    QueryDef(
+      "mm_audio_neardup",
+      s"""SELECT afp, count(*) AS n_clips,
+        |       min(media_id) AS survivor_id, max(media_id) AS dup_id
+        |FROM read_parquet('${GfeQueries.auxDir}/mm_afp/*.parquet')
+        |GROUP BY 1 HAVING count(*) >= 2
+        |ORDER BY survivor_id""".stripMargin) { (s, d) =>
+      audioFps(s, d)
+        .groupBy("afp")
+        .agg(count(lit(1)).as("n_clips"),
+          min("media_id").as("survivor_id"),
+          max("media_id").as("dup_id"))
+        .where(col("n_clips") >= 2)
         .orderBy("survivor_id")
     })
 }

@@ -198,6 +198,47 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.aHash64("not an image".getBytes).isEmpty)
   }
 
+  test("audioFp32: amplitude-invariant, content-sensitive") {
+    val sr = 8000
+    def clip(seed: Long) = Array.tabulate(4096) { i =>
+      val x = (seed * 6364136223846793005L + i * 1442695040888963407L)
+      ((x >>> 16) & 0xffff).toInt - 32768
+    }.map(_.toShort)
+    val samples = clip(7L)
+    val wav = Multimodal.WavCodec.encode(samples, sr)
+    val fp = Multimodal.audioFp32(wav).get
+    // volume changes leave the energy-delta signs untouched
+    Seq(2, 3, 5).foreach { den =>
+      val quiet = Multimodal.WavCodec.encode(
+        samples.map(v => (v / den).toShort), sr)
+      assert(Multimodal.audioFp32(quiet).get == fp,
+        s"1/$den attenuation must not move the fingerprint")
+    }
+    // a different clip fingerprints differently
+    val other = Multimodal.WavCodec.encode(clip(8L), sr)
+    assert(Multimodal.audioFp32(other).get != fp, "content-sensitive")
+    // time-structure change flips bits even at equal total energy
+    val reversed = Multimodal.WavCodec.encode(samples.reverse, sr)
+    assert(Multimodal.audioFp32(reversed).get != fp,
+      "temporal-structure-sensitive")
+    assert(Multimodal.audioFp32("not audio".getBytes).isEmpty)
+  }
+
+  test("mm_audio_neardup recovers exactly the planted attenuated twins") {
+    val d = "/root/testdata/sf0.001"
+    val groups = SparkEntry.queries("mm_audio_neardup")(spark, d).collect()
+    val expected = Tables.documents(spark, d)
+      .select("doc_id").collect().map(_.getLong(0))
+      .filter(id => id % 30 == 1).sorted
+    assert(groups.map(_.getLong(2)).toSeq == expected.toSeq,
+      "every planted twin's original is a survivor")
+    groups.foreach { r =>
+      assert(r.getLong(1) == 2L, s"twin group of 2: $r")
+      assert(r.getLong(3) == r.getLong(2) + 2000000L,
+        s"dup is the planted attenuated re-encode: $r")
+    }
+  }
+
   test("mm_image_neardup recovers exactly the planted upscaled twins") {
     val d = "/root/testdata/sf0.001"
     val groups = SparkEntry.queries("mm_image_neardup")(spark, d).collect()
