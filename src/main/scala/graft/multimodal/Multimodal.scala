@@ -167,8 +167,10 @@ object Multimodal {
       if (bb.getInt() != Magic) None else Some(bb.getInt())
     }
 
-    /** Seek to frame `idx` and ImageIO-decode it. */
-    def decodeFrame(payload: Array[Byte], idx: Int): Option[(Int, Int, Array[Float])] = {
+    /** Raw encoded bytes of frame `idx` — header skips only, no pixel
+      * decode (the seek path shared by [[decodeFrame]] and
+      * [[Multimodal.upscaledVideo]]). */
+    def frameBytes(payload: Array[Byte], idx: Int): Option[Array[Byte]] = {
       val bb = ByteBuffer.wrap(payload).order(ByteOrder.BIG_ENDIAN)
       if (payload.length < 8 || bb.getInt() != Magic) return None
       val n = bb.getInt()
@@ -182,8 +184,12 @@ object Multimodal {
       val len = bb.getInt()
       val frame = new Array[Byte](len)
       bb.get(frame)
-      ImageCodec.decode(frame)
+      Some(frame)
     }
+
+    /** Seek to frame `idx` and ImageIO-decode it. */
+    def decodeFrame(payload: Array[Byte], idx: Int): Option[(Int, Int, Array[Float])] =
+      frameBytes(payload, idx).flatMap(ImageCodec.decode)
   }
 
   /** FALLBACK CODEC — deterministic fake decode for payload formats
@@ -261,18 +267,52 @@ object Multimodal {
     * .DedupQueries]]' SimHash. None when the payload isn't an image.
     */
   def aHash64(payload: Array[Byte]): Option[Long] =
-    ImageCodec.decode(payload).map { case (w, h, px) =>
-      val small = resize(px, MediaMeta(w, h, 3, 0, 1), 8, 8)
-      val gray = Array.tabulate(64)(i =>
-        small(3 * i) + small(3 * i + 1) + small(3 * i + 2))
-      val mean = gray.sum / 64f
-      var bits = 0L
+    ImageCodec.decode(payload).map { case (w, h, px) => aHashPixels(w, h, px) }
+
+  /** [[aHash64]]'s core over an already-decoded RGB tensor — shared
+    * with the per-frame hashing of [[videoFp64]], where the frame is
+    * decoded once by the container seek and re-encoding it just to
+    * re-decode would double the codec work. */
+  private def aHashPixels(w: Int, h: Int, px: Array[Float]): Long = {
+    val small = resize(px, MediaMeta(w, h, 3, 0, 1), 8, 8)
+    val gray = Array.tabulate(64)(i =>
+      small(3 * i) + small(3 * i + 1) + small(3 * i + 2))
+    val mean = gray.sum / 64f
+    var bits = 0L
+    var i = 0
+    while (i < 64) {
+      if (gray(i) > mean) bits |= 1L << i
+      i += 1
+    }
+    bits
+  }
+
+  /** 64-bit ORDER-SENSITIVE video fingerprint: each frame's perceptual
+    * average-hash, folded in frame order with an FNV-style mix — so a
+    * re-encoded video collapses onto its original exactly when every
+    * frame is perceptually identical AND in the same order (a
+    * bag-of-frame-hashes would conflate a video with its reverse; the
+    * order sensitivity is spec-pinned). Inherits [[aHash64]]'s
+    * invariances per frame: container re-encode, nearest-neighbor
+    * integer upscale (the 8×8 grid lands on the same source pixels —
+    * nested floor division: ⌊⌊2yh/8⌋/2⌋ = ⌊yh/8⌋), global brightness
+    * shift. None when the payload is not a GVID container; frames
+    * that fail image decode hash as 0 rather than poisoning the clip.
+    * The per-frame seek is O(k) header skips — quadratic in frames
+    * per payload, fine for clip-sized containers (the fixture's ≤8;
+    * a long-video path would thread one cursor). */
+  def videoFp64(payload: Array[Byte]): Option[Long] =
+    VideoCodec.frameCount(payload).map { n =>
+      var acc = 1125899906842597L
       var i = 0
-      while (i < 64) {
-        if (gray(i) > mean) bits |= 1L << i
+      while (i < n) {
+        val fh = VideoCodec.decodeFrame(payload, i)
+          .map { case (w, h, px) => aHashPixels(w, h, px) }
+          .getOrElse(0L)
+        acc = (acc ^ fh) * 0x100000001B3L
         i += 1
       }
-      bits
+      acc
     }
 
   /** Nearest-neighbor upscaled PNG re-encode: a payload with
@@ -281,7 +321,16 @@ object Multimodal {
     * "re-hosted thumbnail" shape image dedup must catch. Non-image
     * payloads pass through unchanged. */
   def upscaled(m: MediaRecord, factor: Int): MediaRecord =
-    ImageCodec.decode(m.payload).map { case (w, h, px) =>
+    upscaledPng(m.payload, factor).map { case (uw, uh, bytes) =>
+      m.copy(payload = bytes, meta = MediaMeta(uw, uh, 3, 0, 1))
+    }.getOrElse(m)
+
+  /** Decode → nearest-neighbor upscale → lossless PNG re-encode of a
+    * single image payload; the pixel path shared by [[upscaled]] and
+    * [[upscaledVideo]]. None when the payload isn't a decodable image. */
+  private def upscaledPng(payload: Array[Byte],
+      factor: Int): Option[(Int, Int, Array[Byte])] =
+    ImageCodec.decode(payload).map { case (w, h, px) =>
       val (uw, uh) = (w * factor, h * factor)
       val up = resize(px, MediaMeta(w, h, 3, 0, 1), uw, uh)
       val rgb = Array.tabulate(uw * uh) { i =>
@@ -289,8 +338,24 @@ object Multimodal {
           math.max(0, math.min(255, math.round(up(3 * i + c) * 255f)))
         (ch(0) << 16) | (ch(1) << 8) | ch(2)
       }
-      m.copy(payload = ImageCodec.encode(rgb, uw, uh, "png"),
-        meta = MediaMeta(uw, uh, 3, 0, 1))
+      (uw, uh, ImageCodec.encode(rgb, uw, uh, "png"))
+    }
+
+  /** Per-frame upscaled re-encode of a GVID container: every frame's
+    * bytes, and the clip's total byte length, change; the perceptual
+    * content and frame order do not — the controlled "re-rendered at a
+    * higher resolution" shape video dedup must catch (the video
+    * analogue of [[upscaled]] / [[attenuated]]). Non-video payloads
+    * pass through unchanged. */
+  def upscaledVideo(m: MediaRecord, factor: Int): MediaRecord =
+    VideoCodec.frameCount(m.payload).map { n =>
+      val frames = (0 until n).map { i =>
+        val frame = VideoCodec.frameBytes(m.payload, i).get
+        upscaledPng(frame, factor).map(_._3).getOrElse(frame)
+      }
+      m.copy(payload = VideoCodec.encode(frames),
+        meta = MediaMeta(m.meta.width * factor, m.meta.height * factor,
+          3, 0, n))
     }.getOrElse(m)
 
   /** 32-bit amplitude-invariant audio fingerprint: the decoded

@@ -79,9 +79,32 @@ object MultimodalQueries {
       .toDF("media_id", "afp")
   }
 
+  /** (media_id, vfp) over the video corpus + planted per-frame-
+    * upscaled twins — the scan-stage decode/fingerprint shared by
+    * mm_video_neardup and its aux snapshot (the video mirror of
+    * [[imageHashes]] / [[audioFps]]). */
+  private[queries] def videoFps(
+      s: org.apache.spark.sql.SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    val media = Multimodal.fromDocuments(s, docs)
+      .filter(_.kind == "video")
+    val twins = Multimodal
+      .fromDocuments(s, docs.where(col("doc_id") % 30 === 2))
+      .filter(_.kind == "video")
+      .map(m => Multimodal.upscaledVideo(m, 2)
+        .copy(media_id = m.media_id + 3000000L))
+    media.union(twins)
+      .mapPartitions(_.flatMap(m =>
+        Multimodal.videoFp64(m.payload).map(h => (m.media_id, h))))
+      .toDF("media_id", "vfp")
+  }
+
   /** Aux snapshots for the multimodal oracles: the decoded-image hash
     * table (mm_image_neardup), the audio fingerprint table
-    * (mm_audio_neardup), and the embedding head (mm_featurize).
+    * (mm_audio_neardup), the video fingerprint table
+    * (mm_video_neardup), and the embedding head (mm_featurize).
     * Called by [[graft.Verify]]. */
   def dumpAux(s: org.apache.spark.sql.SparkSession, d: String): Unit = {
     imageHashes(s, d)
@@ -90,6 +113,9 @@ object MultimodalQueries {
     audioFps(s, d)
       .coalesce(1).write.mode("overwrite")
       .parquet(s"${GfeQueries.auxDir}/mm_afp")
+    videoFps(s, d)
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"${GfeQueries.auxDir}/mm_vfp")
     featureRows(s, d)
       .select(col("media_id"), col("dim"), col("e0"))
       .coalesce(1).write.mode("overwrite")
@@ -191,6 +217,32 @@ object MultimodalQueries {
           min("media_id").as("survivor_id"),
           max("media_id").as("dup_id"))
         .where(col("n_clips") >= 2)
+        .orderBy("survivor_id")
+    },
+
+    // Video near-dup via the order-sensitive folded frame-hash
+    // fingerprint: every 10th video is planted back with all frames
+    // 2×-upscaled and PNG re-encoded (different bytes per frame,
+    // different container length) under media_id + 3·10^6, and the
+    // groupBy on the fingerprint recovers exactly those twins —
+    // completing the image/audio/video near-dup matrix. Oracle: the
+    // dedup groupBy replayed from the [[dumpAux]] snapshot
+    // (decode+fingerprint is the trust boundary; the per-frame
+    // upscale invariance and the frame-ORDER sensitivity are pinned
+    // by MultimodalSpec against freshly re-encoded payloads).
+    QueryDef(
+      "mm_video_neardup",
+      s"""SELECT vfp, count(*) AS n_videos,
+        |       min(media_id) AS survivor_id, max(media_id) AS dup_id
+        |FROM read_parquet('${GfeQueries.auxDir}/mm_vfp/*.parquet')
+        |GROUP BY 1 HAVING count(*) >= 2
+        |ORDER BY survivor_id""".stripMargin) { (s, d) =>
+      videoFps(s, d)
+        .groupBy("vfp")
+        .agg(count(lit(1)).as("n_videos"),
+          min("media_id").as("survivor_id"),
+          max("media_id").as("dup_id"))
+        .where(col("n_videos") >= 2)
         .orderBy("survivor_id")
     })
 }

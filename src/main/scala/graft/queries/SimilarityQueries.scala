@@ -195,6 +195,91 @@ object SimilarityQueries {
       .orderBy("q_id", "n_id")
   }
 
+  private val lshTables = 16 // hash tables (OR-amplification)
+  private val lshBits = 6 // hyperplane bits per table (AND-amplification)
+  private val knnK = 5 // neighbors per vertex in the kNN graph
+
+  /** Shared oracle CTE chain ending in `bk(vec_id, t, bk)` — the
+    * DuckDB replay of [[lshBuckets]] (v_lsh_topk, v_knn_graph). */
+  private def lshIndexSql: String =
+    s"""WITH e AS ($duckVecs),
+      |ev AS (SELECT vec_id, d.j,
+      |         CAST(round(v[d.j+1]*1000000) AS BIGINT) AS ix
+      |       FROM e, (SELECT unnest(generate_series(0,63)) AS j) d),
+      |pl AS (SELECT h.h, d.j,
+      |         CASE ${DedupQueries.duckHex60(
+           "('pl:' || CAST(h.h AS VARCHAR) || ':' || CAST(d.j AS VARCHAR))")} % 2
+      |           WHEN 0 THEN CAST(1 AS BIGINT)
+      |           ELSE CAST(-1 AS BIGINT) END AS sgn
+      |       FROM (SELECT unnest(generate_series(0,${lshTables * lshBits - 1})) AS h) h,
+      |            (SELECT unnest(generate_series(0,63)) AS j) d),
+      |sums AS (SELECT ev.vec_id, pl.h, CAST(sum(pl.sgn*ev.ix) AS BIGINT) AS s
+      |         FROM ev JOIN pl ON pl.j = ev.j GROUP BY 1, 2),
+      |bk AS (SELECT vec_id, h // $lshBits AS t,
+      |         CAST(sum(CASE WHEN s >= 0
+      |           THEN CAST(1 AS BIGINT) << (h % $lshBits)
+      |           ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS bk
+      |       FROM sums GROUP BY 1, 2)""".stripMargin
+
+  /** Random-hyperplane LSH bucket table (vec_id, t, bk) — the stored
+    * index of [[lshCandidates]]. 96 deterministic hyperplanes (md5
+    * PRF, the [[graft.graph.GraphAlgorithms.fastRpEmbedDF]] idiom)
+    * with ±1 components; a vector's bit h is the sign of its signed
+    * coordinate sum, and bits group into 16 tables × 6-bit bucket
+    * keys. Everything is integer-exact (coordinates in micro-units,
+    * ±1 planes, bit-packed keys), so the whole index replays
+    * bit-for-bit in the DuckDB oracle — unlike the trained k-means /
+    * PQ indexes there is NO trust-boundary snapshot.
+    *
+    * Scale shape: dims ride as rows (posexplode → broadcast join with
+    * the 6144-row plane table → codegen'd hash agg), per the round-11
+    * interpreted-HOF lesson; O(d·H) work per vector, one pass. At
+    * 100 TB the output IS the index artifact, written bucketed by
+    * (t, bk) next to the corpus. */
+  private val lshBucketsCache = Memo.dfTable
+
+  private[graft] def lshBuckets(s: SparkSession, d: String): DataFrame =
+    lshBucketsCache(s, d) { buildLshBuckets(s, d).cache() }
+
+  private def buildLshBuckets(s: SparkSession, d: String): DataFrame = {
+    val e = vecs(s, d)
+    val ev = e.select(col("vec_id"), posexplode(col("v")).as(Seq("j", "x")))
+      .select(col("vec_id"), col("j"),
+        round(col("x") * 1000000, 0).cast("long").as("ix"))
+    val planes = s.range(lshTables.toLong * lshBits).toDF("h")
+      .crossJoin(s.range(64).toDF("j"))
+      .select(col("h"), col("j"),
+        when(pmod(call_udf("graft_hex60",
+          concat(lit("pl:"), col("h").cast("string"), lit(":"),
+            col("j").cast("string"))), lit(2)) === 0, lit(1L))
+          .otherwise(lit(-1L)).as("sgn"))
+    ev.join(broadcast(planes), "j")
+      .groupBy(col("vec_id"), col("h"))
+      .agg(sum(col("sgn") * col("ix")).as("s"))
+      .select(col("vec_id"), expr(s"h div $lshBits").as("t"),
+        when(col("s") >= 0,
+          expr(s"shiftleft(cast(1 as bigint), cast(h % $lshBits as int))"))
+          .otherwise(lit(0L)).as("w"))
+      .groupBy("vec_id", "t")
+      .agg(sum("w").as("bk"))
+  }
+
+  /** Distinct LSH candidate pairs (q_id, n_id): a corpus vector is a
+    * candidate iff it shares a (table, bucket) key with the query —
+    * a banded equi-join on the bucket table, never all-pairs (the
+    * probe touches ~T/2^B of the corpus; measured 0.23-0.25 at both
+    * fixture SFs for recall 0.51, vs 0.25 scan for the trained IVF).
+    * Exposed for the OperatorsSpec candidate-fraction bound. */
+  private[graft] def lshCandidates(s: SparkSession, d: String): DataFrame = {
+    val b = lshBuckets(s, d)
+    val qb = b.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("t"), col("bk"))
+    broadcast(qb).join(b, Seq("t", "bk"))
+      .where(col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"))
+      .distinct()
+  }
+
   private val pqSubspaces = 8 // 64-d → 8 sub-vectors of 8 dims
   private val pqCodes = 16 // codewords per subspace (4-bit codes)
   private val pqRerank = 64 // ADC survivors re-ranked exactly
@@ -559,6 +644,107 @@ object SimilarityQueries {
       val standing = assign.where(col("vec_id") % 10 =!= 7)
       val fresh = assignToCells(e.where(col("vec_id") % 10 === 7), centroids)
       ivfServe(e, centroids, standing.unionByName(fresh))
+    },
+
+    // LSH-bucketed ANN — the brief's named scale path next to IVF:
+    // sign-random-projection (SRP) buckets, probe = one banded
+    // equi-join on (table, bucket_key), exact cosine re-rank only on
+    // collisions. The index build is one corpus pass (posexplode →
+    // broadcast plane join → two codegen'd hash aggs); the md5-PRF
+    // planes and integer micro-unit arithmetic make the ENTIRE path —
+    // index, probe, candidates — deterministic and engine-exact, so
+    // the oracle replays it from raw vectors with zero trust-boundary
+    // snapshot (the trained-index tiers can't). Parameters 16×6 were
+    // measured against the exact baseline at both fixture SFs:
+    // recall 0.51 at candidate fraction 0.23-0.25 (random bucketing
+    // at the same fraction would recall ~0.24); OperatorsSpec pins
+    // both bounds.
+    QueryDef(
+      "v_lsh_topk",
+      s"""$lshIndexSql,
+        |qb AS (SELECT vec_id AS q_id, t, bk FROM bk WHERE vec_id < $nQueries),
+        |cand AS (SELECT DISTINCT qb.q_id, b.vec_id AS n_id
+        |         FROM qb JOIN bk b ON b.t = qb.t AND b.bk = qb.bk
+        |         WHERE b.vec_id <> qb.q_id),
+        |scored AS (
+        |  SELECT c.q_id, c.n_id,
+        |         round(list_dot_product(qe.v, ne.v) / (qe.nrm * ne.nrm), 4)
+        |           AS sim
+        |  FROM cand c
+        |  JOIN e qe ON qe.vec_id = c.q_id
+        |  JOIN e ne ON ne.vec_id = c.n_id)
+        |SELECT q_id, n_id, sim FROM (
+        |  SELECT q_id, n_id, sim,
+        |         row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rn
+        |  FROM scored)
+        |WHERE rn <= $topK ORDER BY q_id, n_id""".stripMargin) { (s, d) =>
+      val e = vecs(s, d)
+      val q = e.where(col("vec_id") < nQueries)
+      lshCandidates(s, d)
+        .join(broadcast(q.select(col("vec_id").as("q_id"),
+          col("v").as("qv"), col("nrm").as("qnrm"))), "q_id")
+        .join(e.select(col("vec_id").as("n_id"),
+          col("v").as("nv"), col("nrm").as("nnrm")), "n_id")
+        .select(col("q_id"), col("n_id"),
+          round(dot(col("qv"), col("nv")) / (col("qnrm") * col("nnrm")), 4)
+            .as("sim"))
+        .withColumn("rn", row_number().over(Window.partitionBy("q_id")
+          .orderBy(col("sim").desc, col("n_id"))))
+        .where(col("rn") <= topK)
+        .select("q_id", "n_id", "sim")
+        .orderBy("q_id", "n_id")
+    },
+
+    // kNN-GRAPH construction (GDS `gds.knn` capability parity, and
+    // the input shape for graph-based dedup/clustering over an
+    // embedding corpus): top-k cosine neighbors for EVERY vector, not
+    // just a query batch. All-pairs is quadratic and never acceptable
+    // at scale; candidates come from the same LSH bucket index as
+    // v_lsh_topk — a banded SELF-join (T × Σ|bucket|² pairs, ~23% of
+    // the pair space at fixture tuning), then one exact re-rank per
+    // source. The corpus side joins by fixed-width vec_id — shuffle
+    // hash joins sized by AQE, no broadcast of the big side. Measured
+    // vs the exact kNN graph: recall 0.56/0.52 (sf0.001/sf0.01), all
+    // vertices covered. Deterministic end-to-end → fully oracled, no
+    // snapshot.
+    QueryDef(
+      "v_knn_graph",
+      s"""$lshIndexSql,
+        |cand AS (SELECT DISTINCT b1.vec_id AS src_id, b2.vec_id AS nbr_id
+        |         FROM bk b1 JOIN bk b2 ON b2.t = b1.t AND b2.bk = b1.bk
+        |         WHERE b1.vec_id <> b2.vec_id),
+        |scored AS (
+        |  SELECT c.src_id, c.nbr_id,
+        |         round(list_dot_product(se.v, ne.v) / (se.nrm * ne.nrm), 4)
+        |           AS sim
+        |  FROM cand c
+        |  JOIN e se ON se.vec_id = c.src_id
+        |  JOIN e ne ON ne.vec_id = c.nbr_id)
+        |SELECT src_id, nbr_id, sim FROM (
+        |  SELECT src_id, nbr_id, sim,
+        |         row_number() OVER (PARTITION BY src_id ORDER BY sim DESC, nbr_id) AS rn
+        |  FROM scored)
+        |WHERE rn <= $knnK ORDER BY src_id, nbr_id""".stripMargin) { (s, d) =>
+      val e = vecs(s, d)
+      val b = lshBuckets(s, d)
+      val cand = b.select(col("vec_id").as("src_id"), col("t"), col("bk"))
+        .join(b.select(col("vec_id").as("nbr_id"), col("t"), col("bk")),
+          Seq("t", "bk"))
+        .where(col("src_id") =!= col("nbr_id"))
+        .select("src_id", "nbr_id").distinct()
+      cand
+        .join(e.select(col("vec_id").as("src_id"),
+          col("v").as("sv"), col("nrm").as("snrm")), "src_id")
+        .join(e.select(col("vec_id").as("nbr_id"),
+          col("v").as("nv"), col("nrm").as("nnrm")), "nbr_id")
+        .select(col("src_id"), col("nbr_id"),
+          round(dot(col("sv"), col("nv")) / (col("snrm") * col("nnrm")), 4)
+            .as("sim"))
+        .withColumn("rn", row_number().over(Window.partitionBy("src_id")
+          .orderBy(col("sim").desc, col("nbr_id"))))
+        .where(col("rn") <= knnK)
+        .select("src_id", "nbr_id", "sim")
+        .orderBy("src_id", "nbr_id")
     },
 
     // Int8-quantized top-k: per-vector symmetric quantization

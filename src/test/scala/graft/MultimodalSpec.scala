@@ -239,6 +239,49 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("videoFp64: invariant to per-frame upscale; order- and content-sensitive") {
+    val (w, h) = (16, 12)
+    def grad(shift: Int) = Array.tabulate(w * h) { i =>
+      val v = 32 + ((i + shift) * 160) / (w * h) % 160
+      (v << 16) | (v << 8) | v
+    }
+    def enc(frames: Seq[Array[Int]]) = Multimodal.VideoCodec.encode(
+      frames.map(f => Multimodal.ImageCodec.encode(f, w, h, "png")))
+    val frames = Seq(grad(0), grad(40), grad(80))
+    val vid = enc(frames)
+    val fp = Multimodal.videoFp64(vid).get
+    // per-frame 2x upscale + PNG re-encode: new bytes, same fingerprint
+    val up = Multimodal.upscaledVideo(
+      MediaRecord(1L, "video", vid, MediaMeta(w, h, 3, 0, 3)), 2)
+    assert(up.meta.width == 2 * w && up.payload.length != vid.length)
+    assert(Multimodal.videoFp64(up.payload).get == fp, "upscale-invariant")
+    // same frames, reversed order: different fingerprint
+    assert(Multimodal.videoFp64(enc(frames.reverse)).get != fp,
+      "frame-order-sensitive")
+    // one frame swapped for different content: different fingerprint
+    assert(Multimodal.videoFp64(enc(Seq(grad(0), grad(40), grad(120)))).get != fp,
+      "content-sensitive")
+    // a strict prefix of the clip: different fingerprint
+    assert(Multimodal.videoFp64(enc(frames.take(2))).get != fp,
+      "length-sensitive")
+    assert(Multimodal.videoFp64("not a video".getBytes).isEmpty)
+  }
+
+  test("mm_video_neardup recovers exactly the planted upscaled twins") {
+    val d = "/root/testdata/sf0.001"
+    val groups = SparkEntry.queries("mm_video_neardup")(spark, d).collect()
+    val expected = Tables.documents(spark, d)
+      .select("doc_id").collect().map(_.getLong(0))
+      .filter(id => id % 30 == 2).sorted
+    assert(groups.map(_.getLong(2)).toSeq == expected.toSeq,
+      "every planted twin's original is a survivor")
+    groups.foreach { r =>
+      assert(r.getLong(1) == 2L, s"twin group of 2: $r")
+      assert(r.getLong(3) == r.getLong(2) + 3000000L,
+        s"dup is the planted upscaled re-encode: $r")
+    }
+  }
+
   test("mm_image_neardup recovers exactly the planted upscaled twins") {
     val d = "/root/testdata/sf0.001"
     val groups = SparkEntry.queries("mm_image_neardup")(spark, d).collect()

@@ -228,6 +228,63 @@ class OperatorsSpec extends AnyFunSuite {
       s"mean recall too low: ${recalls.sum / recalls.size}")
   }
 
+  test("LSH-bucketed ANN beats random bucketing at the same scan fraction") {
+    def topSets(name: String): Map[Long, Set[Long]] =
+      SparkEntry.queries(name)(spark, sfDir).collect()
+        .map(r => r.getLong(0) -> r.getLong(1))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val exact = topSets("v_cosine_topk")
+    val lsh = topSets("v_lsh_topk")
+    assert(lsh.keySet == exact.keySet,
+      "every query must produce LSH candidates on the fixture")
+    val recalls = exact.map { case (q, ex) =>
+      (lsh(q) & ex).size.toDouble / ex.size }
+    val mean = recalls.sum / recalls.size
+    // the probe's honest cost: distinct candidates over the full
+    // 8-query × (N−1) pair space — at 16 tables × 6 bits this is the
+    // fraction of the corpus an average probe actually touches
+    val nVecs = graft.Tables.embeddings(spark, sfDir).count()
+    val candFrac = graft.queries.SimilarityQueries
+      .lshCandidates(spark, sfDir).count().toDouble / (8.0 * (nVecs - 1))
+    // measured at sf0.001: recall 0.512 at candidate fraction 0.243;
+    // a random partition of the same fraction would recall ≈ candFrac
+    assert(candFrac <= 0.35, s"probe scans too much of the corpus: $candFrac")
+    assert(mean >= 0.4, s"mean recall too low: $mean ($recalls)")
+    assert(mean > candFrac + 0.15,
+      s"LSH no better than random bucketing: recall $mean vs frac $candFrac")
+  }
+
+  test("kNN graph covers every vector with better-than-random neighbors") {
+    val rows = SparkEntry.queries("v_knn_graph")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val e = graft.Tables.embeddings(spark, sfDir).collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    // exact kNN ground truth, same rounding + tie-break as the query
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var (ab, aa, bb, i) = (0.0, 0.0, 0.0, 0)
+      while (i < a.length) {
+        ab += a(i) * b(i); aa += a(i) * a(i); bb += b(i) * b(i); i += 1
+      }
+      BigDecimal(ab / math.sqrt(aa * bb))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val exact = e.map { case (i, vi) =>
+      i -> e.iterator.filter(_._1 != i)
+        .map { case (jd, vj) => (jd, cos(vi, vj)) }.toSeq
+        .sortBy(t => (-t._2, t._1)).take(5).map(_._1).toSet
+    }
+    val got = rows.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(got.keySet == exact.keySet,
+      "every corpus vector must appear as a kNN-graph source")
+    assert(rows.length == 5 * e.size,
+      s"expected a full 5-NN graph, got ${rows.length} edges")
+    val rs = exact.map { case (i, ex) => (got(i) & ex).size.toDouble / ex.size }
+    val mean = rs.sum / rs.size
+    // measured 0.559 (sf0.001) / 0.524 (sf0.01) vs the exact graph
+    assert(mean >= 0.4, s"kNN-graph mean recall too low: $mean")
+  }
+
   test("z-order: golden Morton codes and measurably better 2-D locality") {
     import graft.operators.ZOrder
     // golden 4x4 grid: x on even bits, y on odd -> the classic Z curve
