@@ -41,15 +41,19 @@ object SimilarityQueries {
     * per invocation would pin a new InMemoryRelation each call. */
   private val vecsCache = Memo.dfTable
 
-  private[queries] def vecs(s: SparkSession, d: String): DataFrame =
-    vecsCache(s, d) {
-      graft.functions.NativeFunctions.register(s)
-      Tables.embeddings(s, d)
-        .select(col("vec_id"),
-          transform(col("embedding"), x => x.cast("double")).as("v"))
-        .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
-        .cache()
-    }
+  private[graft] def vecs(s: SparkSession, d: String): DataFrame =
+    vecsCache(s, d) { vecProjection(Tables.embeddings(s, d)).cache() }
+
+  /** (vec_id, v: array<double>, nrm) from a raw embeddings frame —
+    * the normalization [[vecs]] memoizes for the corpus, also applied
+    * per micro-batch by [[annMaintainFold]] (a batch's session may be
+    * a foreachBatch clone, so registration follows the input). */
+  private[queries] def vecProjection(df: DataFrame): DataFrame = {
+    graft.functions.NativeFunctions.register(df.sparkSession)
+    df.select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("v"))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+  }
 
   private val duckVecs =
     "SELECT vec_id, embedding::DOUBLE[] AS v, sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm FROM embeddings"
@@ -69,7 +73,7 @@ object SimilarityQueries {
     * Returns (assign: vec_id → cell_id, centroids: c_id, cv, cnrm). */
   private val kmeansCache = Memo.dfPairTable
 
-  private[queries] def kmeansIndex(s: SparkSession, d: String): (DataFrame, DataFrame) =
+  private[graft] def kmeansIndex(s: SparkSession, d: String): (DataFrame, DataFrame) =
     kmeansCache(s, d) {
       locally {
         import org.apache.spark.ml.clustering.KMeans
@@ -149,7 +153,7 @@ object SimilarityQueries {
 
   /** Incremental ADD: nearest-centroid cell per batch vector — the
     * refit-free ingest step; scan-local (centroids broadcast). */
-  private[queries] def assignToCells(
+  private[graft] def assignToCells(
       batch: DataFrame, centroids: DataFrame): DataFrame =
     batch.crossJoin(broadcast(centroids))
       .select(col("vec_id"), col("c_id"),
@@ -279,6 +283,50 @@ object SimilarityQueries {
       .select(col("q_id"), col("vec_id").as("n_id"))
       .distinct()
   }
+
+  /** Streaming ANN postings maintenance — the ingest loop of a stored
+    * IVF index: each micro-batch of vectors is assigned to its
+    * nearest centroid ([[assignToCells]] — refit-free, scan-local,
+    * centroids broadcast) and appended into the cdcApply versioned
+    * postings store keyed by vec_id (assignment is a pure function of
+    * the vector, so union + key-dedup merge is idempotent under
+    * foreachBatch retries and batch-partitioning-invariant). Per-batch
+    * I/O is O(dirty buckets), never the standing postings. Returns the
+    * maintained (vec_id, cell_id) assignment. */
+  private[graft] def annMaintainFold(s: SparkSession, changes: DataFrame,
+      d: String, stateDir: String): DataFrame = {
+    val (_, centroids) = kmeansIndex(s, d)
+    val init = assignToCells(vecs(s, d).limit(0), centroids)
+    graft.streaming.EventStreams.cdcApply(s, changes, init, stateDir,
+      Seq("vec_id"),
+      batch => assignToCells(vecProjection(batch), centroids),
+      (state, delta) => state.unionByName(delta).dropDuplicates("vec_id"))
+  }
+
+  /** st_ann_maintain body: fold the streamed corpus into the postings
+    * store, then serve the standard IVF probe path from the MAINTAINED
+    * assignment. Every assignment comes from the rounded-cdist rule,
+    * so unlike v_ann_kmeans (trained transform) the full maintained
+    * index replays in DuckDB from the centroid snapshot alone. */
+  private[queries] def annMaintain(s: SparkSession, srcPath: String,
+      d: String, stateDir: String): DataFrame = {
+    val asg = annMaintainFold(s,
+      graft.streaming.EventStreams.streamSource(s, srcPath), d, stateDir)
+    ivfServe(vecs(s, d), kmeansIndex(s, d)._2, asg)
+  }
+
+  /** Oracle for [[annMaintain]]: the incremental-add nearest-centroid
+    * rule applied to the WHOLE corpus (that is exactly what the
+    * maintained store converges to), then the shared serve-path SQL. */
+  private[queries] def annMaintainSql: String = ivfServeSql(
+    s"""fasg AS (SELECT vec_id, cell_id FROM (
+      |  SELECT n.vec_id, c.c_id AS cell_id,
+      |    row_number() OVER (PARTITION BY n.vec_id ORDER BY
+      |      round(sqrt(list_dot_product(c.cv, c.cv))
+      |              * sqrt(list_dot_product(c.cv, c.cv))
+      |            - 2 * list_dot_product(n.v, c.cv) / n.nrm, 6) ASC,
+      |      c.c_id) AS rn
+      |  FROM e n CROSS JOIN cents c) WHERE rn = 1)""".stripMargin)
 
   private val pqSubspaces = 8 // 64-d → 8 sub-vectors of 8 dims
   private val pqCodes = 16 // codewords per subspace (4-bit codes)

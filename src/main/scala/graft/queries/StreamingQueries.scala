@@ -291,6 +291,26 @@ object StreamingQueries {
       DedupQueries.clustersMaintain(s, s"$d/documents.parquet", stateDir)
     },
 
+    // Streaming ANN postings maintenance — the vector-tier analogue
+    // of st_index_maintain: each micro-batch of embeddings is
+    // assigned to its nearest IVF centroid (refit-free, the
+    // v_ann_incremental ADD rule) and appended into the cdcApply
+    // versioned postings store; the standard probe path then serves
+    // the MAINTAINED index. Assignment is a pure function of the
+    // vector (rounded integer-stable cdist), so the fold is
+    // idempotent and batch-partitioning-invariant — the oracle
+    // replays the converged assignment for the whole corpus from the
+    // centroid snapshot and hash-checks the real streaming path
+    // end-to-end (EventStreamsSpec pins a hash-split 3-batch fold ==
+    // the batch assignment).
+    QueryDef(
+      "st_ann_maintain",
+      SimilarityQueries.annMaintainSql) { (s, d) =>
+      val stateDir = java.nio.file.Files
+        .createTempDirectory("ann_postings_state").toString
+      SimilarityQueries.annMaintain(s, s"$d/embeddings.parquet", d, stateDir)
+    },
+
     // Continuous CDC apply — the streaming form of o_merge_upsert,
     // and unlike the other st_* entries this one runs the REAL
     // streaming path (readStream → foreachBatch folding each
