@@ -250,8 +250,11 @@ object SimilarityQueries {
     val ev = e.select(col("vec_id"), posexplode(col("v")).as(Seq("j", "x")))
       .select(col("vec_id"), col("j"),
         round(col("x") * 1000000, 0).cast("long").as("ix"))
-    val planes = s.range(lshTables.toLong * lshBits).toDF("h")
-      .crossJoin(s.range(64).toDF("j"))
+    // one flat range, no join: (h, j) = (id div 64, id mod 64) — keeps
+    // even the tiny plane-table build out of nested-loop territory so
+    // the whole query plans with equi-joins only (PlanQualitySpec)
+    val planes = s.range(lshTables.toLong * lshBits * 64)
+      .select(expr("id div 64").as("h"), expr("id % 64").as("j"))
       .select(col("h"), col("j"),
         when(pmod(call_udf("graft_hex60",
           concat(lit("pl:"), col("h").cast("string"), lit(":"),
@@ -754,7 +757,13 @@ object SimilarityQueries {
     // hash joins sized by AQE, no broadcast of the big side. Measured
     // vs the exact kNN graph: recall 0.56/0.52 (sf0.001/sf0.01), all
     // vertices covered. Deterministic end-to-end → fully oracled, no
-    // snapshot.
+    // snapshot. Skew note: Σ|bucket|² is quadratic in the LARGEST
+    // bucket, and the realistic inflater is exact-duplicate vectors
+    // (identical signatures in every table) — at scale run exact
+    // dedup (d_exact_dedup's hash-groupBy on the vector bytes)
+    // upstream, which removes that mass; residual hot buckets are
+    // ordinary AQE skew-join territory because the probe is a plain
+    // equi-join.
     QueryDef(
       "v_knn_graph",
       s"""$lshIndexSql,

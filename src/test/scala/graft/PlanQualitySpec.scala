@@ -426,6 +426,22 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(plan.contains("partial_"), "map-side partial phase expected")
   }
 
+  test("LSH ANN and kNN graph: equi-joins only, map-side-combined signatures") {
+    // The scale contract of the LSH tier: the signature build is a
+    // broadcast equi-join (dim key) into a partial-agg'd hash
+    // aggregate, the probe is a bucket equi-join — NOTHING may plan
+    // as a cartesian/nested loop, because at 100 TB any all-pairs
+    // fallback here is the difference between a banded index and a
+    // quadratic scan.
+    Seq("v_lsh_topk", "v_knn_graph").foreach { q =>
+      val plan = planOf(q)
+      assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoop"),
+        s"$q: ${plan.take(2000)}")
+      assert(plan.contains("partial_sum"),
+        s"$q: signature sums must combine map-side")
+    }
+  }
+
   test("IVF bucketed layout: a cell probe prunes partitions at the scan") {
     // The similarity tier's standing scale claim — "at scale the
     // corpus is written bucketed by cell_id, so a probe touches P/K
