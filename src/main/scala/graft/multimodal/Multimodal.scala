@@ -169,23 +169,34 @@ object Multimodal {
 
     /** Raw encoded bytes of frame `idx` — header skips only, no pixel
       * decode (the seek path shared by [[decodeFrame]] and
-      * [[Multimodal.upscaledVideo]]). */
-    def frameBytes(payload: Array[Byte], idx: Int): Option[Array[Byte]] = {
-      val bb = ByteBuffer.wrap(payload).order(ByteOrder.BIG_ENDIAN)
-      if (payload.length < 8 || bb.getInt() != Magic) return None
-      val n = bb.getInt()
-      if (idx < 0 || idx >= n) return None
-      var i = 0
-      while (i < idx) {
-        val skip = bb.getInt() // read len BEFORE taking the post-read position
-        bb.position(bb.position() + skip)
-        i += 1
+      * [[Multimodal.upscaledVideo]]). None when the container is
+      * malformed OR truncated mid-frame: a declared frame count is a
+      * claim, not a guarantee (partial upload/download), and a seek
+      * past the real bytes must degrade to "frame unavailable", never
+      * throw into the enclosing Spark stage. */
+    def frameBytes(payload: Array[Byte], idx: Int): Option[Array[Byte]] =
+      try {
+        val bb = ByteBuffer.wrap(payload).order(ByteOrder.BIG_ENDIAN)
+        if (payload.length < 8 || bb.getInt() != Magic) return None
+        val n = bb.getInt()
+        if (idx < 0 || idx >= n) return None
+        var i = 0
+        while (i < idx) {
+          val skip = bb.getInt() // read len BEFORE taking the post-read position
+          bb.position(bb.position() + skip)
+          i += 1
+        }
+        val len = bb.getInt()
+        if (len < 0 || len > bb.remaining()) return None
+        val frame = new Array[Byte](len)
+        bb.get(frame)
+        Some(frame)
+      } catch {
+        // position past limit / length past remaining on a truncated
+        // container — same verdict as a bad magic: no such frame
+        case _: java.nio.BufferUnderflowException => None
+        case _: IllegalArgumentException => None
       }
-      val len = bb.getInt()
-      val frame = new Array[Byte](len)
-      bb.get(frame)
-      Some(frame)
-    }
 
     /** Seek to frame `idx` and ImageIO-decode it. */
     def decodeFrame(payload: Array[Byte], idx: Int): Option[(Int, Int, Array[Float])] =
@@ -349,11 +360,13 @@ object Multimodal {
     * pass through unchanged. */
   def upscaledVideo(m: MediaRecord, factor: Int): MediaRecord =
     VideoCodec.frameCount(m.payload).map { n =>
-      val frames = (0 until n).map { i =>
-        val frame = VideoCodec.frameBytes(m.payload, i).get
-        upscaledPng(frame, factor).map(_._3).getOrElse(frame)
-      }
-      m.copy(payload = VideoCodec.encode(frames),
+      val raw = (0 until n).map(i => VideoCodec.frameBytes(m.payload, i))
+      // a truncated container (declared frames missing) passes through
+      // unchanged, like any other payload the transform can't parse
+      if (raw.exists(_.isEmpty)) m
+      else m.copy(
+        payload = VideoCodec.encode(raw.map(f =>
+          upscaledPng(f.get, factor).map(_._3).getOrElse(f.get))),
         meta = MediaMeta(m.meta.width * factor, m.meta.height * factor,
           3, 0, n))
     }.getOrElse(m)

@@ -23,26 +23,38 @@ import graft.multimodal.Multimodal
   */
 object MultimodalQueries {
 
+  /** Shared plant/fingerprint scaffold of the three near-dup queries:
+    * (media_id, `fpCol`) over the `kind` corpus, plus twins — docs
+    * with doc_id % 30 == `residue` re-encoded by `twin` and planted
+    * under media_id + `idOffset`. Decode and fingerprinting run in
+    * the scan stage (mapPartitions); only (id, 8-byte fp) shuffles. */
+  private def plantedFps(
+      s: org.apache.spark.sql.SparkSession, d: String,
+      kind: String, residue: Int, idOffset: Long,
+      twin: Multimodal.MediaRecord => Multimodal.MediaRecord,
+      fp: Array[Byte] => Option[Long], fpCol: String)
+      : org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    val media = Multimodal.fromDocuments(s, docs)
+      .filter(_.kind == kind)
+    val twins = Multimodal
+      .fromDocuments(s, docs.where(col("doc_id") % 30 === residue))
+      .filter(_.kind == kind)
+      .map(m => twin(m).copy(media_id = m.media_id + idOffset))
+    media.union(twins)
+      .mapPartitions(_.flatMap(m => fp(m.payload).map(h => (m.media_id, h))))
+      .toDF("media_id", fpCol)
+  }
+
   /** (media_id, ahash) over the image corpus + planted re-encoded
     * twins — the scan-stage decode/hash shared by mm_image_neardup
     * and its aux snapshot. */
   private[queries] def imageHashes(
       s: org.apache.spark.sql.SparkSession, d: String)
-      : org.apache.spark.sql.DataFrame = {
-    import s.implicits._
-    val docs = Tables.documents(s, d)
-    val media = Multimodal.fromDocuments(s, docs)
-      .filter(_.kind == "image")
-    val twins = Multimodal
-      .fromDocuments(s, docs.where(col("doc_id") % 30 === 0))
-      .filter(_.kind == "image")
-      .map(m => Multimodal.upscaled(m, 2)
-        .copy(media_id = m.media_id + 1000000L))
-    media.union(twins)
-      .mapPartitions(_.flatMap(m =>
-        Multimodal.aHash64(m.payload).map(h => (m.media_id, h))))
-      .toDF("media_id", "ahash")
-  }
+      : org.apache.spark.sql.DataFrame =
+    plantedFps(s, d, "image", residue = 0, idOffset = 1000000L,
+      Multimodal.upscaled(_, 2), Multimodal.aHash64, "ahash")
 
   /** (media_id, kind, dim, e0) — the featurize projection shared by
     * the mm_featurize query and its aux snapshot (same pure map, so
@@ -63,21 +75,9 @@ object MultimodalQueries {
     * [[imageHashes]]). */
   private[queries] def audioFps(
       s: org.apache.spark.sql.SparkSession, d: String)
-      : org.apache.spark.sql.DataFrame = {
-    import s.implicits._
-    val docs = Tables.documents(s, d)
-    val media = Multimodal.fromDocuments(s, docs)
-      .filter(_.kind == "audio")
-    val twins = Multimodal
-      .fromDocuments(s, docs.where(col("doc_id") % 30 === 1))
-      .filter(_.kind == "audio")
-      .map(m => Multimodal.attenuated(m, 2)
-        .copy(media_id = m.media_id + 2000000L))
-    media.union(twins)
-      .mapPartitions(_.flatMap(m =>
-        Multimodal.audioFp32(m.payload).map(h => (m.media_id, h))))
-      .toDF("media_id", "afp")
-  }
+      : org.apache.spark.sql.DataFrame =
+    plantedFps(s, d, "audio", residue = 1, idOffset = 2000000L,
+      Multimodal.attenuated(_, 2), Multimodal.audioFp32, "afp")
 
   /** (media_id, vfp) over the video corpus + planted per-frame-
     * upscaled twins — the scan-stage decode/fingerprint shared by
@@ -85,21 +85,9 @@ object MultimodalQueries {
     * [[imageHashes]] / [[audioFps]]). */
   private[queries] def videoFps(
       s: org.apache.spark.sql.SparkSession, d: String)
-      : org.apache.spark.sql.DataFrame = {
-    import s.implicits._
-    val docs = Tables.documents(s, d)
-    val media = Multimodal.fromDocuments(s, docs)
-      .filter(_.kind == "video")
-    val twins = Multimodal
-      .fromDocuments(s, docs.where(col("doc_id") % 30 === 2))
-      .filter(_.kind == "video")
-      .map(m => Multimodal.upscaledVideo(m, 2)
-        .copy(media_id = m.media_id + 3000000L))
-    media.union(twins)
-      .mapPartitions(_.flatMap(m =>
-        Multimodal.videoFp64(m.payload).map(h => (m.media_id, h))))
-      .toDF("media_id", "vfp")
-  }
+      : org.apache.spark.sql.DataFrame =
+    plantedFps(s, d, "video", residue = 2, idOffset = 3000000L,
+      Multimodal.upscaledVideo(_, 2), Multimodal.videoFp64, "vfp")
 
   /** Aux snapshots for the multimodal oracles: the decoded-image hash
     * table (mm_image_neardup), the audio fingerprint table

@@ -130,18 +130,46 @@ object SimilarityQueries {
        |cand AS (SELECT pr.q_id, a.vec_id AS n_id
        |         FROM pr JOIN fasg a ON a.cell_id = pr.cell_id
        |         WHERE a.vec_id <> pr.q_id),
-       |scored AS (
-       |  SELECT cand.q_id, cand.n_id,
-       |         round(list_dot_product(qe.v, ne.v) / (qe.nrm * ne.nrm), 4)
+       |${rerankSql("q_id", "n_id", ivfK)}""".stripMargin
+
+  /** THE cross-engine re-rank contract, defined once for every
+    * candidate-generating ANN query (IVF serve, PQ survivors, LSH
+    * probe, kNN graph): exact cosine over the raw vectors, rounded to
+    * 4 decimals BEFORE ranking, per-source top-k window with
+    * neighbor-id tie-break, presentation order (src, nbr). SQL tail
+    * appended after CTEs defining `e` and `cand($srcCol, $nbrCol)`. */
+  private def rerankSql(srcCol: String, nbrCol: String, k: Int): String =
+    s"""scored AS (
+       |  SELECT c.$srcCol, c.$nbrCol,
+       |         round(list_dot_product(se.v, ne.v) / (se.nrm * ne.nrm), 4)
        |           AS sim
-       |  FROM cand
-       |  JOIN e qe ON qe.vec_id = cand.q_id
-       |  JOIN e ne ON ne.vec_id = cand.n_id)
-       |SELECT q_id, n_id, sim FROM (
-       |  SELECT q_id, n_id, sim,
-       |         row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rn
+       |  FROM cand c
+       |  JOIN e se ON se.vec_id = c.$srcCol
+       |  JOIN e ne ON ne.vec_id = c.$nbrCol)
+       |SELECT $srcCol, $nbrCol, sim FROM (
+       |  SELECT $srcCol, $nbrCol, sim,
+       |         row_number() OVER (PARTITION BY $srcCol ORDER BY sim DESC, $nbrCol) AS rn
        |  FROM scored)
-       |WHERE rn <= $ivfK ORDER BY q_id, n_id""".stripMargin
+       |WHERE rn <= $k ORDER BY $srcCol, $nbrCol""".stripMargin
+
+  /** Spark twin of [[rerankSql]]. `srcVecs` is the source-side vector
+    * slice — wrap it in `broadcast()` at the call site when it is a
+    * small query batch; the corpus side never broadcasts. */
+  private def rerankTopK(cand: DataFrame, srcVecs: DataFrame,
+      corpus: DataFrame, srcCol: String, nbrCol: String, k: Int): DataFrame =
+    cand
+      .join(srcVecs.select(col("vec_id").as(srcCol),
+        col("v").as("sv"), col("nrm").as("snrm")), srcCol)
+      .join(corpus.select(col("vec_id").as(nbrCol),
+        col("v").as("nv"), col("nrm").as("nnrm")), nbrCol)
+      .select(col(srcCol), col(nbrCol),
+        round(dot(col("sv"), col("nv")) / (col("snrm") * col("nnrm")), 4)
+          .as("sim"))
+      .withColumn("rn", row_number().over(Window.partitionBy(srcCol)
+        .orderBy(col("sim").desc, col(nbrCol))))
+      .where(col("rn") <= k)
+      .select(srcCol, nbrCol, "sim")
+      .orderBy(srcCol, nbrCol)
 
   /** Rounded unit-space squared-L2 rank key to `centroids` (cols cv,
     * cnrm must be in scope via crossJoin). Probe with the SAME metric
@@ -183,20 +211,7 @@ object SimilarityQueries {
       .join(asg, "cell_id")
       .where(col("q_id") =!= col("vec_id"))
       .select(col("q_id"), col("vec_id").as("n_id"))
-    val scored = cand
-      .join(broadcast(q.select(col("vec_id").as("q_id"),
-        col("v").as("qv"), col("nrm").as("qnrm"))), "q_id")
-      .join(e.select(col("vec_id").as("n_id"),
-        col("v").as("nv"), col("nrm").as("nnrm")), "n_id")
-      .select(col("q_id"), col("n_id"),
-        round(dot(col("qv"), col("nv")) / (col("qnrm") * col("nnrm")), 4)
-          .as("sim"))
-    scored.withColumn("rn",
-      row_number().over(Window.partitionBy("q_id")
-        .orderBy(col("sim").desc, col("n_id"))))
-      .where(col("rn") <= ivfK)
-      .select("q_id", "n_id", "sim")
-      .orderBy("q_id", "n_id")
+    rerankTopK(cand, broadcast(q), e, "q_id", "n_id", ivfK)
   }
 
   private val lshTables = 16 // hash tables (OR-amplification)
@@ -318,18 +333,25 @@ object SimilarityQueries {
     ivfServe(vecs(s, d), kmeansIndex(s, d)._2, asg)
   }
 
+  /** Nearest-centroid assignment subquery over relation `rel` — the
+    * SQL twin of [[assignToCells]]/[[centroidRank]] (rounded cdist,
+    * c_id tie-break), defined ONCE and consumed by both the
+    * v_ann_incremental add path and the st_ann_maintain oracle. */
+  private def nearestCentroidSql(rel: String): String =
+    s"""(SELECT vec_id, cell_id FROM (
+       |  SELECT n.vec_id, c.c_id AS cell_id,
+       |    row_number() OVER (PARTITION BY n.vec_id ORDER BY
+       |      round(sqrt(list_dot_product(c.cv, c.cv))
+       |              * sqrt(list_dot_product(c.cv, c.cv))
+       |            - 2 * list_dot_product(n.v, c.cv) / n.nrm, 6) ASC,
+       |      c.c_id) AS rn
+       |  FROM $rel n CROSS JOIN cents c) WHERE rn = 1)""".stripMargin
+
   /** Oracle for [[annMaintain]]: the incremental-add nearest-centroid
     * rule applied to the WHOLE corpus (that is exactly what the
     * maintained store converges to), then the shared serve-path SQL. */
-  private[queries] def annMaintainSql: String = ivfServeSql(
-    s"""fasg AS (SELECT vec_id, cell_id FROM (
-      |  SELECT n.vec_id, c.c_id AS cell_id,
-      |    row_number() OVER (PARTITION BY n.vec_id ORDER BY
-      |      round(sqrt(list_dot_product(c.cv, c.cv))
-      |              * sqrt(list_dot_product(c.cv, c.cv))
-      |            - 2 * list_dot_product(n.v, c.cv) / n.nrm, 6) ASC,
-      |      c.c_id) AS rn
-      |  FROM e n CROSS JOIN cents c) WHERE rn = 1)""".stripMargin)
+  private[queries] def annMaintainSql: String =
+    ivfServeSql(s"fasg AS ${nearestCentroidSql("e")}")
 
   private val pqSubspaces = 8 // 64-d → 8 sub-vectors of 8 dims
   private val pqCodes = 16 // codewords per subspace (4-bit codes)
@@ -451,7 +473,7 @@ object SimilarityQueries {
         |           (q.qv)[cb.subspace*8+1 : cb.subspace*8+8], cb.cv)
         |           * 1000000) AS BIGINT) AS part
         |  FROM q CROSS JOIN cb),
-        |approx AS (
+        |cand AS (
         |  SELECT q_id, n_id FROM (
         |    SELECT t.q_id, c.vec_id AS n_id, sum(t.part) AS adc,
         |           row_number() OVER (PARTITION BY t.q_id
@@ -460,18 +482,7 @@ object SimilarityQueries {
         |      ON t.subspace = c.subspace AND t.code = c.code
         |    WHERE t.q_id <> c.vec_id GROUP BY t.q_id, c.vec_id)
         |  WHERE rn <= $pqRerank),
-        |scored AS (
-        |  SELECT a.q_id, a.n_id,
-        |         round(list_dot_product(qe.v, ne.v) / (qe.nrm * ne.nrm), 4)
-        |           AS sim
-        |  FROM approx a
-        |  JOIN e qe ON qe.vec_id = a.q_id
-        |  JOIN e ne ON ne.vec_id = a.n_id)
-        |SELECT q_id, n_id, sim FROM (
-        |  SELECT q_id, n_id, sim,
-        |         row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rn
-        |  FROM scored)
-        |WHERE rn <= $topK ORDER BY q_id, n_id""".stripMargin) { (s, d) =>
+        |${rerankSql("q_id", "n_id", topK)}""".stripMargin) { (s, d) =>
       val e = vecs(s, d)
       val (codes, codebook) = pqIndex(s, d)
       val dim = 8
@@ -493,19 +504,7 @@ object SimilarityQueries {
           .orderBy(col("adc").desc, col("n_id"))))
         .where(col("rn") <= pqRerank)
         .select("q_id", "n_id")
-      approx
-        .join(broadcast(q.select(col("vec_id").as("q_id"),
-          col("v").as("qv"), col("nrm").as("qnrm"))), "q_id")
-        .join(e.select(col("vec_id").as("n_id"),
-          col("v").as("nv"), col("nrm").as("nnrm")), "n_id")
-        .select(col("q_id"), col("n_id"),
-          round(dot(col("qv"), col("nv")) / (col("qnrm") * col("nnrm")), 4)
-            .as("sim"))
-        .withColumn("rn", row_number().over(Window.partitionBy("q_id")
-          .orderBy(col("sim").desc, col("n_id"))))
-        .where(col("rn") <= topK)
-        .select("q_id", "n_id", "sim")
-        .orderBy("q_id", "n_id")
+      rerankTopK(approx, broadcast(q), e, "q_id", "n_id", topK)
     },
 
     // Brute-force cosine top-k, the exact baseline.
@@ -681,14 +680,7 @@ object SimilarityQueries {
       ivfServeSql(s"""sasg AS (SELECT vec_id, cell_id FROM ${aux("ann_assign")}
         |        WHERE vec_id % 10 <> 7),
         |newv AS (SELECT * FROM e WHERE vec_id % 10 = 7),
-        |nasg AS (SELECT vec_id, cell_id FROM (
-        |  SELECT n.vec_id, c.c_id AS cell_id,
-        |    row_number() OVER (PARTITION BY n.vec_id ORDER BY
-        |      round(sqrt(list_dot_product(c.cv, c.cv))
-        |              * sqrt(list_dot_product(c.cv, c.cv))
-        |            - 2 * list_dot_product(n.v, c.cv) / n.nrm, 6) ASC,
-        |      c.c_id) AS rn
-        |  FROM newv n CROSS JOIN cents c) WHERE rn = 1),
+        |nasg AS ${nearestCentroidSql("newv")},
         |fasg AS (SELECT * FROM sasg UNION ALL SELECT * FROM nasg)""".stripMargin)) { (s, d) =>
       val e = vecs(s, d)
       val (assign, centroids) = kmeansIndex(s, d)
@@ -717,33 +709,10 @@ object SimilarityQueries {
         |cand AS (SELECT DISTINCT qb.q_id, b.vec_id AS n_id
         |         FROM qb JOIN bk b ON b.t = qb.t AND b.bk = qb.bk
         |         WHERE b.vec_id <> qb.q_id),
-        |scored AS (
-        |  SELECT c.q_id, c.n_id,
-        |         round(list_dot_product(qe.v, ne.v) / (qe.nrm * ne.nrm), 4)
-        |           AS sim
-        |  FROM cand c
-        |  JOIN e qe ON qe.vec_id = c.q_id
-        |  JOIN e ne ON ne.vec_id = c.n_id)
-        |SELECT q_id, n_id, sim FROM (
-        |  SELECT q_id, n_id, sim,
-        |         row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rn
-        |  FROM scored)
-        |WHERE rn <= $topK ORDER BY q_id, n_id""".stripMargin) { (s, d) =>
+        |${rerankSql("q_id", "n_id", topK)}""".stripMargin) { (s, d) =>
       val e = vecs(s, d)
       val q = e.where(col("vec_id") < nQueries)
-      lshCandidates(s, d)
-        .join(broadcast(q.select(col("vec_id").as("q_id"),
-          col("v").as("qv"), col("nrm").as("qnrm"))), "q_id")
-        .join(e.select(col("vec_id").as("n_id"),
-          col("v").as("nv"), col("nrm").as("nnrm")), "n_id")
-        .select(col("q_id"), col("n_id"),
-          round(dot(col("qv"), col("nv")) / (col("qnrm") * col("nnrm")), 4)
-            .as("sim"))
-        .withColumn("rn", row_number().over(Window.partitionBy("q_id")
-          .orderBy(col("sim").desc, col("n_id"))))
-        .where(col("rn") <= topK)
-        .select("q_id", "n_id", "sim")
-        .orderBy("q_id", "n_id")
+      rerankTopK(lshCandidates(s, d), broadcast(q), e, "q_id", "n_id", topK)
     },
 
     // kNN-GRAPH construction (GDS `gds.knn` capability parity, and
@@ -770,18 +739,7 @@ object SimilarityQueries {
         |cand AS (SELECT DISTINCT b1.vec_id AS src_id, b2.vec_id AS nbr_id
         |         FROM bk b1 JOIN bk b2 ON b2.t = b1.t AND b2.bk = b1.bk
         |         WHERE b1.vec_id <> b2.vec_id),
-        |scored AS (
-        |  SELECT c.src_id, c.nbr_id,
-        |         round(list_dot_product(se.v, ne.v) / (se.nrm * ne.nrm), 4)
-        |           AS sim
-        |  FROM cand c
-        |  JOIN e se ON se.vec_id = c.src_id
-        |  JOIN e ne ON ne.vec_id = c.nbr_id)
-        |SELECT src_id, nbr_id, sim FROM (
-        |  SELECT src_id, nbr_id, sim,
-        |         row_number() OVER (PARTITION BY src_id ORDER BY sim DESC, nbr_id) AS rn
-        |  FROM scored)
-        |WHERE rn <= $knnK ORDER BY src_id, nbr_id""".stripMargin) { (s, d) =>
+        |${rerankSql("src_id", "nbr_id", knnK)}""".stripMargin) { (s, d) =>
       val e = vecs(s, d)
       val b = lshBuckets(s, d)
       val cand = b.select(col("vec_id").as("src_id"), col("t"), col("bk"))
@@ -789,19 +747,7 @@ object SimilarityQueries {
           Seq("t", "bk"))
         .where(col("src_id") =!= col("nbr_id"))
         .select("src_id", "nbr_id").distinct()
-      cand
-        .join(e.select(col("vec_id").as("src_id"),
-          col("v").as("sv"), col("nrm").as("snrm")), "src_id")
-        .join(e.select(col("vec_id").as("nbr_id"),
-          col("v").as("nv"), col("nrm").as("nnrm")), "nbr_id")
-        .select(col("src_id"), col("nbr_id"),
-          round(dot(col("sv"), col("nv")) / (col("snrm") * col("nnrm")), 4)
-            .as("sim"))
-        .withColumn("rn", row_number().over(Window.partitionBy("src_id")
-          .orderBy(col("sim").desc, col("nbr_id"))))
-        .where(col("rn") <= knnK)
-        .select("src_id", "nbr_id", "sim")
-        .orderBy("src_id", "nbr_id")
+      rerankTopK(cand, e, e, "src_id", "nbr_id", knnK)
     },
 
     // Int8-quantized top-k: per-vector symmetric quantization

@@ -265,6 +265,16 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.videoFp64(enc(frames.take(2))).get != fp,
       "length-sensitive")
     assert(Multimodal.videoFp64("not a video".getBytes).isEmpty)
+    // TRUNCATED container (valid header, frame bytes cut off): must
+    // not throw — unreadable frames hash as 0, and the upscale twin
+    // transform passes the clip through unchanged
+    val truncated = vid.take(vid.length / 2)
+    val tfp = Multimodal.videoFp64(truncated)
+    assert(tfp.nonEmpty && tfp.get != fp,
+      "truncated clip fingerprints (with 0-frames), never throws")
+    val tm = Multimodal.upscaledVideo(
+      MediaRecord(2L, "video", truncated, MediaMeta(w, h, 3, 0, 3)), 2)
+    assert(tm.payload eq truncated, "truncated clip passes through unchanged")
   }
 
   test("mm_video_neardup recovers exactly the planted upscaled twins") {

@@ -245,7 +245,8 @@ class OperatorsSpec extends AnyFunSuite {
     // fraction of the corpus an average probe actually touches
     val nVecs = graft.Tables.embeddings(spark, sfDir).count()
     val candFrac = graft.queries.SimilarityQueries
-      .lshCandidates(spark, sfDir).count().toDouble / (8.0 * (nVecs - 1))
+      .lshCandidates(spark, sfDir).count().toDouble /
+      (exact.keySet.size.toDouble * (nVecs - 1))
     // measured at sf0.001: recall 0.512 at candidate fraction 0.243;
     // a random partition of the same fraction would recall ≈ candFrac
     assert(candFrac <= 0.35, s"probe scans too much of the corpus: $candFrac")
