@@ -262,6 +262,44 @@ object GraphAlgorithms {
     * Returns (id, rank_ppm) with rank in parts-per-million of unit
     * rank. Vertices with no in-edges hold the bare reset mass.
     */
+  /** Integer-exact eigenvector centrality (GDS `gds.eigenvector`
+    * capability parity): fixed-iteration power method over the
+    * undirected pair graph with per-round max-normalization —
+    * x₀ ≡ 10⁶; y[v] = Σ_{u∼v} x[u]; x ← ⌊y·10⁶ / max(y)⌋. Every
+    * quantity is an exact long, so the score replays bit-for-bit in
+    * an unrolled-CTE oracle; the bounded iteration count is the same
+    * contract GDS runs under (maxIterations, converged or not — on a
+    * bipartite component the method inherits the classic period-2
+    * oscillation, deterministically on both engines). Each round is
+    * one equi-join on the fixed-width vertex key + a partial-agg'd
+    * sum (O(E)) + a 1-row broadcast of the global max — the
+    * pageRankIntDF cost shape exactly, checkpoint-truncated lineage.
+    * Returns (id, eig_q) covering every vertex, in micro-units of
+    * the round-8 normalized vector. */
+  def eigenvectorDF(edges: DataFrame, src: String, dst: String,
+      iterations: Int = 8, scale: Long = 1000000L): DataFrame = {
+    val e = edges.select(col(src).cast("string").as("a"),
+      col(dst).cast("string").as("b"))
+      .where(col("a") =!= col("b"))
+    val und = e.unionByName(e.select(col("b").as("a"), col("a").as("b")))
+      .distinct().localCheckpoint(eager = true)
+    val verts = und.select(col("a").as("id")).distinct()
+    var x = verts.select(col("id"), lit(scale).as("val"))
+      .localCheckpoint(eager = true)
+    var k = 0
+    while (k < iterations) {
+      val y = und.join(x.select(col("id").as("b"), col("val")), "b")
+        .groupBy(col("a").as("id")).agg(sum("val").as("val"))
+      val m = y.agg(max("val").as("m"))
+      x = y.crossJoin(broadcast(m))
+        .select(col("id"), expr(s"val * $scale div m").as("val"))
+        .localCheckpoint(eager = true)
+      k += 1
+    }
+    verts.join(x, Seq("id"), "left")
+      .select(col("id"), coalesce(col("val"), lit(0L)).as("eig_q"))
+  }
+
   def pageRankIntDF(edges: DataFrame, src: String, dst: String,
       iterations: Int = 10, directed: Boolean = true,
       scale: Long = 1000000L, localThreshold: Long = 1000000L,
@@ -1512,6 +1550,32 @@ object GraphAlgorithms {
     verts.join(h, Seq("id"), "left")
       .select(col("id"),
         coalesce(col("harmonic_q"), lit(0L)).as("harmonic_q"))
+  }
+
+  /** Sampled-sources CLASSIC closeness centrality (GDS
+    * `gds.closeness` parity; [[harmonicCentralityDF]] is the
+    * disconnect-robust cousin): C_S(v) = ⌊10⁶ · |reached(v, S)| /
+    * Σ_{s∈S} dist(s, v)⌋ over the SAME multi-source σ-BFS relation —
+    * one extra aggregate on the (src, v, dist) rows, zero additional
+    * BFS cost beyond the harmonic form's. All-integer (count·10⁶ div
+    * Σdist), so the score is hash-exact; unreached vertices score 0.
+    * Wasserman–Faust component scaling is presentation and stays out
+    * of the quantized units. */
+  def closenessCentralityDF(edges: DataFrame, src: String, dst: String,
+      sources: DataFrame, maxDepth: Int): DataFrame = {
+    val e = edges.select(col(src).cast("string").as("a"),
+      col(dst).cast("string").as("b"))
+      .where(col("a") =!= col("b"))
+    val verts = e.select(col("a").as("id"))
+      .unionByName(e.select(col("b").as("id"))).distinct()
+    val c = bfsSigmaDF(edges, src, dst, sources, maxDepth)
+      .where(col("dist") > 0)
+      .groupBy(col("v").as("id"))
+      .agg(count(lit(1)).as("n"), sum("dist").as("sd"))
+      .select(col("id"), expr("1000000 * n div sd").as("closeness_q"))
+    verts.join(c, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("closeness_q"), lit(0L)).as("closeness_q"))
   }
 
   /** k-core of an undirected pair list (GDS kcore parity): the

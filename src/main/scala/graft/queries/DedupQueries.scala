@@ -1547,6 +1547,78 @@ object DedupQueries {
         .orderBy("doc_id")
     },
 
+    // Sampled-sources CLASSIC closeness centrality (GDS gds.closeness
+    // parity — the textbook (n−1)/Σd form next to the disconnect-
+    // robust harmonic above): C_S(v) = ⌊10⁶·|reached|/Σdist⌋ over the
+    // SAME σ-BFS relation as d_dup_harmonic_sampled — one extra
+    // aggregate, zero extra BFS. Same deterministic doc_id%3 pivot
+    // set, same exact-integer-partial property: the restricted sum is
+    // hash-oracled with no estimator noise. Unreached-from-S → 0.
+    QueryDef(
+      "d_dup_closeness_sampled",
+      s"""$lshPairsSql,
+        |und AS (SELECT d1 AS a, d2 AS b FROM pairs
+        |        UNION SELECT d2, d1 FROM pairs),
+        |h1 AS (SELECT a, b FROM und WHERE a % 3 = 0),
+        |${(2 to 8).map(k =>
+          s"""h$k AS (SELECT DISTINCT x.a, y.b
+             |       FROM h${k - 1} x JOIN und y ON x.b = y.a)""".stripMargin)
+          .mkString(",\n")},
+        |walks AS (${(1 to 8).map(k =>
+          s"SELECT a, b, $k AS hops FROM h$k").mkString("\n  UNION ALL ")}),
+        |sp AS (SELECT a AS s, b AS v, min(hops) AS dist
+        |       FROM walks WHERE a <> b GROUP BY 1, 2),
+        |cls AS (SELECT v AS id,
+        |          CAST(1000000 * count(*) AS BIGINT)
+        |            // CAST(sum(dist) AS BIGINT) AS closeness_q
+        |        FROM sp GROUP BY 1),
+        |verts AS (SELECT DISTINCT d1 AS id FROM pairs
+        |          UNION SELECT DISTINCT d2 FROM pairs)
+        |SELECT v.id AS doc_id,
+        |       CAST(COALESCE(c.closeness_q, 0) AS BIGINT) AS closeness_q
+        |FROM verts v LEFT JOIN cls c ON c.id = v.id
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val pairs = lshPairs(s, d)
+      val sources = pairs.select(col("d1").as("id"))
+        .unionByName(pairs.select(col("d2").as("id")))
+        .distinct().where(col("id") % 3 === 0)
+        .select(col("id").cast("string"))
+      graft.graph.GraphAlgorithms
+        .closenessCentralityDF(pairs, "d1", "d2", sources, maxDepth = 8)
+        .select(col("id").cast("long").as("doc_id"), col("closeness_q"))
+        .orderBy("doc_id")
+    },
+
+    // Eigenvector centrality over the LSH candidate-pair graph (GDS
+    // gds.eigenvector parity, fully oracled): 8-round integer power
+    // method with per-round max-normalization — the "connected to
+    // well-connected docs" score, the recursive sibling of
+    // d_dup_degree. Every round replays as two unrolled MATERIALIZED
+    // CTEs (neighbor sum, then ⌊val·10⁶/max⌋), so the quantized
+    // vector is hash-exact; the bounded iteration count is the GDS
+    // maxIterations contract.
+    QueryDef(
+      "d_dup_eigenvector",
+      s"""$lshPairsSql,
+        |und AS (SELECT d1 AS a, d2 AS b FROM pairs
+        |        UNION SELECT d2, d1 FROM pairs),
+        |verts AS (SELECT DISTINCT a AS id FROM und),
+        |x0 AS (SELECT id, CAST(1000000 AS BIGINT) AS val FROM verts),
+        |${(1 to 8).map(k =>
+          s"""y$k AS MATERIALIZED (SELECT u.a AS id, CAST(sum(x.val) AS BIGINT) AS val
+             |        FROM und u JOIN x${k - 1} x ON x.id = u.b GROUP BY 1),
+             |x$k AS MATERIALIZED (SELECT id,
+             |        val * 1000000 // (SELECT max(val) FROM y$k) AS val
+             |        FROM y$k)""".stripMargin).mkString(",\n")}
+        |SELECT v.id AS doc_id, CAST(COALESCE(x.val, 0) AS BIGINT) AS eig_q
+        |FROM verts v LEFT JOIN x8 x ON x.id = v.id
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      graft.graph.GraphAlgorithms
+        .eigenvectorDF(lshPairs(s, d), "d1", "d2", iterations = 8)
+        .select(col("id").cast("long").as("doc_id"), col("eig_q"))
+        .orderBy("doc_id")
+    },
+
     // 2-core of the LSH candidate-pair graph (GDS kcore parity,
     // fully oracled): strip every chain and pendant — what survives
     // is the cyclically-connected "hard core" of each dup cluster,

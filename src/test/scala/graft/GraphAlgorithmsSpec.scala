@@ -471,6 +471,55 @@ class GraphAlgorithmsSpec extends AnyFunSuite {
       "x" -> 1L, "y" -> 1L))
   }
 
+  test("closeness (sampled): path goldens, all-sources classic form") {
+    def toMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val g = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("x", "y"))
+      .toDF("s", "t")
+    // S = {a, c}: C_S(v) = ⌊1e6·reached/Σdist⌋, hand-computable
+    val sub = toMap(GraphAlgorithms.closenessCentralityDF(
+      g, "s", "t", Seq("a", "c").toDF("id"), maxDepth = 30))
+    assert(sub == Map(
+      "a" -> 500000L,  // from c: dist 2 → 1e6/2
+      "b" -> 1000000L, // from a: 1, from c: 1 → 2e6/2
+      "c" -> 500000L,  // from a: dist 2
+      "d" -> 500000L,  // from a: 3, from c: 1 → 2e6/4
+      "x" -> 0L, "y" -> 0L)) // unreached from S, still present
+    // all sources = the textbook closeness, quantized
+    val full = toMap(GraphAlgorithms.closenessCentralityDF(
+      g, "s", "t", Seq("a", "b", "c", "d", "x", "y").toDF("id"),
+      maxDepth = 30))
+    assert(full == Map(
+      "a" -> 500000L, "b" -> 750000L, "c" -> 750000L, "d" -> 500000L,
+      "x" -> 1000000L, "y" -> 1000000L))
+  }
+
+  test("eigenvector: exact integer recurrence replay, symmetry, argmax=1e6") {
+    // triangle a-b-c with pendant c-d: aperiodic, so the power method
+    // settles; the spec replays the SAME floor-division recurrence on
+    // the driver and demands bit equality — plus the structural
+    // invariants (symmetric a/b tie, pendant strictly below, the
+    // argmax sits exactly at the 1e6 normalization ceiling).
+    val g = Seq(("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"))
+      .toDF("d1", "d2")
+    val got = GraphAlgorithms.eigenvectorDF(g, "d1", "d2")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val nbrs = Map("a" -> Seq("b", "c"), "b" -> Seq("a", "c"),
+      "c" -> Seq("a", "b", "d"), "d" -> Seq("c"))
+    var x = nbrs.keys.map(_ -> 1000000L).toMap
+    (1 to 8).foreach { _ =>
+      val y = nbrs.map { case (v, ns) => v -> ns.map(x).sum }
+      val m = y.values.max
+      x = y.map { case (v, s) => v -> s * 1000000L / m }
+    }
+    assert(got == x, s"engine $got vs driver replay $x")
+    assert(got("a") == got("b"), "symmetric vertices must tie")
+    assert(got("c") == 1000000L, "argmax sits at the normalization ceiling")
+    assert(got("d") < got("a"), "pendant scores below the triangle")
+    assert(GraphAlgorithms.eigenvectorDF(g, "d1", "d2")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap == got)
+  }
+
   test("integer pagerank: local path == distributed, bit for bit") {
     // floor-division recurrence → exact integers on both paths; the
     // star graph exercises asymmetric degrees, the pair a 2-cycle.
