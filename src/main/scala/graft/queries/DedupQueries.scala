@@ -1758,6 +1758,60 @@ object DedupQueries {
         .orderBy("d1", "d2")
     },
 
+    // Shingle-CONTAINMENT join: C(A,B) = |A∩B|/|A| ≥ 4/5 — the
+    // asymmetric "document A lives inside document B" relation
+    // (quotes, partial copies, re-posts with added boilerplate) that
+    // Jaccard structurally misses: a small doc fully contained in a
+    // much larger one has LOW Jaccard, so neither the banded-minhash
+    // candidates nor d_setsim_join can find it. Candidates instead
+    // come from a one-sided prefix filter on the CONTAINED side: a
+    // doc with n shingles keeps its n − ⌈4n/5⌉ + 1 globally-rarest
+    // tokens, and a true pair must collide on one of them against the
+    // container's FULL token list (pigeonhole: missing all prefix
+    // tokens caps the overlap at ⌈4n/5⌉ − 1 < required). The
+    // container side carries no length filter — that asymmetry IS the
+    // semantics. Verify is one array_intersect per candidate with an
+    // integer cross-multiplied threshold; the oracle derives the
+    // ground truth the opposite way (full token join), so a prefix
+    // that dropped a true pair hash-mismatches rather than silently
+    // shrinking recall (DedupSpec also pins brute-force parity).
+    QueryDef(
+      "d_containment_pairs",
+      s"""$shingleCte,
+        |tok AS (SELECT doc_id, unnest(sh) AS t FROM sh),
+        |sz AS (SELECT doc_id, len(sh) AS n FROM sh),
+        |inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter_cnt
+        |          FROM tok a JOIN tok b ON a.t = b.t AND a.doc_id <> b.doc_id
+        |          GROUP BY 1, 2)
+        |SELECT i.d1 AS contained_id, i.d2 AS container_id,
+        |       i.inter_cnt, sa.n AS n_contained
+        |FROM inter i JOIN sz sa ON sa.doc_id = i.d1
+        |WHERE 5 * i.inter_cnt >= 4 * sa.n
+        |ORDER BY contained_id, container_id""".stripMargin) { (s, d) =>
+      val sh = shingled(s, d)
+      val tok = sh.select(col("doc_id"), explode(col("sh")).as("t"))
+      val df = tok.groupBy("t").agg(count(lit(1)).as("df"))
+      val byDoc = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+      // prefix length p = n − ⌈4n/5⌉ + 1; ⌈4n/5⌉ = ⌊(4n+4)/5⌋
+      val prefix = tok.join(df, "t")
+        .select(col("doc_id"), col("t"),
+          row_number().over(byDoc.orderBy(col("df"), col("t"))).as("pos"),
+          count(lit(1)).over(byDoc).as("n"))
+        .where(col("pos") <= col("n") - floor((col("n") * 4 + 4) / lit(5)) + 1)
+      val cand = prefix.select(col("doc_id").as("d1"), col("t"))
+        .join(tok.select(col("doc_id").as("d2"), col("t")), Seq("t"))
+        .where(col("d1") =!= col("d2"))
+        .select("d1", "d2").distinct()
+      cand
+        .join(sh.select(col("doc_id").as("d1"), col("sh").as("sh1")), Seq("d1"))
+        .join(sh.select(col("doc_id").as("d2"), col("sh").as("sh2")), Seq("d2"))
+        .select(col("d1").as("contained_id"), col("d2").as("container_id"),
+          size(array_intersect(col("sh1"), col("sh2"))).as("inter_cnt"),
+          size(col("sh1")).as("n_contained"))
+        .where(col("inter_cnt") * 5 >= col("n_contained") * 4)
+        .orderBy("contained_id", "container_id")
+    },
+
     // SimHash: 32-bit signature — majority vote per bit over shingle
     // hashes. Whole computation is nested higher-order functions on one
     // row: zero shuffle, fully codegen'd.

@@ -240,4 +240,36 @@ class PropertySpec extends AnyFunSuite {
       s"missing=${(expected.keySet -- got.keySet).take(5)} " +
         s"extra=${(got.keySet -- expected.keySet).take(5)}")
   }
+
+  test("one-sided prefix containment join equals brute-force all-pairs (completeness)") {
+    // Same theorem, asymmetric form: d_containment_pairs must return
+    // EXACTLY the ordered pairs a full O(n²) pass finds at C = |A∩B|/
+    // |A| ≥ 4/5 — including small-in-large containments whose Jaccard
+    // is far below any symmetric threshold (the pairs the prefix on
+    // the CONTAINED side alone must still surface).
+    val d = "/root/testdata/sf0.001"
+    def shingleSet(text: String): Set[String] = {
+      val w = text.trim.split("[ \\t\\n\\u000B\\f\\r]+")
+      (1 to math.max(w.length - 2, 1))
+        .map(i => w.slice(i - 1, i + 2).mkString(" ")).toSet
+    }
+    val docs = spark.read.parquet(s"$d/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> shingleSet(r.getString(1)))
+      .sortBy(_._1)
+    val expected = (for {
+      i <- docs.indices; j <- docs.indices if i != j
+      (id1, s1) = docs(i); (id2, s2) = docs(j)
+      inter = (s1 & s2).size
+      if 5 * inter >= 4 * s1.size
+    } yield (id1, id2) -> ((inter.toLong, s1.size.toLong))).toMap
+    val got = SparkEntry.queries("d_containment_pairs")(spark, d)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getInt(2).toLong, r.getInt(3).toLong)))
+      .toMap
+    assert(got == expected,
+      s"missing=${(expected.keySet -- got.keySet).take(5)} " +
+        s"extra=${(got.keySet -- expected.keySet).take(5)}")
+  }
 }
