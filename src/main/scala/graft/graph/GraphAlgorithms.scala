@@ -275,7 +275,18 @@ object GraphAlgorithms {
     * sum (O(E)) + a 1-row broadcast of the global max — the
     * pageRankIntDF cost shape exactly, checkpoint-truncated lineage.
     * Returns (id, eig_q) covering every vertex, in micro-units of
-    * the round-8 normalized vector. */
+    * the round-8 normalized vector.
+    *
+    * Overflow contract (same int64 headroom discipline as
+    * pageRankIntDF's): after normalization every x ≤ scale, so a
+    * round's neighbor sum y ≤ deg_max·scale and the renormalization
+    * computes y·scale — exact only while deg_max·scale² < 2⁶³, i.e.
+    * hub degree below ~9.2·10⁶ at the default scale. Rather than
+    * trusting the caller, each round guards the multiply in-plan
+    * (codegen'd CASE + raise_error — no driver action, preserving the
+    * single-action execution profile): a hub beyond the bound fails
+    * loudly naming the remedy (lower `scale`) instead of silently
+    * wrapping. */
   def eigenvectorDF(edges: DataFrame, src: String, dst: String,
       iterations: Int = 8, scale: Long = 1000000L): DataFrame = {
     val e = edges.select(col(src).cast("string").as("a"),
@@ -302,8 +313,14 @@ object GraphAlgorithms {
         .groupBy(col("a").as("id")).agg(sum("val").as("val"))
         .localCheckpoint(eager = false)
       val m = y.agg(max("val").as("m"))
+      val cap = Long.MaxValue / scale
       x = y.crossJoin(broadcast(m))
-        .select(col("id"), expr(s"val * $scale div m").as("val"))
+        .select(col("id"), expr(
+          s"CASE WHEN val > ${cap}L THEN raise_error(concat(" +
+            s"'eigenvectorDF: neighbor sum ', val, ' overflows the " +
+            s"val*$scale renormalization (hub degree above " +
+            s"${cap / scale} at scale=$scale); call with a smaller " +
+            s"scale')) ELSE val * ${scale}L div m END").as("val"))
       k += 1
     }
     verts.join(x, Seq("id"), "left")
@@ -1703,6 +1720,42 @@ object GraphAlgorithms {
       acc = acc.unionByName(cur)
     }
     acc.select(col("walk"), col("step"), col("node"))
+  }
+
+  /** Walk-context node embeddings — the walk-based member of the GDS
+    * embedding family (node2vec capability parity: same walk corpus,
+    * same window-co-occurrence statistics; the SGD step is replaced
+    * by feature hashing, i.e. a count-sketch of each vertex's context
+    * distribution — deterministic, integer-exact, and engine-
+    * replayable where SGD is none of those). dim(v, k) = how often a
+    * context vertex hashing to k (keyed md5 PRF mod `dims`) appears
+    * within ±`window` steps of v across all [[hashWalkDF]] walks.
+    * Vertices that co-occur on walks share context mass, so
+    * same-community vectors land near each other (locality pinned on
+    * the two-cliques fixture in GraphAlgorithmsSpec) — the same
+    * contract fastRP fills propagation-style.
+    *
+    * Scale shape: the walk corpus is O(|sources|·steps) rows; the
+    * co-occurrence pass is ONE equi-join on the fixed-width walk key
+    * (fan-out ≤ 2·window per row) into a codegen'd hash agg — no
+    * corpus-sized state, no all-pairs. Returns (id, dim, val). */
+  def walkEmbedDF(edges: DataFrame, src: String, dst: String,
+      sources: DataFrame, steps: Int = 4, window: Int = 2,
+      dims: Int = 16): DataFrame = {
+    graft.functions.NativeFunctions.register(edges.sparkSession)
+    // lazily checkpointed: the self-join consumes the walk frame
+    // twice; un-truncated, each side would embed the full steps-deep
+    // walk subplan
+    val w = hashWalkDF(edges, src, dst, sources, steps)
+      .localCheckpoint(eager = false)
+    w.as("x").join(w.as("y"), col("x.walk") === col("y.walk") &&
+        col("x.step") =!= col("y.step") &&
+        abs(col("x.step") - col("y.step")) <= window)
+      .select(col("x.node").as("id"),
+        pmod(call_udf("graft_hex60",
+          concat(lit("we:"), col("y.node"))), lit(dims.toLong))
+          .cast("long").as("dim"))
+      .groupBy("id", "dim").agg(count(lit(1)).as("val"))
   }
 
   /** Strongly connected components (GDS `gds.scc` capability parity,

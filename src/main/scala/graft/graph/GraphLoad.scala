@@ -132,9 +132,24 @@ object GraphLoad {
     // conditional update ≡ pivot of filtered groups rows).
     val ipdBase = firstWins(seqs.select(col("hla_name").as("name"),
       col("locus").as("gene"), col("load_seq")), Seq("name"))
+    // A groups row only updates an EXISTING IPD_Allele node — the
+    // reference MATCHes the allele (load.cyp:63), it never creates
+    // one from a groups row — so a row arriving in a release BEFORE
+    // the allele's first seqs listing is a no-op. The incremental
+    // paths already behave this way (MergePolicies.mergeAllele drops
+    // gene-null rows); restricting each ard family to rows at or
+    // after the allele's first listing keeps the refold in lockstep
+    // with the fold on such input (spec: "groups row preceding the
+    // allele's first listing is a MATCH no-op"). One extra min-agg
+    // over the already-cached seqs; the join side is groups-sized.
+    val firstListed = seqs.select(col("hla_name").as("name"), col("load_seq"))
+      .groupBy("name").agg(min(col("load_seq")).as("_first_listed"))
     def ardCol(ardName: String): DataFrame = lastWins(
       groups.where(col("ard_name") === ardName)
-        .select(col("hla_name").as("name"), col("ard_id"), col("load_seq")),
+        .select(col("hla_name").as("name"), col("ard_id"), col("load_seq"))
+        .join(firstListed, Seq("name"))
+        .where(col("load_seq") >= col("_first_listed"))
+        .drop("_first_listed"),
       Seq("name")).withColumnRenamed("ard_id", ardName)
     val ipdAllele = ipdBase
       .join(ardCol("G"), Seq("name"), "left")

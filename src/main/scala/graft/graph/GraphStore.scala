@@ -72,34 +72,71 @@ object GraphStore {
     EventStreams.readManifest(spark,
       s"$tdir/manifest/v${latestVersion(spark, tdir)}")
 
-  /** Latest committed state of one table. */
-  private def tableState(spark: SparkSession, tdir: String): DataFrame =
-    EventStreams.stateAt(spark, tdir, latestManifest(spark, tdir),
-      Some(tableSchema(spark, tdir)))
+  private def manifestAt(spark: SparkSession, tdir: String,
+      v: Int): Map[Int, Int] =
+    try EventStreams.readManifest(spark, s"$tdir/manifest/v$v")
+    catch {
+      case e: java.io.IOException => throw new IllegalStateException(
+        s"$tdir: manifest v$v is pinned by the latest release marker " +
+          "but missing on disk — vacuum(keepVersions=1) ran while a " +
+          "later apply was half-committed; refold the store", e)
+    }
 
   /** Read ONLY the buckets a key frame hashes to — the index-probe
     * read: at scale this is a handful of bucket files, not the
     * table. */
   private def stateForKeys(spark: SparkSession, tdir: String,
-      keyRows: DataFrame, keys: Seq[String]): DataFrame = {
+      keyRows: DataFrame, keys: Seq[String],
+      manifest: Option[Map[Int, Int]] = None): DataFrame = {
     val buckets = tableBuckets(spark, tdir)
     val hit = keyRows
       .select(EventStreams.bucketCol(keys, buckets).as("_b"))
       .distinct().collect().map(_.getInt(0)).toSet
     EventStreams.stateAt(spark, tdir,
-      latestManifest(spark, tdir).filter { case (k, _) => hit(k) },
+      manifest.getOrElse(latestManifest(spark, tdir))
+        .filter { case (k, _) => hit(k) },
       Some(tableSchema(spark, tdir)))
   }
 
   /** One MERGE step on one table: read dirty buckets, merge the
     * (key-local) policy, rewrite only those buckets, commit manifest
-    * v+1. Returns the dirty-bucket count (the I/O proportionality
-    * evidence the spec asserts). */
+    * v+1. The commit is create-EXCLUSIVE: a concurrent applier that
+    * read the same base version fails loudly on its manifest publish
+    * instead of silently dropping this one's merge (the reference
+    * enforces one-release-at-a-time — pipeline.asl.json:153
+    * MaxConcurrency 1 — and so does the store, by failing the second
+    * writer rather than trusting deployment discipline). Returns
+    * (dirty-bucket count — the I/O proportionality evidence the spec
+    * asserts — , committed version). */
   private def applyTable(spark: SparkSession, tdir: String,
       keys: Seq[String], delta: DataFrame,
-      merge: (DataFrame, DataFrame) => DataFrame): Int = {
+      merge: (DataFrame, DataFrame) => DataFrame): (Int, Int) = {
     val buckets = tableBuckets(spark, tdir)
     val v = latestVersion(spark, tdir)
+    // CLAIM version v+1 create-exclusively BEFORE touching its bucket
+    // directory: the loser of a concurrent-applier race must fail
+    // HERE, before its writeBuckets can overwrite the winner's files
+    // (an exclusive manifest commit alone detects the race, but too
+    // late — the loser's bucket write can land after the winner's
+    // commit, leaving a committed manifest pointing at the loser's
+    // data). The claim is PERMANENT — deleting it after commit would
+    // let a straggler that read the old base re-claim the version and
+    // overwrite committed bucket files — so a crash between claim and
+    // commit leaves a stale claim that fails retries loudly with the
+    // remedy named (deliberate: a blocked retry beats a silent lost
+    // update, and only an operator can know no writer is alive).
+    // vacuum() clears claims below the kept-version window.
+    val claim = s"$tdir/manifest/.claim_v${v + 1}"
+    try EventStreams.writeSmallFileExclusive(spark, claim, "")
+    catch {
+      case e: java.util.ConcurrentModificationException =>
+        throw new java.util.ConcurrentModificationException(
+          s"$tdir: version ${v + 1} is already claimed — a concurrent " +
+            "applier is committing it (the store is single-writer, " +
+            "like the reference's MaxConcurrency-1 pipeline), or a " +
+            s"crashed one left a stale claim; if no writer is alive, " +
+            s"delete $claim and retry", e)
+    }
     val base = latestManifest(spark, tdir)
     val d = delta.localCheckpoint()
     val dirty = d
@@ -115,9 +152,62 @@ object GraphStore {
           merge(dirtyState, d), keys, buckets, s"$tdir/v${v + 1}")
         base ++ dirty.map(k => k -> (if (written(k)) v + 1 else -1))
       }
-    EventStreams.writeManifest(spark, s"$tdir/manifest/v${v + 1}", next)
-    dirty.size
+    EventStreams.writeManifestExclusive(
+      spark, s"$tdir/manifest/v${v + 1}", next)
+    (dirty.size, v + 1)
   }
+
+  // ---- release markers: store-level atomicity ----
+  //
+  // Per-table manifests commit independently, so a mid-apply failure
+  // leaves some tables at v+1 and others at v. The marker makes a
+  // RELEASE the unit of visibility: applyRelease publishes
+  // `_release/r{k}` (create-exclusive, LAST, after every table's
+  // commit) recording each table's committed version, and serving
+  // reads ([[read]]/[[probe]]) pin to the newest marker — a
+  // half-applied release is invisible until its marker lands, and a
+  // retry of the same release converges (policies are idempotent)
+  // and publishes the next marker.
+
+  private def markerDir(dir: String) = s"$dir/_release"
+
+  private def markerIds(spark: SparkSession, dir: String): Seq[Int] = {
+    val (fs, md) = EventStreams.hadoopFs(spark, markerDir(dir))
+    if (!fs.exists(md)) Seq.empty
+    else fs.listStatus(md).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith("r")).map(_.stripPrefix("r").toInt).sorted
+  }
+
+  /** Newest complete release: table → committed manifest version.
+    * None on a pre-marker store (serve latest manifests instead). */
+  private def latestMarker(spark: SparkSession,
+      dir: String): Option[Map[String, Int]] =
+    markerIds(spark, dir).lastOption.map { k =>
+      EventStreams.readSmallFile(spark, s"${markerDir(dir)}/r$k")
+        .linesIterator.filter(_.nonEmpty).map { l =>
+          val i = l.lastIndexOf(' ')
+          l.substring(0, i) -> l.substring(i + 1).toInt
+        }.toMap
+    }
+
+  private def writeMarker(spark: SparkSession, dir: String,
+      versions: Map[String, Int]): Unit = {
+    val next = markerIds(spark, dir).lastOption.fold(0)(_ + 1)
+    EventStreams.writeSmallFileExclusive(spark,
+      s"${markerDir(dir)}/r$next",
+      versions.toSeq.sorted.map { case (t, v) => s"$t $v" }
+        .mkString("", "\n", "\n"))
+  }
+
+  /** The manifest a serving read uses for `table`: pinned to the
+    * newest release marker when one exists. */
+  private def servingManifest(spark: SparkSession, dir: String,
+      table: String): Map[Int, Int] =
+    latestMarker(spark, dir) match {
+      case Some(vs) if vs.contains(table) =>
+        manifestAt(spark, s"$dir/$table", vs(table))
+      case _ => latestManifest(spark, s"$dir/$table")
+    }
 
   // Merge policies and delta derivation live in [[MergePolicies]] /
   // [[ReleaseDeltas]] — ONE definition shared with
@@ -150,10 +240,20 @@ object GraphStore {
     // the seq_id-keyed Sequence-node index HAS_SEQUENCE probes
     initTable(spark, s"$dir/SEQ_INDEX",
       g.sequence.select(col("seq_id"), col("name")), Seq("seq_id"), buckets)
+    writeMarker(spark, dir, allTables.map(_ -> 0).toMap)
   }
 
-  /** Per-table dirty-bucket counts of one [[applyRelease]]. */
-  final case class ApplyStats(dirtyBuckets: Map[String, Int]) {
+  /** Every table directory the store keeps (11 applied + static
+    * Submitter). */
+  private val allTables: Seq[String] = Seq(
+    "GFE", "Sequence", "Feature", "IPD_Allele", "IPD_Accession",
+    "Submitter", "HAS_IPD_ALLELE", "HAS_IPD_ACCESSION", "SUBMITTED",
+    "HAS_SEQUENCE", "HAS_FEATURE", "SEQ_INDEX")
+
+  /** Per-table dirty-bucket counts and committed manifest versions of
+    * one [[applyRelease]]. */
+  final case class ApplyStats(dirtyBuckets: Map[String, Int],
+      versions: Map[String, Int]) {
     def total: Int = dirtyBuckets.values.sum
   }
 
@@ -191,7 +291,7 @@ object GraphStore {
     import scala.concurrent.duration.Duration
     import scala.concurrent.ExecutionContext.Implicits.global
     val stats =
-      new java.util.concurrent.ConcurrentHashMap[String, Int]()
+      new java.util.concurrent.ConcurrentHashMap[String, (Int, Int)]()
     def apply1(table: String, keys: Seq[String], delta: DataFrame,
         merge: (DataFrame, DataFrame) => DataFrame): Future[Unit] =
       Future {
@@ -274,27 +374,86 @@ object GraphStore {
     independent.foreach(f => Await.ready(f, Duration.Inf))
     independent.foreach(Await.result(_, Duration.Inf))
     import scala.jdk.CollectionConverters._
-    ApplyStats(stats.asScala.toMap)
+    val applied = stats.asScala.toMap
+    // Publish the release marker LAST — the store-level commit point.
+    // Tables this release did not apply (Submitter) carry their
+    // version forward from the previous marker.
+    val carried = latestMarker(spark, dir).getOrElse(Map.empty)
+    val versions = allTables.map { t =>
+      t -> applied.get(t).map(_._2)
+        .orElse(carried.get(t))
+        .getOrElse(latestVersion(spark, s"$dir/$t"))
+    }.toMap
+    writeMarker(spark, dir, versions)
+    ApplyStats(applied.map { case (t, (n, _)) => t -> n }, versions)
   }
 
-  /** Latest committed graph. */
+  /** The graph as of the newest COMPLETE release — reads pin to the
+    * latest release marker, so a half-applied (failed or in-flight)
+    * release is invisible until its marker commits. */
   def read(spark: SparkSession, dir: String): GraphLoad.Graph = {
-    def t(n: String) = tableState(spark, s"$dir/$n")
+    def t(n: String) = EventStreams.stateAt(spark, s"$dir/$n",
+      servingManifest(spark, dir, n), Some(tableSchema(spark, s"$dir/$n")))
     GraphLoad.Graph(t("GFE"), t("Sequence"), t("Feature"), t("IPD_Allele"),
       t("IPD_Accession"), t("Submitter"), t("HAS_IPD_ALLELE"),
       t("HAS_IPD_ACCESSION"), t("SUBMITTED"), t("HAS_SEQUENCE"),
       t("HAS_FEATURE"))
   }
 
+  /** Public index-probe read: the rows of `table` whose `keys` match
+    * `keyRows`, served from ONLY the buckets those keys hash to — at
+    * any scale the I/O is a handful of bucket files, never the table.
+    * This is the read an anchored motif/traversal query wants against
+    * a 100 TB store (resolve the anchor's GFE/Sequence rows, then
+    * expand); the plan-shape guarantee (scan touches hit buckets
+    * only) is spec-pinned in GraphStoreSpec. Like [[read]], pinned to
+    * the newest release marker. `keyRows` is collected to a
+    * bucket set — it must be probe-sized (an anchor list), not a
+    * table. */
+  def probe(spark: SparkSession, dir: String, table: String,
+      keyRows: DataFrame, keys: Seq[String]): DataFrame = {
+    val anchors = keyRows.select(keys.map(col): _*)
+      .dropDuplicates(keys).localCheckpoint()
+    stateForKeys(spark, s"$dir/$table", anchors, keys,
+      Some(servingManifest(spark, dir, table)))
+      .join(broadcast(anchors), keys, "left_semi")
+  }
+
   /** GC superseded versions of every table (the
-    * [[EventStreams.cdcVacuum]] dual, per table). Returns total
-    * (buckets, manifests) deleted. */
+    * [[EventStreams.cdcVacuum]] dual, per table) plus superseded
+    * release markers. Returns total (buckets, manifests) deleted.
+    * `keepVersions` must stay ≥2 if a half-applied release may be
+    * outstanding: the newest marker can pin manifests one version
+    * behind a failed apply's partials (read() fails loudly, naming
+    * the remedy, if a pinned manifest was vacuumed). */
   def vacuum(spark: SparkSession, dir: String,
       keepVersions: Int = 2): (Int, Int) = {
     val (fs, root) = EventStreams.hadoopFs(spark, dir)
-    fs.listStatus(root).toSeq.filter(_.isDirectory)
+    val tdirs = fs.listStatus(root).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName != "_release")
+    val counts = tdirs
       .map(st => EventStreams.cdcVacuum(
         spark, st.getPath.toString, keepVersions))
       .foldLeft((0, 0)) { case ((a, b), (x, y)) => (a + x, b + y) }
+    // claims are permanent commit records (see applyTable); GC those
+    // below the kept-version window, whose bucket dirs are gone anyway
+    tdirs.foreach { st =>
+      val tdir = st.getPath.toString
+      val floor = latestVersion(spark, tdir) - math.max(1, keepVersions)
+      val (mfs, mdir) = EventStreams.hadoopFs(spark, s"$tdir/manifest")
+      mfs.listStatus(mdir).toSeq.map(_.getPath)
+        .filter { p =>
+          val n = p.getName
+          n.startsWith(".claim_v") &&
+            n.stripPrefix(".claim_v").toInt <= floor
+        }
+        .foreach(p => mfs.delete(p, false))
+    }
+    val stale = markerIds(spark, dir).dropRight(1)
+    stale.foreach { k =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"${markerDir(dir)}/r$k"),
+        false)
+    }
+    counts
   }
 }

@@ -378,8 +378,14 @@ object Multimodal {
     * profile stands in for at fingerprint-blocking fidelity). A
     * global volume change multiplies every window energy by the same
     * factor, so the comparisons — hence the fingerprint — are
-    * invariant (the audio analogue of aHash64's mean-relative bits);
-    * any time-structure change flips bits. None when the payload is
+    * invariant up to QUANTIZATION of the rescaled payload (the audio
+    * analogue of aHash64's mean-relative bits): a real re-master
+    * truncates each 16-bit sample, so two windows whose energies are
+    * nearly tied can flip their comparison bit — exact invariance
+    * holds only where window energies are well-separated (the
+    * fixture's attenuated() pair is asserted equal empirically, not
+    * by construction; near-dup matching tolerates stray flipped bits
+    * via its Hamming radius); any time-structure change flips bits. None when the payload is
     * not JDK-parseable audio; clips shorter than 33 samples
     * fingerprint as 0 (all-equal empty energies). */
   def audioFp32(payload: Array[Byte]): Option[Long] =

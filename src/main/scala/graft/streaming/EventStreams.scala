@@ -414,6 +414,34 @@ object EventStreams {
     finally out.close()
   }
 
+  /** Create-EXCLUSIVE small-file write: fails loudly if `path` already
+    * exists — the commit primitive for single-writer stores
+    * (GraphStore manifests and release markers). Two concurrent
+    * appliers that both read version v and both publish v+1 are a
+    * silent lost update under the overwrite form (last writer drops
+    * the other's merge); under create-exclusive, exactly one commit
+    * lands and the other surfaces as an error naming the cause.
+    * [[cdcApply]] deliberately keeps [[writeSmallFile]]'s overwrite
+    * form: its versions are keyed by micro-batch id and the engine
+    * serializes batches, so the only same-path rewrite there is a
+    * foreachBatch RETRY overwriting its own partial file — which must
+    * succeed. */
+  private[graft] def writeSmallFileExclusive(
+      spark: SparkSession, path: String, body: String): Unit = {
+    val (fs, p) = hadoopFs(spark, path)
+    val out =
+      try fs.create(p, false)
+      catch {
+        case e: java.io.IOException =>
+          throw new java.util.ConcurrentModificationException(
+            s"commit of $path lost the race: the file already exists, " +
+              "so a concurrent writer published this version first — " +
+              "re-read the latest committed state and retry the apply", e)
+      }
+    try out.write(body.getBytes("UTF-8"))
+    finally out.close()
+  }
+
   private[graft] def readSmallFile(spark: SparkSession, path: String): String = {
     val (fs, p) = hadoopFs(spark, path)
     val in = fs.open(p)
@@ -421,11 +449,17 @@ object EventStreams {
     finally in.close()
   }
 
+  private def manifestBody(m: Map[Int, Int]): String =
+    m.toSeq.sorted.map { case (k, v) => s"$k $v" }.mkString("", "\n", "\n")
+
   private[graft] def writeManifest(
       spark: SparkSession, path: String, m: Map[Int, Int]): Unit =
-    writeSmallFile(spark, path,
-      m.toSeq.sorted.map { case (k, v) => s"$k $v" }
-        .mkString("", "\n", "\n"))
+    writeSmallFile(spark, path, manifestBody(m))
+
+  /** [[writeSmallFileExclusive]]'s manifest form — GraphStore's commit. */
+  private[graft] def writeManifestExclusive(
+      spark: SparkSession, path: String, m: Map[Int, Int]): Unit =
+    writeSmallFileExclusive(spark, path, manifestBody(m))
 
   private[graft] def readManifest(spark: SparkSession, path: String): Map[Int, Int] =
     readSmallFile(spark, path).linesIterator.filter(_.nonEmpty).map { l =>
@@ -583,8 +617,9 @@ object EventStreams {
 
   private[graft] def manifestVersions(spark: SparkSession, stateDir: String): Seq[Int] = {
     val (fs, mdir) = hadoopFs(spark, s"$stateDir/manifest")
-    fs.listStatus(mdir).toSeq
-      .map(_.getPath.getName.stripPrefix("v").toInt).sorted
+    fs.listStatus(mdir).toSeq.map(_.getPath.getName)
+      .filter(_.matches("v\\d+")) // skip GraphStore's .claim_v* files
+      .map(_.stripPrefix("v").toInt).sorted
   }
 
   private[graft] def stateAt(spark: SparkSession, stateDir: String,

@@ -293,6 +293,15 @@ class GraphLoadSpec extends AnyFunSuite {
     val relsA = inc.hasIpdAllele.where(col("src") === "A")
       .collect().head.getSeq[Int](2)
     assert(relsA == Seq(3570, 3580), "releases accumulate sorted distinct")
+    // r2 carries a groups row for HLA-B*07:02 one release BEFORE its
+    // first seqs listing (r3): load.cyp:63 MATCHes the allele, so the
+    // row updates nothing — in the refold and the fold alike
+    val d = inc.ipdAllele.where(col("name") === "HLA-B*07:02").collect().head
+    assert(d.getAs[String]("G") == null,
+      "groups row preceding the allele's first listing is a MATCH no-op")
+    assert(inc.ipdAllele.where(col("name") === "HLA-Z*99:99").count() == 0 &&
+      refold.ipdAllele.where(col("name") === "HLA-Z*99:99").count() == 0,
+      "a never-listed groups-only name creates no allele")
   }
 
   test("applyRelease rejects seq_id/name bijection violations loudly") {

@@ -83,6 +83,105 @@ class GraphStoreSpec extends AnyFunSuite {
     }
   }
 
+  test("concurrent applier loses loudly; half-applied release stays " +
+      "invisible to read(); a retry converges") {
+    val Seq(r1, r2, r3) = LoadFixtures.policyMatrix(spark)
+    val dir = tmp("graphstore_race")
+    val g1 = GraphLoad.loadAll(spark, Seq(r1))
+    GraphStore.init(spark, dir, g1, buckets = 4)
+    val preRace = LoadFixtures.rowsOf(GraphStore.read(spark, dir).sequence)
+    // Simulate a concurrent applier that claimed GFE v1 first (the
+    // race's first commit point: both appliers read base v0, both try
+    // to publish v1). Applier B must fail loudly at the claim, BEFORE
+    // writing anything into the version's bucket directory.
+    val claim = java.nio.file.Paths.get(dir, "GFE", "manifest", ".claim_v1")
+    java.nio.file.Files.createFile(claim)
+    val e = intercept[java.util.ConcurrentModificationException] {
+      GraphStore.applyRelease(spark, dir, r2)
+    }
+    assert(e.getMessage.contains("concurrent applier") &&
+      e.getMessage.contains("claimed"), e.getMessage)
+    // GFE never committed v1; its bucket dir for v1 must not exist
+    // (the claim blocked the loser before any bucket write)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(dir, "GFE", "v1")),
+      "loser must not write bucket files for a claimed version")
+    // SIBLING tables did commit v1 (futures run independently), but
+    // the release marker never landed: read() still serves r1 exactly
+    assert(LoadFixtures.rowsOf(GraphStore.read(spark, dir).sequence)
+      == preRace, "half-applied release must be invisible to read()")
+    LoadFixtures.assertSameGraph(g1, GraphStore.read(spark, dir),
+      "pre-race state served during half-applied release")
+    // Operator remedy named in the error: clear the stale claim, retry
+    assert(e.getMessage.contains(claim.toString), e.getMessage)
+    java.nio.file.Files.delete(claim)
+    GraphStore.applyRelease(spark, dir, r2) // retry: idempotent merge
+    LoadFixtures.assertSameGraph(GraphLoad.loadAll(spark, Seq(r1, r2)),
+      GraphStore.read(spark, dir), "retry after lost race converges")
+    GraphStore.applyRelease(spark, dir, r3)
+    LoadFixtures.assertSameGraph(GraphLoad.loadAll(spark, Seq(r1, r2, r3)),
+      GraphStore.read(spark, dir), "full fold after race + retries")
+  }
+
+  test("two genuinely concurrent appliers: each either commits or " +
+      "fails loudly; serial retries converge to the refold") {
+    // r2/r3 touch disjoint keys, so their policies commute and the
+    // refold is order-insensitive — whatever interleaving the race
+    // produces, retrying both serially must land on refold(r1,r2,r3).
+    val Seq(r1, r2, r3) = LoadFixtures.policyMatrix(spark)
+    val dir = tmp("graphstore_race2")
+    GraphStore.init(spark, dir, GraphLoad.loadAll(spark, Seq(r1)),
+      buckets = 4)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    def race(rel: (String, org.apache.spark.sql.DataFrame,
+        org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame)) =
+      Future {
+        try { GraphStore.applyRelease(spark, dir, rel); None }
+        catch {
+          case e: java.util.ConcurrentModificationException => Some(e)
+        }
+      }
+    val outcomes = Seq(race(r2), race(r3))
+      .map(Await.result(_, Duration.Inf))
+    // every loss is LOUD (captured above, never silent); retries
+    // converge because policies are idempotent and deltas re-derive
+    Seq(r2, r3).foreach { rel =>
+      try GraphStore.applyRelease(spark, dir, rel)
+      catch { // a same-millisecond marker race can need one more pass
+        case _: java.util.ConcurrentModificationException =>
+          GraphStore.applyRelease(spark, dir, rel)
+      }
+    }
+    LoadFixtures.assertSameGraph(GraphLoad.loadAll(spark, Seq(r1, r2, r3)),
+      GraphStore.read(spark, dir),
+      s"race outcomes=${outcomes.map(_.map(_.getMessage).getOrElse("ok"))}")
+  }
+
+  test("probe: bucket-pruned point read touches ONLY hit buckets") {
+    import spark.implicits._
+    val Seq(r1, r2, _) = LoadFixtures.policyMatrix(spark)
+    val dir = tmp("graphstore_probe")
+    GraphStore.init(spark, dir, GraphLoad.loadAll(spark, Seq(r1)),
+      buckets = 16)
+    GraphStore.applyRelease(spark, dir, r2)
+    val anchors = Seq("A").toDF("name")
+    val out = GraphStore.probe(spark, dir, "Sequence", anchors, Seq("name"))
+    val rows = out.collect()
+    assert(rows.length == 1 && rows.head.getAs[Long]("length") == 5L,
+      "probe serves the marker-pinned merged row")
+    // plan shape: every scanned bucket file belongs to the anchor's
+    // hash bucket — the index-probe I/O contract at 100 TB
+    val b = anchors
+      .select(graft.streaming.EventStreams.bucketCol(Seq("name"), 16))
+      .collect().head.getInt(0)
+    val scanned = out.inputFiles.filter(_.contains("_graft_bucket="))
+    assert(scanned.nonEmpty &&
+      scanned.forall(_.contains(s"_graft_bucket=$b")),
+      s"probe must scan only bucket $b: ${scanned.mkString(", ")}")
+  }
+
   test("store fold == refold on the two-release IMGT fixture") {
     import graft.ingest.ImgtFlatFile
     import graft.gfe.{ArdReduction, GfeBuild}

@@ -34,7 +34,12 @@ object LoadFixtures {
     * r2: A re-listed (releases accumulate; Sequence length overwritten
     * 4→5); NEW gfe C for the same allele H1 under the same accession
     * AC1 (new HAS_IPD_ACCESSION pair; first-wins keeps (A,AC1)@3.57.0);
-    * H1's G overwritten g1→g2; H2 gains lg (G stays null).
+    * H1's G overwritten g1→g2; H2 gains lg (G stays null). r2 also
+    * carries two MATCH-no-op groups rows: one for HLA-B*07:02 — an
+    * allele first LISTED only in r3 (load.cyp:63 MATCHes the allele,
+    * so a groups row preceding the allele's first listing updates
+    * nothing, in the refold and the fold alike) — and one for a name
+    * no release ever lists (dropped everywhere).
     * r3: brand-new allele/gfe D, no groups rows at all. */
   def policyMatrix(spark: SparkSession)
       : Seq[(String, DataFrame, DataFrame, DataFrame)] = Seq(
@@ -49,7 +54,8 @@ object LoadFixtures {
         ("A", "AC1", "HLA-A*01:01", "s1", "ACGT", 5L),
         ("C", "AC1", "HLA-A*01:01", "s3", "AGGT", 4L))),
       featsDf(spark, Seq(("A", "EXON", 1, "1", "AC"), ("C", "EXON", 1, "3", "AG"))),
-      groupsDf(spark, Seq(("HLA-A*01:01", "G", "g2"), ("HLA-A*02:01", "lg", "l1")))),
+      groupsDf(spark, Seq(("HLA-A*01:01", "G", "g2"), ("HLA-A*02:01", "lg", "l1"),
+        ("HLA-B*07:02", "G", "g0"), ("HLA-Z*99:99", "lg", "lz")))),
     ("3590",
       seqsDf(spark, "3.59.0", Seq(
         ("D", "AC3", "HLA-B*07:02", "s4", "TTGT", 4L))),
