@@ -357,8 +357,14 @@ object GraphAlgorithms {
     val eDir = if (directed) e0
       else e0.unionByName(
         e0.select(col("b").as("a"), col("a").as("b"), col("w")))
+    // w ≡ 1 keeps the pre-weighted SCALAR plan end-to-end — no w
+    // column in the edge state, count(*) degrees, no multiply in the
+    // mass expression (r12 measured the generalized w≡1 path ~20%
+    // over the old scalar floor at fixture scale; the specialization
+    // restores it, and the w≡1 bit-identity spec guards the branch).
+    val hasW = weight.isDefined
     val e = weight match {
-      case None => eDir.select("a", "b").distinct().withColumn("w", lit(1L))
+      case None => eDir.select("a", "b").distinct()
       case Some(_) => eDir.groupBy("a", "b").agg(sum("w").as("w"))
     }
     val verts = e.select(col("a").as("id"))
@@ -378,10 +384,13 @@ object GraphAlgorithms {
       case None => verts.withColumn("_seed", lit(1L))
     }
     // out-weight-annotated edges, built once and reused per iteration
-    // (w ≡ 1 ⇒ sum(w) = the old count(*) out-degree, bit-identical)
-    val deg = e.groupBy(col("a")).agg(sum(col("w")).as("deg"))
+    // (w ≡ 1 ⇒ sum(w) = count(*) out-degree, bit-identical)
+    val deg =
+      if (hasW) e.groupBy(col("a")).agg(sum(col("w")).as("deg"))
+      else e.groupBy(col("a")).agg(count(lit(1)).as("deg"))
     val eDeg = e.join(deg, "a")
-      .select(col("a"), col("b"), col("w"), col("deg"))
+      .select((if (hasW) Seq(col("a"), col("b"), col("w"), col("deg"))
+        else Seq(col("a"), col("b"), col("deg"))): _*)
       .localCheckpoint(eager = true)
     val reset = scale * 15L / 100L
     // Small-graph fast path (louvainDF discipline): the recurrence is
@@ -389,8 +398,10 @@ object GraphAlgorithms {
     // same per-edge ⌊r·85·w/(100·W)⌋ contributions, same reset mass.
     if (localThreshold > 0 && eDeg.count() <= localThreshold) {
       val spark = edges.sparkSession
-      val ed = eDeg.collect().map(r =>
-        (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      val ed = eDeg.collect().map { r =>
+        if (hasW) (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))
+        else (r.getString(0), r.getString(1), 1L, r.getLong(2))
+      }
       val seedOf = mask.collect()
         .map(r => r.getString(0) -> r.getLong(1)).toMap
       val ids = seedOf.keys.toSeq.sorted(utf8Ordering)
@@ -419,7 +430,8 @@ object GraphAlgorithms {
         val contrib = eDeg
           .join(rank.select(col("id").as("a"), col("r")), "a")
           .groupBy(col("b").as("id"))
-          .agg(sum(expr(s"(r * 85 * w) div (100 * deg)")).as("in_mass"))
+          .agg(sum(expr(if (hasW) "(r * 85 * w) div (100 * deg)"
+            else "(r * 85) div (100 * deg)")).as("in_mass"))
         rank = vm.join(contrib, Seq("id"), "left")
           .select(col("id"),
             (col("_seed") * reset + coalesce(col("in_mass"), lit(0L))).as("r"))

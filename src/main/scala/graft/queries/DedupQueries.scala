@@ -586,6 +586,92 @@ object DedupQueries {
       |                                   AND a.doc_id < b.doc_id)""".stripMargin
   }
 
+  /** Containment-join candidates (d1 = contained, d2 = container)
+    * over a materialized shingle frame — the one-sided prefix filter
+    * of d_containment_pairs (rarest p = n − ⌈4n/5⌉ + 1 tokens of the
+    * contained side probed against FULL token lists; pigeonhole-
+    * exact, the asymmetry IS the semantics). Shared by the per-dir
+    * query and the [[containmentJoinPairs]] batch entrypoint. */
+  private[graft] def containmentCandidates(sh: DataFrame): DataFrame = {
+    val tok = sh.select(col("doc_id"), explode(col("sh")).as("t"))
+    val dfreq = tok.groupBy("t").agg(count(lit(1)).as("df"))
+    val byDoc = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+    // prefix length p = n − ⌈4n/5⌉ + 1; ⌈4n/5⌉ = ⌊(4n+4)/5⌋
+    val prefix = tok.join(dfreq, "t")
+      .select(col("doc_id"), col("t"),
+        row_number().over(byDoc.orderBy(col("df"), col("t"))).as("pos"),
+        count(lit(1)).over(byDoc).as("n"))
+      .where(col("pos") <= col("n") - floor((col("n") * 4 + 4) / lit(5)) + 1)
+    prefix.select(col("doc_id").as("d1"), col("t"))
+      .join(tok.select(col("doc_id").as("d2"), col("t")), Seq("t"))
+      .where(col("d1") =!= col("d2"))
+      .select("d1", "d2").distinct()
+  }
+
+  /** Exact containment verify: ONE array_intersect per candidate,
+    * C(A,B) = |A∩B|/|A| ≥ 4/5 via integer cross-multiplication. */
+  private[graft] def containmentVerify(cand: DataFrame,
+      sh: DataFrame): DataFrame =
+    cand
+      .join(sh.select(col("doc_id").as("d1"), col("sh").as("sh1")), Seq("d1"))
+      .join(sh.select(col("doc_id").as("d2"), col("sh").as("sh2")), Seq("d2"))
+      .select(col("d1").as("contained_id"), col("d2").as("container_id"),
+        size(array_intersect(col("sh1"), col("sh2"))).as("inter_cnt"),
+        size(col("sh1")).as("n_contained"))
+      .where(col("inter_cnt") * 5 >= col("n_contained") * 4)
+
+  /** Batch containment-join entrypoint — [[lshCandidatePairs]]'s
+    * discipline (spread the input, materialize shingles ONCE) applied
+    * to the containment path; the xscale_containment bench tier runs
+    * this at 100× docs. `logCandidates` materializes and prints the
+    * candidate-pair count — the in-run evidence that the rarest-token
+    * prefix bounds candidate volume even though the container side is
+    * (by design) unfiltered. */
+  def containmentJoinPairs(docs: DataFrame,
+      logCandidates: Boolean = false): DataFrame = {
+    graft.functions.NativeFunctions.register(docs.sparkSession)
+    val sc = docs.sparkSession.sparkContext
+    val spread = docs.repartition(sc.defaultParallelism)
+    val sh = spread
+      .select(col("doc_id"), shingles(tokens(col("text"))).as("sh"))
+      .localCheckpoint(true)
+    val cand0 = containmentCandidates(sh)
+    val cand =
+      if (!logCandidates) cand0
+      else {
+        val c = cand0.localCheckpoint(true)
+        System.err.println(
+          s"[containment] candidate pairs: ${c.count()}")
+        c
+      }
+    containmentVerify(cand, sh)
+  }
+
+  /** Unrolled md5-PRF walk replay over the `pairs` graph (assumes
+    * [[lshPairsSql]] upstream): und + w0..wK ending in
+    * `wk(walk, s, node)` — ONE derivation of what a walk means,
+    * consumed by d_dup_random_walk AND the v_walk_embed oracle (a
+    * second copy of the hop rule would be a silent-drift bug, same
+    * hazard the band-key format documents). Mirrors
+    * [[graft.graph.GraphAlgorithms.hashWalkDF]] exactly: sources =
+    * doc_id % 5 = 0, next hop = argmin (md5("walk|k|cur|nbr"), nbr). */
+  private[queries] def walkCtesSql(steps: Int): String =
+    s"""und AS (SELECT d1 AS a, d2 AS b FROM pairs
+      |        UNION SELECT d2, d1 FROM pairs),
+      |w0 AS (SELECT DISTINCT a AS walk, a AS node FROM und WHERE a % 5 = 0),
+      |${(1 to steps).map(k =>
+      s"""w$k AS (SELECT walk, b AS node FROM (
+         |  SELECT w.walk, u.b,
+         |         row_number() OVER (PARTITION BY w.walk
+         |           ORDER BY md5(concat_ws('|', w.walk, $k, w.node, u.b)),
+         |                    u.b) AS rn
+         |  FROM w${k - 1} w JOIN und u ON u.a = w.node) WHERE rn = 1)"""
+        .stripMargin).mkString(",\n")},
+      |wk AS (SELECT walk, 0 AS s, node FROM w0
+      |${(1 to steps).map(k =>
+      s"      UNION ALL SELECT walk, $k, node FROM w$k").mkString("\n")})"""
+      .stripMargin
+
   /** Scored semantic near-dup pairs (v1 < v2, cosine ≥ 0.4 over
     * sign-LSH banded candidates) — shared by d_embedding_neardup and
     * d_semantic_survivors. Memoized per (session, dir): at scale the
@@ -1440,22 +1526,10 @@ object DedupQueries {
     QueryDef(
       "d_dup_random_walk",
       s"""$lshPairsSql,
-        |und AS (SELECT d1 AS a, d2 AS b FROM pairs
-        |        UNION SELECT d2, d1 FROM pairs),
-        |w0 AS (SELECT DISTINCT a AS walk, a AS node FROM und WHERE a % 5 = 0),
-        |${(1 to 4).map(k =>
-        s"""w$k AS (SELECT walk, b AS node FROM (
-           |  SELECT w.walk, u.b,
-           |         row_number() OVER (PARTITION BY w.walk
-           |           ORDER BY md5(concat_ws('|', w.walk, $k, w.node, u.b)),
-           |                    u.b) AS rn
-           |  FROM w${k - 1} w JOIN und u ON u.a = w.node) WHERE rn = 1)"""
-          .stripMargin).mkString(",\n")}
+        |${walkCtesSql(4)}
         |SELECT CAST(walk AS BIGINT) AS walk_id, CAST(s AS INT) AS step,
         |       CAST(node AS BIGINT) AS node
-        |FROM (SELECT walk, 0 AS s, node FROM w0
-        |${(1 to 4).map(k =>
-        s"      UNION ALL SELECT walk, $k, node FROM w$k").mkString("\n")})
+        |FROM wk
         |ORDER BY walk_id, step""".stripMargin) { (s, d) =>
       val pairs = lshPairs(s, d)
       val sources = pairs.select(col("d1").as("id"))
@@ -1789,26 +1863,7 @@ object DedupQueries {
         |WHERE 5 * i.inter_cnt >= 4 * sa.n
         |ORDER BY contained_id, container_id""".stripMargin) { (s, d) =>
       val sh = shingled(s, d)
-      val tok = sh.select(col("doc_id"), explode(col("sh")).as("t"))
-      val df = tok.groupBy("t").agg(count(lit(1)).as("df"))
-      val byDoc = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
-      // prefix length p = n − ⌈4n/5⌉ + 1; ⌈4n/5⌉ = ⌊(4n+4)/5⌋
-      val prefix = tok.join(df, "t")
-        .select(col("doc_id"), col("t"),
-          row_number().over(byDoc.orderBy(col("df"), col("t"))).as("pos"),
-          count(lit(1)).over(byDoc).as("n"))
-        .where(col("pos") <= col("n") - floor((col("n") * 4 + 4) / lit(5)) + 1)
-      val cand = prefix.select(col("doc_id").as("d1"), col("t"))
-        .join(tok.select(col("doc_id").as("d2"), col("t")), Seq("t"))
-        .where(col("d1") =!= col("d2"))
-        .select("d1", "d2").distinct()
-      cand
-        .join(sh.select(col("doc_id").as("d1"), col("sh").as("sh1")), Seq("d1"))
-        .join(sh.select(col("doc_id").as("d2"), col("sh").as("sh2")), Seq("d2"))
-        .select(col("d1").as("contained_id"), col("d2").as("container_id"),
-          size(array_intersect(col("sh1"), col("sh2"))).as("inter_cnt"),
-          size(col("sh1")).as("n_contained"))
-        .where(col("inter_cnt") * 5 >= col("n_contained") * 4)
+      containmentVerify(containmentCandidates(sh), sh)
         .orderBy("contained_id", "container_id")
     },
 

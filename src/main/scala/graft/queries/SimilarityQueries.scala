@@ -260,8 +260,14 @@ object SimilarityQueries {
   private[graft] def lshBuckets(s: SparkSession, d: String): DataFrame =
     lshBucketsCache(s, d) { buildLshBuckets(s, d).cache() }
 
-  private def buildLshBuckets(s: SparkSession, d: String): DataFrame = {
-    val e = vecs(s, d)
+  private def buildLshBuckets(s: SparkSession, d: String): DataFrame =
+    lshBucketRows(s, vecs(s, d))
+
+  /** [[buildLshBuckets]] over an arbitrary (vec_id, v, …) frame — the
+    * per-micro-batch form [[lshMaintainFold]] applies (bucketing is a
+    * pure per-row function of the vector, so the maintained index is
+    * batch-partitioning-invariant). */
+  private def lshBucketRows(s: SparkSession, e: DataFrame): DataFrame = {
     val ev = e.select(col("vec_id"), posexplode(col("v")).as(Seq("j", "x")))
       .select(col("vec_id"), col("j"),
         round(col("x") * 1000000, 0).cast("long").as("ix"))
@@ -301,6 +307,36 @@ object SimilarityQueries {
       .select(col("q_id"), col("vec_id").as("n_id"))
       .distinct()
   }
+
+  /** Streaming SRP-LSH index maintenance — the ingest loop of the
+    * v_lsh_topk/v_knn_graph bucket index: each micro-batch of vectors
+    * is bucketed ([[lshBucketRows]] — a pure per-row function of the
+    * vector: PRF planes, integer micro-units, no trained state at
+    * all) and appended into the cdcApply versioned store keyed by
+    * (vec_id, t) — union + key-dedup merge, idempotent under
+    * foreachBatch retries and batch-partitioning-invariant, so the
+    * maintained index equals the batch-built [[lshBuckets]] exactly
+    * (EventStreamsSpec pins a hash-split multi-batch fold). Per-batch
+    * I/O is O(dirty buckets), never the standing index — the same
+    * cdcApply append shape as the minhash band index
+    * (st_index_maintain) and the IVF postings (st_ann_maintain),
+    * closing the vector tier's last static-index gap. */
+  private[graft] def lshMaintainFold(s: SparkSession, changes: DataFrame,
+      d: String, stateDir: String): DataFrame = {
+    val init = lshBucketRows(s, vecs(s, d).limit(0))
+    graft.streaming.EventStreams.cdcApply(s, changes, init, stateDir,
+      Seq("vec_id", "t"),
+      batch => lshBucketRows(batch.sparkSession, vecProjection(batch)),
+      (state, delta) => state.unionByName(delta)
+        .dropDuplicates("vec_id", "t"))
+  }
+
+  /** Oracle for [[lshMaintainFold]]: the batch bucket build over the
+    * whole corpus — exactly what the maintained store converges to. */
+  private[queries] def lshMaintainSql: String =
+    s"""$lshIndexSql
+      |SELECT vec_id, t, bk FROM bk
+      |ORDER BY vec_id, t""".stripMargin
 
   /** Streaming ANN postings maintenance — the ingest loop of a stored
     * IVF index: each micro-batch of vectors is assigned to its
@@ -438,6 +474,40 @@ object SimilarityQueries {
       graft.graph.GraphAlgorithms.fastRpEmbedDF(
         DedupQueries.lshPairs(s, d), "d1", "d2",
         dims = 8, iterations = 2)
+        .select(col("id").cast("long").as("doc_id"), col("dim"), col("val"))
+        .orderBy("doc_id", "dim")
+    },
+
+    // Walk-based graph embeddings (GDS node2vec capability parity —
+    // gfe-db/database/template.yaml:262-263 leaves gds.* unrestricted)
+    // next to v_graph_embed's propagation-family fastRP: the SAME
+    // deterministic md5-PRF walk corpus d_dup_random_walk emits,
+    // folded to hashed window-co-occurrence count vectors
+    // (GraphAlgorithms.walkEmbedDF — node2vec's statistics with
+    // feature hashing standing in for SGD, keeping the whole path
+    // integer-exact and oracle-replayable). The oracle chains the
+    // shared walk CTEs (ONE derivation with d_dup_random_walk) into
+    // the co-occurrence fold; locality (same-clique vectors closer
+    // than cross-clique) is pinned in GraphAlgorithmsSpec.
+    QueryDef(
+      "v_walk_embed",
+      s"""${DedupQueries.lshPairsSql},
+        |${DedupQueries.walkCtesSql(4)},
+        |co AS (SELECT a.node AS id,
+        |         ${DedupQueries.duckHex60(
+             "('we:' || CAST(b.node AS VARCHAR))")} % 16 AS dim
+        |       FROM wk a JOIN wk b ON b.walk = a.walk AND b.s <> a.s
+        |                          AND abs(b.s - a.s) <= 2)
+        |SELECT CAST(id AS BIGINT) AS doc_id, CAST(dim AS BIGINT) AS dim,
+        |       count(*) AS val
+        |FROM co GROUP BY 1, 2
+        |ORDER BY doc_id, dim""".stripMargin) { (s, d) =>
+      val pairs = DedupQueries.lshPairs(s, d)
+      val sources = pairs.select(col("d1").as("id"))
+        .unionByName(pairs.select(col("d2").as("id")))
+        .distinct().where(col("id") % 5 === 0)
+      graft.graph.GraphAlgorithms.walkEmbedDF(
+        pairs, "d1", "d2", sources, steps = 4, window = 2, dims = 16)
         .select(col("id").cast("long").as("doc_id"), col("dim"), col("val"))
         .orderBy("doc_id", "dim")
     },

@@ -311,6 +311,27 @@ object StreamingQueries {
       SimilarityQueries.annMaintain(s, s"$d/embeddings.parquet", d, stateDir)
     },
 
+    // Streaming SRP-LSH index maintenance — the third and last static
+    // vector index gains its maintain twin (minhash bands →
+    // st_index_maintain, IVF postings → st_ann_maintain, SRP-LSH
+    // buckets → here): each micro-batch of embeddings is bucketed by
+    // the pure PRF rule and appended into the cdcApply versioned
+    // store keyed by (vec_id, t), so v_lsh_topk/v_knn_graph can probe
+    // a GROWING corpus index. Zero trained state anywhere, so the
+    // batch bucket build is exactly what the fold converges to — the
+    // oracle replays it from raw vectors and hash-checks the real
+    // streaming path end-to-end (EventStreamsSpec pins a hash-split
+    // 3-batch fold == the batch index).
+    QueryDef(
+      "st_vec_index_maintain",
+      SimilarityQueries.lshMaintainSql) { (s, d) =>
+      val stateDir = java.nio.file.Files
+        .createTempDirectory("lsh_index_state").toString
+      SimilarityQueries.lshMaintainFold(s,
+        EventStreams.streamSource(s, s"$d/embeddings.parquet"), d, stateDir)
+        .orderBy("vec_id", "t")
+    },
+
     // Continuous CDC apply — the streaming form of o_merge_upsert,
     // and unlike the other st_* entries this one runs the REAL
     // streaming path (readStream → foreachBatch folding each

@@ -34,6 +34,84 @@ object TextQueries {
       expr("(tok_offset + greatest(n_tok, 1) - 1) div 256" +
         " - tok_offset div 256 + 1").as("n_packs"))
 
+  private val bpeMerges = 8 // merge rounds learned by t_bpe_train
+
+  /** K rounds of BPE merge training over the word-frequency table.
+    * `words` state per round: (n = word count, sym = the word's
+    * current symbol sequence, double-space delimited with sentinel
+    * spaces at both ends). Each round is two vocab-sized jobs (pair
+    * count + the 1-row top-pair collect) and a codegen'd replace —
+    * the corpus is touched exactly once, by the initial fold.
+    * Returns the learned merge list (merge_rank, pair, cnt). */
+  private[graft] def bpeTrain(docs: org.apache.spark.sql.DataFrame,
+      k: Int): org.apache.spark.sql.DataFrame = {
+    val s = docs.sparkSession
+    val wc = docs
+      .select(explode(split(col("text"), " ", -1)).as("token"))
+      .where(col("token") =!= "")
+      .groupBy("token").agg(count(lit(1)).as("n"))
+    // "abc" → "  a  b  c  ": each char becomes "c␣␣", with the "␣␣"
+    // sentinel prepended — the double-delimiter invariant every merge
+    // preserves (see the t_bpe_train comment).
+    var words = wc.select(col("n"),
+      concat(lit("  "), regexp_replace(col("token"), "(.)", "$1  "))
+        .as("sym"))
+      .localCheckpoint(eager = true) // vocab-sized; drop corpus lineage
+    val merges = Seq.newBuilder[(Int, String, Long)]
+    for (r <- 1 to k) {
+      val top = words
+        .select(col("n"), split(trim(col("sym")), "  ").as("a"))
+        .where(size(col("a")) >= 2)
+        .select(col("n"), col("a"),
+          explode(sequence(lit(0), size(col("a")) - 2)).as("i"))
+        .select(concat(element_at(col("a"), col("i") + 1), lit(" "),
+          element_at(col("a"), col("i") + 2)).as("pair"), col("n"))
+        .groupBy("pair").agg(sum(col("n")).as("cnt"))
+        .orderBy(col("cnt").desc, col("pair")).limit(1).collect()
+      require(top.nonEmpty, s"t_bpe_train: corpus exhausted at round $r")
+      val (pair, cnt) = (top.head.getString(0), top.head.getLong(1))
+      merges += ((r, pair, cnt))
+      val Array(l, rr) = pair.split(" ", 2)
+      words = words.select(col("n"),
+        replace(col("sym"), lit(s" $l  $rr "), lit(s" $l$rr ")).as("sym"))
+        .localCheckpoint(eager = true)
+    }
+    import s.implicits._
+    merges.result().toDF("merge_rank", "pair", "cnt")
+  }
+
+  /** Unrolled [[bpeTrain]] replay: w0 = the char-split word table,
+    * then per round pair counts (c), top-1 (t), greedy rewrite (w) —
+    * the same double-delimiter replace, DuckDB's non-regex
+    * `replace`. */
+  private val BpeTrainSql: String = {
+    val rounds = (1 to bpeMerges).map { r =>
+      s"""c$r AS (SELECT list_extract(a, i) || ' ' || list_extract(a, i + 1) AS pair,
+         |          CAST(sum(n) AS BIGINT) AS cnt
+         |        FROM (SELECT n, a, unnest(range(1, len(a))) AS i
+         |              FROM (SELECT n, string_split(trim(sym), '  ') AS a
+         |                    FROM w${r - 1}) WHERE len(a) >= 2)
+         |        GROUP BY 1),
+         |t$r AS (SELECT pair, cnt FROM c$r ORDER BY cnt DESC, pair LIMIT 1),
+         |w$r AS (SELECT w.n, replace(w.sym,
+         |          ' ' || split_part(t.pair, ' ', 1) || '  ' ||
+         |                 split_part(t.pair, ' ', 2) || ' ',
+         |          ' ' || replace(t.pair, ' ', '') || ' ') AS sym
+         |        FROM w${r - 1} w CROSS JOIN t$r t)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH w0 AS (
+      |  SELECT count(*) AS n,
+      |         '  ' || regexp_replace(token, '(.)', '\\1  ', 'g') AS sym
+      |  FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+      |  WHERE token <> '' GROUP BY token),
+      |$rounds
+      |SELECT * FROM (
+      |${(1 to bpeMerges).map(r =>
+        s"  SELECT $r AS merge_rank, pair, cnt FROM t$r")
+        .mkString("\n  UNION ALL\n")})
+      |ORDER BY merge_rank""".stripMargin
+  }
+
   /** The packing-manifest oracle — sequential-window offsets; also
     * st_pack_maintain's (the maintained manifest must equal the batch
     * one exactly when batches arrive in doc_id-range order). */
@@ -544,6 +622,33 @@ object TextQueries {
         .groupBy("pair").agg(sum(col("n")).as("n_occ"))
         .orderBy(col("n_occ").desc, col("pair"))
         .limit(30)
+    },
+
+    // FULL iterative BPE tokenizer training — the merge LOOP
+    // t_bpe_merge_pairs is round 1 of: K rounds of (count adjacent
+    // symbol pairs weighted by word frequency → take the top pair →
+    // rewrite every word's symbol sequence greedily left-to-right),
+    // producing the learned merge list, i.e. the tokenizer. The
+    // corpus-sized work happens ONCE (the word-frequency fold); every
+    // round then touches only the vocab-sized word table — a bounded
+    // driver loop over a broadcast-class frame, the registry-fold
+    // discipline, which is what makes tokenizer training tractable at
+    // 100 TB (real BPE trainers do exactly this).
+    //
+    // Greedy left-to-right apply without UDFs on EITHER engine: a
+    // word's symbols live DOUBLE-space delimited ("  a  b  c  "), and
+    // merging pair (l, r) is the plain non-regex replace of
+    // " l  r " with " lr " — scanning resumes after each match, and
+    // because a match consumes only the INNER space on each side, two
+    // adjacent merge sites keep their leading space ("a b a b" merges
+    // both) while an overlapping site is correctly skipped
+    // ("l l l" → "ll l", the BPE rule). TextQueriesSpec pins the
+    // learned merge list on a hand-computable fixture, overlap
+    // included. Ties break on the pair string, both engines byte-wise.
+    QueryDef(
+      "t_bpe_train",
+      BpeTrainSql) { (s, d) =>
+      bpeTrain(Tables.documents(s, d), bpeMerges).orderBy("merge_rank")
     },
 
     // Inverted-index build — the materialized form of the access path

@@ -674,6 +674,39 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(versions >= 4, s"expected v0..v3+, saw $versions versions")
   }
 
+  test("SRP-LSH index maintenance: multi-batch fold == batch buckets") {
+    // Bucketing is a pure per-vector PRF (no trained state at all),
+    // so the maintained (vec_id, t, bk) index must equal the batch-
+    // built lshBuckets for ANY micro-batch partitioning — the
+    // property that lets v_lsh_topk/v_knn_graph probe a continuously-
+    // ingesting index with no rebuild. Hash-split 3-batch source over
+    // the REAL cdcApply machinery.
+    val srcDir = java.nio.file.Files.createTempDirectory("lshm_src")
+    (0 until 3).foreach { p =>
+      val part = java.nio.file.Files.createTempDirectory(s"lshm_part$p")
+      Tables.embeddings(spark, sfDir)
+        .where(pmod(col("vec_id"), lit(3)) === p)
+        .coalesce(1).write.mode("overwrite").parquet(part.toString)
+      val f = java.nio.file.Files.list(part).toArray.map(_.toString)
+        .filter(_.endsWith(".parquet")).head
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get(f), srcDir.resolve(s"$p.parquet"))
+    }
+    val stateDir = java.nio.file.Files.createTempDirectory("lshm_state")
+    val changes = EventStreams.streamSource(
+      spark, srcDir.toString, Map("maxFilesPerTrigger" -> "1"))
+    val streamed = graft.queries.SimilarityQueries
+      .lshMaintainFold(spark, changes, sfDir, stateDir.toString)
+      .orderBy("vec_id", "t").collect().toSeq
+    val batch = graft.queries.SimilarityQueries.lshBuckets(spark, sfDir)
+      .orderBy("vec_id", "t").collect().toSeq
+    assert(streamed == batch)
+    assert(batch.nonEmpty)
+    val versions = java.nio.file.Files.list(stateDir).toArray
+      .map(_.toString.split('/').last).count(_.startsWith("v"))
+    assert(versions >= 4, s"expected v0..v3+, saw $versions versions")
+  }
+
   test("cluster maintenance: multi-batch fold == batch dup clusters") {
     // The full streaming dedup loop: maintained band index → per-
     // batch candidate pairs → union-find fold → path-compressed

@@ -892,4 +892,49 @@ class GraphAlgorithmsSpec extends AnyFunSuite {
         s"$v's nearest embedding neighbor $nearest crossed the bridge")
     }
   }
+
+  test("walk embeddings: same-clique locality, exact co-occurrence " +
+      "mass, deterministic") {
+    import spark.implicits._
+    def k4(v: Seq[String]) = for {
+      i <- v.indices; j <- v.indices if i < j
+    } yield (v(i), v(j))
+    val cliqueA = Seq("a1", "a2", "a3", "a4")
+    val cliqueB = Seq("b1", "b2", "b3", "b4")
+    // DISJOINT cliques: walks can never cross, so all cross-clique
+    // similarity is hash-collision noise and same-clique mass must
+    // dominate it for every vertex
+    val pairs = (k4(cliqueA) ++ k4(cliqueB)).toDF("d1", "d2")
+    val verts = cliqueA ++ cliqueB
+    val sources = verts.toDF("id")
+    // dims = 64 here: with only 8 context ids, a 16-dim hash space
+    // puts ~1 expected cross-clique collision on hot counts (measured:
+    // b4 cross mass 168 vs same 163 at dims=16) — a small-VOCAB
+    // artifact; at corpus scale collisions average out, and the
+    // locality mechanism itself is what this pins
+    def embed() = GraphAlgorithms
+      .walkEmbedDF(pairs, "d1", "d2", sources,
+        steps = 4, window = 2, dims = 64)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val e = embed()
+    assert(e == embed(), "PRF walks + hashed counts must be " +
+      "deterministic across runs")
+    // every walk has 5 steps (cliques have no dead ends), and a
+    // 5-step walk contributes exactly 2+3+4+3+2 = 14 ordered
+    // co-occurrence pairs at window 2 → 8 walks × 14 = 112 total
+    assert(e.values.sum == 112L,
+      s"co-occurrence mass must be exact, got ${e.values.sum}")
+    def vec(v: String): Seq[Long] = (0L until 64L).map(d => e.getOrElse((v, d), 0L))
+    def dotP(x: String, y: String): Long =
+      vec(x).zip(vec(y)).map { case (p, q) => p * q }.sum
+    def cliqueOf(v: String) = if (cliqueA.contains(v)) cliqueA else cliqueB
+    verts.foreach { v =>
+      val same = cliqueOf(v).filter(_ != v).map(u => dotP(v, u)).sum
+      val cross = verts.filterNot(cliqueOf(v).contains)
+        .map(u => dotP(v, u)).sum
+      assert(same > cross,
+        s"$v: same-clique mass $same must exceed cross-clique $cross")
+    }
+  }
 }
