@@ -579,7 +579,7 @@ object Bench {
       }
 
     // Containment join at scale (round 13, r12 verdict item 5): the
-    // one-sided prefix filter's candidate bound proven at 100× docs —
+    // one-sided prefix filter's candidate bound proven at ~50× docs —
     // the container side is unfiltered BY DESIGN, so this is the
     // datapoint showing the rarest-token prefix still bounds candidate
     // volume (the count is logged in-run). Corpus: 1-in-10 copies
@@ -587,9 +587,17 @@ object Bench {
     // twin (a TRUE one-way containment pair — its shingles are a
     // subset of the source's), the rest per-token mangled (unrelated;
     // they share a per-copy vocabulary, the realistic df shape).
+    // EXACT-DEDUP runs first — the same upstream discipline
+    // v_knn_graph documents for its Σ|bucket|² hazard: identical
+    // texts pair quadratically through their shared rare tokens
+    // (measured at 100 copies WITHOUT dedup: 132.4M candidates, ~480×
+    // the base corpus's — the 10-copy exact families alone square to
+    // ~400× — and the string-array verify spilled a 50 GB disk), so a
+    // real pipeline collapses exact classes before any pair operator
+    // and expands results back by class afterwards.
     // GRAFT_SCALE_CONTAIN_COPIES sizes it (0 disables).
     val containCopies =
-      sys.env.getOrElse("GRAFT_SCALE_CONTAIN_COPIES", "100").toInt
+      sys.env.getOrElse("GRAFT_SCALE_CONTAIN_COPIES", "50").toInt
     val distContain: Map[String, Double] =
       if (containCopies <= 0) Map.empty
       else {
@@ -613,8 +621,15 @@ object Bench {
                   " "))
                 .as("text"))
             .localCheckpoint(true)
+          // exact-dedup upstream: one representative per text class
+          val reps = copies.groupBy(col("text"))
+            .agg(min(col("doc_id")).as("doc_id"))
+            .select(col("doc_id"), col("text"))
+            .localCheckpoint(true)
+          System.err.println(
+            s"[containment] distinct texts: ${reps.count()}")
           graft.queries.DedupQueries
-            .containmentJoinPairs(copies, logCandidates = true).count()
+            .containmentJoinPairs(reps, logCandidates = true).count()
         })
       }
 

@@ -632,8 +632,20 @@ object DedupQueries {
     graft.functions.NativeFunctions.register(docs.sparkSession)
     val sc = docs.sparkSession.sparkContext
     val spread = docs.repartition(sc.defaultParallelism)
+    // 60-bit-HASHED shingle sets: the verify ships two arrays per
+    // candidate pair, and at the xscale tier's 10^8 candidates the
+    // string form spilled a 50 GB disk (r13, measured) — long arrays
+    // are 4-8× narrower and intersection COUNTS are unchanged
+    // (collision odds ~ n²/2^60 per doc; the per-dir query keeps raw
+    // strings for its byte-exact oracle, and PropertySpec pins this
+    // hashed form against the same brute force). Hashing is row-form
+    // (explode → codegen'd hex60 → collect_set), never an interpreted
+    // HOF transform over the corpus (the r11 lesson). Shingle-less
+    // docs drop here, as in [[lshCandidatePairs]].
     val sh = spread
-      .select(col("doc_id"), shingles(tokens(col("text"))).as("sh"))
+      .select(col("doc_id"), explode(shingles(tokens(col("text")))).as("ts"))
+      .select(col("doc_id"), hex60(col("ts")).as("t"))
+      .groupBy("doc_id").agg(array_sort(collect_set(col("t"))).as("sh"))
       .localCheckpoint(true)
     val cand0 = containmentCandidates(sh)
     val cand =

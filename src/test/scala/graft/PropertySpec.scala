@@ -271,5 +271,19 @@ class PropertySpec extends AnyFunSuite {
     assert(got == expected,
       s"missing=${(expected.keySet -- got.keySet).take(5)} " +
         s"extra=${(got.keySet -- expected.keySet).take(5)}")
+    // the hashed-shingle BATCH entrypoint (the xscale tier's form:
+    // 60-bit long arrays instead of strings) must find the same pairs
+    // with the same counts — hex60 is injective on this corpus, and a
+    // collision would shrink a set size and surface here
+    val batch = graft.queries.DedupQueries.containmentJoinPairs(
+      spark.read.parquet(s"$d/documents.parquet").select("doc_id", "text"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getInt(2).toLong, r.getInt(3).toLong)))
+      .toMap
+    assert(batch == expected,
+      s"hashed batch form diverged: missing=" +
+        s"${(expected.keySet -- batch.keySet).take(5)} " +
+        s"extra=${(batch.keySet -- expected.keySet).take(5)}")
   }
 }
