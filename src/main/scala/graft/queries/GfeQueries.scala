@@ -149,9 +149,12 @@ object GfeQueries {
   // `loadAll(r1, r2) == applyRelease(loadAll(r1), r2)` end-to-end
   // through the store plumbing.
   private val incCache = java.util.Collections.synchronizedMap(
-    new java.util.WeakHashMap[SparkSession, GraphLoad.Graph]())
+    new java.util.WeakHashMap[SparkSession, (String, GraphLoad.Graph)]())
 
-  private def incrementalGraph(s: SparkSession): GraphLoad.Graph =
+  /** (store dir, served graph) — the dir stays exposed so
+    * gfe_incremental_probe can exercise the PUBLIC bucket-pruned
+    * point read against the same store. */
+  private def incrementalStore(s: SparkSession): (String, GraphLoad.Graph) =
     incCache.synchronized {
       val hit = incCache.get(s)
       if (hit != null) hit
@@ -164,11 +167,14 @@ object GfeQueries {
           Seq(("3560", r1.gfeSequences, r1.allFeatures, r1.allGroups))))
         graft.graph.GraphStore.applyRelease(s, dir,
           ("3570", r2.gfeSequences, r2.allFeatures, r2.allGroups))
-        val g = graft.graph.GraphStore.read(s, dir)
-        incCache.put(s, g)
-        g
+        val entry = (dir, graft.graph.GraphStore.read(s, dir))
+        incCache.put(s, entry)
+        entry
       }
     }
+
+  private def incrementalGraph(s: SparkSession): GraphLoad.Graph =
+    incrementalStore(s)._2
 
   private def buildGraph(s: SparkSession): GraphLoad.Graph = {
       val r1 = build(s, "3560")
@@ -439,6 +445,24 @@ object GfeQueries {
         .select(col("src"), col("dst"),
           concat_ws(",", col("releases")).as("releases"))
         .orderBy("src", "dst")
+    }),
+    // The PUBLIC index-probe read (GraphStore.probe — bucket-pruned,
+    // release-marker-pinned, exact) driver-oracled against the refold:
+    // anchored on every HLA-A GFE name, the probe must serve exactly
+    // the refold's Sequence rows for those keys while touching only
+    // the anchors' hash buckets (plan shape pinned in GraphStoreSpec;
+    // this entry hash-pins the VALUES end-to-end through the store).
+    QueryDef("gfe_incremental_probe",
+      s"""SELECT name, locus, CAST(length AS BIGINT) AS length, seq_id
+         |FROM ${aux("v_Sequence")}
+         |WHERE locus = 'HLA-A'
+         |ORDER BY name""".stripMargin)((s, _) => {
+      import org.apache.spark.sql.functions.col
+      val (dir, g) = incrementalStore(s)
+      val anchors = g.gfe.where(col("locus") === "HLA-A").select("name")
+      graft.graph.GraphStore.probe(s, dir, "Sequence", anchors, Seq("name"))
+        .select(col("name"), col("locus"), col("length"), col("seq_id"))
+        .orderBy("name")
     }),
     // ...and the per-column-policy vertex (gene create-only, G/lg
     // conditional overwrite) built incrementally vs the refold aux.

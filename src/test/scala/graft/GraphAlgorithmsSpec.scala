@@ -520,6 +520,25 @@ class GraphAlgorithmsSpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap == got)
   }
 
+  test("eigenvector: int64 headroom violation fails loudly, not by " +
+      "silent wraparound") {
+    // deg_max·scale² ≥ 2⁶³ must raise, never wrap: with scale = 2³¹
+    // the bound trips at degree 3 — a star is enough to prove the
+    // in-plan guard fires (at the default 10⁶ scale the same guard
+    // protects hub degrees above ~9.2·10⁶).
+    val star = Seq(("h", "s1"), ("h", "s2"), ("h", "s3"))
+      .toDF("d1", "d2")
+    val e = intercept[Exception] {
+      GraphAlgorithms.eigenvectorDF(star, "d1", "d2",
+        scale = 1L << 31).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("overflows")),
+      s"expected the eigenvectorDF overflow guard, got: ${msgs(e)}")
+  }
+
   test("integer pagerank: local path == distributed, bit for bit") {
     // floor-division recurrence → exact integers on both paths; the
     // star graph exercises asymmetric degrees, the pair a 2-cycle.

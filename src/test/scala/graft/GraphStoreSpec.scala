@@ -125,10 +125,16 @@ class GraphStoreSpec extends AnyFunSuite {
 
   test("two genuinely concurrent appliers: each either commits or " +
       "fails loudly; serial retries converge to the refold") {
-    // r2/r3 touch disjoint keys, so their policies commute and the
-    // refold is order-insensitive — whatever interleaving the race
-    // produces, retrying both serially must land on refold(r1,r2,r3).
-    val Seq(r1, r2, r3) = LoadFixtures.policyMatrix(spark)
+    // The race's correctness claim needs COMMUTING releases: r2's
+    // groups-before-seqs no-op row (HLA-B*07:02) is order-SENSITIVE —
+    // if the r3 applier creates the allele first, the row becomes a
+    // legitimate MATCH and applies — so it is excluded here; the
+    // remaining r2/r3 keys are disjoint and the refold is
+    // order-insensitive: whatever interleaving the race produces,
+    // retrying both serially must land on refold(r1, r2x, r3).
+    val Seq(r1, r2full, r3) = LoadFixtures.policyMatrix(spark)
+    val r2 = (r2full._1, r2full._2, r2full._3,
+      r2full._4.where(col("hla_name") =!= "HLA-B*07:02"))
     val dir = tmp("graphstore_race2")
     GraphStore.init(spark, dir, GraphLoad.loadAll(spark, Seq(r1)),
       buckets = 4)
