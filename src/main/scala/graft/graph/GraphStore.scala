@@ -45,22 +45,47 @@ object GraphStore {
       EventStreams.defaultNumBuckets.toString).toInt
 
   // ---- per-table plumbing (cdcApply layout, batch-driven) ----
+  //
+  // BUCKET key vs MERGE key (round 13): a table's bucket key is its
+  // TRAVERSAL anchor — `dst` for the edge tables a query enters by
+  // target (HAS_IPD_ALLELE, anchored on an allele), `src` for the
+  // ones it expands forward through (HAS_FEATURE, HAS_SEQUENCE) —
+  // while merges stay keyed on the full natural key. Any bucket key
+  // that is a FUNCTION OF the merge key keeps the bucket-local merge
+  // sound (all rows of one merge key land in one bucket), and it
+  // turns an anchored traversal over a 100 TB store into a handful
+  // of bucket-file probes per hop instead of edge-table scans. The
+  // bucket key is a LAYOUT property like the bucket count, so both
+  // persist in the table meta and every reader takes them from
+  // there.
 
   private def metaPath(tdir: String) = s"$tdir/_graft_store_meta"
 
   private def initTable(spark: SparkSession, tdir: String,
-      snapshot: DataFrame, keys: Seq[String], buckets: Int): Unit = {
+      snapshot: DataFrame, bucketKeys: Seq[String], buckets: Int): Unit = {
     snapshot.limit(0).coalesce(1)
       .write.mode("overwrite").parquet(s"$tdir/_empty")
-    EventStreams.writeSmallFile(spark, metaPath(tdir), s"$buckets\n")
+    EventStreams.writeSmallFile(spark, metaPath(tdir),
+      s"$buckets\n${bucketKeys.mkString(",")}\n")
     val present = EventStreams.writeBuckets(
-      snapshot, keys, buckets, s"$tdir/v0")
+      snapshot, bucketKeys, buckets, s"$tdir/v0")
     EventStreams.writeManifest(spark, s"$tdir/manifest/v0",
       (0 until buckets).map(k => k -> (if (present(k)) 0 else -1)).toMap)
   }
 
+  private def tableMeta(spark: SparkSession,
+      tdir: String): (Int, Seq[String]) = {
+    val lines = EventStreams.readSmallFile(spark, metaPath(tdir))
+      .linesIterator.filter(_.nonEmpty).toSeq
+    (lines.head.trim.toInt, lines(1).split(',').toSeq)
+  }
+
   private def tableBuckets(spark: SparkSession, tdir: String): Int =
-    EventStreams.readSmallFile(spark, metaPath(tdir)).trim.toInt
+    tableMeta(spark, tdir)._1
+
+  private def tableBucketKeys(spark: SparkSession,
+      tdir: String): Seq[String] =
+    tableMeta(spark, tdir)._2
 
   private def latestVersion(spark: SparkSession, tdir: String): Int =
     EventStreams.manifestVersions(spark, tdir).max
@@ -88,7 +113,12 @@ object GraphStore {
   private def stateForKeys(spark: SparkSession, tdir: String,
       keyRows: DataFrame, keys: Seq[String],
       manifest: Option[Map[Int, Int]] = None): DataFrame = {
-    val buckets = tableBuckets(spark, tdir)
+    val (buckets, bucketKeys) = tableMeta(spark, tdir)
+    // hashing anchors with the WRONG key would probe the wrong
+    // buckets and silently MISS rows — fail loudly instead
+    require(keys == bucketKeys,
+      s"$tdir is bucketed by (${bucketKeys.mkString(",")}); a probe " +
+        s"keyed (${keys.mkString(",")}) would miss rows")
     val hit = keyRows
       .select(EventStreams.bucketCol(keys, buckets).as("_b"))
       .distinct().collect().map(_.getInt(0)).toSet
@@ -109,9 +139,9 @@ object GraphStore {
     * (dirty-bucket count — the I/O proportionality evidence the spec
     * asserts — , committed version). */
   private def applyTable(spark: SparkSession, tdir: String,
-      keys: Seq[String], delta: DataFrame,
+      delta: DataFrame,
       merge: (DataFrame, DataFrame) => DataFrame): (Int, Int) = {
-    val buckets = tableBuckets(spark, tdir)
+    val (buckets, bucketKeys) = tableMeta(spark, tdir)
     val v = latestVersion(spark, tdir)
     // CLAIM version v+1 create-exclusively BEFORE touching its bucket
     // directory: the loser of a concurrent-applier race must fail
@@ -140,7 +170,7 @@ object GraphStore {
     val base = latestManifest(spark, tdir)
     val d = delta.localCheckpoint()
     val dirty = d
-      .select(EventStreams.bucketCol(keys, buckets).as("_b"))
+      .select(EventStreams.bucketCol(bucketKeys, buckets).as("_b"))
       .distinct().collect().map(_.getInt(0)).toSet
     val next =
       if (dirty.isEmpty) base
@@ -149,7 +179,7 @@ object GraphStore {
           base.filter { case (k, _) => dirty(k) },
           Some(tableSchema(spark, tdir)))
         val written = EventStreams.writeBuckets(
-          merge(dirtyState, d), keys, buckets, s"$tdir/v${v + 1}")
+          merge(dirtyState, d), bucketKeys, buckets, s"$tdir/v${v + 1}")
         base ++ dirty.map(k => k -> (if (written(k)) v + 1 else -1))
       }
     EventStreams.writeManifestExclusive(
@@ -218,25 +248,35 @@ object GraphStore {
   // ---- public API ----
 
   /** One-shot store creation from a built graph (normally
-    * `loadAll(firstRelease)`). */
+    * `loadAll(firstRelease)`). Bucket keys are the TRAVERSAL anchors
+    * (see the layout comment above initTable): vertices by `name`,
+    * reverse-anchored edges by `dst` (an allele/accession query
+    * enters HAS_IPD_ALLELE / HAS_IPD_ACCESSION / SUBMITTED by
+    * target), forward-expanded edges by `src` (a GFE expands through
+    * HAS_FEATURE / HAS_SEQUENCE), Feature by its 4-part lookup key
+    * (the HAS_FEATURE edge payload resolves it without the long
+    * `sequence` column). Every choice is a function of the table's
+    * merge key, so bucket-local merges stay exact. */
   def init(spark: SparkSession, dir: String, g: GraphLoad.Graph,
       buckets: Int = numBuckets): Unit = {
     initTable(spark, s"$dir/GFE", g.gfe, Seq("name"), buckets)
     initTable(spark, s"$dir/Sequence", g.sequence, Seq("name"), buckets)
-    initTable(spark, s"$dir/Feature", g.feature, featKeys, buckets)
+    initTable(spark, s"$dir/Feature", g.feature,
+      Seq("locus", "rank", "term", "accession"), buckets)
     initTable(spark, s"$dir/IPD_Allele", g.ipdAllele, Seq("name"), buckets)
     initTable(spark, s"$dir/IPD_Accession", g.ipdAccession,
       Seq("name"), buckets)
     initTable(spark, s"$dir/Submitter", g.submitter, Seq("name"), buckets)
     initTable(spark, s"$dir/HAS_IPD_ALLELE", g.hasIpdAllele,
-      Seq("src", "dst"), buckets)
+      Seq("dst"), buckets)
     initTable(spark, s"$dir/HAS_IPD_ACCESSION", g.hasIpdAccession,
-      Seq("src", "dst"), buckets)
+      Seq("dst"), buckets)
     initTable(spark, s"$dir/SUBMITTED", g.submitted,
-      Seq("src", "dst"), buckets)
+      Seq("dst"), buckets)
     initTable(spark, s"$dir/HAS_SEQUENCE", g.hasSequence,
-      Seq("src", "dst"), buckets)
-    initTable(spark, s"$dir/HAS_FEATURE", g.hasFeature, hfKeys, buckets)
+      Seq("src"), buckets)
+    initTable(spark, s"$dir/HAS_FEATURE", g.hasFeature,
+      Seq("src"), buckets)
     // the seq_id-keyed Sequence-node index HAS_SEQUENCE probes
     initTable(spark, s"$dir/SEQ_INDEX",
       g.sequence.select(col("seq_id"), col("name")), Seq("seq_id"), buckets)
@@ -292,11 +332,11 @@ object GraphStore {
     import scala.concurrent.ExecutionContext.Implicits.global
     val stats =
       new java.util.concurrent.ConcurrentHashMap[String, (Int, Int)]()
-    def apply1(table: String, keys: Seq[String], delta: DataFrame,
+    def apply1(table: String, delta: DataFrame,
         merge: (DataFrame, DataFrame) => DataFrame): Future[Unit] =
       Future {
         stats.put(table,
-          applyTable(spark, s"$dir/$table", keys, delta, merge))
+          applyTable(spark, s"$dir/$table", delta, merge))
         ()
       }
 
@@ -333,26 +373,22 @@ object GraphStore {
     }
 
     val independent = Seq(
-      apply1("GFE", Seq("name"), gfeDelta, createOnly(Seq("name"))),
-      apply1("Sequence", Seq("name"), seqDelta, overwrite(Seq("name"))),
-      apply1("Feature", featKeys, d.featDelta, createOnly(featKeys)),
-      apply1("IPD_Allele", Seq("name"), d.alleleDelta, mergeAllele),
-      apply1("IPD_Accession", Seq("name"), d.accDelta,
-        createOnly(Seq("name"))),
-      apply1("HAS_IPD_ALLELE", Seq("src", "dst"), d.relsDelta,
-        mergeReleases),
-      apply1("HAS_IPD_ACCESSION", Seq("src", "dst"), d.hasAccDelta,
+      apply1("GFE", gfeDelta, createOnly(Seq("name"))),
+      apply1("Sequence", seqDelta, overwrite(Seq("name"))),
+      apply1("Feature", d.featDelta, createOnly(featKeys)),
+      apply1("IPD_Allele", d.alleleDelta, mergeAllele),
+      apply1("IPD_Accession", d.accDelta, createOnly(Seq("name"))),
+      apply1("HAS_IPD_ALLELE", d.relsDelta, mergeReleases),
+      apply1("HAS_IPD_ACCESSION", d.hasAccDelta,
         createOnly(Seq("src", "dst"))),
       // SUBMITTED create-only on dst: only this release's genuinely-
       // new GFEs land (existing dsts keep their first submit_date)
-      apply1("SUBMITTED", Seq("src", "dst"),
-        d.submittedDelta(lit(submitDate)),
+      apply1("SUBMITTED", d.submittedDelta(lit(submitDate)),
         createOnly(Seq("src", "dst"))),
-      apply1("HAS_FEATURE", hfKeys, d.hasFeatDelta, createOnly(hfKeys)),
+      apply1("HAS_FEATURE", d.hasFeatDelta, createOnly(hfKeys)),
       // SEQ_INDEX first, then HAS_SEQUENCE from the probe (chained
       // below so the probe reads this release's committed index)
-      apply1("SEQ_INDEX", Seq("seq_id"),
-        seqDelta.select(col("seq_id"), col("name")),
+      apply1("SEQ_INDEX", seqDelta.select(col("seq_id"), col("name")),
         createOnly(Seq("seq_id", "name")))
         .map { _ =>
           val pairs = d.pairsDelta.localCheckpoint()
@@ -362,7 +398,7 @@ object GraphStore {
             .join(broadcast(pairs), Seq("seq_id"))
             .select("src", "dst")
           stats.put("HAS_SEQUENCE",
-            applyTable(spark, s"$dir/HAS_SEQUENCE", Seq("src", "dst"),
+            applyTable(spark, s"$dir/HAS_SEQUENCE",
               hsDelta, createOnly(Seq("src", "dst"))))
           ()
         })
@@ -404,12 +440,17 @@ object GraphStore {
     * `keyRows`, served from ONLY the buckets those keys hash to — at
     * any scale the I/O is a handful of bucket files, never the table.
     * This is the read an anchored motif/traversal query wants against
-    * a 100 TB store (resolve the anchor's GFE/Sequence rows, then
-    * expand); the plan-shape guarantee (scan touches hit buckets
-    * only) is spec-pinned in GraphStoreSpec. Like [[read]], pinned to
-    * the newest release marker. `keyRows` is collected to a
-    * bucket set — it must be probe-sized (an anchor list), not a
-    * table. */
+    * a 100 TB store (resolve the anchor, expand hop by hop — each hop
+    * one probe; gfe_incremental_2hop runs exactly that); the
+    * plan-shape guarantee (scan touches hit buckets only) is
+    * spec-pinned in GraphStoreSpec. `keys` must be the table's BUCKET
+    * key (its traversal anchor, persisted in the table meta — `dst`
+    * for HAS_IPD_ALLELE/HAS_IPD_ACCESSION/SUBMITTED, `src` for
+    * HAS_FEATURE/HAS_SEQUENCE, `name`/`seq_id` for vertices/index);
+    * any other key would hash to the wrong buckets and fails loudly.
+    * Like [[read]], pinned to the newest release marker. `keyRows` is
+    * collected to a bucket set — it must be probe-sized (an anchor
+    * list), not a table. */
   def probe(spark: SparkSession, dir: String, table: String,
       keyRows: DataFrame, keys: Seq[String]): DataFrame = {
     val anchors = keyRows.select(keys.map(col): _*)

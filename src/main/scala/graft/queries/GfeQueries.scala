@@ -464,6 +464,31 @@ object GfeQueries {
         .select(col("name"), col("locus"), col("length"), col("seq_id"))
         .orderBy("name")
     }),
+    // Anchored 2-hop traversal served ENTIRELY by index probes — the
+    // store's answer to the reference's hot query (allele → GFEs →
+    // features) at 100 TB: hop 1 probes HAS_IPD_ALLELE's dst buckets
+    // for the anchor allele, hop 2 probes HAS_FEATURE's src buckets
+    // for the resolved GFEs; no edge table is ever scanned (each
+    // table's bucket key IS its traversal anchor — layout persisted
+    // in the store meta, wrong-key probes fail loudly). Oracled
+    // against the refold aux's full-table join.
+    QueryDef("gfe_incremental_2hop",
+      s"""SELECT DISTINCT hf.term, hf.rank
+         |FROM ${aux("e_HAS_IPD_ALLELE")} e
+         |JOIN ${aux("e_HAS_FEATURE")} hf ON hf.src = e.src
+         |WHERE e.dst = 'HLA-A*01:01:01:01'
+         |ORDER BY term, rank""".stripMargin)((s, _) => {
+      import org.apache.spark.sql.functions.col
+      import s.implicits._
+      val (dir, _) = incrementalStore(s)
+      val gfes = graft.graph.GraphStore.probe(s, dir, "HAS_IPD_ALLELE",
+        Seq("HLA-A*01:01:01:01").toDF("dst"), Seq("dst"))
+        .select("src")
+      graft.graph.GraphStore.probe(s, dir, "HAS_FEATURE",
+        gfes, Seq("src"))
+        .select(col("term"), col("rank")).distinct()
+        .orderBy("term", "rank")
+    }),
     // ...and the per-column-policy vertex (gene create-only, G/lg
     // conditional overwrite) built incrementally vs the refold aux.
     QueryDef("gfe_incremental_alleles",
