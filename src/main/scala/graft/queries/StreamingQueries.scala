@@ -332,6 +332,26 @@ object StreamingQueries {
         .orderBy("vec_id", "t")
     },
 
+    // Streaming packing-manifest maintenance — t_pack_sequences'
+    // ingest loop, and deliberately the one ORDER-DEPENDENT maintain
+    // twin: pack offsets are a running global prefix sum, so each
+    // micro-batch appends to the token stream in ARRIVAL order
+    // (within-batch offsets via the distributed PrefixSum scan, based
+    // at an O(1) carried total; the standing manifest is never
+    // re-offset). With batches arriving in doc_id-range order the
+    // maintained manifest equals the batch-built one exactly — the
+    // shared PackSql oracle hash-checks that through the REAL
+    // readStream→foreachBatch path (EventStreamsSpec pins a 3-file
+    // doc_id-range split with forced file order).
+    QueryDef(
+      "st_pack_maintain",
+      TextQueries.PackSql) { (s, d) =>
+      val stateDir = java.nio.file.Files
+        .createTempDirectory("pack_state").toString
+      TextQueries.packMaintain(s, s"$d/documents.parquet", stateDir)
+        .orderBy("doc_id")
+    },
+
     // Continuous CDC apply — the streaming form of o_merge_upsert,
     // and unlike the other st_* entries this one runs the REAL
     // streaming path (readStream → foreachBatch folding each

@@ -34,6 +34,64 @@ object TextQueries {
       expr("(tok_offset + greatest(n_tok, 1) - 1) div 256" +
         " - tok_offset div 256 + 1").as("n_packs"))
 
+  /** Streaming packing-manifest maintenance — the ingest loop of
+    * t_pack_sequences: each micro-batch's documents are appended to
+    * the global token stream in ARRIVAL order (doc_id-ordered within
+    * the batch via the same distributed [[graft.operators.PrefixSum]],
+    * based at the carried token total), extending the manifest with
+    * O(batch) work and an O(1) carry — the standing manifest is never
+    * re-offset. Arrival-order offsets are the semantics a pretraining
+    * pipeline wants as shards land; when batches arrive in
+    * doc_id-range order (the driver's single-file source, and
+    * EventStreamsSpec's 3-file ordered split) the maintained manifest
+    * equals the batch-built t_pack_sequences manifest EXACTLY — which
+    * is what the PackSql oracle hash-checks. Replay contract: outputs
+    * are keyed by micro-batch id (manifest slab `m_v{id}`, carry
+    * `carry_v{id+1}`), so a foreachBatch retry overwrites its own
+    * partials and a `_chk` restart resumes from the committed carry —
+    * exactly-once, the cdcApply discipline. */
+  private[graft] def packMaintain(s: org.apache.spark.sql.SparkSession,
+      srcPath: String, stateDir: String): org.apache.spark.sql.DataFrame =
+    packMaintainFold(s,
+      graft.streaming.EventStreams.streamSource(s, srcPath), stateDir)
+
+  /** [[packMaintain]] over a prepared streaming source (the spec
+    * drives a maxFilesPerTrigger=1 ordered split through it). */
+  private[graft] def packMaintainFold(s: org.apache.spark.sql.SparkSession,
+      changes: org.apache.spark.sql.DataFrame,
+      stateDir: String): org.apache.spark.sql.DataFrame = {
+    import graft.streaming.EventStreams
+    val q = changes.writeStream
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+            id: Long) =>
+        val ss = batch.sparkSession
+        val carry =
+          if (id == 0L) 0L
+          else EventStreams.readSmallFile(ss, s"$stateDir/carry_v$id")
+            .trim.toLong
+        val m = graft.operators.PrefixSum
+          .exclusive(docTokens(batch.toDF()), "doc_id", "n_tok", "_rel")
+          .select(col("doc_id"), col("n_tok"),
+            (col("_rel") + lit(carry)).as("tok_offset"))
+          .localCheckpoint(true)
+        val total = m.agg(coalesce(sum(col("n_tok")), lit(0L)))
+          .head.getLong(0)
+        m.write.mode("overwrite").parquet(s"$stateDir/m_v$id")
+        EventStreams.writeSmallFile(
+          ss, s"$stateDir/carry_v${id + 1}", s"${carry + total}\n")
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", s"$stateDir/_chk")
+      .start()
+    q.awaitTermination()
+    val (fs, root) = EventStreams.hadoopFs(s, stateDir)
+    val slabs = fs.listStatus(root).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith("m_v")).sorted.map(n => s"$stateDir/$n")
+    packColumns(s.read.parquet(slabs: _*))
+  }
+
   private val bpeMerges = 8 // merge rounds learned by t_bpe_train
 
   /** K rounds of BPE merge training over the word-frequency table.

@@ -707,6 +707,69 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(versions >= 4, s"expected v0..v3+, saw $versions versions")
   }
 
+  test("pack maintenance: doc_id-ordered multi-batch fold == batch " +
+      "manifest; carry is O(1)") {
+    // Pack offsets are ORDER-dependent (a running global prefix sum),
+    // so unlike the other maintain twins this fold is pinned on a
+    // doc_id-RANGE split with forced file order: tertile files with
+    // strictly increasing mtimes, maxFilesPerTrigger=1 → three
+    // batches in doc_id order. The maintained manifest must equal the
+    // batch-built t_pack_sequences manifest row-for-row.
+    val docs = Tables.documents(spark, sfDir)
+    val ids = docs.select("doc_id").orderBy("doc_id")
+      .collect().map(_.getLong(0))
+    val (t1, t2) = (ids(ids.length / 3), ids(2 * ids.length / 3))
+    val ranges = Seq(
+      col("doc_id") < t1,
+      col("doc_id") >= t1 && col("doc_id") < t2,
+      col("doc_id") >= t2)
+    val srcDir = java.nio.file.Files.createTempDirectory("pack_src")
+    ranges.zipWithIndex.foreach { case (cond, p) =>
+      val part = java.nio.file.Files.createTempDirectory(s"pack_part$p")
+      docs.where(cond)
+        .coalesce(1).write.mode("overwrite").parquet(part.toString)
+      val f = java.nio.file.Files.list(part).toArray.map(_.toString)
+        .filter(_.endsWith(".parquet")).head
+      val target = srcDir.resolve(s"$p.parquet")
+      java.nio.file.Files.move(java.nio.file.Paths.get(f), target)
+      // file-source order = (mtime, path): force strictly increasing
+      // mtimes so batch order IS doc_id-range order
+      java.nio.file.Files.setLastModifiedTime(target,
+        java.nio.file.attribute.FileTime.fromMillis(1000000000000L + p * 60000L))
+    }
+    val stateDir = java.nio.file.Files.createTempDirectory("pack_state")
+    // packMaintain streams the srcDir itself; 1 file per trigger
+    val streamed = {
+      // streamSource option plumbing lives inside packMaintain via a
+      // directory source — drive it through a wrapper source here
+      val changes = EventStreams.streamSource(
+        spark, srcDir.toString, Map("maxFilesPerTrigger" -> "1"))
+      // inline the same fold packMaintain runs (its source arg is a
+      // path; this test needs the option-carrying source)
+      graft.queries.TextQueries.packMaintainFold(
+        spark, changes, stateDir.toString)
+        .orderBy("doc_id").collect().toSeq
+    }
+    val batch = graft.queries.TextQueries.packColumns(
+      graft.operators.PrefixSum.exclusive(
+        graft.queries.TextQueries.docTokens(docs),
+        "doc_id", "n_tok", "tok_offset"))
+      .orderBy("doc_id").collect().toSeq
+    assert(streamed == batch)
+    assert(batch.nonEmpty)
+    // three slabs + a carry per batch — the fold really ran in three
+    // O(batch) steps with an O(1) carry, never re-offsetting
+    val names = java.nio.file.Files.list(stateDir).toArray
+      .map(_.toString.split('/').last)
+    assert(names.count(_.startsWith("m_v")) == 3,
+      s"expected 3 manifest slabs, saw ${names.mkString(",")}")
+    val finalCarry = new String(java.nio.file.Files.readAllBytes(
+      stateDir.resolve("carry_v3")), "UTF-8").trim.toLong
+    val totalToks = graft.queries.TextQueries.docTokens(docs)
+      .agg(sum("n_tok")).head.getLong(0)
+    assert(finalCarry == totalToks, "carry must equal the corpus total")
+  }
+
   test("cluster maintenance: multi-batch fold == batch dup clusters") {
     // The full streaming dedup loop: maintained band index → per-
     // batch candidate pairs → union-find fold → path-compressed
