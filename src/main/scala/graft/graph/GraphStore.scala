@@ -77,6 +77,13 @@ object GraphStore {
       tdir: String): (Int, Seq[String]) = {
     val lines = EventStreams.readSmallFile(spark, metaPath(tdir))
       .linesIterator.filter(_.nonEmpty).toSeq
+    // pre-round-13 stores wrote a ONE-line meta (bucket count only;
+    // bucketing was implicitly the full merge key) — fail with the
+    // remedy named instead of an IndexOutOfBounds from lines(1)
+    require(lines.length >= 2,
+      s"$tdir: legacy one-line store meta (no bucket-key line) — this " +
+        "store predates traversal-anchored bucketing; rebuild it with " +
+        "GraphStore.init from a refold (GraphLoad.loadAll)")
     (lines.head.trim.toInt, lines(1).split(',').toSeq)
   }
 
@@ -208,17 +215,19 @@ object GraphStore {
       .filter(_.startsWith("r")).map(_.stripPrefix("r").toInt).sorted
   }
 
+  private def readMarker(spark: SparkSession, dir: String,
+      k: Int): Map[String, Int] =
+    EventStreams.readSmallFile(spark, s"${markerDir(dir)}/r$k")
+      .linesIterator.filter(_.nonEmpty).map { l =>
+        val i = l.lastIndexOf(' ')
+        l.substring(0, i) -> l.substring(i + 1).toInt
+      }.toMap
+
   /** Newest complete release: table → committed manifest version.
     * None on a pre-marker store (serve latest manifests instead). */
   private def latestMarker(spark: SparkSession,
       dir: String): Option[Map[String, Int]] =
-    markerIds(spark, dir).lastOption.map { k =>
-      EventStreams.readSmallFile(spark, s"${markerDir(dir)}/r$k")
-        .linesIterator.filter(_.nonEmpty).map { l =>
-          val i = l.lastIndexOf(' ')
-          l.substring(0, i) -> l.substring(i + 1).toInt
-        }.toMap
-    }
+    markerIds(spark, dir).lastOption.map(readMarker(spark, dir, _))
 
   private def writeMarker(spark: SparkSession, dir: String,
       versions: Map[String, Int]): Unit = {
@@ -460,40 +469,101 @@ object GraphStore {
       .join(broadcast(anchors), keys, "left_semi")
   }
 
+  /** JOIN-shaped store read: the rows of `table` whose `keys` values
+    * appear in `keyFrame` — [[probe]]'s semantics with NO driver-side
+    * materialization of the key side (no eager bucket-id collect, no
+    * broadcast, fully lazy), so the key frame may itself be
+    * table-sized: "HAS_SEQUENCE rows for every GFE in release X" at
+    * 100 TB is this call, not [[probe]]. Served as a shuffle
+    * semi-join over the manifest-RESOLVED live bucket files of the
+    * marker-pinned serving version (superseded versions are never
+    * touched). Trade-off, stated not hidden: without a driver-known
+    * bucket-id set there is no FILE-level pruning — the right trade
+    * exactly when the key frame hits most buckets anyway, which a
+    * table-sized frame does; a probe-sized anchor list should keep
+    * using [[probe]], whose bounded bucket-id collect (≤ bucket
+    * count ints, never the keys) buys the file pruning.
+    *
+    * Unlike [[probe]], `keys` need not be the table's bucket key:
+    * with every live bucket read, any key choice is exact (the
+    * wrong-bucket silent-miss hazard is a pruning hazard, and there
+    * is no pruning here). */
+  def probeJoin(spark: SparkSession, dir: String, table: String,
+      keyFrame: DataFrame, keys: Seq[String]): DataFrame = {
+    val tdir = s"$dir/$table"
+    val state = EventStreams.stateAt(spark, tdir,
+      servingManifest(spark, dir, table),
+      Some(tableSchema(spark, tdir)))
+    state.join(
+      keyFrame.select(keys.map(col): _*).dropDuplicates(keys),
+      keys, "left_semi")
+  }
+
   /** GC superseded versions of every table (the
     * [[EventStreams.cdcVacuum]] dual, per table) plus superseded
     * release markers. Returns total (buckets, manifests) deleted.
-    * `keepVersions` must stay ≥2 if a half-applied release may be
-    * outstanding: the newest marker can pin manifests one version
-    * behind a failed apply's partials (read() fails loudly, naming
-    * the remedy, if a pinned manifest was vacuumed). */
+    *
+    * APPLIER INTERLOCK: a concurrent [[applyRelease]] commits
+    * per-table manifests first and publishes its marker LAST, so
+    * mid-apply the newest marker pins versions BEHIND each table's
+    * latest manifest. A naive `keepVersions = 1` would then delete
+    * the very manifests serving reads pin to (the data loss happens
+    * even though read() fails loudly after the fact). Vacuum
+    * therefore WIDENS the per-table window to always reach the
+    * version the newest marker pins — `keepVersions` is a floor, not
+    * an absolute — and the widening is race-safe without any lock:
+    * markers only move FORWARD, so a marker read at vacuum start can
+    * only pin versions ≤ what any concurrent applier publishes,
+    * i.e. a stale read only widens the kept window further.
+    *
+    * Marker retention is tied to the same window: a superseded
+    * marker survives iff every manifest version it pins survived
+    * this vacuum (so a reader pinned to it keeps working); markers
+    * whose pinned manifests are gone are deleted with the data. */
   def vacuum(spark: SparkSession, dir: String,
       keepVersions: Int = 2): (Int, Int) = {
     val (fs, root) = EventStreams.hadoopFs(spark, dir)
+    // marker + marker-id snapshot FIRST (see the race note above)
+    val markerSnapshot = markerIds(spark, dir)
+    val pinned = latestMarker(spark, dir).getOrElse(Map.empty)
     val tdirs = fs.listStatus(root).toSeq
       .filter(st => st.isDirectory && st.getPath.getName != "_release")
+    // the marker-pinned version is an ABSOLUTE keep floor handed to
+    // cdcVacuum (not a widened count — a count is a TOCTOU when an
+    // applier commits v+1 between this read and cdcVacuum's own
+    // version listing); in-flight claimed-but-uncommitted versions
+    // are deferred inside cdcVacuum itself
     val counts = tdirs
-      .map(st => EventStreams.cdcVacuum(
-        spark, st.getPath.toString, keepVersions))
+      .map(st => EventStreams.cdcVacuum(spark, st.getPath.toString,
+        keepVersions, keepFrom = pinned.get(st.getPath.getName)))
       .foldLeft((0, 0)) { case ((a, b), (x, y)) => (a + x, b + y) }
+    // what survived IS the kept window — claims and markers are
+    // judged against it
+    val survived: Map[String, Set[Int]] = tdirs.map { st =>
+      st.getPath.getName ->
+        EventStreams.manifestVersions(spark, st.getPath.toString).toSet
+    }.toMap
     // claims are permanent commit records (see applyTable); GC those
-    // below the kept-version window, whose bucket dirs are gone anyway
+    // below the surviving window, whose bucket dirs are gone anyway
     tdirs.foreach { st =>
       val tdir = st.getPath.toString
-      val floor = latestVersion(spark, tdir) - math.max(1, keepVersions)
+      val floor = survived(st.getPath.getName).min
       val (mfs, mdir) = EventStreams.hadoopFs(spark, s"$tdir/manifest")
       mfs.listStatus(mdir).toSeq.map(_.getPath)
         .filter { p =>
           val n = p.getName
           n.startsWith(".claim_v") &&
-            n.stripPrefix(".claim_v").toInt <= floor
+            n.stripPrefix(".claim_v").toInt < floor
         }
         .foreach(p => mfs.delete(p, false))
     }
-    val stale = markerIds(spark, dir).dropRight(1)
-    stale.foreach { k =>
-      fs.delete(new org.apache.hadoop.fs.Path(s"${markerDir(dir)}/r$k"),
-        false)
+    markerSnapshot.dropRight(1).foreach { k =>
+      val intact = readMarker(spark, dir, k).forall { case (t, v) =>
+        survived.get(t).exists(_.contains(v))
+      }
+      if (!intact)
+        fs.delete(
+          new org.apache.hadoop.fs.Path(s"${markerDir(dir)}/r$k"), false)
     }
     counts
   }

@@ -45,6 +45,57 @@ object Motif {
       }
   }
 
+  /** [[path]] against a STANDING [[GraphStore]] instead of in-memory
+    * edge DataFrames: every hop's edge rows are served by
+    * [[GraphStore.probe]] on the hop table's traversal-anchor bucket
+    * key, so an anchored k-hop pattern over a 100 TB store reads a
+    * handful of bucket files per hop and never scans an edge table —
+    * the generic form of the hand-chained gfe_incremental_2hop
+    * composition (the reference's ad-hoc traversal shape,
+    * docs/source/reference.rst:34-37, against the standing store).
+    *
+    * Direction is the store's layout contract: a `reverse` hop enters
+    * the edge by `dst` (the dst-anchored tables — HAS_IPD_ALLELE /
+    * HAS_IPD_ACCESSION / SUBMITTED), a forward hop by `src` (the
+    * src-anchored HAS_FEATURE / HAS_SEQUENCE). A hop keyed against
+    * the wrong anchor fails LOUDLY inside probe (hashing the wrong
+    * key would silently miss rows). Column contract matches [[path]]:
+    * node keys `n0..nK`, hop-i attributes `e{i}_*`; a composite far
+    * end (HAS_FEATURE forward) surfaces as the `:`-joined key, its
+    * parts still available un-joined as `e{i}_locus` etc. for a
+    * follow-up vertex probe.
+    *
+    * `anchors`: ONE key column, probe-sized (an anchor list — probe
+    * collects its bucket ids); each hop's frontier is the previous
+    * hop's far-end key set, also probe-sized under anchored fan-out.
+    * Hops run sequentially by construction (hop i's frontier is data
+    * from hop i−1) — at scale each hop is a few bucket-file reads,
+    * so the chain's cost is k × probe, not k × scan. */
+  def pathAnchored(spark: org.apache.spark.sql.SparkSession, dir: String,
+      anchors: DataFrame, hops: Seq[Hop]): DataFrame = {
+    require(hops.nonEmpty, "at least one hop required")
+    require(anchors.columns.length == 1,
+      s"anchors must be a single key column, got " +
+        s"(${anchors.columns.mkString(",")})")
+    var acc = anchors.select(col(anchors.columns.head).as("n0"))
+      .dropDuplicates("n0")
+    hops.zipWithIndex.foreach { case (h, i) =>
+      val enterBy = if (h.reverse) "dst" else "src"
+      val frontier = acc.select(col(s"n$i").as(enterBy))
+      val t = GraphStore.probe(spark, dir, h.edge, frontier, Seq(enterBy))
+      val attrCols = t.columns.filterNot(c => c == "src" || c == "dst")
+      val farExpr =
+        if (h.reverse) col("src")
+        else if (t.columns.contains("dst")) col("dst")
+        else concat_ws(":", attrCols.map(col).toIndexedSeq: _*)
+      val hopDf = t.select(
+        Seq(col(enterBy).as(s"n$i"), farExpr.as(s"n${i + 1}")) ++
+          attrCols.map(c => col(c).as(s"e${i}_$c")): _*)
+      acc = acc.join(hopDf, Seq(s"n$i"))
+    }
+    acc
+  }
+
   /** Variable-length expansion — the Cypher `-[*min..max]-` /
     * `-[*min..max]->` idiom (template.yaml:240-264 exposes full
     * Cypher; reference.rst:34-37's documented traversal is written

@@ -489,6 +489,52 @@ object GfeQueries {
         .select(col("term"), col("rank")).distinct()
         .orderBy("term", "rank")
     }),
+    // The GENERIC anchored k-hop traversal API over the standing
+    // store (Motif.pathAnchored — each hop one bucket probe, never an
+    // edge scan), 3 probe-served hops: anchor alleles → rev
+    // HAS_IPD_ALLELE → GFEs → fwd HAS_FEATURE → feature edges →
+    // Feature VERTEX probe by the composite key the edge carries (the
+    // accession fan-out: each feature's accessioned sequence). Oracled
+    // against the refold aux's full-table 3-way join — hash equality
+    // proves the probe-chain serves exactly the scan semantics.
+    QueryDef("gfe_incremental_khop",
+      s"""SELECT DISTINCT e.dst AS allele, hf.term, hf.rank, hf.accession,
+         |       CAST(length(f.sequence) AS BIGINT) AS feature_len
+         |FROM ${aux("e_HAS_IPD_ALLELE")} e
+         |JOIN ${aux("e_HAS_FEATURE")} hf ON hf.src = e.src
+         |JOIN ${aux("v_Feature")} f
+         |  ON f.locus = hf.locus AND f.rank = hf.rank
+         | AND f.term = hf.term AND f.accession = hf.accession
+         |WHERE e.dst IN
+         |  ('HLA-A*01:01:01:01', 'HLA-A*02:01', 'HLA-A*01:03')
+         |ORDER BY allele, hf.term, hf.rank, hf.accession, feature_len"""
+        .stripMargin)(
+      (s, _) => {
+      import org.apache.spark.sql.functions._
+      import s.implicits._
+      import graft.graph.{GraphStore, Motif}
+      val (dir, _) = incrementalStore(s)
+      val anchors = Seq("HLA-A*01:01:01:01", "HLA-A*02:01",
+        "HLA-A*01:03").toDF("allele")
+      val paths = Motif.pathAnchored(s, dir, anchors, Seq(
+        Motif.Hop("HAS_IPD_ALLELE", reverse = true),
+        Motif.Hop("HAS_FEATURE")))
+      val featKeys = paths.select(col("e1_locus").as("locus"),
+        col("e1_rank").as("rank"), col("e1_term").as("term"),
+        col("e1_accession").as("accession"))
+      val feats = GraphStore.probe(s, dir, "Feature", featKeys,
+        Seq("locus", "rank", "term", "accession"))
+      paths.join(feats,
+          col("e1_locus") === col("locus") &&
+          col("e1_rank") === col("rank") &&
+          col("e1_term") === col("term") &&
+          col("e1_accession") === col("accession"))
+        .select(col("n0").as("allele"), col("term"), col("rank"),
+          col("accession"),
+          length(col("sequence")).cast("long").as("feature_len"))
+        .distinct()
+        .orderBy("allele", "term", "rank", "accession", "feature_len")
+    }),
     // ...and the per-column-policy vertex (gene create-only, G/lg
     // conditional overwrite) built incrementally vs the refold aux.
     QueryDef("gfe_incremental_alleles",

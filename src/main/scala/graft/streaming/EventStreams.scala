@@ -416,31 +416,22 @@ object EventStreams {
 
   /** Create-EXCLUSIVE small-file write: fails loudly if `path` already
     * exists — the commit primitive for single-writer stores
-    * (GraphStore manifests and release markers). Two concurrent
-    * appliers that both read version v and both publish v+1 are a
-    * silent lost update under the overwrite form (last writer drops
-    * the other's merge); under create-exclusive, exactly one commit
-    * lands and the other surfaces as an error naming the cause.
+    * (GraphStore claims, manifests, and release markers). Two
+    * concurrent appliers that both read version v and both publish
+    * v+1 are a silent lost update under the overwrite form (last
+    * writer drops the other's merge); under create-exclusive, exactly
+    * one commit lands and the other surfaces as an error naming the
+    * cause. The atomicity itself lives in [[AtomicCommit]] — ONE
+    * primitive, so no future call site can quietly fall back to the
+    * non-atomic `fs.create(p, false)` (check-then-act on local FS).
     * [[cdcApply]] deliberately keeps [[writeSmallFile]]'s overwrite
     * form: its versions are keyed by micro-batch id and the engine
     * serializes batches, so the only same-path rewrite there is a
     * foreachBatch RETRY overwriting its own partial file — which must
     * succeed. */
   private[graft] def writeSmallFileExclusive(
-      spark: SparkSession, path: String, body: String): Unit = {
-    val (fs, p) = hadoopFs(spark, path)
-    val out =
-      try fs.create(p, false)
-      catch {
-        case e: java.io.IOException =>
-          throw new java.util.ConcurrentModificationException(
-            s"commit of $path lost the race: the file already exists, " +
-              "so a concurrent writer published this version first — " +
-              "re-read the latest committed state and retry the apply", e)
-      }
-    try out.write(body.getBytes("UTF-8"))
-    finally out.close()
-  }
+      spark: SparkSession, path: String, body: String): Unit =
+    AtomicCommit.publishExclusive(spark, path, body)
 
   private[graft] def readSmallFile(spark: SparkSession, path: String): String = {
     val (fs, p) = hadoopFs(spark, path)
@@ -654,11 +645,21 @@ object EventStreams {
     * Readers of kept versions are untouched (their manifests only
     * reference kept files; unchanged buckets inherited from OLD
     * versions stay because the kept manifests reference them).
-    * Returns (buckets deleted, manifests deleted). */
+    * Returns (buckets deleted, manifests deleted).
+    *
+    * `keepFrom`: an ABSOLUTE floor — every version ≥ it survives, on
+    * top of the newest-`keepVersions` count. GraphStore.vacuum pins
+    * this to the newest release marker's version so a concurrent
+    * applier committing v+1 between the caller's decision and this
+    * listing can never shrink the count-based window below a
+    * marker-pinned manifest (the count alone is a TOCTOU: `keep the
+    * newest 1` keeps a version that did not exist when the caller
+    * checked what the marker pins). */
   def cdcVacuum(spark: SparkSession, stateDir: String,
-      keepVersions: Int = 2): (Int, Int) = {
+      keepVersions: Int = 2, keepFrom: Option[Int] = None): (Int, Int) = {
     val versions = manifestVersions(spark, stateDir)
-    val keep = versions.takeRight(math.max(1, keepVersions)).toSet
+    val keep = (versions.takeRight(math.max(1, keepVersions)) ++
+      keepFrom.fold(Seq.empty[Int])(f => versions.filter(_ >= f))).toSet
     val referenced: Set[(Int, Int)] = keep.flatMap { v =>
       // .toSeq first: collecting (ver, b) tuples straight off the Map
       // would re-key by ver and silently collapse all of a version's
@@ -667,23 +668,37 @@ object EventStreams {
         .collect { case (b, ver) if ver >= 0 => (ver, b) }
     }
     val (fs, root) = hadoopFs(spark, stateDir)
+    // a CLAIMED version with no committed manifest is an in-flight
+    // writer's directory (GraphStore claims v+1 before its bucket
+    // writes; the manifest commits after): deleting its bucket files
+    // here would let the writer commit a manifest pointing at a hole.
+    // Vacuum DEFERS on those versions; they become vacuumable the
+    // moment their manifest commits (committed) or their claim is
+    // GC'd (crashed writer, operator-cleared).
+    val committed = versions.toSet
+    def inFlight(ver: Int): Boolean = !committed(ver) && {
+      val (cfs, cp) = hadoopFs(spark, s"$stateDir/manifest/.claim_v$ver")
+      cfs.exists(cp)
+    }
     var droppedBuckets = 0
     fs.listStatus(root).filter { st =>
       val n = st.getPath.getName
       st.isDirectory && n.startsWith("v") && n.drop(1).forall(_.isDigit)
     }.foreach { vd =>
       val ver = vd.getPath.getName.stripPrefix("v").toInt
-      fs.listStatus(vd.getPath)
-        .filter(_.getPath.getName.startsWith("_graft_bucket="))
-        .foreach { bd =>
-          val b = bd.getPath.getName.stripPrefix("_graft_bucket=").toInt
-          if (!referenced((ver, b))) {
-            fs.delete(bd.getPath, true); droppedBuckets += 1
+      if (!inFlight(ver)) {
+        fs.listStatus(vd.getPath)
+          .filter(_.getPath.getName.startsWith("_graft_bucket="))
+          .foreach { bd =>
+            val b = bd.getPath.getName.stripPrefix("_graft_bucket=").toInt
+            if (!referenced((ver, b))) {
+              fs.delete(bd.getPath, true); droppedBuckets += 1
+            }
           }
-        }
-      if (!fs.listStatus(vd.getPath)
-          .exists(_.getPath.getName.startsWith("_graft_bucket=")))
-        fs.delete(vd.getPath, true) // version fully superseded
+        if (!fs.listStatus(vd.getPath)
+            .exists(_.getPath.getName.startsWith("_graft_bucket=")))
+          fs.delete(vd.getPath, true) // version fully superseded
+      }
       ()
     }
     var droppedManifests = 0

@@ -901,4 +901,129 @@ class EventStreamsSpec extends AnyFunSuite {
     val replayed = fold(Seq(b1, b1, b2, b2))
     assert(replayed == whole, "duplicate batch delivery must be a no-op")
   }
+
+  test("AtomicCommit: 16 simultaneous exclusive publishers, exactly one " +
+      "winner per round, winner's content complete — 20 rounds") {
+    // The claim/manifest/marker commit protocol (GraphStore) is only as
+    // strong as this primitive: fs.create(p, false) on the local FS is
+    // an exists() check then a create — a TOCTOU window a real race
+    // walked through (two appliers both past the claim, interleaved
+    // bucket writes). AtomicCommit publishes by link-into-place, so
+    // this hammer must find EXACTLY one winner every round, and the
+    // published content must be the winner's complete body (a reader
+    // can never observe a half-written manifest under the winning
+    // name).
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_atomic_commit").toString
+    val n = 16
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(n)
+    try {
+      for (round <- 1 to 20) {
+        val path = s"$dir/claim_r$round"
+        val gate = new java.util.concurrent.CyclicBarrier(n)
+        val futures = (0 until n).map { i =>
+          pool.submit(new java.util.concurrent.Callable[Option[Int]] {
+            def call(): Option[Int] = {
+              gate.await() // maximize simultaneity inside the window
+              try {
+                EventStreams.writeSmallFileExclusive(
+                  spark, path, s"writer-$i\n")
+                Some(i)
+              } catch {
+                case _: java.util.ConcurrentModificationException => None
+              }
+            }
+          })
+        }
+        val winners = futures.flatMap(_.get())
+        assert(winners.size == 1,
+          s"round $round: winners=$winners — the create-exclusive " +
+            "TOCTOU window is back")
+        assert(EventStreams.readSmallFile(spark, path) ==
+          s"writer-${winners.head}\n",
+          s"round $round: published content is not the winner's body")
+      }
+    } finally pool.shutdown()
+  }
+
+  test("pack maintenance OUT OF ORDER: the manifest stays internally " +
+      "consistent (arrival-order offsets) while diverging from the " +
+      "doc_id-ordered batch manifest — the documented order contract") {
+    // st_pack_maintain is the one deliberately ORDER-DEPENDENT
+    // maintain twin: offsets mean "position in the global token
+    // stream in ARRIVAL order". When batches arrive out of doc_id
+    // order the maintained manifest therefore MUST diverge from the
+    // batch-built (doc_id-ordered) manifest — but it must stay
+    // internally consistent: concatenating the slabs in batch order
+    // gives a contiguous exclusive prefix sum from 0, and the carry
+    // still equals the corpus total. This spec pins that divergence
+    // instead of hiding it.
+    val docs = Tables.documents(spark, sfDir)
+    val ids = docs.select("doc_id").orderBy("doc_id")
+      .collect().map(_.getLong(0))
+    val (t1, t2) = (ids(ids.length / 3), ids(2 * ids.length / 3))
+    val ranges = Seq(
+      col("doc_id") < t1,
+      col("doc_id") >= t1 && col("doc_id") < t2,
+      col("doc_id") >= t2)
+    // arrival order 2, 0, 1 — NOT doc_id order
+    val arrival = Seq(2, 0, 1)
+    val srcDir = java.nio.file.Files.createTempDirectory("packo_src")
+    arrival.zipWithIndex.foreach { case (p, slot) =>
+      val part = java.nio.file.Files.createTempDirectory(s"packo_part$p")
+      docs.where(ranges(p))
+        .coalesce(1).write.mode("overwrite").parquet(part.toString)
+      val f = java.nio.file.Files.list(part).toArray.map(_.toString)
+        .filter(_.endsWith(".parquet")).head
+      val target = srcDir.resolve(s"$p.parquet")
+      java.nio.file.Files.move(java.nio.file.Paths.get(f), target)
+      java.nio.file.Files.setLastModifiedTime(target,
+        java.nio.file.attribute.FileTime.fromMillis(
+          1000000000000L + slot * 60000L))
+    }
+    val stateDir = java.nio.file.Files.createTempDirectory("packo_state")
+    val changes = EventStreams.streamSource(
+      spark, srcDir.toString, Map("maxFilesPerTrigger" -> "1"))
+    val maintained = graft.queries.TextQueries.packMaintainFold(
+      spark, changes, stateDir.toString)
+    // internal consistency: slabs concatenated in BATCH order form one
+    // contiguous exclusive prefix sum from 0 (each slab doc_id-ordered
+    // within itself — PrefixSum's in-batch order)
+    var expectedOffset = 0L
+    (0 until 3).foreach { b =>
+      val slab = spark.read.parquet(s"$stateDir/m_v$b")
+        .orderBy("doc_id")
+        .select("doc_id", "n_tok", "tok_offset")
+        .collect()
+      assert(slab.nonEmpty, s"slab m_v$b is empty")
+      slab.foreach { r =>
+        assert(r.getLong(2) == expectedOffset,
+          s"slab m_v$b doc ${r.getLong(0)}: offset ${r.getLong(2)} != " +
+            s"running total $expectedOffset")
+        expectedOffset += r.getLong(1)
+      }
+    }
+    val totalToks = graft.queries.TextQueries.docTokens(docs)
+      .agg(sum("n_tok")).head.getLong(0)
+    assert(expectedOffset == totalToks)
+    val finalCarry = new String(java.nio.file.Files.readAllBytes(
+      stateDir.resolve("carry_v3")), "UTF-8").trim.toLong
+    assert(finalCarry == totalToks, "carry must equal the corpus total")
+    // divergence from the doc_id-ordered batch manifest is REAL (some
+    // offset differs) while the per-doc token counts agree exactly
+    val batch = graft.queries.TextQueries.packColumns(
+      graft.operators.PrefixSum.exclusive(
+        graft.queries.TextQueries.docTokens(docs),
+        "doc_id", "n_tok", "tok_offset"))
+    val m = maintained.select("doc_id", "n_tok", "tok_offset")
+      .orderBy("doc_id").collect().toSeq
+    val bseq = batch.select("doc_id", "n_tok", "tok_offset")
+      .orderBy("doc_id").collect().toSeq
+    assert(m.map(r => (r.getLong(0), r.getLong(1))) ==
+      bseq.map(r => (r.getLong(0), r.getLong(1))),
+      "per-doc token counts must match the batch manifest")
+    assert(m != bseq,
+      "out-of-order arrival MUST diverge from the doc_id-ordered " +
+        "manifest — if it doesn't, this spec's premise is broken")
+  }
 }
