@@ -633,6 +633,36 @@ object Bench {
         })
       }
 
+    // Batched BPE at real-tokenizer merge counts (round 14, r13
+    // verdict item 4): t_bpe_train's one-at-a-time loop is correct
+    // but pays two vocab-sized jobs + a 1-row collect PER MERGE — a
+    // 32k-merge tokenizer would be driver-latency-bound. The batched
+    // trainer (TextQueries.bpeTrainBatched) applies the longest
+    // non-interacting top-prefix per round; this datapoint trains
+    // ≥256 merges over the sf corpus and ASSERTS the round count
+    // collapsed (rounds ≤ merges/2 — in practice ~merges/10), so a
+    // timing run can never silently time a degenerated batch loop.
+    // GRAFT_SCALE_BPE sizes it (0 disables).
+    val bpeScaleMerges = sys.env.getOrElse("GRAFT_SCALE_BPE", "256").toInt
+    val bpeScale: Map[String, Double] =
+      if (bpeScaleMerges <= 0) Map.empty
+      else {
+        import org.apache.spark.sql.functions._
+        Map(tTier(s"xscale_bpe_$bpeScaleMerges", s"$bpeScaleMerges merges") {
+          val docs = graft.Tables.documents(spark, sfDir)
+          val m = graft.queries.TextQueries
+            .bpeTrainBatched(docs, bpeScaleMerges, maxPerRound = 16)
+            .localCheckpoint(true)
+          val rounds = m.agg(max(col("round"))).head.getInt(0)
+          System.err.println(
+            s"[bench] xscale_bpe: $bpeScaleMerges merges in $rounds rounds")
+          require(2 * rounds <= bpeScaleMerges,
+            s"batched BPE degenerated: $rounds rounds for " +
+              s"$bpeScaleMerges merges")
+          m.count()
+        })
+      }
+
     // Full-history ordered registry fold (the reference's actual
     // envelope: 57 releases, README.md:535; MaxConcurrency-1
     // ordering, asl.json:153): nested-prefix synthetic releases
@@ -716,7 +746,7 @@ object Bench {
 
     val all =
       results ++ scale ++ scaleExtra ++ distGraph ++ distGraph10m ++
-        incGraph ++ distDedup ++ distContain ++ regFold
+        incGraph ++ distDedup ++ distContain ++ bpeScale ++ regFold
     val total = (results ++ scale).values.filter(_ >= 0).sum
     // The driver recovers the JSON from the last ~2000 chars of the
     // captured output (r2 parsed at 1734 chars; r3's 2440-char line
@@ -754,7 +784,7 @@ object Bench {
       "GRAFT_REGISTRY_FOLD", "GRAFT_REGISTRY_FOLD_STEP",
       "GRAFT_SCALE_RUNS", "GRAFT_CDC_BUCKETS", "GRAFT_SCALE_DEDUP_COPIES",
       "GRAFT_DIST_GRAPH_10M", "GRAFT_INC_GRAPH", "GRAFT_INC_GRAPH_STEP",
-      "GRAFT_SCALE_CONTAIN_COPIES")
+      "GRAFT_SCALE_CONTAIN_COPIES", "GRAFT_SCALE_BPE")
       .exists(sys.env.contains) ||
       sfDir != "/root/testdata/sf0.1" // the sf knob is sizing too
     val bestFile = sys.env.getOrElse("GRAFT_BENCH_BEST", "bench_best.json")

@@ -87,55 +87,136 @@ object TextQueries {
       .start()
     q.awaitTermination()
     val (fs, root) = EventStreams.hadoopFs(s, stateDir)
+    // NUMERIC slab order (m_v2 before m_v10): offsets are baked into
+    // the rows, so parquet union order is semantically irrelevant —
+    // but the manifest is FRAMED as ordered, and a lexicographic sort
+    // would silently contradict that the day slab order is relied on
     val slabs = fs.listStatus(root).toSeq.map(_.getPath.getName)
-      .filter(_.startsWith("m_v")).sorted.map(n => s"$stateDir/$n")
+      .filter(_.startsWith("m_v"))
+      .sortBy(_.stripPrefix("m_v").toLong).map(n => s"$stateDir/$n")
     packColumns(s.read.parquet(slabs: _*))
   }
 
   private val bpeMerges = 8 // merge rounds learned by t_bpe_train
 
+  /** The vocab-sized BPE word table: (n = word count, sym = the
+    * word's current symbol sequence, double-space delimited with
+    * sentinel spaces at both ends — "abc" → "␣␣a␣␣b␣␣c␣␣"). The
+    * corpus is touched exactly once, here; every training round works
+    * on this table. */
+  private def bpeWords(docs: org.apache.spark.sql.DataFrame) =
+    docs.select(explode(split(col("text"), " ", -1)).as("token"))
+      .where(col("token") =!= "")
+      .groupBy("token").agg(count(lit(1)).as("n"))
+      .select(col("n"),
+        concat(lit("  "), regexp_replace(col("token"), "(.)", "$1  "))
+          .as("sym"))
+      .localCheckpoint(eager = true) // vocab-sized; drop corpus lineage
+
+  /** (pair, cnt) adjacent-symbol counts over the current word table —
+    * one vocab-sized codegen'd explode + hash-agg per round. */
+  private def bpePairCounts(words: org.apache.spark.sql.DataFrame) =
+    words.select(col("n"), split(trim(col("sym")), "  ").as("a"))
+      .where(size(col("a")) >= 2)
+      .select(col("n"), col("a"),
+        explode(sequence(lit(0), size(col("a")) - 2)).as("i"))
+      .select(concat(element_at(col("a"), col("i") + 1), lit(" "),
+        element_at(col("a"), col("i") + 2)).as("pair"), col("n"))
+      .groupBy("pair").agg(sum(col("n")).as("cnt"))
+
+  /** Greedy left-to-right application of one learned merge — the
+    * double-delimiter non-regex replace every round uses (identical
+    * semantics in Spark and RE2-DuckDB). */
+  private def bpeApply(sym: Column, pair: String): Column = {
+    val Array(l, r) = pair.split(" ", 2)
+    replace(sym, lit(s" $l  $r "), lit(s" $l$r "))
+  }
+
   /** K rounds of BPE merge training over the word-frequency table.
-    * `words` state per round: (n = word count, sym = the word's
-    * current symbol sequence, double-space delimited with sentinel
-    * spaces at both ends). Each round is two vocab-sized jobs (pair
-    * count + the 1-row top-pair collect) and a codegen'd replace —
-    * the corpus is touched exactly once, by the initial fold.
-    * Returns the learned merge list (merge_rank, pair, cnt). */
+    * Each round is two vocab-sized jobs (pair count + the 1-row
+    * top-pair collect) and a codegen'd replace. Returns the learned
+    * merge list (merge_rank, pair, cnt). */
   private[graft] def bpeTrain(docs: org.apache.spark.sql.DataFrame,
       k: Int): org.apache.spark.sql.DataFrame = {
     val s = docs.sparkSession
-    val wc = docs
-      .select(explode(split(col("text"), " ", -1)).as("token"))
-      .where(col("token") =!= "")
-      .groupBy("token").agg(count(lit(1)).as("n"))
-    // "abc" → "  a  b  c  ": each char becomes "c␣␣", with the "␣␣"
-    // sentinel prepended — the double-delimiter invariant every merge
-    // preserves (see the t_bpe_train comment).
-    var words = wc.select(col("n"),
-      concat(lit("  "), regexp_replace(col("token"), "(.)", "$1  "))
-        .as("sym"))
-      .localCheckpoint(eager = true) // vocab-sized; drop corpus lineage
+    var words = bpeWords(docs)
     val merges = Seq.newBuilder[(Int, String, Long)]
     for (r <- 1 to k) {
-      val top = words
-        .select(col("n"), split(trim(col("sym")), "  ").as("a"))
-        .where(size(col("a")) >= 2)
-        .select(col("n"), col("a"),
-          explode(sequence(lit(0), size(col("a")) - 2)).as("i"))
-        .select(concat(element_at(col("a"), col("i") + 1), lit(" "),
-          element_at(col("a"), col("i") + 2)).as("pair"), col("n"))
-        .groupBy("pair").agg(sum(col("n")).as("cnt"))
+      val top = bpePairCounts(words)
         .orderBy(col("cnt").desc, col("pair")).limit(1).collect()
       require(top.nonEmpty, s"t_bpe_train: corpus exhausted at round $r")
       val (pair, cnt) = (top.head.getString(0), top.head.getLong(1))
       merges += ((r, pair, cnt))
-      val Array(l, rr) = pair.split(" ", 2)
-      words = words.select(col("n"),
-        replace(col("sym"), lit(s" $l  $rr "), lit(s" $l$rr ")).as("sym"))
+      words = words.select(col("n"), bpeApply(col("sym"), pair).as("sym"))
         .localCheckpoint(eager = true)
     }
     import s.implicits._
     merges.result().toDF("merge_rank", "pair", "cnt")
+  }
+
+  /** BATCHED BPE training — the loop [[bpeTrain]] cannot afford at a
+    * real vocab size: one-at-a-time training pays two vocab-sized
+    * jobs plus a 1-row collect PER MERGE (~100k scheduler round-trips
+    * for a 32k-merge tokenizer, pure driver latency). Per round this
+    * takes the LONGEST PREFIX of the (cnt desc, pair) ranking whose
+    * pairs are pairwise NON-INTERACTING — sharing no symbol — capped
+    * at `maxPerRound`, and applies the whole prefix in one codegen'd
+    * projection (chained [[bpeApply]]), so the round count collapses
+    * toward merges/maxPerRound.
+    *
+    * Equivalence to the one-at-a-time greedy: non-interacting merges
+    * can neither create nor destroy occurrences of each other (a
+    * merge consumes only its own two symbols and emits a brand-new
+    * one), so every batched pair's recorded count equals what greedy
+    * would have counted at its turn, and the batch applied in rank
+    * order IS the greedy sequence — PROVIDED no merge in the batch
+    * creates a new pair (one involving its fused symbol) that would
+    * have outranked a later batch member. A created pair's count is
+    * bounded by its creator's (every "x‿ab" contains an "a‿b"), so
+    * intrusion is only possible at ties against the tail of the
+    * batch; corpora where that matters should train with
+    * `maxPerRound = 1`, which IS [[bpeTrain]]'s loop. When even the
+    * top-2 pairs interact the prefix stops at 1 — the fail-safe
+    * degradation to exact greedy, per round, by construction.
+    * TextQueriesSpec pins batched == greedy on a non-interacting
+    * fixture and pins the prefix-stops-at-1 fallback on an
+    * interacting one.
+    *
+    * Returns (merge_rank, pair, cnt, round) — `round` exposes the
+    * batching structure (the scale evidence: rounds ≪ merges). */
+  private[graft] def bpeTrainBatched(docs: org.apache.spark.sql.DataFrame,
+      k: Int, maxPerRound: Int): org.apache.spark.sql.DataFrame = {
+    require(maxPerRound >= 1, "maxPerRound must be >= 1")
+    val s = docs.sparkSession
+    var words = bpeWords(docs)
+    val merges = Seq.newBuilder[(Int, String, Long, Int)]
+    var rank = 0
+    var round = 0
+    while (rank < k) {
+      round += 1
+      val want = math.min(maxPerRound, k - rank)
+      val top = bpePairCounts(words)
+        .orderBy(col("cnt").desc, col("pair")).limit(want).collect()
+      require(top.nonEmpty,
+        s"bpeTrainBatched: corpus exhausted at merge ${rank + 1}")
+      val used = scala.collection.mutable.Set[String]()
+      val batch = top.takeWhile { r =>
+        val Array(l, rr) = r.getString(0).split(" ", 2)
+        val ok = !used(l) && !used(rr)
+        if (ok) { used += l; used += rr }
+        ok
+      } // prefix is never empty: the top-1 pair interacts with nothing
+      words = words.select(col("n"),
+        batch.foldLeft(col("sym"))((c, r) => bpeApply(c, r.getString(0)))
+          .as("sym"))
+        .localCheckpoint(eager = true)
+      batch.foreach { r =>
+        rank += 1
+        merges += ((rank, r.getString(0), r.getLong(1), round))
+      }
+    }
+    import s.implicits._
+    merges.result().toDF("merge_rank", "pair", "cnt", "round")
   }
 
   /** Unrolled [[bpeTrain]] replay: w0 = the char-split word table,

@@ -51,4 +51,77 @@ class TextQueriesSpec extends AnyFunSuite {
     assert(one.map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
       == Seq((1, "a b", 3L)))
   }
+
+  test("bpeTrainBatched == greedy bpeTrain when top pairs are " +
+      "non-interacting — one round for the whole batch") {
+    import spark.implicits._
+    // three disjoint-symbol words: (a b)=5, (c d)=4, (e f)=3 share no
+    // symbol, so the longest non-interacting prefix is all three and
+    // one round applies the full greedy sequence
+    val docs = Seq("ab ab ab ab ab", "cd cd cd cd", "ef ef ef")
+      .toDF("text")
+    val greedy = graft.queries.TextQueries.bpeTrain(docs, 3)
+      .orderBy("merge_rank").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
+    val batched = graft.queries.TextQueries
+      .bpeTrainBatched(docs, 3, maxPerRound = 8)
+      .orderBy("merge_rank").collect()
+    assert(batched.map(r =>
+      (r.getInt(0), r.getString(1), r.getLong(2))).toSeq == greedy)
+    assert(batched.map(_.getInt(3)).toSeq == Seq(1, 1, 1),
+      "non-interacting top-3 must land in ONE round")
+    assert(greedy == Seq((1, "a b", 5L), (2, "c d", 4L), (3, "e f", 3L)))
+  }
+
+  test("bpeTrainBatched falls back to exact greedy (prefix = 1) when " +
+      "the top pairs interact") {
+    import spark.implicits._
+    // "abc": (a b)=5 and (b c)=5 share b — the round-1 prefix stops
+    // at 1, and round 2's top pair is the CREATED (ab c): two rounds,
+    // identical to one-at-a-time greedy
+    val docs = Seq("abc abc abc abc abc").toDF("text")
+    val batched = graft.queries.TextQueries
+      .bpeTrainBatched(docs, 2, maxPerRound = 8)
+      .orderBy("merge_rank").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getInt(3)))
+      .toSeq
+    assert(batched == Seq((1, "a b", 5L, 1), (2, "ab c", 5L, 2)))
+    val greedy = graft.queries.TextQueries.bpeTrain(docs, 2)
+      .orderBy("merge_rank").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
+    assert(batched.map(t => (t._1, t._2, t._3)) == greedy)
+  }
+
+  test("bpeTrainBatched(maxPerRound = 1) IS bpeTrain; wider batches " +
+      "carry the documented created-pair caveat") {
+    import spark.implicits._
+    val docs = Seq(
+      "low low low low low",
+      "lower lower",
+      "newest newest newest newest newest newest",
+      "widest widest widest",
+      "lll lll lll lll lll lll lll lll lll lll").toDF("text")
+    // exact mode: one pair per round == the greedy trainer, always
+    val greedy = graft.queries.TextQueries.bpeTrain(docs, 8)
+      .orderBy("merge_rank").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
+    val exact = graft.queries.TextQueries
+      .bpeTrainBatched(docs, 8, maxPerRound = 1)
+      .orderBy("merge_rank").collect()
+    assert(exact.map(r =>
+      (r.getInt(0), r.getString(1), r.getLong(2))).toSeq == greedy)
+    assert(exact.map(_.getInt(3)).toSeq == (1 to 8),
+      "maxPerRound=1 must be one merge per round")
+    // the caveat, pinned: on this fixture greedy's merge 2 is the
+    // CREATED pair ("ll l", 10) — batching (l l) with the
+    // non-interacting (e s, 9) skips it, so batched-wide DIVERGES
+    // from greedy here by design (why exact mode exists)
+    val wide = graft.queries.TextQueries
+      .bpeTrainBatched(docs, 2, maxPerRound = 16)
+      .orderBy("merge_rank").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getInt(3)))
+      .toSeq
+    assert(wide == Seq((1, "l l", 20L, 1), (2, "e s", 9L, 1)))
+    assert(greedy(1) == ((2, "ll l", 10L)))
+  }
 }
