@@ -535,6 +535,31 @@ object GfeQueries {
         .distinct()
         .orderBy("allele", "term", "rank", "accession", "feature_len")
     }),
+    // The JOIN-SHAPED store read (GraphStore.probeJoin): serve every
+    // HAS_SEQUENCE edge whose src GFE sits at an HLA-A/HLA-B locus,
+    // with the key frame coming from a TABLE (the store's own GFE
+    // vertices), not a driver-side anchor list — the workload shape
+    // `probe` cannot take (its bucket-id set collects to the driver).
+    // probeJoin is a lazy left-semi join over the marker-pinned live
+    // bucket files; no collect, no broadcast requirement, so the key
+    // frame may be table-sized. Oracled against the refold aux's
+    // edge⋈vertex join — hash equality pins that the manifest-resolved
+    // serving state IS the refold's edge set under a semi-join.
+    QueryDef("gfe_incremental_join",
+      s"""SELECT e.src, e.dst
+         |FROM ${aux("e_HAS_SEQUENCE")} e
+         |JOIN ${aux("v_GFE")} g ON g.name = e.src
+         |WHERE g.locus IN ('HLA-A', 'HLA-B')
+         |ORDER BY src, dst""".stripMargin)((s, _) => {
+      import org.apache.spark.sql.functions.col
+      val (dir, g) = incrementalStore(s)
+      val keyFrame = g.gfe.where(col("locus").isin("HLA-A", "HLA-B"))
+        .select(col("name").as("src"))
+      graft.graph.GraphStore.probeJoin(s, dir, "HAS_SEQUENCE",
+          keyFrame, Seq("src"))
+        .select(col("src"), col("dst"))
+        .orderBy("src", "dst")
+    }),
     // ...and the per-column-policy vertex (gene create-only, G/lg
     // conditional overwrite) built incrementally vs the refold aux.
     QueryDef("gfe_incremental_alleles",
