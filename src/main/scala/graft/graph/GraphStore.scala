@@ -469,6 +469,15 @@ object GraphStore {
       .join(broadcast(anchors), keys, "left_semi")
   }
 
+  /** The persisted traversal-anchor bucket key of `table` — the key
+    * [[probe]] accepts. Public so traversal planners
+    * ([[Motif.varPathAnchored]]) can choose per orientation between
+    * the bucket-pruned [[probe]] (entering by this key) and the
+    * semi-join [[probeJoin]] (entering by any other). */
+  def anchorKeys(spark: SparkSession, dir: String,
+      table: String): Seq[String] =
+    tableBucketKeys(spark, s"$dir/$table")
+
   /** JOIN-shaped store read: the rows of `table` whose `keys` values
     * appear in `keyFrame` — [[probe]]'s semantics with NO driver-side
     * materialization of the key side (no eager bucket-id collect, no

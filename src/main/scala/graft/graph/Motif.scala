@@ -172,6 +172,96 @@ object Motif {
       .agg(count(lit(1)).as("n_paths"))
   }
 
+  /** [[varPath]] against a STANDING [[GraphStore]] — the anchored
+    * variable-length idiom (`MATCH (a)-[*1..k]-(b) WHERE a.name IN …`)
+    * served from the store without ever scanning an edge table when
+    * the layout allows it. Each expansion step fetches only the edges
+    * incident to the CURRENT frontier: an orientation entering a
+    * table by its persisted traversal-anchor key is a bucket-pruned
+    * [[GraphStore.probe]] (a handful of bucket files at any scale);
+    * an orientation entering by the other end falls back to
+    * [[GraphStore.probeJoin]] (lazy semi-join over the live bucket
+    * files — exact, no driver materialization, but no file pruning:
+    * the store's anchor orientation is the hot direction by design,
+    * and the fallback's cost is stated, not hidden). Uniqueness
+    * semantics, self-loop handling, output relation
+    * (n_start, n_end, len, n_paths) and counts are EXACTLY
+    * [[varPath]]'s restricted to `n_start ∈ anchors` — the store
+    * serving is an I/O strategy, not a semantics change (spec-pinned).
+    *
+    * `anchors`: one key column, probe-sized (each step's frontier key
+    * set is localCheckpoint'd before the fan-out, so per-step lineage
+    * stays flat and each orientation's probe sees a materialized,
+    * bounded key list). Labels must carry real `src`/`dst` node keys —
+    * a composite far end (HAS_FEATURE) has no enterable reverse key
+    * and fails loudly. Node keys are compared as strings, matching
+    * [[varPath]]'s cast. */
+  def varPathAnchored(spark: org.apache.spark.sql.SparkSession,
+      dir: String, anchors: DataFrame, labels: Seq[String],
+      minLen: Int, maxLen: Int, either: Boolean = false,
+      edgeDistinct: Boolean = false): DataFrame = {
+    require(minLen >= 1 && maxLen >= minLen, "need 1 <= minLen <= maxLen")
+    require(anchors.columns.length == 1,
+      s"anchors must be a single key column, got " +
+        s"(${anchors.columns.mkString(",")})")
+    // orientation plan, resolved once from the store meta:
+    // (label, enter-by, exit-by, probe-served?)
+    val orientations = labels.flatMap { lbl =>
+      val anchor = GraphStore.anchorKeys(spark, dir, lbl)
+      val dirs =
+        if (either) Seq(("src", "dst"), ("dst", "src"))
+        else Seq(("src", "dst"))
+      dirs.map { case (en, ex) => (lbl, en, ex, anchor == Seq(en)) }
+    }
+    // distinct (a, b) edge pairs incident to a frontier key set —
+    // varPath's `e` restricted to rows entered by the frontier
+    def edgesFor(frontKeys: DataFrame): DataFrame =
+      orientations.map { case (lbl, en, ex, probed) =>
+        val f = frontKeys.select(col("k").as(en))
+        val t =
+          if (probed) GraphStore.probe(spark, dir, lbl, f, Seq(en))
+          else GraphStore.probeJoin(spark, dir, lbl, f, Seq(en))
+        require(t.columns.contains("dst"),
+          s"$lbl has a composite far end — varPathAnchored needs " +
+            "src/dst node keys (probe the vertex by its composite key " +
+            "instead, as gfe_incremental_khop does)")
+        t.select(col(en).cast("string").as("a"),
+          col(ex).cast("string").as("b"))
+      }.reduce(_ unionByName _)
+        .where(col("a") =!= col("b")).distinct()
+    def ekey(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
+      if (either) struct(least(x, y).as("u"), greatest(x, y).as("v"))
+      else struct(x.as("u"), y.as("v"))
+    val a0 = anchors
+      .select(col(anchors.columns.head).cast("string").as("k"))
+      .dropDuplicates("k").localCheckpoint()
+    val e1 = edgesFor(a0)
+    val seed =
+      if (edgeDistinct) array(ekey(col("a"), col("b")))
+      else array(col("a"), col("b"))
+    var frontier = e1.select(col("a").as("n_start"), col("b").as("n_end"),
+      seed.as("visited"), lit(1).as("len"))
+    var out = frontier
+    for (l <- 2 to maxLen) {
+      val fk = frontier.select(col("n_end").as("k"))
+        .dropDuplicates("k").localCheckpoint()
+      val step = edgesFor(fk)
+        .select(col("a").as("_sa"), col("b").as("_sb"))
+      val mark =
+        if (edgeDistinct) ekey(col("_sa"), col("_sb")) else col("_sb")
+      frontier = frontier
+        .join(step, col("n_end") === col("_sa"))
+        .where(!array_contains(col("visited"), mark))
+        .select(col("n_start"), col("_sb").as("n_end"),
+          concat(col("visited"), array(mark)).as("visited"),
+          lit(l).as("len"))
+      out = out.unionByName(frontier)
+    }
+    out.where(col("len") >= minLen)
+      .groupBy("n_start", "n_end", "len")
+      .agg(count(lit(1)).as("n_paths"))
+  }
+
   /** [[varPath]] over the union of a graph's edge labels (Cypher's
     * label-free `-[*1..k]-`): node keys are each label's src/dst
     * (composite-key far ends get the same `:`-joined encoding as

@@ -535,6 +535,48 @@ object GfeQueries {
         .distinct()
         .orderBy("allele", "term", "rank", "accession", "feature_len")
     }),
+    // Anchored VARIABLE-LENGTH traversal over the standing store
+    // (Motif.varPathAnchored): Cypher's `MATCH (a)-[*1..3]-(b) WHERE
+    // a.name IN …` against the incremental store, each expansion step
+    // fetching only the frontier's incident edges — bucket-pruned
+    // probe when a step enters a table by its traversal anchor,
+    // lazy semi-join (probeJoin) for the other orientation; no edge
+    // table is ever scanned outright. Oracled against the refold
+    // aux's recursive CTE seeded at the same anchors — exact integer
+    // path counts, full hash parity (the store serving is an I/O
+    // strategy, not a semantics change).
+    QueryDef("gfe_incremental_varlen",
+      s"""WITH RECURSIVE e0 AS (
+         |  SELECT CAST(src AS VARCHAR) AS a, CAST(dst AS VARCHAR) AS b
+         |  FROM ${aux("e_HAS_IPD_ALLELE")}
+         |  UNION SELECT CAST(src AS VARCHAR), CAST(dst AS VARCHAR)
+         |  FROM ${aux("e_HAS_IPD_ACCESSION")}),
+         |e AS (SELECT a, b FROM e0 WHERE a <> b
+         |      UNION SELECT b, a FROM e0 WHERE a <> b),
+         |walk(n_start, n_end, visited, len) AS (
+         |  SELECT a, b, [a, b], 1 FROM e
+         |  WHERE a IN ('HLA-A*01:01:01:01', 'HLA-A*02:01')
+         |  UNION ALL
+         |  SELECT w.n_start, e.b, list_append(w.visited, e.b), w.len + 1
+         |  FROM walk w JOIN e ON e.a = w.n_end
+         |  WHERE w.len < 3 AND NOT list_contains(w.visited, e.b))
+         |SELECT n_start, n_end, CAST(len AS BIGINT) AS len,
+         |       CAST(count(*) AS BIGINT) AS n_paths
+         |FROM walk
+         |GROUP BY 1, 2, 3
+         |ORDER BY 1, 2, 3""".stripMargin)((s, _) => {
+      import org.apache.spark.sql.functions._
+      import s.implicits._
+      import graft.graph.Motif
+      val (dir, _) = incrementalStore(s)
+      val anchors = Seq("HLA-A*01:01:01:01", "HLA-A*02:01").toDF("allele")
+      Motif.varPathAnchored(s, dir, anchors,
+          Seq("HAS_IPD_ALLELE", "HAS_IPD_ACCESSION"), 1, 3,
+          either = true, edgeDistinct = false)
+        .select(col("n_start"), col("n_end"),
+          col("len").cast("long").as("len"), col("n_paths"))
+        .orderBy("n_start", "n_end", "len")
+    }),
     // The JOIN-SHAPED store read (GraphStore.probeJoin): serve every
     // HAS_SEQUENCE edge whose src GFE sits at an HLA-A/HLA-B locus,
     // with the key frame coming from a TABLE (the store's own GFE

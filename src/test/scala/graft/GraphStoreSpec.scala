@@ -438,4 +438,57 @@ class GraphStoreSpec extends AnyFunSuite {
       assert(LoadFixtures.rowsOf(lazyDf) == LoadFixtures.rowsOf(viaProbe))
     } finally spark.sparkContext.removeSparkListener(listener)
   }
+
+  test("varPathAnchored: store-served variable-length expansion equals " +
+      "varPath restricted to the anchors, in both uniqueness modes; " +
+      "anchor-entering steps are bucket-pruned; composite ends fail") {
+    import spark.implicits._
+    import graft.graph.Motif
+    val Seq(r1, r2, r3) = LoadFixtures.policyMatrix(spark)
+    val dir = tmp("graphstore_varpath")
+    GraphStore.init(spark, dir, GraphLoad.loadAll(spark, Seq(r1)),
+      buckets = 16)
+    GraphStore.applyRelease(spark, dir, r2)
+    GraphStore.applyRelease(spark, dir, r3)
+    val g = GraphStore.read(spark, dir)
+    val labels = Seq("HAS_IPD_ALLELE", "HAS_IPD_ACCESSION")
+    val anchors = Seq("HLA-A*01:01").toDF("allele")
+    // CORRECTNESS in both uniqueness semantics: identical relation
+    // (n_start, n_end, len, n_paths) as the whole-table varPath
+    // filtered to the anchor set — the probe/probeJoin serving is an
+    // I/O strategy, not a semantics change
+    for (trail <- Seq(false, true)) {
+      val out = Motif.varPathAnchored(spark, dir, anchors, labels,
+        1, 3, either = true, edgeDistinct = trail)
+      val full = Motif.varPath(g, labels, 1, 3, either = true,
+          edgeDistinct = trail)
+        .where(col("n_start") === "HLA-A*01:01")
+      val (ro, rf) = (LoadFixtures.rowsOf(out), LoadFixtures.rowsOf(full))
+      assert(ro.nonEmpty && ro == rf,
+        s"trail=$trail anchored rows differ:\n $ro\n $rf")
+      // the anchored expansion must actually reach depth: the fixture
+      // wires HLA-A*01:01 – {A,C} – AC1 – … so len-2 rows exist
+      assert(out.where(col("len") >= 2).count() > 0)
+    }
+    // PLAN QUALITY: a directed expansion entering a src-anchored
+    // table (HAS_SEQUENCE) by its anchor key is served by probe —
+    // the scan touches ONLY the anchor's bucket
+    import graft.streaming.EventStreams
+    val dOut = Motif.varPathAnchored(spark, dir, Seq("A").toDF("gfe"),
+      Seq("HAS_SEQUENCE"), 1, 1)
+    val b = Seq("A").toDF("k")
+      .select(EventStreams.bucketCol(Seq("k"), 16))
+      .collect().head.getInt(0)
+    val files = dOut.inputFiles.filter(_.contains("/HAS_SEQUENCE/"))
+    assert(files.nonEmpty && files.forall(_.contains(s"_graft_bucket=$b/")),
+      s"directed anchor-entering step must scan only bucket $b: " +
+        files.mkString(", "))
+    // a composite-far-end label has no enterable reverse node key —
+    // loud failure, never a silent wrong answer
+    val e = intercept[IllegalArgumentException] {
+      Motif.varPathAnchored(spark, dir, Seq("A").toDF("gfe"),
+        Seq("HAS_FEATURE"), 1, 2).collect()
+    }
+    assert(e.getMessage.contains("composite far end"), e.getMessage)
+  }
 }
