@@ -512,6 +512,26 @@ object Bench {
             .hasIpdAllele.count()
           storeEdges
         }
+        // Dual-anchor A/B: the same fold with `__rev` twins
+        // maintained (either-direction traversals become all-probe).
+        // The measured delta IS the write cost of the 2×-edge-layout
+        // trade — the number a store operator weighs against their
+        // reverse-traversal volume.
+        val applyDual = tTier(s"xinc_apply_dual_$incReleases",
+            "twins maintained") {
+          val dir = java.nio.file.Files
+            .createTempDirectory("graft_inc_store_dual").toString
+          graft.graph.GraphStore.init(spark, dir,
+            graft.graph.GraphLoad.loadAll(spark, Seq(rels.head)),
+            dualAnchor = true)
+          rels.tail.foreach(graft.graph.GraphStore
+            .applyRelease(spark, dir, _))
+          val n = graft.graph.GraphStore.read(spark, dir)
+            .hasIpdAllele.count()
+          require(storeEdges < 0 || n == storeEdges,
+            s"dual-anchor fold ($n edges) != single ($storeEdges)")
+          n
+        }
         // Half-history datapoint OUTSIDE the timed entry (folding it
         // into the entry would overstate the full refold ~1.5×): the
         // growth evidence — a reader sees refold(K/2) < refold(K)
@@ -534,7 +554,7 @@ object Bench {
             s"store fold ($storeEdges edges) != refold ($n edges)")
           n
         }
-        Map(apply, refold)
+        Map(apply, applyDual, refold)
       } catch { case scala.util.control.NonFatal(ex) =>
         System.err.println(s"[bench] inc-graph workload failed: $ex")
         Map.empty

@@ -267,7 +267,7 @@ object GraphStore {
     * `sequence` column). Every choice is a function of the table's
     * merge key, so bucket-local merges stay exact. */
   def init(spark: SparkSession, dir: String, g: GraphLoad.Graph,
-      buckets: Int = numBuckets): Unit = {
+      buckets: Int = numBuckets, dualAnchor: Boolean = false): Unit = {
     initTable(spark, s"$dir/GFE", g.gfe, Seq("name"), buckets)
     initTable(spark, s"$dir/Sequence", g.sequence, Seq("name"), buckets)
     initTable(spark, s"$dir/Feature", g.feature,
@@ -289,15 +289,60 @@ object GraphStore {
     // the seq_id-keyed Sequence-node index HAS_SEQUENCE probes
     initTable(spark, s"$dir/SEQ_INDEX",
       g.sequence.select(col("seq_id"), col("name")), Seq("seq_id"), buckets)
-    writeMarker(spark, dir, allTables.map(_ -> 0).toMap)
+    // DUAL-ANCHOR layout (opt-in): each traversal edge table gets a
+    // `__rev` twin holding the SAME rows bucketed by the OPPOSITE
+    // anchor, so EITHER traversal direction is a bucket-pruned probe
+    // — the classic adjacency-both-ways graph-store trade (2× edge
+    // storage for all-probe reads; the reference's Neo4j pays the
+    // same via its per-direction relationship chains). [[probe]]
+    // routes a reverse-key probe to the twin transparently;
+    // [[applyRelease]] applies every edge delta to both layouts, so
+    // the twins can never drift (fold equality spec-pinned).
+    // SUBMITTED gets no twin: its reverse fan-out is table-sized by
+    // nature (one submitter vertex) — a bucket layout cannot help it,
+    // and [[probeJoin]] stays the honest read for that shape.
+    if (dualAnchor) {
+      val src = Map[String, DataFrame](
+        "HAS_IPD_ALLELE" -> g.hasIpdAllele,
+        "HAS_IPD_ACCESSION" -> g.hasIpdAccession,
+        "HAS_SEQUENCE" -> g.hasSequence,
+        "HAS_FEATURE" -> g.hasFeature)
+      revAnchors.foreach { case (t, keys) =>
+        initTable(spark, s"$dir/${t}__rev", src(t), keys, buckets)
+      }
+    }
+    writeMarker(spark, dir, tablesOf(spark, dir).map(_ -> 0).toMap)
   }
 
-  /** Every table directory the store keeps (11 applied + static
-    * Submitter). */
-  private val allTables: Seq[String] = Seq(
-    "GFE", "Sequence", "Feature", "IPD_Allele", "IPD_Accession",
-    "Submitter", "HAS_IPD_ALLELE", "HAS_IPD_ACCESSION", "SUBMITTED",
-    "HAS_SEQUENCE", "HAS_FEATURE", "SEQ_INDEX")
+  /** Reverse-twin anchor keys: the opposite traversal end of each
+    * edge table that has an enterable one (HAS_FEATURE's far end is
+    * the Feature composite key — its twin serves "which GFEs carry
+    * feature F"). */
+  private val revAnchors: Seq[(String, Seq[String])] = Seq(
+    "HAS_IPD_ALLELE" -> Seq("src"),
+    "HAS_IPD_ACCESSION" -> Seq("src"),
+    "HAS_SEQUENCE" -> Seq("dst"),
+    "HAS_FEATURE" -> Seq("locus", "rank", "term", "accession"))
+
+  private def hasTwin(spark: SparkSession, dir: String,
+      table: String): Boolean = {
+    val (fs, p) = EventStreams.hadoopFs(spark,
+      metaPath(s"$dir/${table}__rev"))
+    fs.exists(p)
+  }
+
+  /** Every table directory the store keeps — dynamic, because the
+    * dual-anchor layout adds `__rev` twins (a directory is a table
+    * iff it carries a store meta file). */
+  private def tablesOf(spark: SparkSession, dir: String): Seq[String] = {
+    val (fs, root) = EventStreams.hadoopFs(spark, dir)
+    fs.listStatus(root).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName != "_release")
+      .map(_.getPath.getName)
+      .filter(t => fs.exists(new org.apache.hadoop.fs.Path(
+        metaPath(s"$dir/$t"))))
+      .sorted
+  }
 
   /** Per-table dirty-bucket counts and committed manifest versions of
     * one [[applyRelease]]. */
@@ -348,6 +393,21 @@ object GraphStore {
           applyTable(spark, s"$dir/$table", delta, merge))
         ()
       }
+    // Dual-anchor twins receive the SAME delta under the SAME merge —
+    // sound because every twin bucket key is a function of the merge
+    // key, so both layouts' bucket-local merges compute the identical
+    // relation. The delta is checkpointed once so the (possibly deep)
+    // delta pipeline doesn't run once per layout.
+    val twins = revAnchors.map(_._1)
+      .filter(t => hasTwin(spark, dir, t)).toSet
+    def applyEdge(table: String, delta: DataFrame,
+        merge: (DataFrame, DataFrame) => DataFrame): Seq[Future[Unit]] =
+      if (!twins(table)) Seq(apply1(table, delta, merge))
+      else {
+        val d = delta.localCheckpoint()
+        Seq(apply1(table, d, merge),
+          apply1(s"${table}__rev", d, merge))
+      }
 
     // Bijection guard BEFORE any apply commits (serial — probing the
     // Sequence store while its own overwrite apply runs would race
@@ -387,14 +447,10 @@ object GraphStore {
       apply1("Feature", d.featDelta, createOnly(featKeys)),
       apply1("IPD_Allele", d.alleleDelta, mergeAllele),
       apply1("IPD_Accession", d.accDelta, createOnly(Seq("name"))),
-      apply1("HAS_IPD_ALLELE", d.relsDelta, mergeReleases),
-      apply1("HAS_IPD_ACCESSION", d.hasAccDelta,
-        createOnly(Seq("src", "dst"))),
       // SUBMITTED create-only on dst: only this release's genuinely-
       // new GFEs land (existing dsts keep their first submit_date)
       apply1("SUBMITTED", d.submittedDelta(lit(submitDate)),
         createOnly(Seq("src", "dst"))),
-      apply1("HAS_FEATURE", d.hasFeatDelta, createOnly(hfKeys)),
       // SEQ_INDEX first, then HAS_SEQUENCE from the probe (chained
       // below so the probe reads this release's committed index)
       apply1("SEQ_INDEX", seqDelta.select(col("seq_id"), col("name")),
@@ -406,11 +462,21 @@ object GraphStore {
             .withColumnRenamed("name", "dst")
             .join(broadcast(pairs), Seq("seq_id"))
             .select("src", "dst")
+          val hs = if (twins("HAS_SEQUENCE")) hsDelta.localCheckpoint()
+            else hsDelta
           stats.put("HAS_SEQUENCE",
             applyTable(spark, s"$dir/HAS_SEQUENCE",
-              hsDelta, createOnly(Seq("src", "dst"))))
+              hs, createOnly(Seq("src", "dst"))))
+          if (twins("HAS_SEQUENCE"))
+            stats.put("HAS_SEQUENCE__rev",
+              applyTable(spark, s"$dir/HAS_SEQUENCE__rev",
+                hs, createOnly(Seq("src", "dst"))))
           ()
-        })
+        }) ++
+      applyEdge("HAS_IPD_ALLELE", d.relsDelta, mergeReleases) ++
+      applyEdge("HAS_IPD_ACCESSION", d.hasAccDelta,
+        createOnly(Seq("src", "dst"))) ++
+      applyEdge("HAS_FEATURE", d.hasFeatDelta, createOnly(hfKeys))
     // Completion BARRIER before failure propagation: if one table's
     // apply fails, the others must finish (or fail) before this call
     // returns — a caller's retry must never race a still-running
@@ -424,7 +490,7 @@ object GraphStore {
     // Tables this release did not apply (Submitter) carry their
     // version forward from the previous marker.
     val carried = latestMarker(spark, dir).getOrElse(Map.empty)
-    val versions = allTables.map { t =>
+    val versions = tablesOf(spark, dir).map { t =>
       t -> applied.get(t).map(_._2)
         .orElse(carried.get(t))
         .getOrElse(latestVersion(spark, s"$dir/$t"))
@@ -462,12 +528,32 @@ object GraphStore {
     * list), not a table. */
   def probe(spark: SparkSession, dir: String, table: String,
       keyRows: DataFrame, keys: Seq[String]): DataFrame = {
+    // dual-anchor routing: a probe keyed by the OPPOSITE traversal
+    // end is served from the `__rev` twin (same rows, reverse bucket
+    // layout) when the store keeps one — both directions of an
+    // anchored traversal become bucket-pruned reads. No twin, wrong
+    // key → the loud layout failure below, as before.
+    val bk = tableBucketKeys(spark, s"$dir/$table")
+    if (keys != bk && !table.endsWith("__rev") &&
+        hasTwin(spark, dir, table) &&
+        tableBucketKeys(spark, s"$dir/${table}__rev") == keys)
+      return probe(spark, dir, s"${table}__rev", keyRows, keys)
     val anchors = keyRows.select(keys.map(col): _*)
       .dropDuplicates(keys).localCheckpoint()
     stateForKeys(spark, s"$dir/$table", anchors, keys,
       Some(servingManifest(spark, dir, table)))
       .join(broadcast(anchors), keys, "left_semi")
   }
+
+  /** True iff [[probe]] can serve `table` entered by `keys` as a
+    * bucket-pruned read — by the table's own anchor or a dual-anchor
+    * twin's. Traversal planners ([[Motif.varPathAnchored]]) use this
+    * to pick probe vs the semi-join fallback per orientation. */
+  def probeServable(spark: SparkSession, dir: String, table: String,
+      keys: Seq[String]): Boolean =
+    tableBucketKeys(spark, s"$dir/$table") == keys ||
+      (hasTwin(spark, dir, table) &&
+        tableBucketKeys(spark, s"$dir/${table}__rev") == keys)
 
   /** The persisted traversal-anchor bucket key of `table` — the key
     * [[probe]] accepts. Public so traversal planners

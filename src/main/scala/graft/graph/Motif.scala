@@ -205,13 +205,16 @@ object Motif {
       s"anchors must be a single key column, got " +
         s"(${anchors.columns.mkString(",")})")
     // orientation plan, resolved once from the store meta:
-    // (label, enter-by, exit-by, probe-served?)
+    // (label, enter-by, exit-by, probe-served?) — an orientation is
+    // probe-served when the table's own anchor OR a dual-anchor twin
+    // matches its entering key (probe routes to the twin itself)
     val orientations = labels.flatMap { lbl =>
-      val anchor = GraphStore.anchorKeys(spark, dir, lbl)
       val dirs =
         if (either) Seq(("src", "dst"), ("dst", "src"))
         else Seq(("src", "dst"))
-      dirs.map { case (en, ex) => (lbl, en, ex, anchor == Seq(en)) }
+      dirs.map { case (en, ex) =>
+        (lbl, en, ex, GraphStore.probeServable(spark, dir, lbl, Seq(en)))
+      }
     }
     // distinct (a, b) edge pairs incident to a frontier key set —
     // varPath's `e` restricted to rows entered by the frontier

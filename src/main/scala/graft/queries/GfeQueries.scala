@@ -163,8 +163,13 @@ object GfeQueries {
         val r2 = build(s, "3570", Some(r1.registry))
         val dir = java.nio.file.Files
           .createTempDirectory("graft_fixture_inc_store").toString
+        // dual-anchor: the driver oracle then exercises twin
+        // maintenance end-to-end (init + applyRelease through both
+        // layouts), and gfe_incremental_varlen's reverse orientations
+        // are bucket-pruned probes instead of semi-join fallbacks
         graft.graph.GraphStore.init(s, dir, GraphLoad.loadAll(s,
-          Seq(("3560", r1.gfeSequences, r1.allFeatures, r1.allGroups))))
+          Seq(("3560", r1.gfeSequences, r1.allFeatures, r1.allGroups))),
+          dualAnchor = true)
         graft.graph.GraphStore.applyRelease(s, dir,
           ("3570", r2.gfeSequences, r2.allFeatures, r2.allGroups))
         val entry = (dir, graft.graph.GraphStore.read(s, dir))
@@ -538,10 +543,12 @@ object GfeQueries {
     // Anchored VARIABLE-LENGTH traversal over the standing store
     // (Motif.varPathAnchored): Cypher's `MATCH (a)-[*1..3]-(b) WHERE
     // a.name IN …` against the incremental store, each expansion step
-    // fetching only the frontier's incident edges — bucket-pruned
-    // probe when a step enters a table by its traversal anchor,
-    // lazy semi-join (probeJoin) for the other orientation; no edge
-    // table is ever scanned outright. Oracled against the refold
+    // fetching only the frontier's incident edges. The fixture store
+    // is DUAL-ANCHOR, so both orientations of every step are
+    // bucket-pruned probes (the `__rev` twins serve the reverse
+    // direction); on a single-anchor store the reverse orientation
+    // degrades to the lazy semi-join fallback — same rows either
+    // way, spec-pinned. Oracled against the refold
     // aux's recursive CTE seeded at the same anchors — exact integer
     // path counts, full hash parity (the store serving is an I/O
     // strategy, not a semantics change).

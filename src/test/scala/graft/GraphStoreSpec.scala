@@ -491,4 +491,79 @@ class GraphStoreSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("composite far end"), e.getMessage)
   }
+
+  test("dual-anchor store: reverse probes served bucket-pruned from " +
+      "the __rev twin; applyRelease keeps twins consistent; " +
+      "either-direction expansion reads only the anchor's buckets") {
+    import spark.implicits._
+    import graft.graph.Motif
+    val Seq(r1, r2, r3) = LoadFixtures.policyMatrix(spark)
+    val dir = tmp("graphstore_dual")
+    GraphStore.init(spark, dir, GraphLoad.loadAll(spark, Seq(r1)),
+      buckets = 16, dualAnchor = true)
+    GraphStore.applyRelease(spark, dir, r2)
+    GraphStore.applyRelease(spark, dir, r3)
+    // twins are invisible to read(): fold == refold exactly as on a
+    // single-anchor store
+    val refold = GraphLoad.loadAll(spark, Seq(r1, r2, r3))
+    LoadFixtures.assertSameGraph(refold, GraphStore.read(spark, dir),
+      "dual-anchor fold")
+    // the twin serves the SAME relation: a reverse-key probe over
+    // every src equals the main table (applyRelease maintained both
+    // layouts through two releases)
+    val allSrc = refold.hasIpdAllele.select("src").distinct()
+    val viaTwin = GraphStore.probe(spark, dir, "HAS_IPD_ALLELE",
+      allSrc, Seq("src"))
+    assert(LoadFixtures.rowsOf(viaTwin) ==
+      LoadFixtures.rowsOf(GraphStore.read(spark, dir).hasIpdAllele))
+    // routing + pruning: the reverse probe reads ONLY __rev bucket
+    // files, only the anchors' buckets
+    import graft.streaming.EventStreams
+    val bA = Seq("A").toDF("k")
+      .select(EventStreams.bucketCol(Seq("k"), 16))
+      .collect().head.getInt(0)
+    val one = GraphStore.probe(spark, dir, "HAS_IPD_ALLELE",
+      Seq("A").toDF("src"), Seq("src"))
+    val oneFiles = one.inputFiles.filter(_.contains("HAS_IPD_ALLELE"))
+    assert(oneFiles.nonEmpty &&
+      oneFiles.forall(f => f.contains("/HAS_IPD_ALLELE__rev/") &&
+        f.contains(s"_graft_bucket=$bA/")),
+      s"reverse probe must read only twin bucket $bA: " +
+        oneFiles.mkString(", "))
+    assert(GraphStore.probeServable(spark, dir, "HAS_IPD_ALLELE",
+      Seq("src")) &&
+      GraphStore.probeServable(spark, dir, "HAS_IPD_ALLELE", Seq("dst")))
+    // either-direction variable-length expansion: correct vs the
+    // whole-table varPath, and — the dual-anchor payoff — BOTH
+    // orientations of the anchor hop are bucket-pruned probes: every
+    // HAS_IPD_ALLELE file read (main or twin layout) sits in the
+    // anchor's bucket (both layouts hash the same anchor value)
+    val anchors = Seq("HLA-A*01:01").toDF("allele")
+    val g = GraphStore.read(spark, dir)
+    val out = Motif.varPathAnchored(spark, dir, anchors,
+      Seq("HAS_IPD_ALLELE"), 1, 1, either = true)
+    val full = Motif.varPath(g, Seq("HAS_IPD_ALLELE"), 1, 1,
+        either = true, edgeDistinct = false)
+      .where(col("n_start") === "HLA-A*01:01")
+    assert(LoadFixtures.rowsOf(out) == LoadFixtures.rowsOf(full))
+    val bAnchor = anchors
+      .select(EventStreams.bucketCol(Seq("allele"), 16))
+      .collect().head.getInt(0)
+    // the anchor is never a src, so the twin orientation's hit bucket
+    // is absent and stateAt serves its O(1) `_empty` schema footer —
+    // allowed; what must NOT appear is any DATA file outside the
+    // anchor's bucket
+    val hopFiles = out.inputFiles.filter(_.contains("HAS_IPD_ALLELE"))
+      .filterNot(_.contains("/_empty/"))
+    assert(hopFiles.nonEmpty &&
+      hopFiles.forall(_.contains(s"_graft_bucket=$bAnchor/")),
+      s"either-direction anchor hop must read only bucket $bAnchor " +
+        s"in both layouts: ${hopFiles.mkString(", ")}")
+    // vacuum GCs superseded twin versions like any table, and the
+    // store still serves
+    val before = LoadFixtures.rowsOf(viaTwin)
+    GraphStore.vacuum(spark, dir, keepVersions = 1)
+    assert(LoadFixtures.rowsOf(GraphStore.probe(spark, dir,
+      "HAS_IPD_ALLELE", allSrc, Seq("src"))) == before)
+  }
 }
