@@ -669,17 +669,37 @@ object Bench {
       else {
         import org.apache.spark.sql.functions._
         Map(tTier(s"xscale_bpe_$bpeScaleMerges", s"$bpeScaleMerges merges") {
-          val docs = graft.Tables.documents(spark, sfDir)
+          // The sf corpus cannot carry this tier: its 31-token
+          // vocabulary exhausts at ~90 merges, and its symbol poverty
+          // (few distinct characters) makes the top-16 pairs interact
+          // almost always, degrading every batch to near-greedy —
+          // both measured, not guessed (89 merges in 51 rounds before
+          // this corpus swap). A tokenizer-training measurement needs
+          // a vocabulary-RICH corpus, so the tier synthesizes one
+          // deterministically (hash-derived 8-char words over a
+          // 4096-word vocab, 1.6M tokens — no RNG, identical every
+          // run), exactly as the dist tier synthesizes its cliques.
+          // base64 of the hash, not hex: a 64-symbol alphabet keeps
+          // the top-16 pairs mostly symbol-disjoint (hex's 16 symbols
+          // forced pairs to interact and batches toward 1)
+          val docs = spark.range(400000L).select(
+            concat_ws(" ", (0 until 4).map(i =>
+              substring(base64(unhex(md5(
+                concat(lit(i), col("id") % 4096)))), 1, 8))
+              : _*).as("text"))
           val m = graft.queries.TextQueries
             .bpeTrainBatched(docs, bpeScaleMerges, maxPerRound = 16)
             .localCheckpoint(true)
+          val learned = m.count()
           val rounds = m.agg(max(col("round"))).head.getInt(0)
-          System.err.println(
-            s"[bench] xscale_bpe: $bpeScaleMerges merges in $rounds rounds")
-          require(2 * rounds <= bpeScaleMerges,
+          System.err.println(s"[bench] xscale_bpe: $learned/" +
+            s"$bpeScaleMerges merges in $rounds rounds")
+          require(learned == bpeScaleMerges,
+            s"corpus exhausted: $learned of $bpeScaleMerges merges")
+          require(2 * rounds <= learned,
             s"batched BPE degenerated: $rounds rounds for " +
-              s"$bpeScaleMerges merges")
-          m.count()
+              s"$learned merges")
+          learned
         })
       }
 

@@ -183,7 +183,12 @@ object TextQueries {
     * interacting one.
     *
     * Returns (merge_rank, pair, cnt, round) — `round` exposes the
-    * batching structure (the scale evidence: rounds ≪ merges). */
+    * batching structure (the scale evidence: rounds ≪ merges).
+    * Returns FEWER than k merges when the corpus exhausts first
+    * (every word fused to a single symbol — no adjacent pair left):
+    * the real tokenizer-training stop condition (a trained vocab is
+    * min(requested, learnable)), not an error. [[bpeTrain]] keeps its
+    * loud require — its fixed K=8 is an oracled query contract. */
   private[graft] def bpeTrainBatched(docs: org.apache.spark.sql.DataFrame,
       k: Int, maxPerRound: Int): org.apache.spark.sql.DataFrame = {
     require(maxPerRound >= 1, "maxPerRound must be >= 1")
@@ -192,27 +197,29 @@ object TextQueries {
     val merges = Seq.newBuilder[(Int, String, Long, Int)]
     var rank = 0
     var round = 0
-    while (rank < k) {
-      round += 1
+    var exhausted = false
+    while (rank < k && !exhausted) {
       val want = math.min(maxPerRound, k - rank)
       val top = bpePairCounts(words)
         .orderBy(col("cnt").desc, col("pair")).limit(want).collect()
-      require(top.nonEmpty,
-        s"bpeTrainBatched: corpus exhausted at merge ${rank + 1}")
-      val used = scala.collection.mutable.Set[String]()
-      val batch = top.takeWhile { r =>
-        val Array(l, rr) = r.getString(0).split(" ", 2)
-        val ok = !used(l) && !used(rr)
-        if (ok) { used += l; used += rr }
-        ok
-      } // prefix is never empty: the top-1 pair interacts with nothing
-      words = words.select(col("n"),
-        batch.foldLeft(col("sym"))((c, r) => bpeApply(c, r.getString(0)))
-          .as("sym"))
-        .localCheckpoint(eager = true)
-      batch.foreach { r =>
-        rank += 1
-        merges += ((rank, r.getString(0), r.getLong(1), round))
+      if (top.isEmpty) exhausted = true
+      else {
+        round += 1
+        val used = scala.collection.mutable.Set[String]()
+        val batch = top.takeWhile { r =>
+          val Array(l, rr) = r.getString(0).split(" ", 2)
+          val ok = !used(l) && !used(rr)
+          if (ok) { used += l; used += rr }
+          ok
+        } // prefix is never empty: the top-1 pair interacts with nothing
+        words = words.select(col("n"),
+          batch.foldLeft(col("sym"))((c, r) => bpeApply(c, r.getString(0)))
+            .as("sym"))
+          .localCheckpoint(eager = true)
+        batch.foreach { r =>
+          rank += 1
+          merges += ((rank, r.getString(0), r.getLong(1), round))
+        }
       }
     }
     import s.implicits._

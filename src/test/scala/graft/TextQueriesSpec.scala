@@ -124,4 +124,24 @@ class TextQueriesSpec extends AnyFunSuite {
     assert(wide == Seq((1, "l l", 20L, 1), (2, "e s", 9L, 1)))
     assert(greedy(1) == ((2, "ll l", 10L)))
   }
+
+  test("bpeTrainBatched stops at corpus exhaustion: a request past " +
+      "the learnable vocab returns every available merge, no error") {
+    import spark.implicits._
+    // "ab" and "cd" admit exactly 2 merges, then every word is one
+    // symbol — a 100-merge request must return those 2 and stop
+    // (real tokenizer semantics: trained vocab = min(requested,
+    // learnable)), never loop or throw
+    val docs = Seq("ab ab cd", "cd ab").toDF("text")
+    val m = graft.queries.TextQueries
+      .bpeTrainBatched(docs, 100, maxPerRound = 16)
+      .orderBy("merge_rank").collect()
+    assert(m.length == 2, m.mkString(", "))
+    assert(m.map(_.getString(1)).toSet == Set("a b", "c d"))
+    // the greedy trainer keeps its loud contract on the same input
+    val e = intercept[IllegalArgumentException] {
+      graft.queries.TextQueries.bpeTrain(docs, 100)
+    }
+    assert(e.getMessage.contains("corpus exhausted"), e.getMessage)
+  }
 }
