@@ -517,6 +517,7 @@ object Bench {
         // The measured delta IS the write cost of the 2×-edge-layout
         // trade — the number a store operator weighs against their
         // reverse-traversal volume.
+        var dualDir: String = null
         val applyDual = tTier(s"xinc_apply_dual_$incReleases",
             "twins maintained") {
           val dir = java.nio.file.Files
@@ -530,6 +531,23 @@ object Bench {
             .hasIpdAllele.count()
           require(storeEdges < 0 || n == storeEdges,
             s"dual-anchor fold ($n edges) != single ($storeEdges)")
+          dualDir = dir
+          n
+        }
+        // The dual layout's READ payoff, timed on the store the A/B
+        // just built: anchored either-direction variable-length
+        // expansion (200 alleles, 1..2 hops over both allele edge
+        // tables) — every orientation of every step a bucket-pruned
+        // probe; the cost is per-probe latency × orientations, not
+        // any function of store size.
+        val varpathDual = tTier(s"xinc_varpath_$incReleases",
+            "anchored 1..2, dual store") {
+          val anchors = graft.graph.GraphStore.read(spark, dualDir)
+            .ipdAllele.select("name").orderBy("name").limit(200)
+          val n = graft.graph.Motif.varPathAnchored(spark, dualDir,
+            anchors, Seq("HAS_IPD_ALLELE", "HAS_IPD_ACCESSION"),
+            1, 2, either = true).count()
+          require(n > 0, "anchored expansion found no paths")
           n
         }
         // Half-history datapoint OUTSIDE the timed entry (folding it
@@ -554,7 +572,7 @@ object Bench {
             s"store fold ($storeEdges edges) != refold ($n edges)")
           n
         }
-        Map(apply, applyDual, refold)
+        Map(apply, applyDual, varpathDual, refold)
       } catch { case scala.util.control.NonFatal(ex) =>
         System.err.println(s"[bench] inc-graph workload failed: $ex")
         Map.empty
