@@ -492,6 +492,24 @@ class GraphStoreSpec extends AnyFunSuite {
     assert(e.getMessage.contains("composite far end"), e.getMessage)
   }
 
+  test("legacy one-line store meta fails loudly naming the remedy, " +
+      "not an IndexOutOfBounds") {
+    import spark.implicits._
+    val dir = tmp("graphstore_legacy")
+    val tdir = java.nio.file.Paths.get(dir, "Sequence")
+    java.nio.file.Files.createDirectories(tdir)
+    // pre-round-13 stores wrote bucket count only (bucketing was
+    // implicitly the full merge key)
+    java.nio.file.Files.write(tdir.resolve("_graft_store_meta"),
+      "16\n".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val e = intercept[IllegalArgumentException] {
+      GraphStore.probe(spark, dir, "Sequence",
+        Seq("A").toDF("name"), Seq("name"))
+    }
+    assert(e.getMessage.contains("legacy one-line store meta") &&
+      e.getMessage.contains("rebuild"), e.getMessage)
+  }
+
   test("dual-anchor store: reverse probes served bucket-pruned from " +
       "the __rev twin; applyRelease keeps twins consistent; " +
       "either-direction expansion reads only the anchor's buckets") {
