@@ -584,6 +584,49 @@ object GfeQueries {
           col("len").cast("long").as("len"), col("n_paths"))
         .orderBy("n_start", "n_end", "len")
     }),
+    // ...and the TRAIL-uniqueness variant on the same store (Cypher's
+    // native `-[*1..3]-` rule: nodes may recur over fresh edges, an
+    // undirected relationship's two orientations are one edge) — the
+    // anchored pair matches gfe_motif_varlen/_trail's whole-graph
+    // pair, so both uniqueness semantics are oracled against the
+    // standing store, not just in-memory.
+    QueryDef("gfe_incremental_varlen_trail",
+      s"""WITH RECURSIVE e0 AS (
+         |  SELECT CAST(src AS VARCHAR) AS a, CAST(dst AS VARCHAR) AS b
+         |  FROM ${aux("e_HAS_IPD_ALLELE")}
+         |  UNION SELECT CAST(src AS VARCHAR), CAST(dst AS VARCHAR)
+         |  FROM ${aux("e_HAS_IPD_ACCESSION")}),
+         |e AS (SELECT a, b FROM e0 WHERE a <> b
+         |      UNION SELECT b, a FROM e0 WHERE a <> b),
+         |walk(n_start, n_end, visited, len) AS (
+         |  SELECT a, b, [concat(least(a, b), chr(1), greatest(a, b))], 1
+         |  FROM e
+         |  WHERE a IN ('HLA-A*01:01:01:01', 'HLA-A*02:01')
+         |  UNION ALL
+         |  SELECT w.n_start, e.b,
+         |         list_append(w.visited,
+         |           concat(least(e.a, e.b), chr(1), greatest(e.a, e.b))),
+         |         w.len + 1
+         |  FROM walk w JOIN e ON e.a = w.n_end
+         |  WHERE w.len < 3 AND NOT list_contains(w.visited,
+         |    concat(least(e.a, e.b), chr(1), greatest(e.a, e.b))))
+         |SELECT n_start, n_end, CAST(len AS BIGINT) AS len,
+         |       CAST(count(*) AS BIGINT) AS n_paths
+         |FROM walk
+         |GROUP BY 1, 2, 3
+         |ORDER BY 1, 2, 3""".stripMargin)((s, _) => {
+      import org.apache.spark.sql.functions._
+      import s.implicits._
+      import graft.graph.Motif
+      val (dir, _) = incrementalStore(s)
+      val anchors = Seq("HLA-A*01:01:01:01", "HLA-A*02:01").toDF("allele")
+      Motif.varPathAnchored(s, dir, anchors,
+          Seq("HAS_IPD_ALLELE", "HAS_IPD_ACCESSION"), 1, 3,
+          either = true, edgeDistinct = true)
+        .select(col("n_start"), col("n_end"),
+          col("len").cast("long").as("len"), col("n_paths"))
+        .orderBy("n_start", "n_end", "len")
+    }),
     // The JOIN-SHAPED store read (GraphStore.probeJoin): serve every
     // HAS_SEQUENCE edge whose src GFE sits at an HLA-A/HLA-B locus,
     // with the key frame coming from a TABLE (the store's own GFE
