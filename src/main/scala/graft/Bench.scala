@@ -550,6 +550,20 @@ object Bench {
           require(n > 0, "anchored expansion found no paths")
           n
         }
+        // The CDC read on the same store: what did the LAST release
+        // change — GraphStore.diff between the two newest markers,
+        // manifest-pruned to the buckets that apply rewrote. Cost
+        // tracks the delta (changed buckets × bucket size), not the
+        // table or the history length — the incremental-reprocessing
+        // read ("re-embed what release K touched") at 100 TB.
+        val diffRead = tTier(s"xinc_diff_$incReleases",
+            "last-release CDC") {
+          val ms = graft.graph.GraphStore.markers(spark, dualDir)
+          val n = graft.graph.GraphStore.diff(spark, dualDir,
+            "HAS_IPD_ALLELE", ms(ms.size - 2), ms.last).count()
+          require(n > 0, "last release changed no HAS_IPD_ALLELE rows")
+          n
+        }
         // Half-history datapoint OUTSIDE the timed entry (folding it
         // into the entry would overstate the full refold ~1.5×): the
         // growth evidence — a reader sees refold(K/2) < refold(K)
@@ -572,7 +586,7 @@ object Bench {
             s"store fold ($storeEdges edges) != refold ($n edges)")
           n
         }
-        Map(apply, applyDual, varpathDual, refold)
+        Map(apply, applyDual, varpathDual, diffRead, refold)
       } catch { case scala.util.control.NonFatal(ex) =>
         System.err.println(s"[bench] inc-graph workload failed: $ex")
         Map.empty

@@ -149,6 +149,53 @@ object GraphStore {
       delta: DataFrame,
       merge: (DataFrame, DataFrame) => DataFrame): (Int, Int) = {
     val (buckets, bucketKeys) = tableMeta(spark, tdir)
+    // SCHEMA GUARD, before the claim (a mismatched apply must not
+    // burn a version claim): the table's READ schema is fixed at init
+    // (`_empty` is what every stateAt read pins to), so an apply whose
+    // MERGED output drifted — newer pipeline/policy code adding,
+    // renaming, or retyping a column against a store laid down by
+    // older code — would otherwise write bucket files the pinned read
+    // schema silently TRUNCATES (the new column vanishes on read, and
+    // the table's files go mixed-schema). The invariant is on the
+    // merge OUTPUT, not the delta (deltas legitimately carry
+    // merge-input columns like IPD_Allele's G_new/lg_new that the
+    // policy consumes), so the check composes merge() against the
+    // empty state frame — pure analysis, no job runs — and fails
+    // loudly naming the remedy, whether the drift surfaces as a
+    // mismatched output schema or as a merge that no longer analyzes.
+    locally {
+      import org.apache.spark.sql.types._
+      val expectT = tableSchema(spark, tdir)
+      def remedy(detail: String, cause: Throwable = null): Nothing =
+        throw new IllegalArgumentException(
+          s"requirement failed: $tdir: $detail the table's persisted " +
+            s"schema is ${expectT.simpleString}, fixed at init — an " +
+            "evolved column set would be silently truncated on read; " +
+            "rebuild the store with GraphStore.init from a refold " +
+            "(GraphLoad.loadAll) under the new schema", cause)
+      val merged =
+        try merge(spark.read.schema(expectT)
+          .parquet(s"$tdir/_empty"), delta).schema
+        catch {
+          case e: org.apache.spark.sql.AnalysisException => remedy(
+            s"the delta (${delta.schema.simpleString}) no longer " +
+              s"composes with the stored state (${e.getMessage});", e)
+        }
+      // nullability is NOT schema drift: the parquet round-trip behind
+      // `_empty` reads everything nullable while in-memory plans carry
+      // non-null arrays (collect_set) — compare shape only
+      def norm(dt: DataType): DataType = dt match {
+        case s: StructType => StructType(s.fields.map(f =>
+          StructField(f.name, norm(f.dataType), nullable = true)))
+        case a: ArrayType => ArrayType(norm(a.elementType), true)
+        case m: MapType => MapType(norm(m.keyType), norm(m.valueType), true)
+        case other => other
+      }
+      if (expectT.fields.map(f => f.name -> norm(f.dataType)).toMap !=
+          merged.fields.map(f => f.name -> norm(f.dataType)).toMap)
+        remedy(s"the merged output schema (${merged.simpleString}) " +
+          "does not match;")
+    }
     val v = latestVersion(spark, tdir)
     // CLAIM version v+1 create-exclusively BEFORE touching its bucket
     // directory: the loser of a concurrent-applier race must fail
@@ -239,13 +286,21 @@ object GraphStore {
   }
 
   /** The manifest a serving read uses for `table`: pinned to the
-    * newest release marker when one exists. */
+    * newest release marker when one exists, or to an explicit
+    * historical marker (`asOf`) for time-travel reads. */
   private def servingManifest(spark: SparkSession, dir: String,
-      table: String): Map[Int, Int] =
-    latestMarker(spark, dir) match {
-      case Some(vs) if vs.contains(table) =>
+      table: String, asOf: Option[Int] = None): Map[Int, Int] =
+    asOf match {
+      case Some(k) =>
+        val vs = markerOrFail(spark, dir, k)
+        require(vs.contains(table),
+          s"$dir: marker r$k records no version for $table")
         manifestAt(spark, s"$dir/$table", vs(table))
-      case _ => latestManifest(spark, s"$dir/$table")
+      case None => latestMarker(spark, dir) match {
+        case Some(vs) if vs.contains(table) =>
+          manifestAt(spark, s"$dir/$table", vs(table))
+        case _ => latestManifest(spark, s"$dir/$table")
+      }
     }
 
   // Merge policies and delta derivation live in [[MergePolicies]] /
@@ -511,6 +566,98 @@ object GraphStore {
       t("HAS_FEATURE"))
   }
 
+  // ---- time travel + CDC reads ----
+  //
+  // Each release marker is a complete, immutable snapshot pointer
+  // (table → manifest version; manifests reference immutable bucket
+  // files), so every RETAINED marker is a servable as-of state for
+  // free — the store already IS a multi-version store, these reads
+  // just address the axis. The training-data use is reproducibility:
+  // "rebuild the exact corpus release k trained on" is [[readAt]];
+  // "what must be re-embedded/re-indexed since release j" is
+  // [[diff]]. Retention is vacuum's kept-version window (a vacuumed
+  // marker fails loudly here, naming the knob).
+
+  /** Every committed release marker id, oldest → newest — the as-of
+    * axis [[readAt]] and [[diff]] address. Marker k is the state
+    * after the (k+1)-th completed release ([[init]] publishes r0). */
+  def markers(spark: SparkSession, dir: String): Seq[Int] =
+    markerIds(spark, dir)
+
+  private def markerOrFail(spark: SparkSession, dir: String,
+      k: Int): Map[String, Int] = {
+    val ids = markerIds(spark, dir)
+    require(ids.contains(k),
+      s"$dir: release marker r$k is not on disk (markers present: " +
+        s"${ids.mkString(",")}) — it was never published, or vacuum() " +
+        "GC'd it with its superseded manifests; raise keepVersions to " +
+        "retain a longer as-of history")
+    readMarker(spark, dir, k)
+  }
+
+  /** One table pinned to release marker `marker` — [[read]]'s as-of
+    * form. Same I/O shape as a serving read: resolve the marker's
+    * manifest, read exactly the bucket files it references (version
+    * immutability makes an old state no more expensive than the
+    * newest one). */
+  def tableAt(spark: SparkSession, dir: String, table: String,
+      marker: Int): DataFrame = {
+    val vs = markerOrFail(spark, dir, marker)
+    require(vs.contains(table),
+      s"$dir: marker r$marker records no version for $table " +
+        s"(tables: ${vs.keys.toSeq.sorted.mkString(",")})")
+    EventStreams.stateAt(spark, s"$dir/$table",
+      manifestAt(spark, s"$dir/$table", vs(table)),
+      Some(tableSchema(spark, s"$dir/$table")))
+  }
+
+  /** The whole graph as of release marker `marker` — time travel. */
+  def readAt(spark: SparkSession, dir: String,
+      marker: Int): GraphLoad.Graph = {
+    def t(n: String) = tableAt(spark, dir, n, marker)
+    GraphLoad.Graph(t("GFE"), t("Sequence"), t("Feature"), t("IPD_Allele"),
+      t("IPD_Accession"), t("Submitter"), t("HAS_IPD_ALLELE"),
+      t("HAS_IPD_ACCESSION"), t("SUBMITTED"), t("HAS_SEQUENCE"),
+      t("HAS_FEATURE"))
+  }
+
+  /** CDC between two marker-pinned states of one table: the rows
+    * present at `toMarker` but not `fromMarker` (`change = '+'`) and
+    * vice versa (`change = '-'`) — an ON-MATCH update (HAS_IPD_ALLELE
+    * accumulating a release) surfaces as its '-' old row plus its '+'
+    * new row. Set semantics, exact.
+    *
+    * MANIFEST-PRUNED: a bucket whose version pointer is the same in
+    * both manifests references the SAME immutable file — it cannot
+    * contribute a diff row and is never read. Both sides therefore
+    * read only the buckets some apply rewrote in between, so the I/O
+    * is O(changed buckets) ≈ O(Σ deltas · |state|/numBuckets), never
+    * 2 × table — the incremental-reprocessing read ("re-embed what
+    * release k touched") stays delta-sized at 100 TB. (A rewritten
+    * bucket CAN be row-identical — a createOnly merge whose keys all
+    * existed — and then contributes nothing; pointer equality prunes
+    * reads, row equality decides the diff.) */
+  def diff(spark: SparkSession, dir: String, table: String,
+      fromMarker: Int, toMarker: Int): DataFrame = {
+    val tdir = s"$dir/$table"
+    def manifestOf(k: Int): Map[Int, Int] = {
+      val vs = markerOrFail(spark, dir, k)
+      require(vs.contains(table),
+        s"$dir: marker r$k records no version for $table")
+      manifestAt(spark, tdir, vs(table))
+    }
+    val from = manifestOf(fromMarker)
+    val to = manifestOf(toMarker)
+    val changed = (from.keySet ++ to.keySet)
+      .filter(b => from.get(b) != to.get(b))
+    val schema = Some(tableSchema(spark, tdir))
+    def side(m: Map[Int, Int]) = EventStreams.stateAt(spark, tdir,
+      m.filter { case (b, _) => changed(b) }, schema)
+    val (f, t) = (side(from), side(to))
+    t.except(f).withColumn("change", lit("+"))
+      .unionByName(f.except(t).withColumn("change", lit("-")))
+  }
+
   /** Public index-probe read: the rows of `table` whose `keys` match
     * `keyRows`, served from ONLY the buckets those keys hash to — at
     * any scale the I/O is a handful of bucket files, never the table.
@@ -523,11 +670,14 @@ object GraphStore {
     * for HAS_IPD_ALLELE/HAS_IPD_ACCESSION/SUBMITTED, `src` for
     * HAS_FEATURE/HAS_SEQUENCE, `name`/`seq_id` for vertices/index);
     * any other key would hash to the wrong buckets and fails loudly.
-    * Like [[read]], pinned to the newest release marker. `keyRows` is
-    * collected to a bucket set — it must be probe-sized (an anchor
-    * list), not a table. */
+    * Like [[read]], pinned to the newest release marker — or, with
+    * `asOf = Some(marker)`, to a retained historical marker (the
+    * anchored form of [[readAt]]: "run this traversal as release k
+    * saw the graph"). `keyRows` is collected to a bucket set — it
+    * must be probe-sized (an anchor list), not a table. */
   def probe(spark: SparkSession, dir: String, table: String,
-      keyRows: DataFrame, keys: Seq[String]): DataFrame = {
+      keyRows: DataFrame, keys: Seq[String],
+      asOf: Option[Int] = None): DataFrame = {
     // dual-anchor routing: a probe keyed by the OPPOSITE traversal
     // end is served from the `__rev` twin (same rows, reverse bucket
     // layout) when the store keeps one — both directions of an
@@ -537,11 +687,11 @@ object GraphStore {
     if (keys != bk && !table.endsWith("__rev") &&
         hasTwin(spark, dir, table) &&
         tableBucketKeys(spark, s"$dir/${table}__rev") == keys)
-      return probe(spark, dir, s"${table}__rev", keyRows, keys)
+      return probe(spark, dir, s"${table}__rev", keyRows, keys, asOf)
     val anchors = keyRows.select(keys.map(col): _*)
       .dropDuplicates(keys).localCheckpoint()
     stateForKeys(spark, s"$dir/$table", anchors, keys,
-      Some(servingManifest(spark, dir, table)))
+      Some(servingManifest(spark, dir, table, asOf)))
       .join(broadcast(anchors), keys, "left_semi")
   }
 
@@ -584,10 +734,11 @@ object GraphStore {
     * wrong-bucket silent-miss hazard is a pruning hazard, and there
     * is no pruning here). */
   def probeJoin(spark: SparkSession, dir: String, table: String,
-      keyFrame: DataFrame, keys: Seq[String]): DataFrame = {
+      keyFrame: DataFrame, keys: Seq[String],
+      asOf: Option[Int] = None): DataFrame = {
     val tdir = s"$dir/$table"
     val state = EventStreams.stateAt(spark, tdir,
-      servingManifest(spark, dir, table),
+      servingManifest(spark, dir, table, asOf),
       Some(tableSchema(spark, tdir)))
     state.join(
       keyFrame.select(keys.map(col): _*).dropDuplicates(keys),

@@ -37,9 +37,14 @@ object GfeQueries {
   def dumpAux(s: SparkSession): Unit = {
     val g = graph(s)
     val r = build(s, "3560")
+    // the single-release refold — the as-of/CDC oracles'
+    // ground truth for the store's state at its FIRST marker
+    val g1 = GraphLoad.loadAll(s,
+      Seq(("3560", r.gfeSequences, r.allFeatures, r.allGroups)))
     val tables =
       g.vertexTables.map { case (k, v) => s"v_$k" -> v } ++
         g.edgeTables.map { case (k, v) => s"e_$k" -> v } ++
+        Map("r1_e_HAS_IPD_ALLELE" -> g1.hasIpdAllele) ++
         Map(
           "b_gfe_sequences" -> r.gfeSequences,
           "b_all_features" -> r.allFeatures,
@@ -651,6 +656,64 @@ object GfeQueries {
           keyFrame, Seq("src"))
         .select(col("src"), col("dst"))
         .orderBy("src", "dst")
+    }),
+    // TIME TRAVEL (GraphStore.readAt): the store pinned to its FIRST
+    // release marker must serve exactly the single-release refold —
+    // every retained marker is a complete immutable snapshot pointer,
+    // so "rebuild the corpus release k trained on" is a marker read,
+    // same I/O shape as the newest state. Oracled against a dedicated
+    // aux dump of loadAll(3560 only): hash equality pins that the
+    // as-of read reconstructs the historical graph bit-for-bit AFTER
+    // a later release was merged on top.
+    QueryDef("gfe_incremental_asof",
+      s"""SELECT src, dst, array_to_string(releases, ',') AS releases
+         |FROM ${aux("r1_e_HAS_IPD_ALLELE")}
+         |ORDER BY src, dst""".stripMargin)((s, _) => {
+      import org.apache.spark.sql.functions._
+      import graft.graph.GraphStore
+      val (dir, _) = incrementalStore(s)
+      GraphStore.readAt(s, dir, GraphStore.markers(s, dir).head)
+        .hasIpdAllele
+        .select(col("src"), col("dst"),
+          concat_ws(",", col("releases")).as("releases"))
+        .orderBy("src", "dst")
+    }),
+    // CDC between two releases (GraphStore.diff): what release 3570
+    // changed on HAS_IPD_ALLELE — '+' rows present only after, '-'
+    // rows present only before; an ON-MATCH release-append surfaces
+    // as its '-' old array plus its '+' new one, a genuinely new edge
+    // as '+' alone. The read is manifest-PRUNED (only buckets whose
+    // version pointer moved between the markers are opened — the
+    // O(changed) incremental-reprocessing read; pruning spec-pinned
+    // in GraphStoreSpec). Oracled as the symmetric EXCEPT of the two
+    // refold aux snapshots.
+    QueryDef("gfe_incremental_diff",
+      s"""SELECT * FROM (
+         |  SELECT '+' AS change, src, dst,
+         |         array_to_string(releases, ',') AS releases
+         |  FROM ${aux("e_HAS_IPD_ALLELE")}
+         |  EXCEPT
+         |  SELECT '+' AS change, src, dst,
+         |         array_to_string(releases, ',') AS releases
+         |  FROM ${aux("r1_e_HAS_IPD_ALLELE")})
+         |UNION ALL
+         |SELECT * FROM (
+         |  SELECT '-' AS change, src, dst,
+         |         array_to_string(releases, ',') AS releases
+         |  FROM ${aux("r1_e_HAS_IPD_ALLELE")}
+         |  EXCEPT
+         |  SELECT '-' AS change, src, dst,
+         |         array_to_string(releases, ',') AS releases
+         |  FROM ${aux("e_HAS_IPD_ALLELE")})
+         |ORDER BY change, src, dst""".stripMargin)((s, _) => {
+      import org.apache.spark.sql.functions._
+      import graft.graph.GraphStore
+      val (dir, _) = incrementalStore(s)
+      val ms = GraphStore.markers(s, dir)
+      GraphStore.diff(s, dir, "HAS_IPD_ALLELE", ms.head, ms.last)
+        .select(col("change"), col("src"), col("dst"),
+          concat_ws(",", col("releases")).as("releases"))
+        .orderBy("change", "src", "dst")
     }),
     // ...and the per-column-policy vertex (gene create-only, G/lg
     // conditional overwrite) built incrementally vs the refold aux.

@@ -230,7 +230,11 @@ object TextQueries {
     * then per round pair counts (c), top-1 (t), greedy rewrite (w) —
     * the same double-delimiter replace, DuckDB's non-regex
     * `replace`. */
-  private val BpeTrainSql: String = {
+  /** The training CTE chain w0→wK (shared by the train and encode
+    * oracles): w_r keeps `token` alongside its evolving sym, so the
+    * FINAL word table doubles as the trained vocab map token → sym —
+    * exactly the structure the Spark encode path broadcasts. */
+  private val BpeCtes: String = {
     val rounds = (1 to bpeMerges).map { r =>
       s"""c$r AS (SELECT list_extract(a, i) || ' ' || list_extract(a, i + 1) AS pair,
          |          CAST(sum(n) AS BIGINT) AS cnt
@@ -239,24 +243,44 @@ object TextQueries {
          |                    FROM w${r - 1}) WHERE len(a) >= 2)
          |        GROUP BY 1),
          |t$r AS (SELECT pair, cnt FROM c$r ORDER BY cnt DESC, pair LIMIT 1),
-         |w$r AS (SELECT w.n, replace(w.sym,
+         |w$r AS (SELECT w.token, w.n, replace(w.sym,
          |          ' ' || split_part(t.pair, ' ', 1) || '  ' ||
          |                 split_part(t.pair, ' ', 2) || ' ',
          |          ' ' || replace(t.pair, ' ', '') || ' ') AS sym
          |        FROM w${r - 1} w CROSS JOIN t$r t)""".stripMargin
     }.mkString(",\n")
-    s"""WITH w0 AS (
-      |  SELECT count(*) AS n,
+    s"""w0 AS (
+      |  SELECT token, count(*) AS n,
       |         '  ' || regexp_replace(token, '(.)', '\\1  ', 'g') AS sym
       |  FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
       |  WHERE token <> '' GROUP BY token),
-      |$rounds
+      |$rounds""".stripMargin
+  }
+
+  private val BpeTrainSql: String =
+    s"""WITH $BpeCtes
       |SELECT * FROM (
       |${(1 to bpeMerges).map(r =>
         s"  SELECT $r AS merge_rank, pair, cnt FROM t$r")
         .mkString("\n  UNION ALL\n")})
       |ORDER BY merge_rank""".stripMargin
-  }
+
+  /** The encode oracle: re-train the wK vocab map in CTEs, then join
+    * the exploded corpus to it and aggregate per document. */
+  private val BpeEncodeSql: String =
+    s"""WITH $BpeCtes,
+      |enc AS (
+      |  SELECT doc_id, token
+      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+      |        FROM documents)
+      |  WHERE token <> '')
+      |SELECT e.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+      |       CAST(sum(len(string_split(trim(v.sym), '  '))) AS BIGINT)
+      |         AS n_bpe_tokens,
+      |       CAST(max(len(string_split(trim(v.sym), '  '))) AS BIGINT)
+      |         AS max_word_syms
+      |FROM enc e JOIN w$bpeMerges v ON v.token = e.token
+      |GROUP BY e.doc_id ORDER BY e.doc_id""".stripMargin
 
   /** The packing-manifest oracle — sequential-window offsets; also
     * st_pack_maintain's (the maintained manifest must equal the batch
@@ -795,6 +819,48 @@ object TextQueries {
       "t_bpe_train",
       BpeTrainSql) { (s, d) =>
       bpeTrain(Tables.documents(s, d), bpeMerges).orderBy("merge_rank")
+    },
+
+    // Tokenizer APPLICATION at corpus scale — the encode step a
+    // packing/training pipeline actually consumes (t_bpe_train learns
+    // the merges; this spends them). Scale shape is the standard
+    // apply-to-vocabulary trick (Sennrich's BPE reference applies
+    // merges to the word VOCABULARY, never the corpus): the trained
+    // merge list (K driver-side strings, bounded by the requested
+    // vocab size — the same registry-fold discipline training uses)
+    // rewrites the DISTINCT-token table in one codegen'd chained
+    // replace, and the corpus is then encoded in a single pass as an
+    // explode → BROADCAST vocab join → per-doc hash agg: corpus cost
+    // is one scan + one map-side join at any scale, independent of K.
+    // (At a real 32k-merge K the vocab rewrite becomes a per-word
+    // merge loop rather than a 32k-deep expression; the corpus-side
+    // structure — the expensive part at 100 TB — is unchanged.)
+    // Emitted per doc: word count, encoded BPE-token count, and the
+    // widest word's symbol count (the packing planner's inputs).
+    QueryDef(
+      "t_bpe_encode",
+      BpeEncodeSql) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val merges = bpeTrain(docs, bpeMerges)
+        .orderBy("merge_rank").collect().map(_.getString(1))
+      val sym0 =
+        concat(lit("  "), regexp_replace(col("token"), "(.)", "$1  "))
+      val vocab = docs
+        .select(explode(split(col("text"), " ", -1)).as("token"))
+        .where(col("token") =!= "").distinct()
+        .select(col("token"),
+          size(split(trim(merges.foldLeft(sym0)(bpeApply)), "  "))
+            .cast("long").as("n_syms"))
+      docs
+        .select(col("doc_id"),
+          explode(split(col("text"), " ", -1)).as("token"))
+        .where(col("token") =!= "")
+        .join(broadcast(vocab), Seq("token"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_words"),
+          sum(col("n_syms")).as("n_bpe_tokens"),
+          max(col("n_syms")).as("max_word_syms"))
+        .orderBy("doc_id")
     },
 
     // Inverted-index build — the materialized form of the access path

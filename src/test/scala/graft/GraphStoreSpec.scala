@@ -584,4 +584,118 @@ class GraphStoreSpec extends AnyFunSuite {
     assert(LoadFixtures.rowsOf(GraphStore.probe(spark, dir,
       "HAS_IPD_ALLELE", allSrc, Seq("src"))) == before)
   }
+
+  test("time travel: readAt serves each marker's exact state; diff " +
+      "is the symmetric delta and opens only changed buckets") {
+    val Seq(r1, r2, r3) = LoadFixtures.policyMatrix(spark)
+    val dir = tmp("graphstore_timetravel")
+    val g1 = GraphLoad.loadAll(spark, Seq(r1))
+    GraphStore.init(spark, dir, g1, buckets = 8)
+    GraphStore.applyRelease(spark, dir, r2)
+    GraphStore.applyRelease(spark, dir, r3)
+    assert(GraphStore.markers(spark, dir) == Seq(0, 1, 2))
+    // every retained marker is a complete servable snapshot: marker 0
+    // == the init refold, marker 1 == loadAll(r1,r2), newest == read()
+    LoadFixtures.assertSameGraph(g1, GraphStore.readAt(spark, dir, 0),
+      "as-of marker 0 == single-release refold")
+    LoadFixtures.assertSameGraph(GraphLoad.loadAll(spark, Seq(r1, r2)),
+      GraphStore.readAt(spark, dir, 1),
+      "as-of marker 1 == two-release refold")
+    LoadFixtures.assertSameGraph(GraphStore.read(spark, dir),
+      GraphStore.readAt(spark, dir, 2), "as-of newest marker == read()")
+    // diff(m, m) is empty; diff(0, 2) is exactly the symmetric EXCEPT
+    // of the two marker-pinned states
+    assert(GraphStore.diff(spark, dir, "HAS_IPD_ALLELE", 2, 2).isEmpty,
+      "self-diff must be empty")
+    val beforeE = GraphStore.readAt(spark, dir, 0).hasIpdAllele
+    val afterE = GraphStore.read(spark, dir).hasIpdAllele
+    val d = GraphStore.diff(spark, dir, "HAS_IPD_ALLELE", 0, 2)
+    assert(LoadFixtures.rowsOf(d.where(col("change") === "+")
+        .drop("change")) == LoadFixtures.rowsOf(afterE.except(beforeE)))
+    assert(LoadFixtures.rowsOf(d.where(col("change") === "-")
+        .drop("change")) == LoadFixtures.rowsOf(beforeE.except(afterE)))
+    assert(d.where(col("change") === "+").count() > 0,
+      "premise: r2/r3 must actually change HAS_IPD_ALLELE")
+    // MANIFEST PRUNING: r3 is a single-allele release (≤1 dirty
+    // bucket per table), so diff(1, 2) may open at most one bucket
+    // per side — an unpruned implementation would read every
+    // non-empty bucket of both versions (the fixture occupies
+    // several of the 8)
+    val d12 = GraphStore.diff(spark, dir, "HAS_IPD_ALLELE", 1, 2)
+    val scanned = d12.inputFiles.filter(_.contains("/HAS_IPD_ALLELE/"))
+      .filterNot(_.contains("/_empty/"))
+    assert(scanned.length <= 2,
+      s"1-key diff must open ≤1 changed bucket per side, " +
+        s"opened: ${scanned.mkString(", ")}")
+    // premise: an UNPRUNED diff would read every live bucket file of
+    // both versions — strictly more than the pruned read did
+    val unpruned = GraphStore.readAt(spark, dir, 1).hasIpdAllele
+      .inputFiles.count(_.contains("_graft_bucket=")) +
+      GraphStore.read(spark, dir).hasIpdAllele
+        .inputFiles.count(_.contains("_graft_bucket="))
+    assert(scanned.length < unpruned,
+      s"premise: pruning must beat the ${unpruned}-file unpruned read")
+    // the anchored as-of read: probe pinned to a historical marker
+    // serves exactly that marker's rows (bucket-pruned, same path as
+    // a serving probe)
+    // deterministic key pick: an unordered limit re-evaluates
+    // differently in the two plans below
+    val probeKeys = beforeE.select("dst").orderBy("dst").limit(3)
+    assert(LoadFixtures.rowsOf(GraphStore.probe(spark, dir,
+        "HAS_IPD_ALLELE", probeKeys, Seq("dst"), asOf = Some(0)))
+      == LoadFixtures.rowsOf(beforeE.join(probeKeys, Seq("dst"),
+        "left_semi")),
+      "probe(asOf=0) must serve marker 0's rows")
+    // unknown / vacuumed markers fail loudly naming the remedy
+    val eUnknown = intercept[IllegalArgumentException] {
+      GraphStore.readAt(spark, dir, 9)
+    }
+    assert(eUnknown.getMessage.contains("never published") ||
+      eUnknown.getMessage.contains("markers present"), eUnknown.getMessage)
+    GraphStore.vacuum(spark, dir, keepVersions = 1)
+    assert(GraphStore.markers(spark, dir) == Seq(2),
+      "vacuum(1) retains only the newest marker's history here")
+    val eVacuumed = intercept[IllegalArgumentException] {
+      GraphStore.readAt(spark, dir, 0)
+    }
+    assert(eVacuumed.getMessage.contains("keepVersions"),
+      eVacuumed.getMessage)
+    LoadFixtures.assertSameGraph(GraphStore.read(spark, dir),
+      GraphStore.readAt(spark, dir, 2),
+      "newest as-of still serves after vacuum")
+  }
+
+  test("schema guard: an evolved delta against an old store fails " +
+      "loudly before claiming a version") {
+    val Seq(r1, r2, _) = LoadFixtures.policyMatrix(spark)
+    val dir = tmp("graphstore_schema")
+    GraphStore.init(spark, dir, GraphLoad.loadAll(spark, Seq(r1)),
+      buckets = 4)
+    // Simulate the standing-store upgrade hazard: the on-disk layout
+    // was laid down by OLDER code (here: HAS_IPD_ALLELE without its
+    // releases column), newer pipeline code now derives a wider
+    // delta. An unguarded apply would write wider bucket files that
+    // the init-pinned read schema silently truncates.
+    val tdir = s"$dir/HAS_IPD_ALLELE"
+    // (construct the narrowed empty frame explicitly — overwriting a
+    // path from a frame read off that same path is its own error)
+    val narrowedSchema = org.apache.spark.sql.types.StructType(
+      spark.read.parquet(s"$tdir/_empty").schema
+        .filterNot(_.name == "releases"))
+    spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        narrowedSchema)
+      .coalesce(1).write.mode("overwrite").parquet(s"$tdir/_empty")
+    val e = intercept[IllegalArgumentException] {
+      GraphStore.applyRelease(spark, dir, r2)
+    }
+    assert(e.getMessage.contains("persisted schema") &&
+      e.getMessage.contains("rebuild the store"), e.getMessage)
+    // the guard fired BEFORE the claim: a mismatched apply must not
+    // burn the version (an operator fixing the schema can retry
+    // without clearing a stale claim)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(tdir, "manifest", ".claim_v1")),
+      "schema-guarded apply must not leave a claim behind")
+  }
 }
