@@ -556,14 +556,18 @@ object Bench {
         // tracks the delta (changed buckets × bucket size), not the
         // table or the history length — the incremental-reprocessing
         // read ("re-embed what release K touched") at 100 TB.
-        val diffRead = tTier(s"xinc_diff_$incReleases",
-            "last-release CDC") {
-          val ms = graft.graph.GraphStore.markers(spark, dualDir)
-          val n = graft.graph.GraphStore.diff(spark, dualDir,
-            "HAS_IPD_ALLELE", ms(ms.size - 2), ms.last).count()
-          require(n > 0, "last release changed no HAS_IPD_ALLELE rows")
-          n
-        }
+        // (needs two markers — a K=1 store has only its init marker,
+        // so the entry is skipped rather than recorded as a failure)
+        val diffRead: Option[(String, Double)] =
+          if (incReleases < 2) None
+          else Some(tTier(s"xinc_diff_$incReleases",
+              "last-release CDC") {
+            val ms = graft.graph.GraphStore.markers(spark, dualDir)
+            val n = graft.graph.GraphStore.diff(spark, dualDir,
+              "HAS_IPD_ALLELE", ms(ms.size - 2), ms.last).count()
+            require(n > 0, "last release changed no HAS_IPD_ALLELE rows")
+            n
+          })
         // Half-history datapoint OUTSIDE the timed entry (folding it
         // into the entry would overstate the full refold ~1.5×): the
         // growth evidence — a reader sees refold(K/2) < refold(K)
@@ -586,7 +590,7 @@ object Bench {
             s"store fold ($storeEdges edges) != refold ($n edges)")
           n
         }
-        Map(apply, applyDual, varpathDual, diffRead, refold)
+        Map(apply, applyDual, varpathDual, refold) ++ diffRead
       } catch { case scala.util.control.NonFatal(ex) =>
         System.err.println(s"[bench] inc-graph workload failed: $ex")
         Map.empty

@@ -119,8 +119,12 @@ object GraphStore {
     * table. */
   private def stateForKeys(spark: SparkSession, tdir: String,
       keyRows: DataFrame, keys: Seq[String],
-      manifest: Option[Map[Int, Int]] = None): DataFrame = {
-    val (buckets, bucketKeys) = tableMeta(spark, tdir)
+      manifest: Option[Map[Int, Int]] = None,
+      meta: Option[(Int, Seq[String])] = None): DataFrame = {
+    // callers that already read the table meta pass it down — probe
+    // sits on the traversal hot path, where every avoided small-file
+    // round-trip matters on a remote store
+    val (buckets, bucketKeys) = meta.getOrElse(tableMeta(spark, tdir))
     // hashing anchors with the WRONG key would probe the wrong
     // buckets and silently MISS rows — fail loudly instead
     require(keys == bucketKeys,
@@ -496,7 +500,39 @@ object GraphStore {
           "rebuild the store from a refold")
     }
 
-    val independent = Seq(
+    // SEQ_INDEX first, then the HAS_SEQUENCE delta from the probe
+    // (chained so the probe reads this release's committed index);
+    // the main table and its dual-anchor twin then apply as TWO
+    // dependent futures off the one checkpointed delta — concurrent,
+    // like every other twin pair (they are disjoint stores)
+    val hsDeltaF = apply1("SEQ_INDEX",
+        seqDelta.select(col("seq_id"), col("name")),
+        createOnly(Seq("seq_id", "name")))
+      .map { _ =>
+        val pairs = d.pairsDelta.localCheckpoint()
+        val hsDelta = stateForKeys(
+          spark, s"$dir/SEQ_INDEX", pairs, Seq("seq_id"))
+          .withColumnRenamed("name", "dst")
+          .join(broadcast(pairs), Seq("seq_id"))
+          .select("src", "dst")
+        if (twins("HAS_SEQUENCE")) hsDelta.localCheckpoint() else hsDelta
+      }
+    val hsApplies =
+      Seq(hsDeltaF.map { hs =>
+        stats.put("HAS_SEQUENCE",
+          applyTable(spark, s"$dir/HAS_SEQUENCE",
+            hs, createOnly(Seq("src", "dst"))))
+        ()
+      }) ++
+        (if (!twins("HAS_SEQUENCE")) Nil
+         else Seq(hsDeltaF.map { hs =>
+           stats.put("HAS_SEQUENCE__rev",
+             applyTable(spark, s"$dir/HAS_SEQUENCE__rev",
+               hs, createOnly(Seq("src", "dst"))))
+           ()
+         }))
+
+    val independent = (Seq(
       apply1("GFE", gfeDelta, createOnly(Seq("name"))),
       apply1("Sequence", seqDelta, overwrite(Seq("name"))),
       apply1("Feature", d.featDelta, createOnly(featKeys)),
@@ -505,29 +541,7 @@ object GraphStore {
       // SUBMITTED create-only on dst: only this release's genuinely-
       // new GFEs land (existing dsts keep their first submit_date)
       apply1("SUBMITTED", d.submittedDelta(lit(submitDate)),
-        createOnly(Seq("src", "dst"))),
-      // SEQ_INDEX first, then HAS_SEQUENCE from the probe (chained
-      // below so the probe reads this release's committed index)
-      apply1("SEQ_INDEX", seqDelta.select(col("seq_id"), col("name")),
-        createOnly(Seq("seq_id", "name")))
-        .map { _ =>
-          val pairs = d.pairsDelta.localCheckpoint()
-          val hsDelta = stateForKeys(
-            spark, s"$dir/SEQ_INDEX", pairs, Seq("seq_id"))
-            .withColumnRenamed("name", "dst")
-            .join(broadcast(pairs), Seq("seq_id"))
-            .select("src", "dst")
-          val hs = if (twins("HAS_SEQUENCE")) hsDelta.localCheckpoint()
-            else hsDelta
-          stats.put("HAS_SEQUENCE",
-            applyTable(spark, s"$dir/HAS_SEQUENCE",
-              hs, createOnly(Seq("src", "dst"))))
-          if (twins("HAS_SEQUENCE"))
-            stats.put("HAS_SEQUENCE__rev",
-              applyTable(spark, s"$dir/HAS_SEQUENCE__rev",
-                hs, createOnly(Seq("src", "dst"))))
-          ()
-        }) ++
+        createOnly(Seq("src", "dst")))) ++ hsApplies) ++
       applyEdge("HAS_IPD_ALLELE", d.relsDelta, mergeReleases) ++
       applyEdge("HAS_IPD_ACCESSION", d.hasAccDelta,
         createOnly(Seq("src", "dst"))) ++
@@ -683,15 +697,15 @@ object GraphStore {
     // layout) when the store keeps one — both directions of an
     // anchored traversal become bucket-pruned reads. No twin, wrong
     // key → the loud layout failure below, as before.
-    val bk = tableBucketKeys(spark, s"$dir/$table")
-    if (keys != bk && !table.endsWith("__rev") &&
+    val meta = tableMeta(spark, s"$dir/$table")
+    if (keys != meta._2 && !table.endsWith("__rev") &&
         hasTwin(spark, dir, table) &&
         tableBucketKeys(spark, s"$dir/${table}__rev") == keys)
       return probe(spark, dir, s"${table}__rev", keyRows, keys, asOf)
     val anchors = keyRows.select(keys.map(col): _*)
       .dropDuplicates(keys).localCheckpoint()
     stateForKeys(spark, s"$dir/$table", anchors, keys,
-      Some(servingManifest(spark, dir, table, asOf)))
+      Some(servingManifest(spark, dir, table, asOf)), Some(meta))
       .join(broadcast(anchors), keys, "left_semi")
   }
 
@@ -766,12 +780,30 @@ object GraphStore {
     * marker survives iff every manifest version it pins survived
     * this vacuum (so a reader pinned to it keeps working); markers
     * whose pinned manifests are gone are deleted with the data. */
+  /** A crash-orphaned AtomicCommit temp (`.<name>.tmp-<uuid>`), old
+    * enough that no in-flight commit can still be holding it (the
+    * write→link window is milliseconds; the hour gate keeps a
+    * concurrent applier's live temp safe from this sweep). Inert if
+    * left — every reader's name filter excludes them — but they would
+    * accumulate one per crash. */
+  private def staleTmp(st: org.apache.hadoop.fs.FileStatus): Boolean = {
+    val n = st.getPath.getName
+    n.startsWith(".") && n.contains(".tmp-") &&
+      st.getModificationTime < System.currentTimeMillis() - 3600 * 1000L
+  }
+
   def vacuum(spark: SparkSession, dir: String,
       keepVersions: Int = 2): (Int, Int) = {
     val (fs, root) = EventStreams.hadoopFs(spark, dir)
-    // marker + marker-id snapshot FIRST (see the race note above)
+    // marker + marker-id snapshot FIRST (see the race note above) —
+    // and read ONCE: a second listing could see a marker an applier
+    // published in between, and `pinned` would then come from a
+    // marker the intactness loop below never checks (the
+    // previously-newest marker could survive pinning deleted
+    // manifests while the keep floor protected only the newer one)
     val markerSnapshot = markerIds(spark, dir)
-    val pinned = latestMarker(spark, dir).getOrElse(Map.empty)
+    val pinned = markerSnapshot.lastOption
+      .map(readMarker(spark, dir, _)).getOrElse(Map.empty)
     val tdirs = fs.listStatus(root).toSeq
       .filter(st => st.isDirectory && st.getPath.getName != "_release")
     // the marker-pinned version is an ABSOLUTE keep floor handed to
@@ -789,19 +821,40 @@ object GraphStore {
       st.getPath.getName ->
         EventStreams.manifestVersions(spark, st.getPath.toString).toSet
     }.toMap
-    // claims are permanent commit records (see applyTable); GC those
-    // below the surviving window, whose bucket dirs are gone anyway
+    // claims are permanent commit records (see applyTable); GC only
+    // those whose version is BOTH below the surviving-manifest window
+    // AND referenced by no surviving manifest — bucket INHERITANCE
+    // means a below-floor version's bucket dir can still be live (a
+    // bucket last rewritten at v1 is inherited by manifests v4/v5
+    // after its manifest is GC'd), and deleting that claim would let
+    // a stalled pre-claim applier re-claim v1 and overwrite bucket
+    // files current manifests point to. Orphan commit temp files
+    // (`.<name>.tmp-<uuid>`, a crash between AtomicCommit's write and
+    // its link-into-place) are swept here too — they are inert (never
+    // read: the name filters exclude them) but would accumulate.
     tdirs.foreach { st =>
       val tdir = st.getPath.toString
       val floor = survived(st.getPath.getName).min
+      val liveVers: Set[Int] = survived(st.getPath.getName)
+        .flatMap(v =>
+          EventStreams.readManifest(spark, s"$tdir/manifest/v$v")
+            .values.filter(_ >= 0))
       val (mfs, mdir) = EventStreams.hadoopFs(spark, s"$tdir/manifest")
-      mfs.listStatus(mdir).toSeq.map(_.getPath)
-        .filter { p =>
-          val n = p.getName
-          n.startsWith(".claim_v") &&
-            n.stripPrefix(".claim_v").toInt < floor
+      mfs.listStatus(mdir).toSeq
+        .filter { st0 =>
+          val n = st0.getPath.getName
+          (n.startsWith(".claim_v") && {
+            val v = n.stripPrefix(".claim_v").toInt
+            v < floor && !liveVers(v)
+          }) || staleTmp(st0)
         }
-        .foreach(p => mfs.delete(p, false))
+        .foreach(st0 => mfs.delete(st0.getPath, false))
+    }
+    locally { // orphan marker-commit temps
+      val (mfs, md) = EventStreams.hadoopFs(spark, markerDir(dir))
+      if (mfs.exists(md))
+        mfs.listStatus(md).toSeq.filter(staleTmp)
+          .foreach(st0 => mfs.delete(st0.getPath, false))
     }
     markerSnapshot.dropRight(1).foreach { k =>
       val intact = readMarker(spark, dir, k).forall { case (t, v) =>

@@ -139,24 +139,47 @@ object Motif {
       .where(col("a") =!= col("b"))
     val e = (if (either) e0.unionByName(e0.select(col("b").as("a"), col("a").as("b")))
       else e0).distinct()
-    // Trail mode's visited mark is the traversed RELATIONSHIP: the
-    // canonical endpoint pair when either-direction traversal folds
-    // both orientations into one relationship, the ordered pair when
-    // direction distinguishes them. The mark is a two-field STRUCT,
-    // not a delimited concat — collision-free for ARBITRARY node ids
-    // (this is a generic entrypoint; a separator-based key would
-    // silently merge distinct edges whose ids contain the separator).
+    varExpand(e, _ => e, checkpointFrontier = false,
+      minLen, maxLen, either, edgeDistinct)
+  }
+
+  /** The ONE expansion core both [[varPath]] and [[varPathAnchored]]
+    * run — the uniqueness semantics live here once, so the two
+    * entrypoints' spec-pinned count equality is structural, not
+    * copy-maintained. `firstEdges` seeds the length-1 frontier;
+    * `edgesFor` yields the (a, b) edge pairs incident to a frontier
+    * key set (column `k`; the whole-table closure ignores it);
+    * `checkpointFrontier` materializes each step's key set before the
+    * fan-out (the store-served path probes per key set and needs a
+    * bounded, flat frame — the in-memory path keeps its lazy lineage
+    * for Catalyst).
+    *
+    * Trail mode's visited mark is the traversed RELATIONSHIP: the
+    * canonical endpoint pair when either-direction traversal folds
+    * both orientations into one relationship, the ordered pair when
+    * direction distinguishes them. The mark is a two-field STRUCT,
+    * not a delimited concat — collision-free for ARBITRARY node ids
+    * (a separator-based key would silently merge distinct edges whose
+    * ids contain the separator). */
+  private def varExpand(firstEdges: DataFrame,
+      edgesFor: DataFrame => DataFrame, checkpointFrontier: Boolean,
+      minLen: Int, maxLen: Int, either: Boolean,
+      edgeDistinct: Boolean): DataFrame = {
     def ekey(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
       if (either) struct(least(x, y).as("u"), greatest(x, y).as("v"))
       else struct(x.as("u"), y.as("v"))
     val seed =
       if (edgeDistinct) array(ekey(col("a"), col("b")))
       else array(col("a"), col("b"))
-    var frontier = e.select(col("a").as("n_start"), col("b").as("n_end"),
+    var frontier = firstEdges.select(
+      col("a").as("n_start"), col("b").as("n_end"),
       seed.as("visited"), lit(1).as("len"))
     var out = frontier
     for (l <- 2 to maxLen) {
-      val step = e.select(col("a").as("_sa"), col("b").as("_sb"))
+      val fk0 = frontier.select(col("n_end").as("k")).dropDuplicates("k")
+      val step =
+        edgesFor(if (checkpointFrontier) fk0.localCheckpoint() else fk0)
+          .select(col("a").as("_sa"), col("b").as("_sb"))
       val mark =
         if (edgeDistinct) ekey(col("_sa"), col("_sb")) else col("_sb")
       frontier = frontier
@@ -232,37 +255,11 @@ object Motif {
           col(ex).cast("string").as("b"))
       }.reduce(_ unionByName _)
         .where(col("a") =!= col("b")).distinct()
-    def ekey(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
-      if (either) struct(least(x, y).as("u"), greatest(x, y).as("v"))
-      else struct(x.as("u"), y.as("v"))
     val a0 = anchors
       .select(col(anchors.columns.head).cast("string").as("k"))
       .dropDuplicates("k").localCheckpoint()
-    val e1 = edgesFor(a0)
-    val seed =
-      if (edgeDistinct) array(ekey(col("a"), col("b")))
-      else array(col("a"), col("b"))
-    var frontier = e1.select(col("a").as("n_start"), col("b").as("n_end"),
-      seed.as("visited"), lit(1).as("len"))
-    var out = frontier
-    for (l <- 2 to maxLen) {
-      val fk = frontier.select(col("n_end").as("k"))
-        .dropDuplicates("k").localCheckpoint()
-      val step = edgesFor(fk)
-        .select(col("a").as("_sa"), col("b").as("_sb"))
-      val mark =
-        if (edgeDistinct) ekey(col("_sa"), col("_sb")) else col("_sb")
-      frontier = frontier
-        .join(step, col("n_end") === col("_sa"))
-        .where(!array_contains(col("visited"), mark))
-        .select(col("n_start"), col("_sb").as("n_end"),
-          concat(col("visited"), array(mark)).as("visited"),
-          lit(l).as("len"))
-      out = out.unionByName(frontier)
-    }
-    out.where(col("len") >= minLen)
-      .groupBy("n_start", "n_end", "len")
-      .agg(count(lit(1)).as("n_paths"))
+    varExpand(edgesFor(a0), edgesFor, checkpointFrontier = true,
+      minLen, maxLen, either, edgeDistinct)
   }
 
   /** [[varPath]] over the union of a graph's edge labels (Cypher's

@@ -165,13 +165,17 @@ object TextQueries {
     * toward merges/maxPerRound.
     *
     * Equivalence to the one-at-a-time greedy: non-interacting merges
-    * can neither create nor destroy occurrences of each other (a
-    * merge consumes only its own two symbols and emits a brand-new
-    * one), so every batched pair's recorded count equals what greedy
-    * would have counted at its turn, and the batch applied in rank
-    * order IS the greedy sequence — PROVIDED no merge in the batch
-    * creates a new pair (one involving its fused symbol) that would
-    * have outranked a later batch member. A created pair's count is
+    * can neither create nor destroy occurrences of each other — a
+    * merge consumes only its own two symbols and emits its fused
+    * output, and the prefix check excludes a later pair touching
+    * EITHER (the fused output too: 'abc' can pre-exist via a
+    * different creator, and a ranked ('abc', d) behind ('ab', c)
+    * would otherwise merge mid-batch-created sites under a stale
+    * count) — so every batched pair's recorded count equals what
+    * greedy would have counted at its turn, and the batch applied in
+    * rank order IS the greedy sequence — PROVIDED no merge in the
+    * batch creates a new pair (one involving its fused symbol) that
+    * would have outranked a later batch member. A created pair's count is
     * bounded by its creator's (every "x‿ab" contains an "a‿b"), so
     * intrusion is only possible at ties against the tail of the
     * batch; corpora where that matters should train with
@@ -189,6 +193,26 @@ object TextQueries {
     * the real tokenizer-training stop condition (a trained vocab is
     * min(requested, learnable)), not an error. [[bpeTrain]] keeps its
     * loud require — its fixed K=8 is an oracled query contract. */
+  /** Length of the longest rank-prefix of `pairs` (each "l r") whose
+    * members are pairwise non-interacting. A pair interacts with an
+    * earlier prefix member if it shares one of its INPUT symbols — or
+    * consumes its fused OUTPUT: 'abc' can pre-exist via a different
+    * creator (('a','bc')), so a ranked pair ('abc', d) behind
+    * ('ab', c) would see brand-new ' abc  d ' sites created mid-batch
+    * and merge them under a stale count; the fused symbol therefore
+    * claims a slot in `used` too, and any later pair touching it
+    * stops the prefix (falling back toward exact greedy, as always).
+    * Never 0: the top-1 pair interacts with nothing. */
+  private[graft] def nonInteractingPrefixLen(pairs: Seq[String]): Int = {
+    val used = scala.collection.mutable.Set[String]()
+    pairs.takeWhile { p =>
+      val Array(l, rr) = p.split(" ", 2)
+      val ok = !used(l) && !used(rr) && !used(l + rr)
+      if (ok) { used += l; used += rr; used += (l + rr) }
+      ok
+    }.length
+  }
+
   private[graft] def bpeTrainBatched(docs: org.apache.spark.sql.DataFrame,
       k: Int, maxPerRound: Int): org.apache.spark.sql.DataFrame = {
     require(maxPerRound >= 1, "maxPerRound must be >= 1")
@@ -205,13 +229,8 @@ object TextQueries {
       if (top.isEmpty) exhausted = true
       else {
         round += 1
-        val used = scala.collection.mutable.Set[String]()
-        val batch = top.takeWhile { r =>
-          val Array(l, rr) = r.getString(0).split(" ", 2)
-          val ok = !used(l) && !used(rr)
-          if (ok) { used += l; used += rr }
-          ok
-        } // prefix is never empty: the top-1 pair interacts with nothing
+        val batch = top.take(
+          nonInteractingPrefixLen(top.map(_.getString(0)).toSeq))
         words = words.select(col("n"),
           batch.foldLeft(col("sym"))((c, r) => bpeApply(c, r.getString(0)))
             .as("sym"))

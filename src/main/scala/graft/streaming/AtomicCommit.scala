@@ -29,7 +29,10 @@ import org.apache.spark.sql.SparkSession
   *    exactly one concurrent publisher wins AND the winner's content
   *    is complete the instant the name appears (no reader can observe
   *    a half-written manifest). The plain `Files.createFile` O_EXCL
-  *    create would be atomic on the NAME but not on the CONTENT.
+  *    create would be atomic on the NAME but not on the CONTENT —
+  *    which is exactly the degraded-but-still-exclusive fallback used
+  *    when the mount has no hard links (FUSE/SSHFS/FAT-class throw
+  *    from createLink): one winner guaranteed, content follows.
   *  - everything else — `fs.create(path, overwrite = false)`, atomic
   *    on HDFS (namenode-arbitrated). CAVEAT, documented not hidden:
   *    S3-style object stores have no atomic create-exclusive at all;
@@ -61,12 +64,32 @@ private[graft] object AtomicCommit {
       import java.nio.file.{Files, Paths, FileAlreadyExistsException}
       val target = Paths.get(p.toUri)
       Files.createDirectories(target.getParent)
-      val tmp = target.resolveSibling(
-        s".${target.getFileName}.tmp-${java.util.UUID.randomUUID()}")
-      Files.write(tmp, body.getBytes("UTF-8"))
-      try Files.createLink(target, tmp)
-      catch { case e: FileAlreadyExistsException => lost(e) }
-      finally Files.deleteIfExists(tmp)
+      // Fallback for `file:` mounts WITHOUT hard links (FUSE/SSHFS/
+      // FAT-class): O_EXCL create is still atomic on the NAME —
+      // exactly one winner — with the content following in a separate
+      // write, the same guarantee level as the HDFS branch below.
+      // (Forceable via -Dgraft.atomiccommit.nolink=true so the spec
+      // can hammer this path too.)
+      def noLinkFallback(): Unit = {
+        try Files.createFile(target)
+        catch { case e: FileAlreadyExistsException => lost(e) }
+        Files.write(target, body.getBytes("UTF-8"))
+        ()
+      }
+      if (sys.props.get("graft.atomiccommit.nolink").contains("true"))
+        noLinkFallback()
+      else {
+        val tmp = target.resolveSibling(
+          s".${target.getFileName}.tmp-${java.util.UUID.randomUUID()}")
+        Files.write(tmp, body.getBytes("UTF-8"))
+        try Files.createLink(target, tmp)
+        catch {
+          case e: FileAlreadyExistsException => lost(e)
+          case _: UnsupportedOperationException => noLinkFallback()
+          case _: java.nio.file.FileSystemException => noLinkFallback()
+        }
+        finally Files.deleteIfExists(tmp)
+      }
     } else {
       val out =
         try fs.create(p, false)

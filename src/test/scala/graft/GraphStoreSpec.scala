@@ -698,4 +698,51 @@ class GraphStoreSpec extends AnyFunSuite {
       java.nio.file.Paths.get(tdir, "manifest", ".claim_v1")),
       "schema-guarded apply must not leave a claim behind")
   }
+
+  test("vacuum claim GC respects bucket inheritance: a claim whose " +
+      "version still backs live bucket files survives") {
+    val Seq(r1, r2, r3) = LoadFixtures.policyMatrix(spark)
+    val dir = tmp("graphstore_claimgc")
+    GraphStore.init(spark, dir, GraphLoad.loadAll(spark, Seq(r1)),
+      buckets = 4)
+    GraphStore.applyRelease(spark, dir, r2)
+    GraphStore.applyRelease(spark, dir, r3) // 1-key: most buckets inherit
+    GraphStore.vacuum(spark, dir, keepVersions = 1)
+    // For every table: every version ≥1 that a SURVIVING manifest
+    // still references (bucket inheritance) must keep its permanent
+    // claim — deleting it would let a stalled pre-claim applier
+    // re-claim the version and overwrite live, referenced bucket
+    // files (the straggler-overwrite window claims exist to close).
+    var inheritanceSeen = false
+    val root = java.nio.file.Paths.get(dir)
+    java.nio.file.Files.list(root).forEach { t =>
+      val tname = t.getFileName.toString
+      if (tname != "_release" &&
+          java.nio.file.Files.isDirectory(t.resolve("manifest"))) {
+        val tdir = t.toString
+        val survived = graft.streaming.EventStreams
+          .manifestVersions(spark, tdir)
+        val live = survived.flatMap(v => graft.streaming.EventStreams
+          .readManifest(spark, s"$tdir/manifest/v$v")
+          .values.filter(_ >= 0)).toSet
+        live.filter(_ >= 1).foreach { v =>
+          if (!survived.contains(v)) inheritanceSeen = true
+          assert(java.nio.file.Files.exists(
+            java.nio.file.Paths.get(tdir, "manifest", s".claim_v$v")),
+            s"$tname: claim for live-referenced v$v was GC'd")
+        }
+      }
+    }
+    assert(inheritanceSeen,
+      "premise: some surviving manifest must reference a version " +
+        "whose own manifest was vacuumed (bucket inheritance)")
+    // the store still serves and a further apply converges
+    LoadFixtures.assertSameGraph(
+      GraphLoad.loadAll(spark, Seq(r1, r2, r3)),
+      GraphStore.read(spark, dir), "post-vacuum serve")
+    GraphStore.applyRelease(spark, dir, r3) // idempotent re-apply
+    LoadFixtures.assertSameGraph(
+      GraphLoad.loadAll(spark, Seq(r1, r2, r3)),
+      GraphStore.read(spark, dir), "re-apply after claim-aware vacuum")
+  }
 }

@@ -144,4 +144,25 @@ class TextQueriesSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("corpus exhausted"), e.getMessage)
   }
+
+  test("batched BPE prefix: a pair consuming an earlier member's " +
+      "FUSED output stops the batch (not just shared inputs)") {
+    import graft.queries.TextQueries.nonInteractingPrefixLen
+    // disjoint inputs, disjoint outputs — both batch
+    assert(nonInteractingPrefixLen(Seq("a b", "c d")) == 2)
+    // shared input symbol — classic interaction
+    assert(nonInteractingPrefixLen(Seq("a b", "b c")) == 1)
+    // the regression: ('ab','c') fuses 'abc'; a ranked ('abc','d')
+    // behind it shares NO input symbol ({ab,c} ∩ {abc,d} = ∅) but
+    // would merge ' abc  d ' sites the batch itself creates, under a
+    // count taken before they existed — the fused output must claim a
+    // slot too, on either side of the later pair
+    assert(nonInteractingPrefixLen(Seq("ab c", "abc d")) == 1)
+    assert(nonInteractingPrefixLen(Seq("ab c", "d abc")) == 1)
+    // the stop is positional: an interacting pair ends the PREFIX
+    // even when a later pair would again be independent
+    assert(nonInteractingPrefixLen(Seq("ab c", "x y", "abc d")) == 2)
+    // never zero
+    assert(nonInteractingPrefixLen(Seq("a a")) == 1)
+  }
 }
