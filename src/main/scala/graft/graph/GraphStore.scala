@@ -728,6 +728,21 @@ object GraphStore {
       table: String): Seq[String] =
     tableBucketKeys(spark, s"$dir/$table")
 
+  /** The dual-anchor twin's key order, when `table` has a twin — the
+    * exact Seq [[probe]] routes on (bucket hashing is order-
+    * sensitive). None on a single-layout store. */
+  def twinAnchorKeys(spark: SparkSession, dir: String,
+      table: String): Option[Seq[String]] =
+    if (hasTwin(spark, dir, table))
+      Some(tableBucketKeys(spark, s"$dir/${table}__rev"))
+    else None
+
+  /** `table`'s persisted column schema — traversal planners resolve
+    * composite far-end keys (and their types) from it. */
+  private[graph] def storeSchema(spark: SparkSession, dir: String,
+      table: String): org.apache.spark.sql.types.StructType =
+    tableSchema(spark, s"$dir/$table")
+
   /** JOIN-shaped store read: the rows of `table` whose `keys` values
     * appear in `keyFrame` — [[probe]]'s semantics with NO driver-side
     * materialization of the key side (no eager bucket-id collect, no
@@ -780,6 +795,65 @@ object GraphStore {
     * marker survives iff every manifest version it pins survived
     * this vacuum (so a reader pinned to it keeps working); markers
     * whose pinned manifests are gone are deleted with the data. */
+  /** Re-bucket every table to a new bucket count — the GROWTH lever:
+    * the count is a layout property fixed at [[init]], and a store
+    * that grew 100× otherwise grows each bucket unboundedly (probe
+    * cost is per-bucket size; dirty-bucket apply I/O too). One
+    * full-table rewrite per table (the same I/O class as the refold
+    * that would otherwise be needed), each under the same permanent
+    * version claim appliers use, then ONE fresh marker; the old
+    * layout's history is vacuumed away.
+    *
+    * Contract, stated not hidden:
+    *  - HISTORY RESET — bucket ids hash with the CURRENT count, so
+    *    manifests laid down under the old count stop being
+    *    addressable the moment the meta changes; rebucket prunes
+    *    them (and their markers), and the as-of/[[diff]] axis
+    *    restarts at the rebucketed marker.
+    *  - STOP-THE-WORLD for probes — like any re-partitioning
+    *    migration: [[read]]/[[readAt]] stay correct throughout
+    *    (manifest-addressed, no hashing), but a [[probe]] racing the
+    *    meta rewrite could hash with the new count against an
+    *    old-count manifest and silently miss; quiesce probes for the
+    *    migration window. Concurrent APPLIERS are excluded by the
+    *    claim, loudly, as always. */
+  def rebucket(spark: SparkSession, dir: String, newBuckets: Int): Unit = {
+    require(newBuckets > 0, "newBuckets must be positive")
+    val tables = tablesOf(spark, dir)
+    val versions = tables.map { t =>
+      val tdir = s"$dir/$t"
+      val (_, keys) = tableMeta(spark, tdir)
+      val v = latestVersion(spark, tdir)
+      val claim = s"$tdir/manifest/.claim_v${v + 1}"
+      try EventStreams.writeSmallFileExclusive(spark, claim, "")
+      catch {
+        case e: java.util.ConcurrentModificationException =>
+          throw new java.util.ConcurrentModificationException(
+            s"$tdir: version ${v + 1} is already claimed — a concurrent " +
+              "applier (or crashed one) holds it; rebucket needs the " +
+              s"store quiesced. If no writer is alive, delete $claim " +
+              "and retry", e)
+      }
+      val state = EventStreams.stateAt(spark, tdir,
+        servingManifest(spark, dir, t), Some(tableSchema(spark, tdir)))
+      val written = EventStreams.writeBuckets(
+        state, keys, newBuckets, s"$tdir/v${v + 1}")
+      EventStreams.writeManifestExclusive(spark, s"$tdir/manifest/v${v + 1}",
+        (0 until newBuckets)
+          .map(k => k -> (if (written(k)) v + 1 else -1)).toMap)
+      // meta LAST for this table: the manifest above is complete the
+      // moment any reader can hash with the new count
+      EventStreams.writeSmallFile(spark, metaPath(tdir),
+        s"$newBuckets\n${keys.mkString(",")}\n")
+      t -> (v + 1)
+    }.toMap
+    writeMarker(spark, dir, versions)
+    // old-count history is unaddressable — prune it (vacuum keeps the
+    // fresh marker's versions and drops markers whose manifests go)
+    vacuum(spark, dir, keepVersions = 1)
+    ()
+  }
+
   /** A crash-orphaned AtomicCommit temp (`.<name>.tmp-<uuid>`), old
     * enough that no in-flight commit can still be holding it (the
     * write→link window is milliseconds; the hour gate keeps a

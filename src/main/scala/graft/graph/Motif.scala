@@ -215,10 +215,15 @@ object Motif {
     * `anchors`: one key column, probe-sized (each step's frontier key
     * set is localCheckpoint'd before the fan-out, so per-step lineage
     * stays flat and each orientation's probe sees a materialized,
-    * bounded key list). Labels must carry real `src`/`dst` node keys —
-    * a composite far end (HAS_FEATURE) has no enterable reverse key
-    * and fails loudly. Node keys are compared as strings, matching
-    * [[varPath]]'s cast. */
+    * bounded key list). A COMPOSITE far end (HAS_FEATURE: no dst —
+    * the far node key is its attribute tuple) gets [[varPath]]'s own
+    * ':'-joined encoding on exit, and reverse entry splits the
+    * frontier key back into its typed parts, probing the dual-anchor
+    * twin when the store keeps one (single-layout stores fall back to
+    * the lazy semi-join) — so label-free variable-length expansion
+    * spans feature edges against the standing store too. Node keys
+    * are compared as strings, matching [[varPath]]'s cast; the
+    * encoding shares varPath's caveat (values must not contain ':'). */
   def varPathAnchored(spark: org.apache.spark.sql.SparkSession,
       dir: String, anchors: DataFrame, labels: Seq[String],
       minLen: Int, maxLen: Int, either: Boolean = false,
@@ -227,32 +232,62 @@ object Motif {
     require(anchors.columns.length == 1,
       s"anchors must be a single key column, got " +
         s"(${anchors.columns.mkString(",")})")
-    // orientation plan, resolved once from the store meta:
-    // (label, enter-by, exit-by, probe-served?) — an orientation is
-    // probe-served when the table's own anchor OR a dual-anchor twin
-    // matches its entering key (probe routes to the twin itself)
+    // orientation plan, resolved once from the store meta/schema:
+    // (label, enter-end, far-cols) with enter-end ∈ {src, dst, far} —
+    // `far` is a COMPOSITE far end (no dst column: the far node key
+    // is the ':'-joined attribute tuple, exactly varPath(g, labels)'s
+    // encoding, so counts stay equal between the two entrypoints).
+    // An orientation is probe-served when the table's own anchor OR a
+    // dual-anchor twin matches its entering key (probe routes to the
+    // twin itself); composite reverse entry splits the frontier key
+    // back into its typed parts and probes the twin by its persisted
+    // key ORDER (bucket hashing is order-sensitive), falling back to
+    // the lazy semi-join on a single-layout store. The encoding
+    // caveat is varPath's own: node-key values must not contain ':'.
     val orientations = labels.flatMap { lbl =>
+      val schema = GraphStore.storeSchema(spark, dir, lbl)
+      val hasDst = schema.fieldNames.contains("dst")
+      val farCols = schema.fieldNames.toSeq
+        .filterNot(c => c == "src" || c == "dst")
       val dirs =
-        if (either) Seq(("src", "dst"), ("dst", "src"))
-        else Seq(("src", "dst"))
-      dirs.map { case (en, ex) =>
-        (lbl, en, ex, GraphStore.probeServable(spark, dir, lbl, Seq(en)))
-      }
+        if (either) Seq("src", if (hasDst) "dst" else "far")
+        else Seq("src")
+      dirs.map(en => (lbl, en, farCols))
     }
     // distinct (a, b) edge pairs incident to a frontier key set —
     // varPath's `e` restricted to rows entered by the frontier
     def edgesFor(frontKeys: DataFrame): DataFrame =
-      orientations.map { case (lbl, en, ex, probed) =>
-        val f = frontKeys.select(col("k").as(en))
-        val t =
-          if (probed) GraphStore.probe(spark, dir, lbl, f, Seq(en))
-          else GraphStore.probeJoin(spark, dir, lbl, f, Seq(en))
-        require(t.columns.contains("dst"),
-          s"$lbl has a composite far end — varPathAnchored needs " +
-            "src/dst node keys (probe the vertex by its composite key " +
-            "instead, as gfe_incremental_khop does)")
-        t.select(col(en).cast("string").as("a"),
-          col(ex).cast("string").as("b"))
+      orientations.map { case (lbl, en, farCols) =>
+        val farExpr = concat_ws(":", farCols.map(col): _*)
+        if (en == "far") {
+          val schema = GraphStore.storeSchema(spark, dir, lbl)
+          // frontier keys that are NOT composite feature keys (plain
+          // node ids with too few parts, or parts that don't parse as
+          // the column's type) must yield NULL parts — which match no
+          // state row — not an ANSI error: get() tolerates a short
+          // array, try_cast tolerates junk text
+          val parts = frontKeys.select(farCols.zipWithIndex.map {
+            case (c, i) => get(split(col("k"), ":"), lit(i))
+              .try_cast(schema(c).dataType).as(c)
+          }: _*)
+          val t = GraphStore.twinAnchorKeys(spark, dir, lbl) match {
+            case Some(tk) => GraphStore.probe(spark, dir, lbl, parts, tk)
+            case None => GraphStore.probeJoin(spark, dir, lbl, parts, farCols)
+          }
+          t.select(farExpr.as("a"), col("src").cast("string").as("b"))
+        } else {
+          val f = frontKeys.select(col("k").as(en))
+          val t =
+            if (GraphStore.probeServable(spark, dir, lbl, Seq(en)))
+              GraphStore.probe(spark, dir, lbl, f, Seq(en))
+            else GraphStore.probeJoin(spark, dir, lbl, f, Seq(en))
+          val ex =
+            if (en == "src") {
+              if (t.columns.contains("dst")) col("dst").cast("string")
+              else farExpr
+            } else col("src").cast("string")
+          t.select(col(en).cast("string").as("a"), ex.as("b"))
+        }
       }.reduce(_ unionByName _)
         .where(col("a") =!= col("b")).distinct()
     val a0 = anchors

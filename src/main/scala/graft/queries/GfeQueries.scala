@@ -589,6 +589,47 @@ object GfeQueries {
           col("len").cast("long").as("len"), col("n_paths"))
         .orderBy("n_start", "n_end", "len")
     }),
+    // ...the COMPOSITE-far-end form: label-free expansion spanning
+    // HAS_FEATURE, whose far node key is its attribute tuple
+    // (':'-joined, varPath's encoding). Reverse entry into the
+    // feature edge splits the frontier key back into typed parts and
+    // probes the dual-anchor twin by its persisted composite key —
+    // on this dual fixture store EVERY orientation of every step is
+    // a bucket-pruned probe. Oracled against the refold aux's
+    // recursive CTE over the same ':'-encoded edge union.
+    QueryDef("gfe_incremental_varlen_feature",
+      s"""WITH RECURSIVE e0 AS (
+         |  SELECT CAST(src AS VARCHAR) AS a, CAST(dst AS VARCHAR) AS b
+         |  FROM ${aux("e_HAS_IPD_ALLELE")}
+         |  UNION SELECT CAST(src AS VARCHAR),
+         |    concat_ws(':', locus, rank, term, accession)
+         |  FROM ${aux("e_HAS_FEATURE")}),
+         |e AS (SELECT a, b FROM e0 WHERE a <> b
+         |      UNION SELECT b, a FROM e0 WHERE a <> b),
+         |walk(n_start, n_end, visited, len) AS (
+         |  SELECT a, b, [a, b], 1 FROM e
+         |  WHERE a IN ('HLA-A*01:01:01:01', 'HLA-A*02:01')
+         |  UNION ALL
+         |  SELECT w.n_start, e.b, list_append(w.visited, e.b), w.len + 1
+         |  FROM walk w JOIN e ON e.a = w.n_end
+         |  WHERE w.len < 2 AND NOT list_contains(w.visited, e.b))
+         |SELECT n_start, n_end, CAST(len AS BIGINT) AS len,
+         |       CAST(count(*) AS BIGINT) AS n_paths
+         |FROM walk
+         |GROUP BY 1, 2, 3
+         |ORDER BY 1, 2, 3""".stripMargin)((s, _) => {
+      import org.apache.spark.sql.functions._
+      import s.implicits._
+      import graft.graph.Motif
+      val (dir, _) = incrementalStore(s)
+      val anchors = Seq("HLA-A*01:01:01:01", "HLA-A*02:01").toDF("allele")
+      Motif.varPathAnchored(s, dir, anchors,
+          Seq("HAS_IPD_ALLELE", "HAS_FEATURE"), 1, 2,
+          either = true, edgeDistinct = false)
+        .select(col("n_start"), col("n_end"),
+          col("len").cast("long").as("len"), col("n_paths"))
+        .orderBy("n_start", "n_end", "len")
+    }),
     // ...and the TRAIL-uniqueness variant on the same store (Cypher's
     // native `-[*1..3]-` rule: nodes may recur over fresh edges, an
     // undirected relationship's two orientations are one edge) — the

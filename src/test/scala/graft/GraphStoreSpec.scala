@@ -441,7 +441,7 @@ class GraphStoreSpec extends AnyFunSuite {
 
   test("varPathAnchored: store-served variable-length expansion equals " +
       "varPath restricted to the anchors, in both uniqueness modes; " +
-      "anchor-entering steps are bucket-pruned; composite ends fail") {
+      "anchor-entering steps are bucket-pruned; composite ends encode") {
     import spark.implicits._
     import graft.graph.Motif
     val Seq(r1, r2, r3) = LoadFixtures.policyMatrix(spark)
@@ -483,13 +483,15 @@ class GraphStoreSpec extends AnyFunSuite {
     assert(files.nonEmpty && files.forall(_.contains(s"_graft_bucket=$b/")),
       s"directed anchor-entering step must scan only bucket $b: " +
         files.mkString(", "))
-    // a composite-far-end label has no enterable reverse node key —
-    // loud failure, never a silent wrong answer
-    val e = intercept[IllegalArgumentException] {
-      Motif.varPathAnchored(spark, dir, Seq("A").toDF("gfe"),
-        Seq("HAS_FEATURE"), 1, 2).collect()
-    }
-    assert(e.getMessage.contains("composite far end"), e.getMessage)
+    // a composite-far-end label (HAS_FEATURE) is first-class: a
+    // directed expansion from a GFE reaches its ':'-encoded feature
+    // keys — exactly varPath(g, labels)'s encoding (the dedicated
+    // composite spec below pins full count equality in both layouts)
+    val fOut = Motif.varPathAnchored(spark, dir, Seq("A").toDF("gfe"),
+      Seq("HAS_FEATURE"), 1, 1)
+    assert(fOut.count() > 0 &&
+      fOut.where(!col("n_end").contains(":")).count() == 0,
+      "directed composite expansion must emit ':'-encoded far keys")
   }
 
   test("legacy one-line store meta fails loudly naming the remedy, " +
@@ -583,6 +585,42 @@ class GraphStoreSpec extends AnyFunSuite {
     GraphStore.vacuum(spark, dir, keepVersions = 1)
     assert(LoadFixtures.rowsOf(GraphStore.probe(spark, dir,
       "HAS_IPD_ALLELE", allSrc, Seq("src"))) == before)
+  }
+
+  test("varPathAnchored spans composite far ends (HAS_FEATURE): " +
+      "':'-encoded, counts equal whole-table varPath on dual AND " +
+      "single-layout stores") {
+    import graft.graph.Motif
+    val Seq(r1, r2, _) = LoadFixtures.policyMatrix(spark)
+    def mkStore(dual: Boolean): String = {
+      val d = tmp(s"graphstore_varfeat_$dual")
+      GraphStore.init(spark, d, GraphLoad.loadAll(spark, Seq(r1)),
+        buckets = 16, dualAnchor = dual)
+      GraphStore.applyRelease(spark, d, r2)
+      d
+    }
+    val dir = mkStore(dual = true)
+    val g = GraphStore.read(spark, dir)
+    val anchors = g.ipdAllele.select(col("name")).orderBy("name").limit(2)
+    val anchorSet = anchors.collect().map(_.getString(0)).toSeq
+    val full = Motif.varPath(g, Seq("HAS_IPD_ALLELE", "HAS_FEATURE"),
+        1, 2, either = true, edgeDistinct = false)
+      .where(col("n_start").isin(anchorSet: _*))
+    val out = Motif.varPathAnchored(spark, dir, anchors,
+      Seq("HAS_IPD_ALLELE", "HAS_FEATURE"), 1, 2, either = true)
+    assert(LoadFixtures.rowsOf(out) == LoadFixtures.rowsOf(full),
+      "dual store: anchored == whole-table")
+    // premise: paths actually crossed the feature edge — composite
+    // (':'-joined) endpoints present
+    assert(out.where(col("n_end").contains(":")).count() > 0,
+      "premise: expansion must reach ':'-encoded feature keys")
+    // single-layout store: composite reverse entry takes the lazy
+    // semi-join fallback — same counts
+    val dir2 = mkStore(dual = false)
+    val out2 = Motif.varPathAnchored(spark, dir2, anchors,
+      Seq("HAS_IPD_ALLELE", "HAS_FEATURE"), 1, 2, either = true)
+    assert(LoadFixtures.rowsOf(out2) == LoadFixtures.rowsOf(full),
+      "single-layout store: anchored == whole-table")
   }
 
   test("time travel: readAt serves each marker's exact state; diff " +
@@ -697,6 +735,44 @@ class GraphStoreSpec extends AnyFunSuite {
     assert(!java.nio.file.Files.exists(
       java.nio.file.Paths.get(tdir, "manifest", ".claim_v1")),
       "schema-guarded apply must not leave a claim behind")
+  }
+
+  test("rebucket migrates the layout: state identical, probes prune " +
+      "at the new width, history resets, applies continue") {
+    val Seq(r1, r2, r3) = LoadFixtures.policyMatrix(spark)
+    val dir = tmp("graphstore_rebucket")
+    GraphStore.init(spark, dir, GraphLoad.loadAll(spark, Seq(r1)),
+      buckets = 2)
+    GraphStore.applyRelease(spark, dir, r2)
+    val before = GraphLoad.loadAll(spark, Seq(r1, r2))
+    GraphStore.rebucket(spark, dir, 16)
+    // state byte-identical across the migration
+    LoadFixtures.assertSameGraph(before, GraphStore.read(spark, dir),
+      "rebucketed state == pre-migration state")
+    // probes hash with the NEW count and prune to it: a 1-key probe
+    // reads exactly one of the 16 buckets
+    val k = before.sequence.select("name").orderBy("name").limit(1)
+    val out = GraphStore.probe(spark, dir, "Sequence", k, Seq("name"))
+    val files = out.inputFiles.filter(_.contains("_graft_bucket="))
+    assert(files.nonEmpty && files.map(_.split("_graft_bucket=")(1)
+        .takeWhile(_.isDigit)).distinct.length == 1,
+      s"1-key probe must hit one bucket of the new layout: " +
+        files.mkString(", "))
+    assert(LoadFixtures.rowsOf(out) ==
+      LoadFixtures.rowsOf(before.sequence.join(k, Seq("name"), "left_semi")))
+    // history reset: exactly one marker remains, as-of the old axis
+    // fails loudly
+    assert(GraphStore.markers(spark, dir).length == 1,
+      "rebucket must reset the marker axis")
+    // ...and the store keeps operating: a further release applies and
+    // reports dirty buckets against the new width
+    val stats = GraphStore.applyRelease(spark, dir, r3)
+    stats.dirtyBuckets.foreach { case (t, n) =>
+      assert(n <= 1, s"$t dirtied $n buckets for a 1-allele release " +
+        "after rebucket")
+    }
+    LoadFixtures.assertSameGraph(GraphLoad.loadAll(spark, Seq(r1, r2, r3)),
+      GraphStore.read(spark, dir), "post-rebucket apply converges")
   }
 
   test("vacuum claim GC respects bucket inheritance: a claim whose " +
