@@ -590,7 +590,22 @@ object Bench {
             s"store fold ($storeEdges edges) != refold ($n edges)")
           n
         }
-        Map(apply, applyDual, varpathDual, refold) ++ diffRead
+        // The layout-migration cost in numbers: rebucket the dual
+        // store to 4× width — every table (twins included) fully
+        // rewritten once under the claim protocol, history vacuumed.
+        // The same I/O class as a refold write, paid once per layout
+        // change; runs LAST in the tier (it resets the store's
+        // marker axis).
+        val rebucketT = tTier(s"xinc_rebucket_$incReleases",
+            "4x-width layout migration") {
+          graft.graph.GraphStore.rebucket(spark, dualDir, 64)
+          val n = graft.graph.GraphStore.read(spark, dualDir)
+            .hasIpdAllele.count()
+          require(storeEdges < 0 || n == storeEdges,
+            "rebucket changed the served row count")
+          n
+        }
+        Map(apply, applyDual, varpathDual, refold, rebucketT) ++ diffRead
       } catch { case scala.util.control.NonFatal(ex) =>
         System.err.println(s"[bench] inc-graph workload failed: $ex")
         Map.empty

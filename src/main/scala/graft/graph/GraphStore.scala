@@ -660,16 +660,8 @@ object GraphStore {
         s"$dir: marker r$k records no version for $table")
       manifestAt(spark, tdir, vs(table))
     }
-    val from = manifestOf(fromMarker)
-    val to = manifestOf(toMarker)
-    val changed = (from.keySet ++ to.keySet)
-      .filter(b => from.get(b) != to.get(b))
-    val schema = Some(tableSchema(spark, tdir))
-    def side(m: Map[Int, Int]) = EventStreams.stateAt(spark, tdir,
-      m.filter { case (b, _) => changed(b) }, schema)
-    val (f, t) = (side(from), side(to))
-    t.except(f).withColumn("change", lit("+"))
-      .unionByName(f.except(t).withColumn("change", lit("-")))
+    EventStreams.cdcDiff(spark, tdir, manifestOf(fromMarker),
+      manifestOf(toMarker), Some(tableSchema(spark, tdir)))
   }
 
   /** Public index-probe read: the rows of `table` whose `keys` match

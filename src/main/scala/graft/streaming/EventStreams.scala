@@ -637,6 +637,42 @@ object EventStreams {
     stateAt(spark, stateDir, readManifest(spark, s"$stateDir/manifest/v$last"))
   }
 
+  /** Symmetric row delta between two RETAINED versions of a versioned
+    * bucket store — the rows present at `to` but not `from`
+    * (`change = '+'`) and vice versa (`'-'`). MANIFEST-PRUNED: a
+    * bucket whose version pointer is equal in both manifests
+    * references the SAME immutable file and is never opened, so both
+    * sides read only the buckets some apply/batch rewrote in between
+    * — the downstream-invalidation read ("which index postings moved
+    * since version v") is O(changed buckets), never 2 × store. Set
+    * semantics, exact; tombstoned rows diff like any other row (a
+    * key's delete surfaces as '-' live + '+' tombstone).
+    * [[graft.graph.GraphStore.diff]] is the release-marker-resolved
+    * form of this same read. */
+  def cdcDiff(spark: SparkSession, stateDir: String,
+      from: Map[Int, Int], to: Map[Int, Int],
+      schema: Option[org.apache.spark.sql.types.StructType] = None)
+      : DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    val changed = (from.keySet ++ to.keySet)
+      .filter(b => from.get(b) != to.get(b))
+    def side(m: Map[Int, Int]) = stateAt(spark, stateDir,
+      m.filter { case (b, _) => changed(b) }, schema)
+    val (f, t) = (side(from), side(to))
+    t.except(f).withColumn("change", lit("+"))
+      .unionByName(f.except(t).withColumn("change", lit("-")))
+  }
+
+  /** [[cdcDiff]] between two committed version numbers of a
+    * [[cdcApply]] store (e.g. two micro-batch commits of a streaming
+    * index maintain) — vacuumed versions fail loudly on the manifest
+    * read. */
+  def cdcDiffVersions(spark: SparkSession, stateDir: String,
+      fromV: Int, toV: Int): DataFrame =
+    cdcDiff(spark, stateDir,
+      readManifest(spark, s"$stateDir/manifest/v$fromV"),
+      readManifest(spark, s"$stateDir/manifest/v$toV"))
+
   /** Vacuum superseded state versions: keep the newest `keepVersions`
     * manifests plus every bucket file they reference; delete
     * unreferenced bucket directories and older manifests. The GC dual

@@ -1026,4 +1026,40 @@ class EventStreamsSpec extends AnyFunSuite {
       "out-of-order arrival MUST diverge from the doc_id-ordered " +
         "manifest — if it doesn't, this spec's premise is broken")
   }
+
+  test("cdc diff between committed versions: symmetric delta, " +
+      "manifest-pruned to changed buckets; self-diff empty") {
+    val srcDir = splitEventsDir(3)
+    val stateDir = java.nio.file.Files.createTempDirectory("cdc_diff_state")
+    EventStreams.cdcCustomerStream(spark, srcDir.toString,
+      Tables.customer(spark, sfDir), stateDir.toString,
+      Map("maxFilesPerTrigger" -> "1")).collect()
+    val vs = EventStreams.manifestVersions(spark, stateDir.toString)
+    assert(vs.size >= 3, s"need several committed versions, saw $vs")
+    val (vFrom, vTo) = (vs(vs.size - 2), vs.last)
+    val d = EventStreams.cdcDiffVersions(spark, stateDir.toString,
+      vFrom, vTo)
+    // semantic: exactly the symmetric EXCEPT of the two full states
+    def full(v: Int) = EventStreams.stateAt(spark, stateDir.toString,
+      EventStreams.readManifest(spark, s"$stateDir/manifest/v$v"))
+    val (f, t) = (full(vFrom), full(vTo))
+    assert(LoadFixtures.rowsOf(
+        d.where(col("change") === "+").drop("change"))
+      == LoadFixtures.rowsOf(t.except(f)))
+    assert(LoadFixtures.rowsOf(
+        d.where(col("change") === "-").drop("change"))
+      == LoadFixtures.rowsOf(f.except(t)))
+    assert(d.where(col("change") === "+").count() > 0,
+      "premise: the final micro-batch must have changed rows")
+    // pruning: the diff opens strictly fewer bucket files than the
+    // two sides' full reads combined (only pointers that moved)
+    val opened = d.inputFiles.count(_.contains("_graft_bucket="))
+    val unpruned = f.inputFiles.count(_.contains("_graft_bucket=")) +
+      t.inputFiles.count(_.contains("_graft_bucket="))
+    assert(opened < unpruned,
+      s"manifest pruning must beat the $unpruned-file unpruned read " +
+        s"(opened $opened)")
+    assert(EventStreams.cdcDiffVersions(spark, stateDir.toString,
+      vTo, vTo).isEmpty, "self-diff must be empty")
+  }
 }
