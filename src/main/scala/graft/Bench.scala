@@ -596,8 +596,13 @@ object Bench {
         // The same I/O class as a refold write, paid once per layout
         // change; runs LAST in the tier (it resets the store's
         // marker axis).
+        // runsFor = 1: the body is NOT idempotent — a second sample
+        // would time a same-width rewrite of the already-migrated,
+        // already-vacuumed store, not the advertised 4×-width
+        // migration, and min-of-samples would report that cheaper
+        // different operation
         val rebucketT = tTier(s"xinc_rebucket_$incReleases",
-            "4x-width layout migration") {
+            "4x-width layout migration", runsFor = 1) {
           graft.graph.GraphStore.rebucket(spark, dualDir, 64)
           val n = graft.graph.GraphStore.read(spark, dualDir)
             .hasIpdAllele.count()

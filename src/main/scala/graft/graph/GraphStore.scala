@@ -124,18 +124,23 @@ object GraphStore {
     // callers that already read the table meta pass it down — probe
     // sits on the traversal hot path, where every avoided small-file
     // round-trip matters on a remote store
-    val (buckets, bucketKeys) = meta.getOrElse(tableMeta(spark, tdir))
+    val (_, bucketKeys) = meta.getOrElse(tableMeta(spark, tdir))
     // hashing anchors with the WRONG key would probe the wrong
     // buckets and silently MISS rows — fail loudly instead
     require(keys == bucketKeys,
       s"$tdir is bucketed by (${bucketKeys.mkString(",")}); a probe " +
         s"keyed (${keys.mkString(",")}) would miss rows")
+    val m = manifest.getOrElse(latestManifest(spark, tdir))
+    // hash WIDTH comes from the manifest, not the meta: a manifest
+    // always carries every bucket id of its layout, so a read pinned
+    // to it hashes with the exact width it was written under —
+    // readers stay consistent THROUGH a rebucket (and across a
+    // crashed one); the meta width only seeds new layouts
     val hit = keyRows
-      .select(EventStreams.bucketCol(keys, buckets).as("_b"))
+      .select(EventStreams.bucketCol(keys, m.size).as("_b"))
       .distinct().collect().map(_.getInt(0)).toSet
     EventStreams.stateAt(spark, tdir,
-      manifest.getOrElse(latestManifest(spark, tdir))
-        .filter { case (k, _) => hit(k) },
+      m.filter { case (k, _) => hit(k) },
       Some(tableSchema(spark, tdir)))
   }
 
@@ -152,7 +157,7 @@ object GraphStore {
   private def applyTable(spark: SparkSession, tdir: String,
       delta: DataFrame,
       merge: (DataFrame, DataFrame) => DataFrame): (Int, Int) = {
-    val (buckets, bucketKeys) = tableMeta(spark, tdir)
+    val (_, bucketKeys) = tableMeta(spark, tdir)
     // SCHEMA GUARD, before the claim (a mismatched apply must not
     // burn a version claim): the table's READ schema is fixed at init
     // (`_empty` is what every stateAt read pins to), so an apply whose
@@ -226,6 +231,13 @@ object GraphStore {
             s"delete $claim and retry", e)
     }
     val base = latestManifest(spark, tdir)
+    // merge hashing at the BASE manifest's width (manifest.size):
+    // the delta must land in the same buckets the base's rows were
+    // hashed into, whatever the current meta says — keeps a merge
+    // consistent even when it runs right after a crashed rebucket
+    // flipped the meta but the latest manifest is still the old
+    // layout (or vice versa)
+    val buckets = base.size
     val d = delta.localCheckpoint()
     val dirty = d
       .select(EventStreams.bucketCol(bucketKeys, buckets).as("_b"))
@@ -797,24 +809,27 @@ object GraphStore {
     * layout's history is vacuumed away.
     *
     * Contract, stated not hidden:
-    *  - HISTORY RESET — bucket ids hash with the CURRENT count, so
-    *    manifests laid down under the old count stop being
-    *    addressable the moment the meta changes; rebucket prunes
-    *    them (and their markers), and the as-of/[[diff]] axis
-    *    restarts at the rebucketed marker.
-    *  - STOP-THE-WORLD for probes — like any re-partitioning
-    *    migration: [[read]]/[[readAt]] stay correct throughout
-    *    (manifest-addressed, no hashing), but a [[probe]] racing the
-    *    meta rewrite could hash with the new count against an
-    *    old-count manifest and silently miss; quiesce probes for the
-    *    migration window. Concurrent APPLIERS are excluded by the
-    *    claim, loudly, as always. */
+    *  - HISTORY RESET — old-layout manifests are pruned (with their
+    *    markers): the as-of/[[diff]] axis restarts at the rebucketed
+    *    marker.
+    *  - READERS STAY ONLINE — every read derives its hash width from
+    *    the manifest it is pinned to (manifest.size), never the
+    *    meta, so a probe racing (or outliving a crash of) the
+    *    migration serves the old layout consistently until the new
+    *    marker lands; the marker publish is the atomic visibility
+    *    point. Concurrent APPLIERS are excluded loudly: every
+    *    table's next version is claimed UP FRONT, before any
+    *    rewrite, so a mid-migration failure aborts with the store
+    *    intact and the stale claims naming the retry remedy. */
   def rebucket(spark: SparkSession, dir: String, newBuckets: Int): Unit = {
     require(newBuckets > 0, "newBuckets must be positive")
     val tables = tablesOf(spark, dir)
-    val versions = tables.map { t =>
+    // PHASE 1 — claim every table's next version before touching any
+    // data: a concurrent applier (or a second rebucket) fails here,
+    // and a claim conflict aborts the whole migration before a
+    // single bucket is written
+    val claimed = tables.map { t =>
       val tdir = s"$dir/$t"
-      val (_, keys) = tableMeta(spark, tdir)
       val v = latestVersion(spark, tdir)
       val claim = s"$tdir/manifest/.claim_v${v + 1}"
       try EventStreams.writeSmallFileExclusive(spark, claim, "")
@@ -823,9 +838,17 @@ object GraphStore {
           throw new java.util.ConcurrentModificationException(
             s"$tdir: version ${v + 1} is already claimed — a concurrent " +
               "applier (or crashed one) holds it; rebucket needs the " +
-              s"store quiesced. If no writer is alive, delete $claim " +
-              "and retry", e)
+              s"store quiesced of writers. If none is alive, delete " +
+              s"$claim and retry", e)
       }
+      t -> v
+    }
+    // PHASE 2 — rewrite every table under the new width and commit
+    // its manifest; readers keep serving the marker-pinned old
+    // layout (their width comes from the pinned manifest itself)
+    val versions = claimed.map { case (t, v) =>
+      val tdir = s"$dir/$t"
+      val (_, keys) = tableMeta(spark, tdir)
       val state = EventStreams.stateAt(spark, tdir,
         servingManifest(spark, dir, t), Some(tableSchema(spark, tdir)))
       val written = EventStreams.writeBuckets(
@@ -833,14 +856,13 @@ object GraphStore {
       EventStreams.writeManifestExclusive(spark, s"$tdir/manifest/v${v + 1}",
         (0 until newBuckets)
           .map(k => k -> (if (written(k)) v + 1 else -1)).toMap)
-      // meta LAST for this table: the manifest above is complete the
-      // moment any reader can hash with the new count
       EventStreams.writeSmallFile(spark, metaPath(tdir),
         s"$newBuckets\n${keys.mkString(",")}\n")
       t -> (v + 1)
     }.toMap
+    // PHASE 3 — one marker: the store-level atomic cutover
     writeMarker(spark, dir, versions)
-    // old-count history is unaddressable — prune it (vacuum keeps the
+    // old-layout history is superseded — prune it (vacuum keeps the
     // fresh marker's versions and drops markers whose manifests go)
     vacuum(spark, dir, keepVersions = 1)
     ()

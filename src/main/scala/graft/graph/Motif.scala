@@ -244,6 +244,16 @@ object Motif {
     // key ORDER (bucket hashing is order-sensitive), falling back to
     // the lazy semi-join on a single-layout store. The encoding
     // caveat is varPath's own: node-key values must not contain ':'.
+    // every loop-invariant resolved ONCE, before the expansion: the
+    // per-label schema (one `_empty` footer read), far-key columns
+    // and types, and each orientation's routing decision (probe vs
+    // semi-join; twin key order) — an expansion step re-reading them
+    // would pay O(maxLen × labels) driver round-trips to the store's
+    // small files for constants
+    final case class Orient(lbl: String, en: String, hasDst: Boolean,
+        farCols: Seq[String],
+        farTypes: Seq[org.apache.spark.sql.types.DataType],
+        probed: Boolean, twinKeys: Option[Seq[String]])
     val orientations = labels.flatMap { lbl =>
       val schema = GraphStore.storeSchema(spark, dir, lbl)
       val hasDst = schema.fieldNames.contains("dst")
@@ -252,41 +262,54 @@ object Motif {
       val dirs =
         if (either) Seq("src", if (hasDst) "dst" else "far")
         else Seq("src")
-      dirs.map(en => (lbl, en, farCols))
+      dirs.map(en => Orient(lbl, en, hasDst, farCols,
+        farCols.map(c => schema(c).dataType),
+        probed = en != "far" &&
+          GraphStore.probeServable(spark, dir, lbl, Seq(en)),
+        twinKeys =
+          if (en != "far") None
+          else GraphStore.twinAnchorKeys(spark, dir, lbl)))
     }
     // distinct (a, b) edge pairs incident to a frontier key set —
     // varPath's `e` restricted to rows entered by the frontier
     def edgesFor(frontKeys: DataFrame): DataFrame =
-      orientations.map { case (lbl, en, farCols) =>
-        val farExpr = concat_ws(":", farCols.map(col): _*)
-        if (en == "far") {
-          val schema = GraphStore.storeSchema(spark, dir, lbl)
-          // frontier keys that are NOT composite feature keys (plain
-          // node ids with too few parts, or parts that don't parse as
-          // the column's type) must yield NULL parts — which match no
-          // state row — not an ANSI error: get() tolerates a short
-          // array, try_cast tolerates junk text
-          val parts = frontKeys.select(farCols.zipWithIndex.map {
-            case (c, i) => get(split(col("k"), ":"), lit(i))
-              .try_cast(schema(c).dataType).as(c)
-          }: _*)
-          val t = GraphStore.twinAnchorKeys(spark, dir, lbl) match {
-            case Some(tk) => GraphStore.probe(spark, dir, lbl, parts, tk)
-            case None => GraphStore.probeJoin(spark, dir, lbl, parts, farCols)
+      orientations.map { o =>
+        val farExpr = concat_ws(":", o.farCols.map(col): _*)
+        if (o.en == "far") {
+          // typed-part probe for PRUNING, string equality for
+          // SEMANTICS: the frontier key splits into try_cast parts
+          // (get() tolerates short arrays, try_cast tolerates junk —
+          // a plain node id yields NULL parts that match nothing,
+          // not an ANSI error), which find the candidate bucket rows;
+          // the final semi-join on the re-encoded key keeps varPath's
+          // string-equality contract exact — a cast-normalized
+          // near-miss anchor ('X:01:…' against stored rank 1, whose
+          // encoding is 'X:1:…') must NOT match. Rows with NULL
+          // far-key parts stay unreachable by reverse entry — their
+          // ':'-encoding is ambiguous (concat_ws skips nulls), a
+          // limitation of the encoding itself, shared with varPath.
+          val parts = frontKeys.select(
+            o.farCols.zip(o.farTypes).zipWithIndex.map {
+              case ((c, dt), i) =>
+                get(split(col("k"), ":"), lit(i)).try_cast(dt).as(c)
+            }: _*)
+          val t = o.twinKeys match {
+            case Some(tk) => GraphStore.probe(spark, dir, o.lbl, parts, tk)
+            case None =>
+              GraphStore.probeJoin(spark, dir, o.lbl, parts, o.farCols)
           }
           t.select(farExpr.as("a"), col("src").cast("string").as("b"))
+            .join(frontKeys.select(col("k").as("a")), Seq("a"), "left_semi")
         } else {
-          val f = frontKeys.select(col("k").as(en))
+          val f = frontKeys.select(col("k").as(o.en))
           val t =
-            if (GraphStore.probeServable(spark, dir, lbl, Seq(en)))
-              GraphStore.probe(spark, dir, lbl, f, Seq(en))
-            else GraphStore.probeJoin(spark, dir, lbl, f, Seq(en))
+            if (o.probed) GraphStore.probe(spark, dir, o.lbl, f, Seq(o.en))
+            else GraphStore.probeJoin(spark, dir, o.lbl, f, Seq(o.en))
           val ex =
-            if (en == "src") {
-              if (t.columns.contains("dst")) col("dst").cast("string")
-              else farExpr
+            if (o.en == "src") {
+              if (o.hasDst) col("dst").cast("string") else farExpr
             } else col("src").cast("string")
-          t.select(col(en).cast("string").as("a"), ex.as("b"))
+          t.select(col(o.en).cast("string").as("a"), ex.as("b"))
         }
       }.reduce(_ unionByName _)
         .where(col("a") =!= col("b")).distinct()

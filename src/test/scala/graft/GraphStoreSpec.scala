@@ -610,9 +610,10 @@ class GraphStoreSpec extends AnyFunSuite {
       Seq("HAS_IPD_ALLELE", "HAS_FEATURE"), 1, 2, either = true)
     assert(LoadFixtures.rowsOf(out) == LoadFixtures.rowsOf(full),
       "dual store: anchored == whole-table")
-    // premise: paths actually crossed the feature edge — composite
-    // (':'-joined) endpoints present
-    assert(out.where(col("n_end").contains(":")).count() > 0,
+    // premise: paths actually crossed the feature edge — 4-part
+    // composite endpoints present (fixture allele names carry at most
+    // one ':', so only feature keys split to 4 parts)
+    assert(out.where(size(split(col("n_end"), ":")) === 4).count() > 0,
       "premise: expansion must reach ':'-encoded feature keys")
     // single-layout store: composite reverse entry takes the lazy
     // semi-join fallback — same counts
@@ -621,6 +622,27 @@ class GraphStoreSpec extends AnyFunSuite {
       Seq("HAS_IPD_ALLELE", "HAS_FEATURE"), 1, 2, either = true)
     assert(LoadFixtures.rowsOf(out2) == LoadFixtures.rowsOf(full),
       "single-layout store: anchored == whole-table")
+    // exact-encoding contract: reverse entry by a composite key is
+    // STRING equality (varPath's own semantics) — an exact feature
+    // key expands, its cast-normalized near-miss ('0'-prefixed
+    // numeric part: try_cast coerces '01'→1, which WOULD match the
+    // typed probe) matches nothing
+    import spark.implicits._
+    // a real feature key in the store's own encoding (column order =
+    // the schema's far-col order; n_end.contains(':') would not do —
+    // allele names carry ':' too)
+    val featKey = GraphStore.read(spark, dir).hasFeature
+      .select(concat_ws(":", col("locus"), col("rank"), col("term"),
+        col("accession")).as("k"))
+      .orderBy("k").limit(1).collect().head.getString(0)
+    assert(Motif.varPathAnchored(spark, dir, Seq(featKey).toDF("k0"),
+      Seq("HAS_FEATURE"), 1, 1, either = true).count() > 0,
+      "exact composite anchor must expand")
+    val p = featKey.split(":")
+    val near = p.updated(1, "0" + p(1)).mkString(":")
+    assert(Motif.varPathAnchored(spark, dir, Seq(near).toDF("k0"),
+      Seq("HAS_FEATURE"), 1, 1, either = true).count() == 0,
+      s"near-miss anchor '$near' must match nothing")
   }
 
   test("time travel: readAt serves each marker's exact state; diff " +
