@@ -654,8 +654,14 @@ object EventStreams {
       schema: Option[org.apache.spark.sql.types.StructType] = None)
       : DataFrame = {
     import org.apache.spark.sql.functions.lit
-    val changed = (from.keySet ++ to.keySet)
-      .filter(b => from.get(b) != to.get(b))
+    // pointer-equality pruning is only meaningful when both manifests
+    // share one layout width — across a re-bucketing, bucket id 3
+    // names DIFFERENT key sets on the two sides, so the diff falls
+    // back to comparing every live bucket (exact, just unpruned)
+    val changed =
+      if (from.size != to.size) from.keySet ++ to.keySet
+      else (from.keySet ++ to.keySet)
+        .filter(b => from.get(b) != to.get(b))
     def side(m: Map[Int, Int]) = stateAt(spark, stateDir,
       m.filter { case (b, _) => changed(b) }, schema)
     val (f, t) = (side(from), side(to))
