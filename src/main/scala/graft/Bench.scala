@@ -568,6 +568,28 @@ object Bench {
             require(n > 0, "last release changed no HAS_IPD_ALLELE rows")
             n
           })
+        // The SQL serving surface on the same store: a literal
+        // IN-list point read through the `graftstore` data source —
+        // planning-time bucket pruning inside the FileIndex (the
+        // declarative twin of probe; values driver-oracled as
+        // gfe_store_sql_probe). Cost is per-hit-bucket file reads +
+        // one planning pass, independent of store size — the number
+        // a SQL consumer (BI tool, notebook) actually pays per
+        // anchored lookup against the standing graph.
+        val sqlProbe = tTier(s"xinc_sqlprobe_$incReleases",
+            "64-key SQL IN via graftstore source") {
+          val names = graft.graph.GraphStore.read(spark, dualDir)
+            .ipdAllele.select("name").orderBy("name").limit(64)
+            .collect().map(_.getString(0)).toSeq
+          val n = graft.graph.GraphStore
+            .sqlTable(spark, dualDir, "IPD_Allele")
+            .where(org.apache.spark.sql.functions.col("name")
+              .isin(names: _*))
+            .count()
+          require(n == names.size.toLong,
+            s"SQL probe served $n of ${names.size} anchor rows")
+          n
+        }
         // Half-history datapoint OUTSIDE the timed entry (folding it
         // into the entry would overstate the full refold ~1.5×): the
         // growth evidence — a reader sees refold(K/2) < refold(K)
@@ -610,7 +632,8 @@ object Bench {
             "rebucket changed the served row count")
           n
         }
-        Map(apply, applyDual, varpathDual, refold, rebucketT) ++ diffRead
+        Map(apply, applyDual, varpathDual, sqlProbe, refold,
+          rebucketT) ++ diffRead
       } catch { case scala.util.control.NonFatal(ex) =>
         System.err.println(s"[bench] inc-graph workload failed: $ex")
         Map.empty

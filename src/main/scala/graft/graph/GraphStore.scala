@@ -747,6 +747,49 @@ object GraphStore {
       table: String): org.apache.spark.sql.types.StructType =
     tableSchema(spark, s"$dir/$table")
 
+  /** Everything [[graft.sources.GraftStoreSource]] needs to plan a
+    * scan of one marker-pinned table: (table dir, serving manifest,
+    * persisted bucket keys, pinned schema). The data source lives in
+    * another package but must resolve tables EXACTLY like the native
+    * reads — same marker resolution, same meta, same loud failures on
+    * vacuumed markers / legacy meta — so the resolution stays here,
+    * next to the readers it must agree with. */
+  private[graft] def relationSpec(spark: SparkSession, dir: String,
+      table: String, asOf: Option[Int] = None)
+      : (String, Map[Int, Int], Seq[String],
+         org.apache.spark.sql.types.StructType) = {
+    val tdir = s"$dir/$table"
+    (tdir, servingManifest(spark, dir, table, asOf),
+      tableBucketKeys(spark, tdir), tableSchema(spark, tdir))
+  }
+
+  /** One store table as a plain DataFrame through the registered data
+    * source — equal to [[tableAt]]/[[read]]'s table, but planned via
+    * [[graft.sources.GraftStoreFileIndex]], so an equality/IN filter
+    * on the table's bucket key prunes the scan to the hit buckets at
+    * planning time (the declarative [[probe]]). */
+  def sqlTable(spark: SparkSession, dir: String, table: String,
+      asOf: Option[Int] = None): DataFrame = {
+    val r = spark.read.format("graftstore")
+      .option("dir", dir).option("table", table)
+    asOf.fold(r)(k => r.option("marker", k.toString)).load()
+  }
+
+  /** Register every public table of the store as a temp view
+    * (`prefix` + table name) — the SQL serving surface: after this,
+    * `spark.sql("SELECT ... FROM GFE JOIN HAS_FEATURE ...")` runs
+    * against the marker-pinned store with bucket pruning, no graft
+    * API in sight. `__rev` twins are skipped (same rows as their
+    * primary, different layout — a SQL reader never wants both). */
+  def createViews(spark: SparkSession, dir: String, prefix: String = "",
+      asOf: Option[Int] = None): Seq[String] = {
+    val ts = tablesOf(spark, dir).filterNot(_.endsWith("__rev"))
+    ts.foreach { t =>
+      sqlTable(spark, dir, t, asOf).createOrReplaceTempView(prefix + t)
+    }
+    ts.map(prefix + _)
+  }
+
   /** JOIN-shaped store read: the rows of `table` whose `keys` values
     * appear in `keyFrame` — [[probe]]'s semantics with NO driver-side
     * materialization of the key side (no eager bucket-id collect, no

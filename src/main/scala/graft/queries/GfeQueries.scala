@@ -767,6 +767,52 @@ object GfeQueries {
         .select(col("name"), col("gene"), col("G").as("g_group"),
           col("lg").as("lg_group")).orderBy("name")
     }),
+    // The SQL SERVING SURFACE over the standing store
+    // (graft.sources.GraftStoreSource): GraphStore.createViews
+    // registers every table as a temp view backed by the `graftstore`
+    // data source — manifest-resolved, marker-pinned — and a plain
+    // spark.sql join/aggregate over those views must equal the refold.
+    // This is the reference's ad-hoc query endpoint (Cypher over the
+    // standing Neo4j graph, docs/source/reference.rst:34-37)
+    // re-expressed as Spark SQL: no graft API in the query text.
+    QueryDef("gfe_store_sql",
+      s"""SELECT e.dst AS allele, count(DISTINCT e.src) AS n_gfes,
+         |       count(DISTINCT hf.term) AS n_terms
+         |FROM ${aux("e_HAS_IPD_ALLELE")} e
+         |JOIN ${aux("e_HAS_FEATURE")} hf ON hf.src = e.src
+         |GROUP BY e.dst
+         |ORDER BY allele""".stripMargin)((s, _) => {
+      val (dir, _) = incrementalStore(s)
+      graft.graph.GraphStore.createViews(s, dir, prefix = "gstore_")
+      s.sql(
+        """SELECT e.dst AS allele, count(DISTINCT e.src) AS n_gfes,
+          |       count(DISTINCT hf.term) AS n_terms
+          |FROM gstore_HAS_IPD_ALLELE e
+          |JOIN gstore_HAS_FEATURE hf ON hf.src = e.src
+          |GROUP BY e.dst
+          |ORDER BY allele""".stripMargin)
+    }),
+    // The DECLARATIVE point probe: the same literal IN-list read that
+    // GraphStore.probe serves imperatively, written as a plain WHERE
+    // over the data source — the anchor-key equality prunes the scan
+    // to the hit buckets at PLANNING time inside the store's
+    // FileIndex (plan shape pinned in GraftStoreSourceSpec; this
+    // entry hash-pins the VALUES end-to-end through that path).
+    QueryDef("gfe_store_sql_probe",
+      s"""SELECT name, gene, G AS g_group, lg AS lg_group
+         |FROM ${aux("v_IPD_Allele")}
+         |WHERE name IN
+         |  ('HLA-A*01:01:01:01', 'HLA-A*02:01', 'HLA-A*01:03')
+         |ORDER BY name""".stripMargin)((s, _) => {
+      import org.apache.spark.sql.functions.col
+      val (dir, _) = incrementalStore(s)
+      graft.graph.GraphStore.sqlTable(s, dir, "IPD_Allele")
+        .where(col("name").isin("HLA-A*01:01:01:01", "HLA-A*02:01",
+          "HLA-A*01:03"))
+        .select(col("name"), col("gene"), col("G").as("g_group"),
+          col("lg").as("lg_group"))
+        .orderBy("name")
+    }),
     // ...and every table's cardinality: cheap full-surface check that
     // the incremental store created/merged exactly the refold's rows.
     QueryDef("gfe_incremental_counts",

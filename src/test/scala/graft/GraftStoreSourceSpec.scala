@@ -1,0 +1,209 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.functions._
+import graft.graph.{GraphLoad, GraphStore}
+
+/** The `graftstore` data source: plain `spark.read.format` / SQL reads
+  * over the versioned bucket store must serve EXACTLY the native reads
+  * (read/tableAt/probe) while keeping their plan-shape guarantees —
+  * manifest resolution, planning-time bucket pruning on the anchor
+  * key, marker time travel. */
+class GraftStoreSourceSpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.spark
+
+  private def tmp(tag: String): String =
+    java.nio.file.Files.createTempDirectory(tag).toString
+
+  /** One store for the whole suite: 3 policy-matrix releases folded
+    * through init + 2 applies at 8 buckets (wide enough that pruning
+    * is visible in file counts). */
+  private lazy val dir: String = {
+    val Seq(r1, r2, r3) = LoadFixtures.policyMatrix(spark)
+    val d = tmp("graftstore_source")
+    GraphStore.init(spark, d, GraphLoad.loadAll(spark, Seq(r1)),
+      buckets = 8)
+    GraphStore.applyRelease(spark, d, r2)
+    GraphStore.applyRelease(spark, d, r3)
+    d
+  }
+
+  /** numFiles the executed scan actually opened + the scan node. */
+  private def scanStats(df: DataFrame): (Long, FileSourceScanExec) = {
+    df.collect()
+    val scans = df.queryExecution.executedPlan.collect {
+      case s: FileSourceScanExec => s }
+    assert(scans.nonEmpty, df.queryExecution.executedPlan.toString.take(800))
+    (scans.head.metrics("numFiles").value, scans.head)
+  }
+
+  private def liveFiles(table: String): Int =
+    GraphStore.sqlTable(spark, dir, table).inputFiles
+      .count(_.contains("_graft_bucket="))
+
+  test("source scan == native read, schema and rows, vertex + edge") {
+    val g = GraphStore.read(spark, dir)
+    for ((t, native) <- Seq("Sequence" -> g.sequence,
+        "HAS_IPD_ALLELE" -> g.hasIpdAllele, "Feature" -> g.feature)) {
+      val src = GraphStore.sqlTable(spark, dir, t)
+      assert(src.columns.toSeq == native.columns.toSeq, t)
+      assert(LoadFixtures.rowsOf(src) == LoadFixtures.rowsOf(native), t)
+    }
+  }
+
+  test("equality on the anchor key prunes the scan to the hit bucket " +
+      "at planning time, and matches probe()") {
+    import spark.implicits._
+    val name = GraphStore.read(spark, dir).sequence
+      .select("name").orderBy("name").head().getString(0)
+    val df = GraphStore.sqlTable(spark, dir, "Sequence")
+      .where(col("name") === name)
+    val (n, scan) = scanStats(df)
+    val total = liveFiles("Sequence")
+    assert(n >= 1 && n < total,
+      s"anchor equality read $n of $total live files — no bucket pruning")
+    // the predicate ALSO pushes into parquet (row-group skip inside
+    // the surviving bucket file)
+    assert(scan.dataFilters.exists(_.references.exists(_.name == "name")),
+      scan.dataFilters.toString)
+    val viaProbe = GraphStore.probe(spark, dir, "Sequence",
+      Seq(name).toDF("name"), Seq("name"))
+    assert(LoadFixtures.rowsOf(df) == LoadFixtures.rowsOf(viaProbe))
+  }
+
+  test("IN-list prunes to the union of hit buckets; conjunct sets " +
+      "intersect") {
+    val names = GraphStore.read(spark, dir).sequence
+      .select("name").orderBy("name").collect().map(_.getString(0))
+    assert(names.length >= 3, names.toSeq)
+    val in2 = GraphStore.sqlTable(spark, dir, "Sequence")
+      .where(col("name").isin(names(0), names(1)))
+    val (nIn, _) = scanStats(in2)
+    val total = liveFiles("Sequence")
+    assert(nIn < total, s"IN-list read $nIn of $total")
+    assert(in2.count() == 2)
+    // name IN (a,b) AND name = a → {a}: intersection, not union
+    val both = GraphStore.sqlTable(spark, dir, "Sequence")
+      .where(col("name").isin(names(0), names(1)) &&
+        col("name") === names(0))
+    val (nBoth, _) = scanStats(both)
+    assert(nBoth <= nIn, s"intersected conjuncts read $nBoth > $nIn")
+    assert(both.count() == 1)
+  }
+
+  test("composite anchor (Feature 4-key): full-key equality prunes; a " +
+      "partial key falls back to all live buckets, still correct") {
+    val f = GraphStore.read(spark, dir).feature
+      .select("locus", "term", "rank", "accession").head()
+    val keyed = GraphStore.sqlTable(spark, dir, "Feature")
+      .where(col("locus") === f.getString(0) &&
+        col("term") === f.getString(1) &&
+        col("rank") === f.getInt(2) && col("accession") === f.getString(3))
+    val (nFull, _) = scanStats(keyed)
+    val total = liveFiles("Feature")
+    assert(nFull >= 1 && nFull < total,
+      s"4-key equality read $nFull of $total Feature files")
+    assert(keyed.count() == 1)
+    // drop one key part → conservative: every live bucket is read,
+    // the answer is unchanged-correct (pruning may only skip, never
+    // change results)
+    val partial = GraphStore.sqlTable(spark, dir, "Feature")
+      .where(col("term") === f.getString(1) && col("rank") === f.getInt(2))
+    val (nPart, _) = scanStats(partial)
+    assert(nPart == total,
+      s"partial key must not prune: read $nPart of $total")
+  }
+
+  test("non-anchor predicate reads all live buckets but pushes to " +
+      "parquet; results correct") {
+    val df = GraphStore.sqlTable(spark, dir, "Sequence")
+      .where(col("length") >= 4L)
+    val (n, _) = scanStats(df)
+    assert(n == liveFiles("Sequence"))
+    val native = GraphStore.read(spark, dir).sequence
+      .where(col("length") >= 4L)
+    assert(LoadFixtures.rowsOf(df) == LoadFixtures.rowsOf(native))
+  }
+
+  test("marker option is time travel: == tableAt, differs from serving") {
+    val m0 = GraphStore.markers(spark, dir).head
+    val asOf = GraphStore.sqlTable(spark, dir, "IPD_Allele", Some(m0))
+    val native = GraphStore.tableAt(spark, dir, "IPD_Allele", m0)
+    assert(LoadFixtures.rowsOf(asOf) == LoadFixtures.rowsOf(native))
+    val serving = GraphStore.sqlTable(spark, dir, "IPD_Allele")
+    assert(asOf.count() < serving.count(),
+      "r2/r3 added alleles; marker-0 state must be smaller")
+    val e = intercept[IllegalArgumentException] {
+      GraphStore.sqlTable(spark, dir, "IPD_Allele", Some(99)).collect()
+    }
+    assert(e.getMessage.contains("marker"), e.getMessage)
+  }
+
+  test("createViews + plain spark.sql: a join over store views equals " +
+      "the native join; DDL CREATE VIEW ... USING graftstore works") {
+    val views = GraphStore.createViews(spark, dir, prefix = "gs_")
+    assert(views.contains("gs_GFE") && views.contains("gs_HAS_FEATURE"))
+    assert(!views.exists(_.endsWith("__rev")))
+    val sqlOut = spark.sql(
+      """SELECT a.name AS allele, count(*) AS n_feats
+        |FROM gs_HAS_IPD_ALLELE e
+        |JOIN gs_IPD_Allele a ON a.name = e.dst
+        |JOIN gs_HAS_FEATURE hf ON hf.src = e.src
+        |GROUP BY a.name ORDER BY allele""".stripMargin)
+    val g = GraphStore.read(spark, dir)
+    val native = g.hasIpdAllele.join(g.ipdAllele.withColumnRenamed(
+        "name", "dst").select("dst"), "dst")
+      .join(g.hasFeature.withColumnRenamed("src", "esrc"),
+        col("src") === col("esrc"))
+      .groupBy("dst").count()
+      .select(col("dst").as("allele"), col("count").as("n_feats"))
+      .orderBy("allele")
+    assert(LoadFixtures.rowsOf(sqlOut) == LoadFixtures.rowsOf(native))
+    // the DDL route resolves through the registered short name
+    spark.sql(s"""CREATE OR REPLACE TEMPORARY VIEW ddl_seq
+      |USING graftstore OPTIONS (dir '$dir', table 'Sequence')"""
+      .stripMargin)
+    assert(spark.sql("SELECT count(*) AS n FROM ddl_seq").head().getLong(0)
+      == GraphStore.read(spark, dir).sequence.count())
+  }
+
+  test("raw cdcApply-layout path: path+version+keys options serve a " +
+      "bare store dir, keys opt into pruning") {
+    // a GraphStore table dir IS a cdcApply-layout store — read it raw
+    val tdir = s"$dir/Sequence"
+    val latest = graft.streaming.EventStreams
+      .manifestVersions(spark, tdir).max
+    val raw = spark.read.format("graftstore")
+      .option("path", tdir).option("version", latest.toString).load()
+    // latest manifest == serving manifest here (applies commit both)
+    assert(LoadFixtures.rowsOf(raw) ==
+      LoadFixtures.rowsOf(GraphStore.sqlTable(spark, dir, "Sequence")))
+    // without `keys` a key predicate cannot prune (no persisted meta)
+    val name = raw.select("name").orderBy("name").head().getString(0)
+    val (nNoKeys, _) = scanStats(raw.where(col("name") === name))
+    val total = liveFiles("Sequence")
+    assert(nNoKeys == total, s"keys-less raw read must not prune: " +
+      s"$nNoKeys of $total")
+    val keyed = spark.read.format("graftstore")
+      .option("path", tdir).option("keys", "name").load()
+      .where(col("name") === name)
+    val (nKeys, _) = scanStats(keyed)
+    assert(nKeys < total, s"keys option must prune: $nKeys of $total")
+    assert(keyed.count() == raw.where(col("name") === name).count())
+  }
+
+  test("missing options fail loudly naming the remedy") {
+    val e1 = intercept[RuntimeException] {
+      spark.read.format("graftstore").option("table", "Sequence").load()
+    }
+    assert(e1.getMessage.contains("dir"), e1.getMessage)
+    val e2 = intercept[RuntimeException] {
+      spark.read.format("graftstore").load()
+    }
+    assert(e2.getMessage.contains("dir+table") ||
+      e2.getMessage.contains("path"), e2.getMessage)
+  }
+}
