@@ -186,6 +186,52 @@ object GfeQueries {
   private def incrementalGraph(s: SparkSession): GraphLoad.Graph =
     incrementalStore(s)._2
 
+  // The CHANGE FEED run against its own store twin (the feed's
+  // checkpoint must witness marker 0 BEFORE release 3570 lands, so it
+  // cannot share the fully-folded incrementalStore): init(3560) →
+  // AvailableNow pass (bootstrap snapshot batch) → applyRelease(3570)
+  // → AvailableNow pass (the m0→m1 diff batch), both appended to one
+  // parquet sink through one checkpoint — the reference's actual
+  // per-release cadence (one pipeline execution per release,
+  // asl.json:153) driven through spark.readStream.
+  private val feedCache = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, DataFrame]())
+
+  private def feedRows(s: SparkSession): DataFrame = feedCache.synchronized {
+    val hit = feedCache.get(s)
+    if (hit != null) hit
+    else {
+      import org.apache.spark.sql.functions._
+      val r1 = build(s, "3560")
+      val r2 = build(s, "3570", Some(r1.registry))
+      def tmp(tag: String) =
+        java.nio.file.Files.createTempDirectory(tag).toString
+      val dir = tmp("graft_fixture_feed_store")
+      val out = tmp("graft_fixture_feed_out")
+      val chk = tmp("graft_fixture_feed_chk")
+      graft.graph.GraphStore.init(s, dir, GraphLoad.loadAll(s,
+        Seq(("3560", r1.gfeSequences, r1.allFeatures, r1.allGroups))))
+      def pass(): Unit = {
+        val q = s.readStream.format("graftstore")
+          .option("dir", dir).option("table", "HAS_IPD_ALLELE").load()
+          .select(col("change"), col("src"), col("dst"),
+            concat_ws(",", col("releases")).as("releases"))
+          .writeStream.format("parquet").option("path", out)
+          .option("checkpointLocation", chk)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      pass()
+      graft.graph.GraphStore.applyRelease(s, dir,
+        ("3570", r2.gfeSequences, r2.allFeatures, r2.allGroups))
+      pass()
+      val df = s.read.parquet(out)
+      feedCache.put(s, df)
+      df
+    }
+  }
+
   private def buildGraph(s: SparkSession): GraphLoad.Graph = {
       val r1 = build(s, "3560")
       val r2 = build(s, "3570", Some(r1.registry))
@@ -755,6 +801,44 @@ object GfeQueries {
         .select(col("change"), col("src"), col("dst"),
           concat_ws(",", col("releases")).as("releases"))
         .orderBy("change", "src", "dst")
+    }),
+    // The streaming CHANGE FEED (spark.readStream.format("graftstore"),
+    // graft.sources.GraftStoreChangeSource): batch 1 bootstraps with
+    // the marker-0 snapshot (all '+'), release 3570 MERGEs into the
+    // store, batch 2 is exactly the m0→m1 diff — both appended to one
+    // parquet sink through one checkpoint. Oracled as the r1 refold
+    // aux tagged '+' plus the symmetric EXCEPT of the two refold
+    // snapshots: hash equality proves the feed emits precisely
+    // snapshot-then-per-release-changes, the contract every
+    // downstream incremental re-embed/re-index consumer relies on.
+    QueryDef("gfe_incremental_feed",
+      s"""SELECT change, src, dst, releases FROM (
+         |  SELECT '+' AS change, src, dst,
+         |         array_to_string(releases, ',') AS releases
+         |  FROM ${aux("r1_e_HAS_IPD_ALLELE")}
+         |  UNION ALL
+         |  SELECT * FROM (
+         |    SELECT '+' AS change, src, dst,
+         |           array_to_string(releases, ',') AS releases
+         |    FROM ${aux("e_HAS_IPD_ALLELE")}
+         |    EXCEPT
+         |    SELECT '+' AS change, src, dst,
+         |           array_to_string(releases, ',') AS releases
+         |    FROM ${aux("r1_e_HAS_IPD_ALLELE")})
+         |  UNION ALL
+         |  SELECT * FROM (
+         |    SELECT '-' AS change, src, dst,
+         |           array_to_string(releases, ',') AS releases
+         |    FROM ${aux("r1_e_HAS_IPD_ALLELE")}
+         |    EXCEPT
+         |    SELECT '-' AS change, src, dst,
+         |           array_to_string(releases, ',') AS releases
+         |    FROM ${aux("e_HAS_IPD_ALLELE")})
+         |) ORDER BY change, src, dst, releases""".stripMargin)((s, _) => {
+      import org.apache.spark.sql.functions.col
+      feedRows(s)
+        .select(col("change"), col("src"), col("dst"), col("releases"))
+        .orderBy("change", "src", "dst", "releases")
     }),
     // ...and the per-column-policy vertex (gene create-only, G/lg
     // conditional overwrite) built incrementally vs the refold aux.

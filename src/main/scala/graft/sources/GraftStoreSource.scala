@@ -6,7 +6,8 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Attribute, EqualNullSafe, EqualTo, Expression, In, InSet, Literal, Murmur3Hash}
 import org.apache.spark.sql.execution.datasources.{FileIndex, HadoopFsRelation, PartitionDirectory}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
-import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister, RelationProvider}
+import org.apache.spark.sql.execution.streaming.Source
+import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister, RelationProvider, StreamSourceProvider}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.SQLContext
 
@@ -65,9 +66,25 @@ import graft.streaming.EventStreams
   * merge policy, so the source refuses to be a write path rather than
   * offer one that corrupts the version history.
   */
-class GraftStoreSource extends RelationProvider with DataSourceRegister {
+class GraftStoreSource extends RelationProvider with StreamSourceProvider
+    with DataSourceRegister {
 
   override def shortName(): String = "graftstore"
+
+  // ---- streaming: the change feed (see GraftStoreChangeSource) ----
+
+  override def sourceSchema(sqlContext: SQLContext,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): (String, StructType) =
+    (shortName(), schema.getOrElse(GraftStoreChangeSource
+      .changeSchema(sqlContext.sparkSession, parameters)))
+
+  override def createSource(sqlContext: SQLContext, metadataPath: String,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): Source =
+    new GraftStoreChangeSource(sqlContext.sparkSession, parameters,
+      schema.getOrElse(GraftStoreChangeSource
+        .changeSchema(sqlContext.sparkSession, parameters)))
 
   override def createRelation(sqlContext: SQLContext,
       parameters: Map[String, String]): BaseRelation = {
