@@ -77,6 +77,19 @@ class GraftStoreChangeSource(
       EventStreams.manifestVersions(spark, rawDir).map(_.toLong)
   }
 
+  /** Historical REPLAY: a fresh checkpoint normally bootstraps at the
+    * newest offset; `startingMarker` (graph layout) /
+    * `startingVersion` (raw layout) pins the bootstrap snapshot to a
+    * retained HISTORICAL offset instead, and the feed then steps
+    * forward through retained history one offset per batch — "replay
+    * the release history from k" for backfills and retraining-corpus
+    * reconstruction. Ignored once a checkpoint exists (the engine's
+    * committed offset wins); a vacuumed starting offset fails loudly
+    * via the same marker/manifest resolution every read uses. */
+  private val startOverride: Option[Long] =
+    parameters.get("startingMarker")
+      .orElse(parameters.get("startingVersion")).map(_.trim.toLong)
+
   /** Newest offset this source has handed to the engine — advanced in
     * [[getBatch]]/[[commit]], deliberately NOT recovered on restart:
     * the engine owns durable progress (its checkpoint WAL) and passes
@@ -107,8 +120,13 @@ class GraftStoreChangeSource(
       case Some(c) if served =>
         if (c >= ids.last) Some(LongOffset(c))
         else Some(LongOffset(ids.filter(_ > c).min))
-      // fresh start or restart: everything committed is available as
-      // one batch (bootstrap snapshot / net catch-up — diffs compose)
+      // genuinely fresh stream (no recovery replay seen): bootstrap —
+      // at the newest offset, or at the replay override when given
+      case None if !served =>
+        Some(LongOffset(startOverride.getOrElse(ids.last)))
+      // restart (recovery set the cursor without arming pacing):
+      // everything committed is available as one NET catch-up batch
+      // (diffs compose)
       case _ => Some(LongOffset(ids.last))
     }
   }

@@ -103,9 +103,19 @@ class GraftStoreSource extends RelationProvider with StreamSourceProvider
         val v = parameters.get("version").map(_.trim.toInt).getOrElse(
           EventStreams.manifestVersions(spark, sd).max)
         val m = EventStreams.readManifest(spark, s"$sd/manifest/v$v")
+        val schema = spark.read.parquet(s"$sd/_empty").schema
         val keys = parameters.get("keys").toSeq
           .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
-        (sd, m, keys, spark.read.parquet(s"$sd/_empty").schema)
+        // fail at relation construction, not from inside planning:
+        // a key outside the schema can never have been the store's
+        // bucket key, so pruning by it would be wrong twice over
+        keys.foreach(k => require(
+          schema.fieldNames.exists(_.equalsIgnoreCase(k)),
+          s"graftstore: keys option names '$k', which is not a column " +
+            s"of $sd (columns: ${schema.fieldNames.mkString(",")}); " +
+            "pass the store's cdcApply bucket key(s) or omit keys to " +
+            "read without pruning"))
+        (sd, m, keys, schema)
     }
     val index = new GraftStoreFileIndex(spark, tdir, manifest, bucketKeys,
       schema)

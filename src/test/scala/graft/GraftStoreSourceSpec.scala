@@ -193,6 +193,35 @@ class GraftStoreSourceSpec extends AnyFunSuite {
     val (nKeys, _) = scanStats(keyed)
     assert(nKeys < total, s"keys option must prune: $nKeys of $total")
     assert(keyed.count() == raw.where(col("name") === name).count())
+    // a keys option naming a non-column fails at relation
+    // construction with the remedy, not from inside planning
+    val e = intercept[IllegalArgumentException] {
+      spark.read.format("graftstore")
+        .option("path", tdir).option("keys", "not_a_column").load()
+    }
+    assert(e.getMessage.contains("not_a_column") &&
+      e.getMessage.contains("omit keys"), e.getMessage)
+  }
+
+  test("FileIndex sizeInBytes feeds the planner: a store-view join " +
+      "against a big probe side broadcasts the store table") {
+    // The CBO consequence of an honest sizeInBytes (sum of the live
+    // manifest-referenced files): a small store table joined to a
+    // large frame plans a BroadcastHashJoin without any hint — at
+    // scale this is the difference between a shuffle of the 100 TB
+    // side and a broadcast of the dimension-sized probe result.
+    val big = spark.range(0, 100000L)
+      .selectExpr("cast(id as string) AS dst", "id AS payload")
+    val joined = big.join(
+      GraphStore.sqlTable(spark, dir, "IPD_Allele")
+        .withColumnRenamed("name", "dst"), "dst")
+    joined.collect()
+    // AQE query stages don't expose the join through collect() —
+    // assert on the final executed plan's rendering
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"small store side must broadcast:\n${plan.take(1200)}")
+    assert(!plan.contains("SortMergeJoin"), plan.take(1200))
   }
 
   test("missing options fail loudly naming the remedy") {
