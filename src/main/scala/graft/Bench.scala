@@ -590,6 +590,45 @@ object Bench {
             s"SQL probe served $n of ${names.size} anchor rows")
           n
         }
+        // The CHANGE FEED's per-release batch on the same store: an
+        // untimed bootstrap pass pins the checkpoint at the
+        // second-newest marker (startingMarker replay), then the
+        // timed AvailableNow pass serves exactly the last release's
+        // net diff THROUGH the streaming engine — xinc_diff's read
+        // plus the micro-batch machinery, the number a standing
+        // downstream maintainer pays per release. runsFor = 1: a
+        // second pass on the consumed checkpoint would time "no new
+        // data", a cheaper different operation.
+        val feedChk = java.nio.file.Files
+          .createTempDirectory("graft_inc_feed_chk").toString
+        locally { // untimed bootstrap at marker N-1
+          val ms = graft.graph.GraphStore.markers(spark, dualDir)
+          val q = spark.readStream.format("graftstore")
+            .option("dir", dualDir).option("table", "HAS_IPD_ALLELE")
+            .option("startingMarker", ms(ms.size - 2).toString).load()
+            .writeStream.foreachBatch(
+              (_: org.apache.spark.sql.DataFrame, _: java.lang.Long) => ())
+            .option("checkpointLocation", feedChk)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
+        val feedT = tTier(s"xinc_feed_$incReleases",
+            "last-release feed batch", runsFor = 1) {
+          var n = 0L
+          val q = spark.readStream.format("graftstore")
+            .option("dir", dualDir).option("table", "HAS_IPD_ALLELE")
+            .load()
+            .writeStream.foreachBatch(
+              (df: org.apache.spark.sql.DataFrame, _: java.lang.Long) =>
+                { n += df.count(); () })
+            .option("checkpointLocation", feedChk)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+          require(n > 0, "last-release feed batch was empty")
+          n
+        }
         // Half-history datapoint OUTSIDE the timed entry (folding it
         // into the entry would overstate the full refold ~1.5×): the
         // growth evidence — a reader sees refold(K/2) < refold(K)
@@ -632,7 +671,7 @@ object Bench {
             "rebucket changed the served row count")
           n
         }
-        Map(apply, applyDual, varpathDual, sqlProbe, refold,
+        Map(apply, applyDual, varpathDual, sqlProbe, feedT, refold,
           rebucketT) ++ diffRead
       } catch { case scala.util.control.NonFatal(ex) =>
         System.err.println(s"[bench] inc-graph workload failed: $ex")

@@ -53,12 +53,13 @@ import graft.streaming.EventStreams
   *  - `path` (+ optional `version`, `keys`): any raw
   *    [[EventStreams.cdcApply]] store (streaming-maintained LSH bands,
   *    ANN postings, SRP buckets…) — the manifest is the store's newest
-  *    (or `version`-pinned) commit; `keys` (comma-separated) opts into
-  *    bucket pruning and MUST be the store's cdcApply bucket key: the
-  *    raw layout does not persist it, so it cannot be validated here —
-  *    wrong keys silently prune wrong (the GraphStore layout exists
-  *    precisely to close that hole; prefer it when serving ad-hoc
-  *    readers).
+  *    (or `version`-pinned) commit; `keys` (comma-separated, in the
+  *    store's cdcApply `stateKeys` DECLARATION ORDER — the bucket hash
+  *    is order-sensitive) opts into bucket pruning and MUST be that
+  *    bucket key: the raw layout does not persist it, so beyond column
+  *    existence it cannot be validated here — wrong keys silently
+  *    prune wrong (the GraphStore layout exists precisely to close
+  *    that hole; prefer it when serving ad-hoc readers).
   *
   * Read-only by design: writes go through the claim-arbitrated
   * [[graft.graph.GraphStore.applyRelease]] / [[EventStreams.cdcApply]]
