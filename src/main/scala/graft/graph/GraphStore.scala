@@ -584,8 +584,19 @@ object GraphStore {
     * latest release marker, so a half-applied (failed or in-flight)
     * release is invisible until its marker commits. */
   def read(spark: SparkSession, dir: String): GraphLoad.Graph = {
+    // Resolve the newest marker ONCE and pin every table to it —
+    // resolving per table would let an applyRelease that publishes
+    // its marker between two table reads produce a MIXED-marker
+    // graph (GFE at release k+1 joined to HAS_FEATURE at k): the
+    // cross-table snapshot must come from one marker, exactly like
+    // readAt's.
+    val pinned = latestMarker(spark, dir)
     def t(n: String) = EventStreams.stateAt(spark, s"$dir/$n",
-      servingManifest(spark, dir, n), Some(tableSchema(spark, s"$dir/$n")))
+      pinned match {
+        case Some(vs) if vs.contains(n) =>
+          manifestAt(spark, s"$dir/$n", vs(n))
+        case _ => latestManifest(spark, s"$dir/$n")
+      }, Some(tableSchema(spark, s"$dir/$n")))
     GraphLoad.Graph(t("GFE"), t("Sequence"), t("Feature"), t("IPD_Allele"),
       t("IPD_Accession"), t("Submitter"), t("HAS_IPD_ALLELE"),
       t("HAS_IPD_ACCESSION"), t("SUBMITTED"), t("HAS_SEQUENCE"),
@@ -783,9 +794,14 @@ object GraphStore {
     * primary, different layout — a SQL reader never wants both). */
   def createViews(spark: SparkSession, dir: String, prefix: String = "",
       asOf: Option[Int] = None): Seq[String] = {
+    // pin ALL views to ONE marker (the newest at entry, unless the
+    // caller names one): per-view resolution would let an apply
+    // landing mid-loop register a mixed-marker view set — a SQL join
+    // across the views must see one consistent release snapshot
+    val pin = asOf.orElse(markerIds(spark, dir).lastOption)
     val ts = tablesOf(spark, dir).filterNot(_.endsWith("__rev"))
     ts.foreach { t =>
-      sqlTable(spark, dir, t, asOf).createOrReplaceTempView(prefix + t)
+      sqlTable(spark, dir, t, pin).createOrReplaceTempView(prefix + t)
     }
     ts.map(prefix + _)
   }

@@ -203,6 +203,28 @@ class GraftStoreSourceSpec extends AnyFunSuite {
       e.getMessage.contains("omit keys"), e.getMessage)
   }
 
+  test("createViews pins every view to ONE marker: an apply after " +
+      "registration cannot tear the cross-view snapshot") {
+    val Seq(r1, r2, _) = LoadFixtures.policyMatrix(spark)
+    val d2 = tmp("graftstore_views_pin")
+    GraphStore.init(spark, d2, GraphLoad.loadAll(spark, Seq(r1)),
+      buckets = 4)
+    GraphStore.createViews(spark, d2, prefix = "pin_")
+    val before = spark.sql("SELECT count(*) AS n FROM pin_HAS_IPD_ALLELE")
+      .head().getLong(0)
+    GraphStore.applyRelease(spark, d2, r2) // adds GFE C -> A*01:01
+    // registered views are a STATIC snapshot of the marker resolved
+    // once at registration — the post-apply store does not bleed in
+    assert(spark.sql("SELECT count(*) AS n FROM pin_HAS_IPD_ALLELE")
+      .head().getLong(0) == before)
+    assert(before == GraphStore.tableAt(spark, d2, "HAS_IPD_ALLELE",
+      GraphStore.markers(spark, d2).head).count())
+    // re-registration advances to the new marker
+    GraphStore.createViews(spark, d2, prefix = "pin_")
+    assert(spark.sql("SELECT count(*) AS n FROM pin_HAS_IPD_ALLELE")
+      .head().getLong(0) > before)
+  }
+
   test("FileIndex sizeInBytes feeds the planner: a store-view join " +
       "against a big probe side broadcasts the store table") {
     // The CBO consequence of an honest sizeInBytes (sum of the live
