@@ -301,6 +301,20 @@ object GraphStore {
         .mkString("", "\n", "\n"))
   }
 
+  /** One table's manifest under an already-RESOLVED marker pin — the
+    * single definition of "marker → manifest, latest-manifest
+    * fallback for tables the marker does not record"; both
+    * [[servingManifest]] and the pinned multi-table readers
+    * ([[read]]) route through it so the fallback semantics cannot
+    * drift between them. */
+  private def manifestFor(spark: SparkSession, dir: String,
+      table: String, pinned: Option[Map[String, Int]]): Map[Int, Int] =
+    pinned match {
+      case Some(vs) if vs.contains(table) =>
+        manifestAt(spark, s"$dir/$table", vs(table))
+      case _ => latestManifest(spark, s"$dir/$table")
+    }
+
   /** The manifest a serving read uses for `table`: pinned to the
     * newest release marker when one exists, or to an explicit
     * historical marker (`asOf`) for time-travel reads. */
@@ -312,11 +326,8 @@ object GraphStore {
         require(vs.contains(table),
           s"$dir: marker r$k records no version for $table")
         manifestAt(spark, s"$dir/$table", vs(table))
-      case None => latestMarker(spark, dir) match {
-        case Some(vs) if vs.contains(table) =>
-          manifestAt(spark, s"$dir/$table", vs(table))
-        case _ => latestManifest(spark, s"$dir/$table")
-      }
+      case None =>
+        manifestFor(spark, dir, table, latestMarker(spark, dir))
     }
 
   // Merge policies and delta derivation live in [[MergePolicies]] /
@@ -592,11 +603,8 @@ object GraphStore {
     // readAt's.
     val pinned = latestMarker(spark, dir)
     def t(n: String) = EventStreams.stateAt(spark, s"$dir/$n",
-      pinned match {
-        case Some(vs) if vs.contains(n) =>
-          manifestAt(spark, s"$dir/$n", vs(n))
-        case _ => latestManifest(spark, s"$dir/$n")
-      }, Some(tableSchema(spark, s"$dir/$n")))
+      manifestFor(spark, dir, n, pinned),
+      Some(tableSchema(spark, s"$dir/$n")))
     GraphLoad.Graph(t("GFE"), t("Sequence"), t("Feature"), t("IPD_Allele"),
       t("IPD_Accession"), t("Submitter"), t("HAS_IPD_ALLELE"),
       t("HAS_IPD_ACCESSION"), t("SUBMITTED"), t("HAS_SEQUENCE"),

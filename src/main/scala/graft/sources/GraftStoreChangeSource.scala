@@ -56,18 +56,17 @@ class GraftStoreChangeSource(
     override val schema: StructType) extends Source {
 
   // (dir, table) for the GraphStore layout; None → raw cdcApply store
+  // (ONE resolution shared with the batch relation and the stream
+  // schema — see GraftStoreSource.resolveLayout)
   private val graphTable: Option[(String, String)] =
-    parameters.get("table").map { t =>
-      (parameters.getOrElse("dir", parameters.getOrElse("path",
-        sys.error("graftstore stream: option 'dir' is required with " +
-          "'table'"))), t)
+    GraftStoreSource.resolveLayout(parameters) match {
+      case GraftStoreSource.GraphLayout(dir, t) => Some((dir, t))
+      case GraftStoreSource.RawLayout(_) => None
     }
   private val rawDir: String =
     if (graphTable.isDefined) null
-    else parameters.getOrElse("path",
-      sys.error("graftstore stream: pass either dir+table (GraphStore " +
-        "layout, marker offsets) or path (raw cdcApply store, version " +
-        "offsets)"))
+    else GraftStoreSource.resolveLayout(parameters)
+      .asInstanceOf[GraftStoreSource.RawLayout].path
 
   /** Committed offsets, oldest → newest — re-listed per poll (small
     * control-file listings, the same cost an applier pays). */
@@ -160,6 +159,17 @@ class GraftStoreChangeSource(
       case Some(s) if s == e =>
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      // defense in depth: a batch must never run BACKWARDS — the one
+      // way to construct one is a startingMarker/startingVersion
+      // below a checkpoint's committed progress on an engine that
+      // polls before recovery replay; a reversed diff would emit
+      // INVERSE changes ('+' for deletions) and silently corrupt
+      // every downstream consumer, so refuse loudly instead
+      case Some(s) if s > e => throw new IllegalStateException(
+        s"graftstore stream: batch end offset $e is behind the " +
+          s"checkpoint's committed offset $s — remove the " +
+          "startingMarker/startingVersion option when resuming an " +
+          "existing checkpoint (it only applies to a fresh one)")
       case Some(s) => diffBetween(s, e)
     }
     // bind by the declared source schema's exact column order, then
@@ -181,15 +191,10 @@ object GraftStoreChangeSource {
     * an ON-MATCH update is its '-' old row plus its '+' new row). */
   private[sources] def changeSchema(spark: SparkSession,
       parameters: Map[String, String]): StructType = {
-    val base = parameters.get("table") match {
-      case Some(t) =>
-        val dir = parameters.getOrElse("dir", parameters.getOrElse("path",
-          sys.error("graftstore stream: option 'dir' is required with " +
-            "'table'")))
+    val base = GraftStoreSource.resolveLayout(parameters) match {
+      case GraftStoreSource.GraphLayout(dir, t) =>
         GraphStore.relationSpec(spark, dir, t)._4
-      case None =>
-        val sd = parameters.getOrElse("path",
-          sys.error("graftstore stream: pass either dir+table or path"))
+      case GraftStoreSource.RawLayout(sd) =>
         spark.read.parquet(s"$sd/_empty").schema
     }
     StructType(base.fields :+ StructField("change", StringType,

@@ -90,34 +90,27 @@ class GraftStoreSource extends RelationProvider with StreamSourceProvider
   override def createRelation(sqlContext: SQLContext,
       parameters: Map[String, String]): BaseRelation = {
     val spark = sqlContext.sparkSession
-    val (tdir, manifest, bucketKeys, schema) = parameters.get("table") match {
-      case Some(t) =>
-        val dir = parameters.getOrElse("dir", parameters.getOrElse("path",
-          sys.error("graftstore: option 'dir' (store root) is required " +
-            "with 'table'")))
-        graft.graph.GraphStore.relationSpec(spark, dir, t,
-          parameters.get("marker").map(_.trim.toInt))
-      case None =>
-        val sd = parameters.getOrElse("path",
-          sys.error("graftstore: pass either dir+table (GraphStore " +
-            "layout) or path (raw cdcApply store)"))
-        val v = parameters.get("version").map(_.trim.toInt).getOrElse(
-          EventStreams.manifestVersions(spark, sd).max)
-        val m = EventStreams.readManifest(spark, s"$sd/manifest/v$v")
-        val schema = spark.read.parquet(s"$sd/_empty").schema
-        val keys = parameters.get("keys").toSeq
-          .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
-        // fail at relation construction, not from inside planning:
-        // a key outside the schema can never have been the store's
-        // bucket key, so pruning by it would be wrong twice over
-        keys.foreach(k => require(
-          schema.fieldNames.exists(_.equalsIgnoreCase(k)),
-          s"graftstore: keys option names '$k', which is not a column " +
-            s"of $sd (columns: ${schema.fieldNames.mkString(",")}); " +
-            "pass the store's cdcApply bucket key(s) or omit keys to " +
-            "read without pruning"))
-        (sd, m, keys, schema)
-    }
+    val (tdir, manifest, bucketKeys, schema) =
+      GraftStoreSource.resolveLayout(parameters) match {
+        case GraftStoreSource.GraphLayout(dir, t) =>
+          graft.graph.GraphStore.relationSpec(spark, dir, t,
+            parameters.get("marker").map(_.trim.toInt))
+        case GraftStoreSource.RawLayout(sd) =>
+          val (m, schema) = GraftStoreSource.rawManifest(spark, sd,
+            parameters.get("version").map(_.trim.toInt))
+          val keys = parameters.get("keys").toSeq
+            .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
+          // fail at relation construction, not from inside planning:
+          // a key outside the schema can never have been the store's
+          // bucket key, so pruning by it would be wrong twice over
+          keys.foreach(k => require(
+            schema.fieldNames.exists(_.equalsIgnoreCase(k)),
+            s"graftstore: keys option names '$k', which is not a column " +
+              s"of $sd (columns: ${schema.fieldNames.mkString(",")}); " +
+              "pass the store's cdcApply bucket key(s) or omit keys to " +
+              "read without pruning"))
+          (sd, m, keys, schema)
+      }
     val index = new GraftStoreFileIndex(spark, tdir, manifest, bucketKeys,
       schema)
     HadoopFsRelation(
@@ -127,6 +120,53 @@ class GraftStoreSource extends RelationProvider with StreamSourceProvider
       bucketSpec = None,
       fileFormat = new ParquetFileFormat(),
       options = parameters)(spark)
+  }
+}
+
+object GraftStoreSource {
+  /** The source's two layouts — resolved in ONE place so the batch
+    * relation, the stream schema, and the stream source can never
+    * parse the dir/table/path options differently. */
+  private[sources] sealed trait Layout
+  private[sources] final case class GraphLayout(dir: String,
+      table: String) extends Layout
+  private[sources] final case class RawLayout(path: String) extends Layout
+
+  private[sources] def resolveLayout(
+      parameters: Map[String, String]): Layout =
+    parameters.get("table") match {
+      case Some(t) => GraphLayout(
+        parameters.getOrElse("dir", parameters.getOrElse("path",
+          sys.error("graftstore: option 'dir' (store root) is required " +
+            "with 'table'"))), t)
+      case None => RawLayout(parameters.getOrElse("path",
+        sys.error("graftstore: pass either dir+table (GraphStore " +
+          "layout) or path (raw cdcApply store)")))
+    }
+
+  /** Raw-layout manifest + schema resolution with the loud failures
+    * the rest of the store uses: a non-store path or a vacuumed /
+    * never-committed version names the problem and the remedy instead
+    * of surfacing `empty.max` or a bare FileNotFoundException. */
+  private[sources] def rawManifest(spark: SparkSession, sd: String,
+      version: Option[Int]): (Map[Int, Int], StructType) = {
+    val vsAll =
+      try EventStreams.manifestVersions(spark, sd)
+      catch {
+        case e: java.io.IOException => throw new IllegalArgumentException(
+          s"graftstore: $sd has no manifest/ directory — not a " +
+            "cdcApply/GraphStore bucket store (check the path)", e)
+      }
+    require(vsAll.nonEmpty,
+      s"graftstore: $sd/manifest holds no committed version — the " +
+        "store's init never committed; rebuild it (cdcApply/init)")
+    val v = version.getOrElse(vsAll.max)
+    require(vsAll.contains(v),
+      s"graftstore: $sd has no manifest v$v (versions on disk: " +
+        s"${vsAll.mkString(",")}) — vacuumed or never committed; omit " +
+        "'version' to read the newest")
+    (EventStreams.readManifest(spark, s"$sd/manifest/v$v"),
+      spark.read.parquet(s"$sd/_empty").schema)
   }
 }
 
@@ -161,18 +201,35 @@ class GraftStoreFileIndex(
   private val width = manifest.size
 
   /** bucket id → live data files, listed once against the immutable
-    * version dirs the manifest references. */
+    * version dirs the manifest references. The per-bucket listings
+    * are independent small RPCs, so they run PARALLEL (bounded pool)
+    * — serially, a thousands-of-buckets store on an object store
+    * would pay minutes of round-trips before planning starts. The
+    * listing is unavoidable at construction because the planner asks
+    * [[sizeInBytes]] for CBO stats on every query; the production
+    * path past even the parallel cost is persisting per-file sizes in
+    * the manifest at write time (a format extension, noted not
+    * built). */
   private val filesByBucket: Map[Int, Seq[FileStatus]] = {
     val (fs, _) = EventStreams.hadoopFs(spark, tdir)
-    manifest.toSeq.collect { case (k, v) if v >= 0 =>
-      val files = fs.listStatus(
-          new Path(EventStreams.bucketPath(tdir, v, k)))
-        .toSeq.filter { st =>
-          val n = st.getPath.getName
-          st.isFile && !n.startsWith("_") && !n.startsWith(".")
-        }
-      k -> files
-    }.toMap
+    val live = manifest.toSeq.collect { case (k, v) if v >= 0 => (k, v) }
+    import scala.collection.parallel.CollectionConverters._
+    val pool = new java.util.concurrent.ForkJoinPool(
+      math.min(32, math.max(1, live.size)))
+    try {
+      val par = live.par
+      par.tasksupport =
+        new scala.collection.parallel.ForkJoinTaskSupport(pool)
+      par.map { case (k, v) =>
+        val files = fs.listStatus(
+            new Path(EventStreams.bucketPath(tdir, v, k)))
+          .toSeq.filter { st =>
+            val n = st.getPath.getName
+            st.isFile && !n.startsWith("_") && !n.startsWith(".")
+          }
+        k -> files
+      }.toList.toMap
+    } finally pool.shutdown()
   }
 
   private def allFiles: Seq[FileStatus] =
@@ -208,14 +265,20 @@ class GraftStoreFileIndex(
     val sets = equalitySets(filters)
     val perKey = bucketKeys.map(k => sets.get(k.toLowerCase))
     if (perKey.exists(_.isEmpty)) return None
+    val perKeySets = perKey.map(_.get)
+    // cap the cross product BEFORE expanding it — two 5k-element
+    // IN-lists on a 2-key anchor would otherwise materialize 25M
+    // driver-side tuples just to discover they exceed the cap
+    // (an empty set means the conjunction is unsatisfiable; stay
+    // conservative and let the engine's own filter return 0 rows)
+    val est = perKeySets.map(_.size.toLong).foldLeft(1L)(_ * _)
+    if (est == 0 || est > GraftStoreFileIndex.MaxKeyCombos) return None
     // cross product of the per-key literal sets, in bucket-key order
-    val combos = perKey.map(_.get.toSeq)
+    val combos = perKeySets.map(_.toSeq)
       .foldLeft(Seq(Seq.empty[Any])) { (acc, vs) =>
         for (a <- acc; v <- vs) yield a :+ v
       }
-    if (combos.isEmpty || combos.size > GraftStoreFileIndex.MaxKeyCombos)
-      None
-    else Some(combos.map(bucketOf).toSet)
+    Some(combos.map(bucketOf).toSet)
   }
 
   /** Per-column literal equality sets from the scan's conjunctive

@@ -266,6 +266,36 @@ class GraftStoreStreamSpec extends AnyFunSuite {
       stateRows(GraphStore.read(spark, dir).ipdAllele))
   }
 
+  test("a stale startingMarker left on a resumed checkpoint is " +
+      "harmless: catch-up still nets forward from committed progress") {
+    // The hazard: startingMarker below already-committed progress. On
+    // this engine, restart REPLAYS getBatch for the last WAL batch
+    // before polling, which sets the source's cursor and routes
+    // getOffset past the override — this spec pins that contract (an
+    // engine that ever polls first would instead trip getBatch's loud
+    // backwards guard; either way, never a reversed/stalled feed).
+    val Seq(r1, r2, r3) = LoadFixtures.policyMatrix(spark)
+    val dir = tmp("feed_stale"); val chk = tmp("feed_stale_chk")
+    GraphStore.init(spark, dir, GraphLoad.loadAll(spark, Seq(r1)),
+      buckets = 4)
+    val opts = Map("dir" -> dir, "table" -> "HAS_IPD_ALLELE",
+      "startingMarker" -> "0")
+    val p1 = runFeed(opts, chk) // fresh: bootstrap at marker 0
+    assert(p1.size == 1)
+    GraphStore.applyRelease(spark, dir, r2)
+    GraphStore.applyRelease(spark, dir, r3)
+    // resumed with the option STILL SET: one net forward batch
+    val p2 = runFeed(opts, chk)
+    assert(p2.size == 1, s"stale-option resume produced ${p2.size}")
+    val ms = GraphStore.markers(spark, dir)
+    val cols = GraphStore.read(spark, dir).hasIpdAllele.columns.toSeq :+
+      "change"
+    assert(batchRows(p2.head._2, cols) == changeRows(
+      GraphStore.diff(spark, dir, "HAS_IPD_ALLELE", ms(0), ms(2))))
+    assert(fold(p1 ++ p2) ==
+      stateRows(GraphStore.read(spark, dir).hasIpdAllele))
+  }
+
   test("resume past the vacuum retention window fails loudly naming " +
       "the knob, never a silent gap") {
     val Seq(r1, r2, r3) = LoadFixtures.policyMatrix(spark)
