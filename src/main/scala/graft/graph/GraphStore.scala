@@ -69,8 +69,10 @@ object GraphStore {
       s"$buckets\n${bucketKeys.mkString(",")}\n")
     val present = EventStreams.writeBuckets(
       snapshot, bucketKeys, buckets, s"$tdir/v0")
-    EventStreams.writeManifest(spark, s"$tdir/manifest/v0",
-      (0 until buckets).map(k => k -> (if (present(k)) 0 else -1)).toMap)
+    EventStreams.writeManifestFull(spark, s"$tdir/manifest/v0",
+      (0 until buckets).map(k =>
+        k -> present.get(k).fold(EventStreams.BucketFiles(-1, None))(fs =>
+          EventStreams.BucketFiles(0, Some(fs)))).toMap)
   }
 
   private def tableMeta(spark: SparkSession,
@@ -104,9 +106,17 @@ object GraphStore {
     EventStreams.readManifest(spark,
       s"$tdir/manifest/v${latestVersion(spark, tdir)}")
 
+  private def latestManifestFull(spark: SparkSession, tdir: String) =
+    EventStreams.readManifestFull(spark,
+      s"$tdir/manifest/v${latestVersion(spark, tdir)}")
+
   private def manifestAt(spark: SparkSession, tdir: String,
       v: Int): Map[Int, Int] =
-    try EventStreams.readManifest(spark, s"$tdir/manifest/v$v")
+    EventStreams.versionsOf(manifestAtFull(spark, tdir, v))
+
+  private def manifestAtFull(spark: SparkSession, tdir: String,
+      v: Int): Map[Int, EventStreams.BucketFiles] =
+    try EventStreams.readManifestFull(spark, s"$tdir/manifest/v$v")
     catch {
       case e: java.io.IOException => throw new IllegalStateException(
         s"$tdir: manifest v$v is pinned by the latest release marker " +
@@ -230,7 +240,7 @@ object GraphStore {
             s"crashed one left a stale claim; if no writer is alive, " +
             s"delete $claim and retry", e)
     }
-    val base = latestManifest(spark, tdir)
+    val base = latestManifestFull(spark, tdir)
     // merge hashing at the BASE manifest's width (manifest.size):
     // the delta must land in the same buckets the base's rows were
     // hashed into, whatever the current meta says — keeps a merge
@@ -246,13 +256,16 @@ object GraphStore {
       if (dirty.isEmpty) base
       else {
         val dirtyState = EventStreams.stateAt(spark, tdir,
-          base.filter { case (k, _) => dirty(k) },
+          EventStreams.versionsOf(base.filter { case (k, _) => dirty(k) }),
           Some(tableSchema(spark, tdir)))
         val written = EventStreams.writeBuckets(
           merge(dirtyState, d), bucketKeys, buckets, s"$tdir/v${v + 1}")
-        base ++ dirty.map(k => k -> (if (written(k)) v + 1 else -1))
+        // unchanged buckets inherit version + file stats by reference
+        base ++ dirty.map(k =>
+          k -> written.get(k).fold(EventStreams.BucketFiles(-1, None))(
+            fs => EventStreams.BucketFiles(v + 1, Some(fs))))
       }
-    EventStreams.writeManifestExclusive(
+    EventStreams.writeManifestExclusiveFull(
       spark, s"$tdir/manifest/v${v + 1}", next)
     (dirty.size, v + 1)
   }
@@ -315,20 +328,31 @@ object GraphStore {
       case _ => latestManifest(spark, s"$dir/$table")
     }
 
-  /** The manifest a serving read uses for `table`: pinned to the
-    * newest release marker when one exists, or to an explicit
-    * historical marker (`asOf`) for time-travel reads. */
-  private def servingManifest(spark: SparkSession, dir: String,
-      table: String, asOf: Option[Int] = None): Map[Int, Int] =
+  /** The manifest VERSION a serving read of `table` pins to: the
+    * newest release marker's when one exists (or an explicit
+    * historical marker's, for time-travel reads), else the table's
+    * own latest — the same fallback semantics as [[manifestFor]]. */
+  private def servingVersion(spark: SparkSession, dir: String,
+      table: String, asOf: Option[Int]): Int =
     asOf match {
       case Some(k) =>
         val vs = markerOrFail(spark, dir, k)
         require(vs.contains(table),
           s"$dir: marker r$k records no version for $table")
-        manifestAt(spark, s"$dir/$table", vs(table))
-      case None =>
-        manifestFor(spark, dir, table, latestMarker(spark, dir))
+        vs(table)
+      case None => latestMarker(spark, dir) match {
+        case Some(vs) if vs.contains(table) => vs(table)
+        case _ => latestVersion(spark, s"$dir/$table")
+      }
     }
+
+  /** The manifest a serving read uses for `table`: pinned to the
+    * newest release marker when one exists, or to an explicit
+    * historical marker (`asOf`) for time-travel reads. */
+  private def servingManifest(spark: SparkSession, dir: String,
+      table: String, asOf: Option[Int] = None): Map[Int, Int] =
+    manifestAt(spark, s"$dir/$table",
+      servingVersion(spark, dir, table, asOf))
 
   // Merge policies and delta derivation live in [[MergePolicies]] /
   // [[ReleaseDeltas]] — ONE definition shared with
@@ -775,10 +799,14 @@ object GraphStore {
     * next to the readers it must agree with. */
   private[graft] def relationSpec(spark: SparkSession, dir: String,
       table: String, asOf: Option[Int] = None)
-      : (String, Map[Int, Int], Seq[String],
+      : (String, Map[Int, EventStreams.BucketFiles], Seq[String],
          org.apache.spark.sql.types.StructType) = {
     val tdir = s"$dir/$table"
-    (tdir, servingManifest(spark, dir, table, asOf),
+    // FULL manifest (version + persisted file stats): the FileIndex
+    // answers sizeInBytes and file enumeration from the stats with
+    // zero listStatus round-trips on a stats-carrying store
+    (tdir, manifestAtFull(spark, tdir,
+        servingVersion(spark, dir, table, asOf)),
       tableBucketKeys(spark, tdir), tableSchema(spark, tdir))
   }
 
@@ -791,7 +819,12 @@ object GraphStore {
       asOf: Option[Int] = None): DataFrame = {
     val r = spark.read.format("graftstore")
       .option("dir", dir).option("table", table)
+    // `_graft_bucket` is the relation's synthesized partition column —
+    // the hook runtime (join-driven) bucket pruning evaluates against;
+    // dropped here so the PUBLIC schema stays the native read's (the
+    // Project sits above the relation, pruning fires beneath it)
     asOf.fold(r)(k => r.option("marker", k.toString)).load()
+      .drop("_graft_bucket")
   }
 
   /** Register every public table of the store as a temp view
@@ -920,9 +953,11 @@ object GraphStore {
         servingManifest(spark, dir, t), Some(tableSchema(spark, tdir)))
       val written = EventStreams.writeBuckets(
         state, keys, newBuckets, s"$tdir/v${v + 1}")
-      EventStreams.writeManifestExclusive(spark, s"$tdir/manifest/v${v + 1}",
-        (0 until newBuckets)
-          .map(k => k -> (if (written(k)) v + 1 else -1)).toMap)
+      EventStreams.writeManifestExclusiveFull(spark,
+        s"$tdir/manifest/v${v + 1}",
+        (0 until newBuckets).map(k =>
+          k -> written.get(k).fold(EventStreams.BucketFiles(-1, None))(
+            fs => EventStreams.BucketFiles(v + 1, Some(fs)))).toMap)
       EventStreams.writeSmallFile(spark, metaPath(tdir),
         s"$newBuckets\n${keys.mkString(",")}\n")
       t -> (v + 1)

@@ -454,7 +454,7 @@ object DedupQueries {
           s"$stateDir/A/v${id + 1}")
         writeManifest(ss, s"$stateDir/A/manifest/v${id + 1}",
           aBase ++ aDirty.map(k =>
-            k -> (if (aWritten(k)) id.toInt + 1 else -1)))
+            k -> (if (aWritten.contains(k)) id.toInt + 1 else -1)))
         // BANDS append (create-only on the full key; same
         // checkpointed dirty slice the probe read)
         val bandMerged = bandState
@@ -464,7 +464,7 @@ object DedupQueries {
           s"$stateDir/BANDS/v${id + 1}")
         writeManifest(ss, s"$stateDir/BANDS/manifest/v${id + 1}",
           bandBase ++ hit.map(k =>
-            k -> (if (bandWritten(k)) id.toInt + 1 else -1)))
+            k -> (if (bandWritten.contains(k)) id.toInt + 1 else -1)))
         bNext.toDF("root", "canon").coalesce(1)
           .write.mode("overwrite").parquet(s"$stateDir/B/v${id + 1}")
         ()

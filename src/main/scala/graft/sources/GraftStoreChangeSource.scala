@@ -89,6 +89,23 @@ class GraftStoreChangeSource(
     parameters.get("startingMarker")
       .orElse(parameters.get("startingVersion")).map(_.trim.toLong)
 
+  /** `stepCatchUp` (default false): a resumed checkpoint that is
+    * several offsets behind steps ONE retained offset per micro-batch
+    * instead of netting straight to the newest — for order-dependent
+    * consumers (st_pack_maintain-style folds) that need the live
+    * path's per-release granularity across a restart. The default
+    * stays the net batch (diffs compose; one batch is the cheaper
+    * catch-up for order-free consumers). Retention caveat is the
+    * net path's, only stronger: EVERY intermediate marker in the gap
+    * must still be retained (vacuum keepVersions), not just the two
+    * ends — a vacuumed step fails loudly on its manifest read.
+    * Under Trigger.AvailableNow the engine fixes its end offset at
+    * the first poll, so one pass advances one release; run the feed
+    * continuously (or one pass per release, the reference's cadence)
+    * to drain a long gap. */
+  private val stepCatchUp: Boolean =
+    parameters.get("stepCatchUp").exists(_.trim.toBoolean)
+
   /** Newest offset this source has handed to the engine — advanced in
     * [[getBatch]]/[[commit]], deliberately NOT recovered on restart:
     * the engine owns durable progress (its checkpoint WAL) and passes
@@ -125,7 +142,11 @@ class GraftStoreChangeSource(
         Some(LongOffset(startOverride.getOrElse(ids.last)))
       // restart (recovery set the cursor without arming pacing):
       // everything committed is available as one NET catch-up batch
-      // (diffs compose)
+      // (diffs compose) — or, under stepCatchUp, as one retained
+      // offset per batch, re-entering the live pacing immediately
+      case Some(c) if stepCatchUp =>
+        if (c >= ids.last) Some(LongOffset(c))
+        else Some(LongOffset(ids.filter(_ > c).min))
       case _ => Some(LongOffset(ids.last))
     }
   }
@@ -195,7 +216,13 @@ object GraftStoreChangeSource {
       case GraftStoreSource.GraphLayout(dir, t) =>
         GraphStore.relationSpec(spark, dir, t)._4
       case GraftStoreSource.RawLayout(sd) =>
-        spark.read.parquet(s"$sd/_empty").schema
+        // resolve through rawManifest, not a bare `$sd/_empty` read:
+        // schema resolution is the STREAM's startup path (sourceSchema
+        // runs before any batch), so a non-store path must surface the
+        // same "not a cdcApply/GraphStore bucket store" remedy the
+        // batch relation gives, not a raw parquet FileNotFound — and a
+        // never-committed store fails here, at start, not at batch 1
+        GraftStoreSource.rawManifest(spark, sd, None)._2
     }
     StructType(base.fields :+ StructField("change", StringType,
       nullable = true))

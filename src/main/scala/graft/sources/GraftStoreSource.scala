@@ -109,13 +109,34 @@ class GraftStoreSource extends RelationProvider with StreamSourceProvider
               s"of $sd (columns: ${schema.fieldNames.mkString(",")}); " +
               "pass the store's cdcApply bucket key(s) or omit keys to " +
               "read without pruning"))
+          // when the target dir carries a GraphStore table meta (a
+          // two-line `_graft_store_meta` with a bucket-key line), the
+          // TRUE bucket key is knowable — cross-check it (including
+          // declaration ORDER: the hash is order-sensitive) and fail
+          // loudly like stateForKeys' 'would miss rows' require,
+          // instead of silently pruning to wrong buckets and dropping
+          // rows. Bare cdcApply stores persist only the count (one
+          // line) — existence-check above is all that's possible there.
+          if (keys.nonEmpty)
+            GraftStoreSource.persistedKeys(spark, sd).foreach { pk =>
+              require(keys == pk,
+                s"graftstore: $sd is bucketed by (${pk.mkString(",")}) " +
+                  s"per its persisted table meta; keys option " +
+                  s"(${keys.mkString(",")}) would prune the wrong " +
+                  "buckets and silently miss rows — pass the persisted " +
+                  "key(s) in that exact order, or omit keys")
+            }
           (sd, m, keys, schema)
       }
     val index = new GraftStoreFileIndex(spark, tdir, manifest, bucketKeys,
       schema)
+    // every graftstore read arms the runtime bucket-pruning rule on
+    // its session (idempotent): a BI tool's plain `spark.read.format`
+    // gets join-driven pruning without ever importing a graft API
+    GraftStoreSource.armRuntimePruning(spark)
     HadoopFsRelation(
       location = index,
-      partitionSchema = new StructType(),
+      partitionSchema = GraftStoreFileIndex.bucketPartitionSchema,
       dataSchema = schema,
       bucketSpec = None,
       fileFormat = new ParquetFileFormat(),
@@ -124,6 +145,23 @@ class GraftStoreSource extends RelationProvider with StreamSourceProvider
 }
 
 object GraftStoreSource {
+  /** Append [[graft.plans.StoreBucketPruning]] to the session's
+    * user-provided optimizer batch, once per session — the rule turns
+    * a join/subquery anchor predicate over a graftstore relation into
+    * a DynamicPruningSubquery on its `_graft_bucket` partition column
+    * (runtime bucket pruning; see the rule's doc for semantics and
+    * the size gate). `experimental.extraOptimizations` is public
+    * Spark API and the batch runs after every built-in rule, so this
+    * composes with stock optimization instead of patching it. */
+  private[graft] def armRuntimePruning(spark: SparkSession): Unit =
+    synchronized {
+      if (!spark.experimental.extraOptimizations
+          .contains(graft.plans.StoreBucketPruning))
+        spark.experimental.extraOptimizations =
+          spark.experimental.extraOptimizations :+
+            graft.plans.StoreBucketPruning
+    }
+
   /** The source's two layouts — resolved in ONE place so the batch
     * relation, the stream schema, and the stream source can never
     * parse the dir/table/path options differently. */
@@ -144,12 +182,33 @@ object GraftStoreSource {
           "layout) or path (raw cdcApply store)")))
     }
 
+  /** The bucket keys persisted in a GraphStore-layout table meta at
+    * `sd`, when one exists — Some(keys) only for the two-line meta
+    * GraphStore.initTable writes (line 1 bucket count, line 2 the
+    * comma-joined bucket keys in hash order); a bare cdcApply store's
+    * one-line meta (count only) and a meta-less dir both yield None
+    * (nothing to validate against). */
+  private[sources] def persistedKeys(spark: SparkSession,
+      sd: String): Option[Seq[String]] = {
+    val (fs, p) = EventStreams.hadoopFs(spark, s"$sd/_graft_store_meta")
+    if (!fs.exists(p)) None
+    else {
+      val lines = EventStreams.readSmallFile(spark,
+          s"$sd/_graft_store_meta")
+        .linesIterator.filter(_.nonEmpty).toSeq
+      if (lines.length >= 2)
+        Some(lines(1).split(',').map(_.trim).toSeq)
+      else None
+    }
+  }
+
   /** Raw-layout manifest + schema resolution with the loud failures
     * the rest of the store uses: a non-store path or a vacuumed /
     * never-committed version names the problem and the remedy instead
     * of surfacing `empty.max` or a bare FileNotFoundException. */
   private[sources] def rawManifest(spark: SparkSession, sd: String,
-      version: Option[Int]): (Map[Int, Int], StructType) = {
+      version: Option[Int])
+      : (Map[Int, EventStreams.BucketFiles], StructType) = {
     val vsAll =
       try EventStreams.manifestVersions(spark, sd)
       catch {
@@ -165,7 +224,7 @@ object GraftStoreSource {
       s"graftstore: $sd has no manifest v$v (versions on disk: " +
         s"${vsAll.mkString(",")}) — vacuumed or never committed; omit " +
         "'version' to read the newest")
-    (EventStreams.readManifest(spark, s"$sd/manifest/v$v"),
+    (EventStreams.readManifestFull(spark, s"$sd/manifest/v$v"),
       spark.read.parquet(s"$sd/_empty").schema)
   }
 }
@@ -188,11 +247,19 @@ object GraftStoreSource {
   * else — a miss on one key, a non-literal comparison, a cross-product
   * of IN-lists past [[GraftStoreFileIndex.MaxKeyCombos]] — falls back
   * to the full live listing, never to a wrong answer.
+  *
+  * NON-LITERAL anchor predicates (a join against a dim frame, an IN
+  * subquery) are the [[partitionSchema]] + [[graft.plans
+  * .StoreBucketPruning]] path instead: the rule derives a runtime
+  * DynamicPruningSubquery on the `_graft_bucket` partition column and
+  * the scan node itself drops non-hit buckets at execution — so both
+  * probe shapes prune, each at the earliest point its anchor values
+  * exist.
   */
 class GraftStoreFileIndex(
     spark: SparkSession,
     tdir: String,
-    manifest: Map[Int, Int],
+    manifest: Map[Int, EventStreams.BucketFiles],
     bucketKeys: Seq[String],
     schema: StructType) extends FileIndex {
 
@@ -200,36 +267,49 @@ class GraftStoreFileIndex(
   // bucket id of its layout (see GraphStore.stateForKeys)
   private val width = manifest.size
 
-  /** bucket id → live data files, listed once against the immutable
-    * version dirs the manifest references. The per-bucket listings
-    * are independent small RPCs, so they run PARALLEL (bounded pool)
-    * — serially, a thousands-of-buckets store on an object store
-    * would pay minutes of round-trips before planning starts. The
-    * listing is unavoidable at construction because the planner asks
-    * [[sizeInBytes]] for CBO stats on every query; the production
-    * path past even the parallel cost is persisting per-file sizes in
-    * the manifest at write time (a format extension, noted not
-    * built). */
+  /** How many buckets this index had to LIST at construction — 0 on a
+    * stats-carrying store (every commit since the format extension
+    * records per-file sizes in the manifest); >0 only for legacy
+    * manifest entries. Exposed for the zero-listing spec. */
+  private[graft] var listedBucketCount: Int = 0
+
+  /** bucket id → live data files. STATS-SERVED: a manifest entry that
+    * carries per-file (name, bytes) — recorded once on the write path
+    * — synthesizes its FileStatus list with ZERO filesystem calls, so
+    * relation construction (which must answer [[sizeInBytes]] for CBO
+    * on every query) pays no listing round-trips however many
+    * thousands of buckets the store holds. Legacy (pre-stats) entries
+    * fall back to listing their immutable version dir, bounded-
+    * parallel; a mixed manifest (stats-carrying apply on top of a
+    * legacy base) lists only its legacy-entry buckets. */
   private val filesByBucket: Map[Int, Seq[FileStatus]] = {
-    val (fs, _) = EventStreams.hadoopFs(spark, tdir)
-    val live = manifest.toSeq.collect { case (k, v) if v >= 0 => (k, v) }
-    import scala.collection.parallel.CollectionConverters._
-    val pool = new java.util.concurrent.ForkJoinPool(
-      math.min(32, math.max(1, live.size)))
-    try {
-      val par = live.par
-      par.tasksupport =
-        new scala.collection.parallel.ForkJoinTaskSupport(pool)
-      par.map { case (k, v) =>
-        val files = fs.listStatus(
-            new Path(EventStreams.bucketPath(tdir, v, k)))
-          .toSeq.filter { st =>
-            val n = st.getPath.getName
-            st.isFile && !n.startsWith("_") && !n.startsWith(".")
-          }
-        k -> files
-      }.toList.toMap
-    } finally pool.shutdown()
+    val live = manifest.toSeq.collect {
+      case (k, bf) if bf.version >= 0 => (k, bf) }
+    val (carried, legacy) = live.partition(_._2.files.isDefined)
+    val fromStats = carried.map { case (k, bf) =>
+      val bdir = EventStreams.bucketPath(tdir, bf.version, k)
+      k -> bf.files.get.map { case (name, bytes) =>
+        // modTime 0 / synthetic block size: the scan consumes only
+        // path + length (split planning is maxPartitionBytes-driven)
+        new FileStatus(bytes, false, 1, 134217728L, 0L,
+          new Path(s"$bdir/$name"))
+      }
+    }
+    listedBucketCount = legacy.size
+    val listed =
+      if (legacy.isEmpty) Seq.empty
+      else {
+        val (fs, _) = EventStreams.hadoopFs(spark, tdir)
+        EventStreams.parEach(legacy) { case (k, bf) =>
+          k -> fs.listStatus(
+              new Path(EventStreams.bucketPath(tdir, bf.version, k)))
+            .toSeq.filter { st =>
+              val n = st.getPath.getName
+              st.isFile && !n.startsWith("_") && !n.startsWith(".")
+            }
+        }
+      }
+    (fromStats ++ listed).toMap
   }
 
   private def allFiles: Seq[FileStatus] =
@@ -237,7 +317,19 @@ class GraftStoreFileIndex(
 
   override def rootPaths: Seq[Path] = Seq(new Path(tdir))
 
-  override def partitionSchema: StructType = new StructType()
+  /** The bucket id surfaces as a PARTITION column — that is what lets
+    * RUNTIME filters prune the scan: a join-shaped or subquery anchor
+    * predicate becomes a [[org.apache.spark.sql.catalyst.expressions
+    * .DynamicPruningSubquery]] on `_graft_bucket` (inserted by
+    * [[graft.plans.StoreBucketPruning]]), which FileSourceScanExec
+    * evaluates against these partition values at EXECUTION time — the
+    * engine's own dynamic-partition-pruning machinery, fed by the
+    * store's key→bucket derivation. [[graft.graph.GraphStore.sqlTable]]
+    * / createViews drop the column to keep the public schema contract;
+    * raw `format("graftstore")` loads expose it (harmless, sometimes
+    * useful — `GROUP BY _graft_bucket` is a free skew census). */
+  override def partitionSchema: StructType =
+    GraftStoreFileIndex.bucketPartitionSchema
 
   override def sizeInBytes: Long = allFiles.map(_.getLen).sum
 
@@ -248,14 +340,48 @@ class GraftStoreFileIndex(
 
   override def listFiles(partitionFilters: Seq[Expression],
       dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
-    val files = prunedBuckets(dataFilters) match {
-      case Some(hit) =>
-        filesByBucket.toSeq.sortBy(_._1).collect {
-          case (k, fs) if hit(k) => fs }.flatten
-      case None => allFiles
-    }
-    Seq(PartitionDirectory(InternalRow.empty, files.toArray))
+    // literal anchor-key pruning (planning-time, driver-hashed)
+    val byAnchor = prunedBuckets(dataFilters)
+    val dirs = filesByBucket.toSeq.sortBy(_._1).collect {
+      case (k, fs) if byAnchor.forall(_(k)) => (k, fs) }
+    // static predicates on the partition column itself (runtime
+    // DynamicPruning ones are evaluated by the scan node, not here —
+    // exclude anything carrying a plan expression)
+    val static = partitionFilters.filterNot(_.exists(
+      _.isInstanceOf[org.apache.spark.sql.catalyst.expressions
+        .PlanExpression[_]]))
+    val kept =
+      if (static.isEmpty) dirs
+      else {
+        val bound = org.apache.spark.sql.catalyst.expressions.Predicate
+          .create(static.reduce(org.apache.spark.sql.catalyst
+            .expressions.And).transform {
+              case _: Attribute =>
+                org.apache.spark.sql.catalyst.expressions
+                  .BoundReference(0,
+                    org.apache.spark.sql.types.IntegerType,
+                    nullable = false)
+            }, Nil)
+        dirs.filter { case (k, _) => bound.eval(InternalRow(k)) }
+      }
+    kept.map { case (k, fs) =>
+      PartitionDirectory(InternalRow(k), fs.toArray) }
   }
+
+  /** Manifest-derived layout facts [[graft.plans.StoreBucketPruning]]
+    * builds its runtime bucket-hash expression from. */
+  private[graft] def bucketWidth: Int = width
+  private[graft] def anchorKeys: Seq[String] = bucketKeys
+
+  // name matching honors the session's case-sensitivity setting (the
+  // RESOLVER): under caseSensitive=true a predicate on a column that
+  // differs from the bucket key only in case must NOT be harvested as
+  // constraining it (it is a different column — pruning by it would
+  // silently drop rows); under the case-insensitive default the
+  // resolver's ignore-case match is exactly what analysis itself used
+  // (a schema with case-colliding twins is unreferencable there).
+  private val resolver: (String, String) => Boolean =
+    spark.sessionState.conf.resolver
 
   /** The bucket ids `filters` pin, or None when the conjunction does
     * not constrain every bucket key to a literal set (fall back to the
@@ -263,7 +389,13 @@ class GraftStoreFileIndex(
   private def prunedBuckets(filters: Seq[Expression]): Option[Set[Int]] = {
     if (bucketKeys.isEmpty || width == 0) return None
     val sets = equalitySets(filters)
-    val perKey = bucketKeys.map(k => sets.get(k.toLowerCase))
+    val perKey = bucketKeys.map { k =>
+      val matching = sets.collect { case (n, s) if resolver(n, k) => s }
+      if (matching.isEmpty) None
+      // several conjuncts constrain one key → intersect
+      // (`name = 'a' AND name IN ('a','b')` → {'a'})
+      else Some(matching.reduce(_ intersect _))
+    }
     if (perKey.exists(_.isEmpty)) return None
     val perKeySets = perKey.map(_.get)
     // cap the cross product BEFORE expanding it — two 5k-element
@@ -282,30 +414,30 @@ class GraftStoreFileIndex(
   }
 
   /** Per-column literal equality sets from the scan's conjunctive
-    * predicates, intersected when several conjuncts constrain one
-    * column (`name = 'a' AND name IN ('a','b')` → {'a'}). Only shapes
-    * whose literal set is EXACTLY the satisfying set are harvested —
-    * a Cast-wrapped column, a null literal, a non-literal IN element
-    * all leave the column unconstrained (conservative, never wrong). */
-  private def equalitySets(filters: Seq[Expression]): Map[String, Set[Any]] = {
+    * predicates, keyed by the attribute's EXACT name (the caller
+    * matches against bucket keys with the session resolver, and
+    * intersects repeated constraints). Only shapes whose literal set
+    * is EXACTLY the satisfying set are harvested — a Cast-wrapped
+    * column, a null literal, a non-literal IN element all leave the
+    * column unconstrained (conservative, never wrong). */
+  private def equalitySets(filters: Seq[Expression]): Seq[(String, Set[Any])] = {
     def one(e: Expression): Option[(String, Set[Any])] = e match {
       case EqualTo(a: Attribute, Literal(v, _)) if v != null =>
-        Some(a.name.toLowerCase -> Set(v))
+        Some(a.name -> Set(v))
       case EqualTo(Literal(v, _), a: Attribute) if v != null =>
-        Some(a.name.toLowerCase -> Set(v))
+        Some(a.name -> Set(v))
       case EqualNullSafe(a: Attribute, Literal(v, _)) if v != null =>
-        Some(a.name.toLowerCase -> Set(v))
+        Some(a.name -> Set(v))
       case EqualNullSafe(Literal(v, _), a: Attribute) if v != null =>
-        Some(a.name.toLowerCase -> Set(v))
+        Some(a.name -> Set(v))
       case In(a: Attribute, list) if list.forall(_.isInstanceOf[Literal]) =>
-        Some(a.name.toLowerCase ->
+        Some(a.name ->
           list.collect { case Literal(v, _) if v != null => v }.toSet)
       case InSet(a: Attribute, hset) =>
-        Some(a.name.toLowerCase -> hset.filter(_ != null))
+        Some(a.name -> hset.filter(_ != null))
       case _ => None
     }
-    filters.flatMap(one).groupBy(_._1)
-      .map { case (n, cs) => n -> cs.map(_._2).reduce(_ intersect _) }
+    filters.flatMap(one)
   }
 
   /** The bucket one key tuple hashes to — driver-side evaluation of
@@ -315,7 +447,7 @@ class GraftStoreFileIndex(
   private def bucketOf(values: Seq[Any]): Int = {
     val lits = bucketKeys.zip(values).map { case (k, v) =>
       val f = schema(schema.fieldIndex(
-        schema.fieldNames.find(_.equalsIgnoreCase(k)).getOrElse(k)))
+        schema.fieldNames.find(resolver(_, k)).getOrElse(k)))
       Literal(v, f.dataType)
     }
     val h = Murmur3Hash(lits, 42).eval(InternalRow.empty)
@@ -325,6 +457,15 @@ class GraftStoreFileIndex(
 }
 
 object GraftStoreFileIndex {
+  /** The synthesized partition column every graftstore relation
+    * carries: the manifest bucket id a row's file lives under. */
+  val BucketCol = "_graft_bucket"
+
+  private[sources] val bucketPartitionSchema: StructType =
+    StructType(Seq(org.apache.spark.sql.types.StructField(
+      BucketCol, org.apache.spark.sql.types.IntegerType,
+      nullable = false)))
+
   /** Cap on the per-key-literal cross product a planning-time prune
     * will hash; past it the scan just reads all live buckets (a
     * 10k-element IN-list is a join-shaped read — `probeJoin` territory

@@ -2,12 +2,59 @@ package graft.streaming
 
 import org.apache.spark.sql.SparkSession
 
+/** The exclusive-commit ARBITER contract: publish `body` at `path`
+  * iff `path` does not already exist — exactly one of N concurrent
+  * publishers succeeds, every loser throws
+  * `java.util.ConcurrentModificationException`, and a reader must
+  * never observe a half-written body under the winning name (or, at
+  * minimum, the name-wins-first degraded guarantee
+  * [[FilesystemArbiter]] documents per scheme).
+  *
+  * Pluggable because object stores (S3-class) have NO native atomic
+  * create-exclusive: a deployment there swaps in an arbiter backed by
+  * its external lock (a conditional put, ZooKeeper, a database row —
+  * the reference pins MaxConcurrency 1 in the pipeline itself,
+  * pipeline.asl.json:153, which is that arbiter) via
+  * [[AtomicCommit.setArbiter]], without touching any of the store's
+  * commit call sites. */
+private[graft] trait CommitArbiter {
+  def publishExclusive(spark: SparkSession, path: String,
+      body: String): Unit
+}
+
 /** The ONE atomic exclusive-commit primitive for every single-writer
   * control file the stores keep — GraphStore's version claims,
   * manifest commits, and release markers all publish through here
   * (via [[EventStreams.writeSmallFileExclusive]]), so a future
   * exclusive-commit call site cannot re-introduce a check-then-act
-  * window by reaching for `fs.create` directly.
+  * window by reaching for `fs.create` directly. Routes to the
+  * installed [[CommitArbiter]] — [[FilesystemArbiter]] by default.
+  *
+  * Loss surfaces as `java.util.ConcurrentModificationException`
+  * naming the path and the remedy, the contract
+  * [[graft.graph.GraphStore]] wraps with store-specific advice.
+  */
+private[graft] object AtomicCommit {
+
+  /** The process-wide arbiter every store commit routes through —
+    * [[FilesystemArbiter]] (link/O_EXCL) unless a deployment plugged
+    * an external one. Swap BEFORE any store writes; the stores read
+    * it per commit. */
+  @volatile private var current: CommitArbiter = FilesystemArbiter
+
+  def setArbiter(a: CommitArbiter): Unit = { current = a }
+  def arbiter: CommitArbiter = current
+
+  /** Publish `body` at `path` if and only if `path` does not already
+    * exist — via the installed arbiter. Exactly one of N concurrent
+    * publishers succeeds; every loser throws
+    * ConcurrentModificationException. */
+  def publishExclusive(
+      spark: SparkSession, path: String, body: String): Unit =
+    current.publishExclusive(spark, path, body)
+}
+
+/** The default [[CommitArbiter]].
   *
   * Why this exists: Hadoop's `fs.create(path, overwrite = false)` is
   * only atomic where the FILESYSTEM makes it so. HDFS enforces the
@@ -36,21 +83,12 @@ import org.apache.spark.sql.SparkSession
   *  - everything else — `fs.create(path, overwrite = false)`, atomic
   *    on HDFS (namenode-arbitrated). CAVEAT, documented not hidden:
   *    S3-style object stores have no atomic create-exclusive at all;
-  *    a multi-writer deployment there needs an external arbiter (the
-  *    reference pins MaxConcurrency 1 in the pipeline itself,
-  *    pipeline.asl.json:153, which is that arbiter). Single-writer
+  *    a multi-writer deployment there plugs an external
+  *    [[CommitArbiter]] instead (see the trait doc). Single-writer
   *    correctness is unaffected on any store.
-  *
-  * Loss surfaces as `java.util.ConcurrentModificationException`
-  * naming the path and the remedy, the contract
-  * [[graft.graph.GraphStore]] wraps with store-specific advice.
   */
-private[graft] object AtomicCommit {
+private[graft] object FilesystemArbiter extends CommitArbiter {
 
-  /** Publish `body` at `path` if and only if `path` does not already
-    * exist; atomic on local FS (link-into-place) and HDFS
-    * (namenode-side O_EXCL). Exactly one of N concurrent publishers
-    * succeeds; every loser throws ConcurrentModificationException. */
   def publishExclusive(
       spark: SparkSession, path: String, body: String): Unit = {
     val (fs, p0) = EventStreams.hadoopFs(spark, path)

@@ -440,32 +440,119 @@ object EventStreams {
     finally in.close()
   }
 
-  private def manifestBody(m: Map[Int, Int]): String =
-    m.toSeq.sorted.map { case (k, v) => s"$k $v" }.mkString("", "\n", "\n")
+  /** One bucket's manifest entry: the version whose rewrite last
+    * touched it (−1 = no rows), plus — when the writing commit
+    * recorded them — the bucket's data files as (name, bytes). The
+    * stats are what lets [[graft.sources.GraftStoreFileIndex]] plan a
+    * scan with ZERO listStatus round-trips (`sizeInBytes`, file
+    * enumeration) on an object store with thousands of buckets;
+    * `files = None` marks a pre-stats (legacy) entry, which readers
+    * serve by falling back to listing that bucket — the format
+    * extension is backwards-compatible in both directions (old
+    * readers parse the first two fields and ignore the rest). */
+  private[graft] final case class BucketFiles(version: Int,
+      files: Option[Seq[(String, Long)]])
+
+  private[graft] def versionsOf(m: Map[Int, BucketFiles]): Map[Int, Int] =
+    m.map { case (k, bf) => k -> bf.version }
+
+  // line format: `bucket version[ files]` — files is `-` (present
+  // bucket, zero files: unreachable today but representable) or
+  // comma-joined `name:bytes` (part-file names carry no ':'/','/' ')
+  private def manifestBody(m: Map[Int, BucketFiles]): String =
+    m.toSeq.sortBy(_._1).map { case (k, bf) =>
+      bf.files match {
+        case Some(fs) if bf.version >= 0 =>
+          val enc = if (fs.isEmpty) "-"
+            else fs.sortBy(_._1).map { case (n, b) => s"$n:$b" }
+              .mkString(",")
+          s"$k ${bf.version} $enc"
+        case _ => s"$k ${bf.version}"
+      }
+    }.mkString("", "\n", "\n")
 
   private[graft] def writeManifest(
       spark: SparkSession, path: String, m: Map[Int, Int]): Unit =
+    writeSmallFile(spark, path,
+      manifestBody(m.map { case (k, v) => k -> BucketFiles(v, None) }))
+
+  private[graft] def writeManifestFull(
+      spark: SparkSession, path: String, m: Map[Int, BucketFiles]): Unit =
     writeSmallFile(spark, path, manifestBody(m))
 
   /** [[writeSmallFileExclusive]]'s manifest form — GraphStore's commit. */
-  private[graft] def writeManifestExclusive(
-      spark: SparkSession, path: String, m: Map[Int, Int]): Unit =
+  private[graft] def writeManifestExclusiveFull(
+      spark: SparkSession, path: String, m: Map[Int, BucketFiles]): Unit =
     writeSmallFileExclusive(spark, path, manifestBody(m))
 
   private[graft] def readManifest(spark: SparkSession, path: String): Map[Int, Int] =
-    readSmallFile(spark, path).linesIterator.filter(_.nonEmpty).map { l =>
-      val Array(k, v) = l.split(' '); k.toInt -> v.toInt
+    versionsOf(readManifestFull(spark, path))
+
+  private[graft] def readManifestFull(spark: SparkSession,
+      path: String): Map[Int, BucketFiles] = {
+    val lines = readSmallFile(spark, path).linesIterator
+      .filter(_.nonEmpty).toSeq
+    // A valid manifest ALWAYS carries every bucket id of its layout
+    // (the invariant width-from-manifest hashing relies on), so an
+    // empty file can only be a mid-publish read on a commit path
+    // whose name lands before its content (HDFS create-exclusive /
+    // nolink fallback — AtomicCommit documents both; the local-FS
+    // link path is immune) or a truncated copy. Serving an EMPTY
+    // state map here would silently answer "no rows" — fail loudly
+    // and retryably instead (the in-flight writer's content lands
+    // within milliseconds).
+    require(lines.nonEmpty,
+      s"$path: manifest file is empty — a committed manifest always " +
+        "carries every bucket id of its layout, so this read raced an " +
+        "in-flight commit (content follows the name within ms on the " +
+        "HDFS/nolink paths) or the file was truncated; retry the read")
+    lines.map { l =>
+      // fields: `bucket version[ files]` — the optional third field is
+      // the per-bucket file-stats extension (see manifestBody); a
+      // two-field (legacy) line yields files = None, served by listing
+      val f = l.split(' ')
+      val files =
+        if (f.length < 3) None
+        else if (f(2) == "-") Some(Seq.empty[(String, Long)])
+        else Some(f(2).split(',').toSeq.map { e =>
+          val i = e.lastIndexOf(':')
+          (e.substring(0, i), e.substring(i + 1).toLong)
+        })
+      f(0).toInt -> BucketFiles(f(1).toInt, files)
     }.toMap
+  }
+
+  /** Bounded-parallel map over per-bucket filesystem round-trips —
+    * independent small RPCs; serially, a thousands-of-buckets store on
+    * an object store pays minutes of latency. Shared by the write-time
+    * stats collection below and the FileIndex's legacy-listing
+    * fallback. */
+  private[graft] def parEach[A, B](items: Seq[A])(f: A => B): Seq[B] = {
+    if (items.isEmpty) return Seq.empty
+    import scala.collection.parallel.CollectionConverters._
+    val pool = new java.util.concurrent.ForkJoinPool(
+      math.min(32, items.size))
+    try {
+      val par = items.par
+      par.tasksupport =
+        new scala.collection.parallel.ForkJoinTaskSupport(pool)
+      par.map(f).toList
+    } finally pool.shutdown()
+  }
 
   /** Write `state` hash-partitioned by bucket under `dir` (one
     * `_graft_bucket=k/` leaf per non-empty bucket; the virtual column
     * is partition metadata, not data, so bucket files carry the clean
-    * state schema). Returns the set of buckets actually written —
-    * a bucket whose rows all disappeared produces no leaf and must be
-    * recorded as empty in the manifest. */
+    * state schema). Returns the buckets actually written with their
+    * data files' (name, bytes) — the manifest persists the stats so
+    * serving reads never re-list (a bucket whose rows all disappeared
+    * produces no leaf and must be recorded as empty in the manifest).
+    * The stats listing costs one listStatus per WRITTEN bucket, on the
+    * write path that just created those dirs — dirty-bucket-bounded
+    * per apply, paid once so every subsequent read pays zero. */
   private[graft] def writeBuckets(
       state: DataFrame, stateKeys: Seq[String], numBuckets: Int,
-      dir: String): Set[Int] = {
+      dir: String): Map[Int, Seq[(String, Long)]] = {
     // exactly numBuckets partitions: one task and one file per
     // bucket, instead of shuffle-width tasks each spraying files
     // into every bucket dir (measured as part of the bucketing's
@@ -475,9 +562,18 @@ object EventStreams {
       .repartition(numBuckets, col("_graft_bucket"))
       .write.partitionBy("_graft_bucket").mode("overwrite").parquet(dir)
     val (fs, p) = hadoopFs(state.sparkSession, dir)
-    fs.listStatus(p).toSeq.map(_.getPath.getName)
+    val present = fs.listStatus(p).toSeq.map(_.getPath.getName)
       .filter(_.startsWith("_graft_bucket="))
-      .map(_.stripPrefix("_graft_bucket=").toInt).toSet
+      .map(_.stripPrefix("_graft_bucket=").toInt)
+    parEach(present) { k =>
+      k -> fs.listStatus(
+          new org.apache.hadoop.fs.Path(s"$dir/_graft_bucket=$k"))
+        .toSeq.collect {
+          case st if st.isFile && !st.getPath.getName.startsWith("_") &&
+              !st.getPath.getName.startsWith(".") =>
+            (st.getPath.getName, st.getLen)
+        }
+    }.toMap
   }
 
   private[graft] def bucketPath(stateDir: String, version: Int, bucket: Int) =
@@ -573,14 +669,15 @@ object EventStreams {
       writeSmallFile(spark, metaPath, s"$storeBuckets\n")
       val initPresent = writeBuckets(
         initState, stateKeys, storeBuckets, s"$stateDir/v0")
-      writeManifest(spark, manifestPath(0),
+      writeManifestFull(spark, manifestPath(0),
         (0 until storeBuckets).map(k =>
-          k -> (if (initPresent(k)) 0 else -1)).toMap)
+          k -> initPresent.get(k).fold(BucketFiles(-1, None))(fs =>
+            BucketFiles(0, Some(fs)))).toMap)
     }
     val q = changes.writeStream
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
         val ss = batch.sparkSession
-        val base = readManifest(ss, manifestPath(id.toInt))
+        val base = readManifestFull(ss, manifestPath(id.toInt))
         val delta = toDelta(batch.toDF()).localCheckpoint()
         val dirty = delta
           .select(bucketCol(stateKeys, storeBuckets).as("_b"))
@@ -588,15 +685,19 @@ object EventStreams {
         val next =
           if (dirty.isEmpty) base
           else {
-            val dirtyState = stateAt(ss, stateDir, base.filter {
-              case (k, _) => dirty(k) }, Some(stateSchema))
+            val dirtyState = stateAt(ss, stateDir, versionsOf(base.filter {
+              case (k, _) => dirty(k) }), Some(stateSchema))
             val written = writeBuckets(
               merge(dirtyState, delta), stateKeys, storeBuckets,
               s"$stateDir/v${id + 1}")
+            // unchanged buckets INHERIT their entry (version AND file
+            // stats) from the base manifest; dirty ones get the stats
+            // the write just recorded
             base ++ dirty.map(k =>
-              k -> (if (written(k)) id.toInt + 1 else -1))
+              k -> written.get(k).fold(BucketFiles(-1, None))(fs =>
+                BucketFiles(id.toInt + 1, Some(fs))))
           }
-        writeManifest(ss, manifestPath(id.toInt + 1), next)
+        writeManifestFull(ss, manifestPath(id.toInt + 1), next)
         ()
       }
       .trigger(Trigger.AvailableNow())

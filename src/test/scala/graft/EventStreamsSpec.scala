@@ -946,6 +946,68 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally pool.shutdown()
   }
 
+  test("CommitArbiter is PLUGGABLE: a deliberately slow external " +
+      "arbiter still yields exactly one winner per round under the " +
+      "16-thread hammer, and losers get the loud loss") {
+    import graft.streaming.{AtomicCommit, CommitArbiter, FilesystemArbiter}
+    // A fake external lock service (the S3-deployment shape: a
+    // conditional put against a lock table) with ARTIFICIAL LATENCY on
+    // both sides of the acquire — wide enough that a check-then-act
+    // arbiter would lose constantly, so the hammer actually exercises
+    // the arbitration, not scheduler luck.
+    object SlowArbiter extends CommitArbiter {
+      val acquired = new java.util.concurrent.ConcurrentHashMap[
+        String, java.lang.Boolean]()
+      def publishExclusive(s: org.apache.spark.sql.SparkSession,
+          path: String, body: String): Unit = {
+        Thread.sleep(2) // request latency before the conditional put
+        if (acquired.putIfAbsent(path, java.lang.Boolean.TRUE) != null)
+          throw new java.util.ConcurrentModificationException(
+            s"commit of $path lost the race (external arbiter): a " +
+              "concurrent writer holds it — re-read and retry")
+        Thread.sleep(2) // latency before the winner's body lands
+        EventStreams.writeSmallFile(s, path, body)
+      }
+    }
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_arbiter_plug").toString
+    AtomicCommit.setArbiter(SlowArbiter)
+    try {
+      val n = 16
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(n)
+      try {
+        for (round <- 1 to 20) {
+          val path = s"$dir/claim_r$round"
+          val gate = new java.util.concurrent.CyclicBarrier(n)
+          val futures = (0 until n).map { i =>
+            pool.submit(new java.util.concurrent.Callable[Option[Int]] {
+              def call(): Option[Int] = {
+                gate.await()
+                try {
+                  // the STORE-side call site — proves the swap needs
+                  // no changes anywhere in the commit protocol
+                  EventStreams.writeSmallFileExclusive(
+                    spark, path, s"writer-$i\n")
+                  Some(i)
+                } catch {
+                  case _: java.util.ConcurrentModificationException =>
+                    None
+                }
+              }
+            })
+          }
+          val winners = futures.flatMap(_.get())
+          assert(winners.size == 1,
+            s"round $round: winners=$winners under the external arbiter")
+          assert(EventStreams.readSmallFile(spark, path) ==
+            s"writer-${winners.head}\n")
+        }
+      } finally pool.shutdown()
+    } finally AtomicCommit.setArbiter(FilesystemArbiter)
+    // restored: the default must win the next exclusive write
+    assert(AtomicCommit.arbiter eq FilesystemArbiter)
+  }
+
   test("pack maintenance OUT OF ORDER: the manifest stays internally " +
       "consistent (arrival-order offsets) while diverging from the " +
       "doc_id-ordered batch manifest — the documented order contract") {

@@ -176,8 +176,11 @@ class GraftStoreSourceSpec extends AnyFunSuite {
     val tdir = s"$dir/Sequence"
     val latest = graft.streaming.EventStreams
       .manifestVersions(spark, tdir).max
+    // (direct format loads expose the `_graft_bucket` partition
+    // column; the sqlTable/createViews surface drops it)
     val raw = spark.read.format("graftstore")
       .option("path", tdir).option("version", latest.toString).load()
+      .drop("_graft_bucket")
     // latest manifest == serving manifest here (applies commit both)
     assert(LoadFixtures.rowsOf(raw) ==
       LoadFixtures.rowsOf(GraphStore.sqlTable(spark, dir, "Sequence")))
@@ -244,6 +247,203 @@ class GraftStoreSourceSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"),
       s"small store side must broadcast:\n${plan.take(1200)}")
     assert(!plan.contains("SortMergeJoin"), plan.take(1200))
+  }
+
+  test("manifest-persisted file stats: relation construction performs " +
+      "ZERO bucket listings on a stats-carrying store, sizeInBytes " +
+      "equals the filesystem truth; a legacy manifest falls back to " +
+      "listing, same rows") {
+    import graft.streaming.EventStreams
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    def indexOf(df: DataFrame): graft.sources.GraftStoreFileIndex =
+      df.queryExecution.analyzed.collectFirst {
+        case l: LogicalRelation => l.relation.asInstanceOf[HadoopFsRelation]
+          .location.asInstanceOf[graft.sources.GraftStoreFileIndex]
+      }.get
+    val df = GraphStore.sqlTable(spark, dir, "Sequence")
+    val idx = indexOf(df)
+    // every commit since the stats extension records per-file sizes —
+    // planning answers file enumeration + CBO size with no listStatus
+    assert(idx.listedBucketCount == 0,
+      s"stats-carrying store listed ${idx.listedBucketCount} buckets")
+    val (fs, _) = EventStreams.hadoopFs(spark, dir)
+    val truth = df.inputFiles.map(p => fs.getFileStatus(
+      new org.apache.hadoop.fs.Path(p)).getLen).sum
+    assert(idx.sizeInBytes == truth,
+      s"sizeInBytes ${idx.sizeInBytes} != listed truth $truth")
+    // LEGACY manifest (pre-stats store): strip the stats field from a
+    // copy-store's serving manifest — the index must fall back to
+    // listing those buckets and serve identical rows
+    val Seq(r1, _, _) = LoadFixtures.policyMatrix(spark)
+    val d2 = tmp("graftstore_legacy_manifest")
+    GraphStore.init(spark, d2, GraphLoad.loadAll(spark, Seq(r1)),
+      buckets = 4)
+    val before = LoadFixtures.rowsOf(GraphStore.sqlTable(spark, d2, "GFE"))
+    val mpath = s"$d2/GFE/manifest/v0"
+    val legacy = EventStreams.readSmallFile(spark, mpath).linesIterator
+      .filter(_.nonEmpty)
+      .map(_.split(' ').take(2).mkString(" ")).mkString("", "\n", "\n")
+    EventStreams.writeSmallFile(spark, mpath, legacy)
+    val df2 = GraphStore.sqlTable(spark, d2, "GFE")
+    assert(indexOf(df2).listedBucketCount > 0,
+      "legacy manifest must fall back to listing")
+    assert(LoadFixtures.rowsOf(df2) == before)
+  }
+
+  test("an EMPTY manifest file fails loudly (mid-publish read), never " +
+      "serves an empty table") {
+    import graft.streaming.EventStreams
+    val d = tmp("graftstore_empty_manifest")
+    val p = s"$d/manifest/v3"
+    EventStreams.writeSmallFile(spark, p, "")
+    val e = intercept[IllegalArgumentException] {
+      EventStreams.readManifest(spark, p)
+    }
+    assert(e.getMessage.contains("empty") &&
+      e.getMessage.contains("retry"), e.getMessage)
+  }
+
+  test("raw-layout keys option is cross-checked against a persisted " +
+      "GraphStore table meta — wrong keys or wrong ORDER fail loudly " +
+      "instead of pruning wrong buckets") {
+    // Feature's persisted anchor is (locus,rank,term,accession); the
+    // same columns in another order hash differently and would
+    // silently miss rows if accepted
+    val e = intercept[IllegalArgumentException] {
+      spark.read.format("graftstore")
+        .option("path", s"$dir/Feature")
+        .option("keys", "term,locus,rank,accession").load()
+    }
+    assert(e.getMessage.contains("persisted") &&
+      e.getMessage.contains("order"), e.getMessage)
+    // the persisted key order is accepted and prunes
+    val ok = spark.read.format("graftstore")
+      .option("path", s"$dir/Feature")
+      .option("keys", "locus,rank,term,accession").load()
+    assert(ok.count() == GraphStore.read(spark, dir).feature.count())
+  }
+
+  test("readStream against a non-store path fails at STREAM START with " +
+      "the store diagnostic, not a bare parquet FileNotFound") {
+    val d = tmp("graftstore_not_a_store")
+    val e = intercept[Exception] {
+      spark.readStream.format("graftstore").option("path", d).load()
+    }
+    assert(e.getMessage.contains("manifest") ||
+      e.getMessage.contains("bucket store"), e.getMessage)
+  }
+
+  /** Every FileSourceScanExec in the FINAL plan, descending through
+    * AQE's re-planned root and materialized query stages (both hide
+    * their contents from plain collect — children = Nil). */
+  private def finalScans(df: DataFrame)
+      : Seq[FileSourceScanExec] = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def walk(p: SparkPlan): Seq[FileSourceScanExec] = {
+      val here = p match {
+        case s: FileSourceScanExec => Seq(s); case _ => Nil }
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case other => other.children
+      }
+      here ++ kids.flatMap(walk)
+    }
+    walk(df.queryExecution.executedPlan)
+  }
+
+  private def storeScan(df: DataFrame): FileSourceScanExec =
+    finalScans(df).find(_.relation.location
+      .isInstanceOf[graft.sources.GraftStoreFileIndex])
+      .getOrElse(fail(s"no graftstore scan in\n${df.queryExecution}"))
+
+  test("RUNTIME bucket pruning: a JOIN-shaped anchor predicate (the " +
+      "values exist only at execution) prunes the scan to hit-bucket " +
+      "files via DynamicPruningSubquery, and matches probe()") {
+    import spark.implicits._
+    spark.conf.set("spark.graft.store.dynamicPrune.minBytes", "0")
+    try {
+      val names = GraphStore.read(spark, dir).sequence
+        .select("name").orderBy("name").limit(2)
+        .collect().map(_.getString(0)).toSeq
+      val anchors = names.toDF("name")
+      val joined = GraphStore.sqlTable(spark, dir, "Sequence")
+        .join(anchors, Seq("name"))
+      joined.collect()
+      val scan = storeScan(joined)
+      assert(scan.toString.toLowerCase.contains("dynamicpruning"),
+        s"no dynamic pruning on the store scan:\n$scan")
+      val n = scan.metrics("numFiles").value
+      val total = liveFiles("Sequence")
+      assert(n >= 1 && n < total,
+        s"join-driven read opened $n of $total live files — no pruning")
+      val expected = GraphStore.probe(spark, dir, "Sequence",
+        anchors, Seq("name"))
+      assert(LoadFixtures.rowsOf(joined.select(expected.columns.map(col)
+        .toIndexedSeq: _*)) == LoadFixtures.rowsOf(expected))
+    } finally spark.conf.unset("spark.graft.store.dynamicPrune.minBytes")
+  }
+
+  test("RUNTIME bucket pruning: WHERE name IN (subquery) through a " +
+      "plain SQL view prunes — the BI-tool probe shape") {
+    import spark.implicits._
+    spark.conf.set("spark.graft.store.dynamicPrune.minBytes", "0")
+    try {
+      GraphStore.createViews(spark, dir, prefix = "dpp_")
+      val names = GraphStore.read(spark, dir).sequence
+        .select("name").orderBy("name").limit(2)
+        .collect().map(_.getString(0)).toSeq
+      names.toDF("name").createOrReplaceTempView("dpp_anchors")
+      val q = spark.sql(
+        """SELECT name, locus, length FROM dpp_Sequence
+          |WHERE name IN (SELECT name FROM dpp_anchors)""".stripMargin)
+      q.collect()
+      val scan = storeScan(q)
+      val n = scan.metrics("numFiles").value
+      val total = liveFiles("Sequence")
+      assert(n >= 1 && n < total,
+        s"IN-subquery read $n of $total live files — no pruning")
+      assert(q.count() == names.size.toLong)
+    } finally spark.conf.unset("spark.graft.store.dynamicPrune.minBytes")
+  }
+
+  test("RUNTIME bucket pruning: composite 4-key anchor join prunes " +
+      "when every key is equated; results exact") {
+    spark.conf.set("spark.graft.store.dynamicPrune.minBytes", "0")
+    try {
+      val anchors = GraphStore.read(spark, dir).feature
+        .select("locus", "rank", "term", "accession")
+        .orderBy("locus", "rank", "term", "accession").limit(1)
+        .localCheckpoint()
+      val joined = GraphStore.sqlTable(spark, dir, "Feature")
+        .join(anchors, Seq("locus", "rank", "term", "accession"))
+      joined.collect()
+      val n = storeScan(joined).metrics("numFiles").value
+      val total = liveFiles("Feature")
+      assert(n >= 1 && n < total,
+        s"composite join-driven read opened $n of $total")
+      assert(joined.count() == 1)
+    } finally spark.conf.unset("spark.graft.store.dynamicPrune.minBytes")
+  }
+
+  test("RUNTIME bucket pruning size gate: a broadcast-sized store " +
+      "skips the subquery (default gate = autoBroadcastJoinThreshold); " +
+      "results unchanged") {
+    import spark.implicits._
+    // fixture stores are far below the 10 MB default threshold — the
+    // rule must leave the join alone (no extra dim-side scan)
+    val names = GraphStore.read(spark, dir).sequence
+      .select("name").orderBy("name").limit(2)
+      .collect().map(_.getString(0)).toSeq
+    val anchors = names.toDF("name")
+    val joined = GraphStore.sqlTable(spark, dir, "Sequence")
+      .join(anchors, Seq("name"))
+    joined.collect()
+    assert(!storeScan(joined).toString.toLowerCase
+      .contains("dynamicpruning"),
+      "gate must skip pruning a broadcast-sized store")
+    assert(joined.count() == 2)
   }
 
   test("missing options fail loudly naming the remedy") {

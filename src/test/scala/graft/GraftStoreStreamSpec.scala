@@ -131,6 +131,61 @@ class GraftStoreStreamSpec extends AnyFunSuite {
       stateRows(GraphStore.read(spark, dir).ipdAllele))
   }
 
+  test("stepCatchUp: a resumed checkpoint several releases behind " +
+      "steps ONE retained marker per batch (fold == the net batch); " +
+      "default still nets") {
+    val Seq(r1, r2, r3) = LoadFixtures.policyMatrix(spark)
+    val dir = tmp("feed_step"); val chk = tmp("feed_step_chk")
+    GraphStore.init(spark, dir, GraphLoad.loadAll(spark, Seq(r1)),
+      buckets = 4)
+    val base = Map("dir" -> dir, "table" -> "HAS_IPD_ALLELE")
+    val p1 = runFeed(base, chk) // bootstrap at m0
+    GraphStore.applyRelease(spark, dir, r2)
+    GraphStore.applyRelease(spark, dir, r3)
+    // resume CONTINUOUSLY with stepCatchUp: the 2-marker gap drains
+    // as one batch PER retained marker — the live path's granularity,
+    // for order-dependent consumers
+    val buf = scala.collection.mutable.ArrayBuffer[(Long, Seq[Row])]()
+    val q = spark.readStream.format("graftstore")
+      .option("dir", dir).option("table", "HAS_IPD_ALLELE")
+      .option("stepCatchUp", "true").load()
+      .writeStream
+      .foreachBatch { (df: DataFrame, id: java.lang.Long) =>
+        val rows = df.collect().toSeq
+        if (rows.nonEmpty) buf.synchronized { buf += ((id.toLong, rows)) }
+        ()
+      }
+      .option("checkpointLocation", chk)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val stepped = buf.synchronized(buf.toList)
+    assert(stepped.size == 2,
+      s"stepCatchUp resume produced ${stepped.size} batches, wanted " +
+        "one per release in the gap")
+    val ms = GraphStore.markers(spark, dir)
+    val cols = GraphStore.read(spark, dir).hasIpdAllele.columns.toSeq :+
+      "change"
+    assert(batchRows(stepped(0)._2, cols) == changeRows(
+      GraphStore.diff(spark, dir, "HAS_IPD_ALLELE", ms(0), ms(1))))
+    assert(batchRows(stepped(1)._2, cols) == changeRows(
+      GraphStore.diff(spark, dir, "HAS_IPD_ALLELE", ms(1), ms(2))))
+    // the stepped batches FOLD to exactly what the net batch gives —
+    // stepping changes granularity, never the composed state
+    assert(fold(p1 ++ stepped) ==
+      stateRows(GraphStore.read(spark, dir).hasIpdAllele))
+    // and the DEFAULT contract is preserved: the same gap on a
+    // second checkpoint (bootstrapped at m0 via startingMarker) nets
+    // to ONE batch
+    val chk2 = tmp("feed_step_chk2")
+    val b2 = runFeed(base + ("startingMarker" -> ms(0).toString), chk2)
+    assert(b2.size == 1)
+    val net = runFeed(base, chk2)
+    assert(net.size == 1,
+      s"default catch-up produced ${net.size} batches, wanted one net")
+    assert(fold(b2 ++ net) ==
+      stateRows(GraphStore.read(spark, dir).hasIpdAllele))
+  }
+
   test("live stream steps ONE marker per micro-batch while running") {
     val Seq(r1, r2, r3) = LoadFixtures.policyMatrix(spark)
     val dir = tmp("feed_live"); val chk = tmp("feed_live_chk")
