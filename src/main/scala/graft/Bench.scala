@@ -590,6 +590,31 @@ object Bench {
             s"SQL probe served $n of ${names.size} anchor rows")
           n
         }
+        // The JOIN-shaped SQL probe through the source (round 15):
+        // the anchor values come from a RUNTIME frame, not literals —
+        // StoreBucketPruning turns the join into a
+        // DynamicPruningSubquery on the _graft_bucket partition
+        // column, so the scan opens only hit-bucket files at
+        // execution (the BI-tool probe shape; values driver-oracled
+        // as gfe_store_sql_join). The size gate is forced open: the
+        // fixture store is broadcast-sized, and the entry measures
+        // the pruning machinery, not the gate.
+        val sqlJoin = tTier(s"xinc_sqljoin_$incReleases",
+            "64-key runtime join via graftstore source") {
+          spark.conf.set("spark.graft.store.dynamicPrune.minBytes", "0")
+          try {
+            val anchors = graft.graph.GraphStore.read(spark, dualDir)
+              .ipdAllele.select("name").orderBy("name").limit(64)
+              .localCheckpoint()
+            val n = graft.graph.GraphStore
+              .sqlTable(spark, dualDir, "IPD_Allele")
+              .join(anchors, Seq("name"))
+              .count()
+            require(n == 64, s"SQL join probe served $n of 64 rows")
+            n
+          } finally spark.conf
+            .unset("spark.graft.store.dynamicPrune.minBytes")
+        }
         // The CHANGE FEED's per-release batch on the same store: an
         // untimed bootstrap pass pins the checkpoint at the
         // second-newest marker (startingMarker replay), then the
@@ -599,36 +624,46 @@ object Bench {
         // downstream maintainer pays per release. runsFor = 1: a
         // second pass on the consumed checkpoint would time "no new
         // data", a cheaper different operation.
-        val feedChk = java.nio.file.Files
-          .createTempDirectory("graft_inc_feed_chk").toString
-        locally { // untimed bootstrap at marker N-1
-          val ms = graft.graph.GraphStore.markers(spark, dualDir)
-          val q = spark.readStream.format("graftstore")
-            .option("dir", dualDir).option("table", "HAS_IPD_ALLELE")
-            .option("startingMarker", ms(ms.size - 2).toString).load()
-            .writeStream.foreachBatch(
-              (_: org.apache.spark.sql.DataFrame, _: java.lang.Long) => ())
-            .option("checkpointLocation", feedChk)
-            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-            .start()
-          q.awaitTermination()
-        }
-        val feedT = tTier(s"xinc_feed_$incReleases",
-            "last-release feed batch", runsFor = 1) {
-          var n = 0L
-          val q = spark.readStream.format("graftstore")
-            .option("dir", dualDir).option("table", "HAS_IPD_ALLELE")
-            .load()
-            .writeStream.foreachBatch(
-              (df: org.apache.spark.sql.DataFrame, _: java.lang.Long) =>
-                { n += df.count(); () })
-            .option("checkpointLocation", feedChk)
-            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-            .start()
-          q.awaitTermination()
-          require(n > 0, "last-release feed batch was empty")
-          n
-        }
+        // (like xinc_diff, needs two markers: at K=1 the store holds
+        // only its init marker and the bootstrap's ms(size-2) replay
+        // pin does not exist — skip, don't fail, and don't let an
+        // IndexOutOfBounds discard the whole tier's finished entries)
+        val feedT: Option[(String, Double)] =
+          if (incReleases < 2) None
+          else {
+            val feedChk = java.nio.file.Files
+              .createTempDirectory("graft_inc_feed_chk").toString
+            locally { // untimed bootstrap at marker N-1
+              val ms = graft.graph.GraphStore.markers(spark, dualDir)
+              val q = spark.readStream.format("graftstore")
+                .option("dir", dualDir).option("table", "HAS_IPD_ALLELE")
+                .option("startingMarker", ms(ms.size - 2).toString).load()
+                .writeStream.foreachBatch(
+                  (_: org.apache.spark.sql.DataFrame, _: java.lang.Long) => ())
+                .option("checkpointLocation", feedChk)
+                .trigger(
+                  org.apache.spark.sql.streaming.Trigger.AvailableNow())
+                .start()
+              q.awaitTermination()
+            }
+            Some(tTier(s"xinc_feed_$incReleases",
+                "last-release feed batch", runsFor = 1) {
+              var n = 0L
+              val q = spark.readStream.format("graftstore")
+                .option("dir", dualDir).option("table", "HAS_IPD_ALLELE")
+                .load()
+                .writeStream.foreachBatch(
+                  (df: org.apache.spark.sql.DataFrame, _: java.lang.Long) =>
+                    { n += df.count(); () })
+                .option("checkpointLocation", feedChk)
+                .trigger(
+                  org.apache.spark.sql.streaming.Trigger.AvailableNow())
+                .start()
+              q.awaitTermination()
+              require(n > 0, "last-release feed batch was empty")
+              n
+            })
+          }
         // Half-history datapoint OUTSIDE the timed entry (folding it
         // into the entry would overstate the full refold ~1.5×): the
         // growth evidence — a reader sees refold(K/2) < refold(K)
@@ -671,8 +706,8 @@ object Bench {
             "rebucket changed the served row count")
           n
         }
-        Map(apply, applyDual, varpathDual, sqlProbe, feedT, refold,
-          rebucketT) ++ diffRead
+        Map(apply, applyDual, varpathDual, sqlProbe, sqlJoin, refold,
+          rebucketT) ++ diffRead ++ feedT
       } catch { case scala.util.control.NonFatal(ex) =>
         System.err.println(s"[bench] inc-graph workload failed: $ex")
         Map.empty
@@ -820,6 +855,45 @@ object Bench {
           learned
         })
       }
+    // ...and the ADAPTIVE-width trainer at a 4× deeper vocab (round
+    // 15): fixed-16 measured ~4.5 merges/round at 256 merges — a real
+    // 32k vocab would still be ~7k driver round-trips. Adaptive
+    // doubling (bpeTrainBatched(adaptive = true): saturate → double,
+    // interaction-truncate → halve back) must collapse the round
+    // count well past the fixed-width rate; the assert pins ≥ 8
+    // merges/round so a timing run can never silently time a
+    // degenerated adaptation. GRAFT_SCALE_BPE_ADAPTIVE sizes it
+    // (0 disables).
+    val bpeAdaptiveMerges =
+      sys.env.getOrElse("GRAFT_SCALE_BPE_ADAPTIVE", "1024").toInt
+    val bpeAdaptive: Map[String, Double] =
+      if (bpeAdaptiveMerges <= 0) Map.empty
+      else {
+        import org.apache.spark.sql.functions._
+        Map(tTier(s"xscale_bpe_adaptive_$bpeAdaptiveMerges",
+            s"$bpeAdaptiveMerges merges, adaptive width") {
+          val docs = spark.range(400000L).select(
+            concat_ws(" ", (0 until 4).map(i =>
+              substring(base64(unhex(md5(
+                concat(lit(i), col("id") % 4096)))), 1, 8))
+              : _*).as("text"))
+          val m = graft.queries.TextQueries
+            .bpeTrainBatched(docs, bpeAdaptiveMerges, maxPerRound = 16,
+              adaptive = true, adaptiveCap = 1024)
+            .localCheckpoint(true)
+          val learned = m.count()
+          val rounds = m.agg(max(col("round"))).head.getInt(0)
+          System.err.println(s"[bench] xscale_bpe_adaptive: $learned/" +
+            s"$bpeAdaptiveMerges merges in $rounds rounds " +
+            f"(${learned.toDouble / rounds}%.1f merges/round)")
+          require(learned == bpeAdaptiveMerges,
+            s"corpus exhausted: $learned of $bpeAdaptiveMerges merges")
+          require(8 * rounds <= learned,
+            s"adaptive BPE under-collapsed: $rounds rounds for " +
+              s"$learned merges (< 8 merges/round)")
+          learned
+        })
+      }
 
     // Full-history ordered registry fold (the reference's actual
     // envelope: 57 releases, README.md:535; MaxConcurrency-1
@@ -904,7 +978,8 @@ object Bench {
 
     val all =
       results ++ scale ++ scaleExtra ++ distGraph ++ distGraph10m ++
-        incGraph ++ distDedup ++ distContain ++ bpeScale ++ regFold
+        incGraph ++ distDedup ++ distContain ++ bpeScale ++
+        bpeAdaptive ++ regFold
     val total = (results ++ scale).values.filter(_ >= 0).sum
     // The driver recovers the JSON from the last ~2000 chars of the
     // captured output (r2 parsed at 1734 chars; r3's 2440-char line

@@ -72,7 +72,8 @@ object Motif {
     * from hop i−1) — at scale each hop is a few bucket-file reads,
     * so the chain's cost is k × probe, not k × scan. */
   def pathAnchored(spark: org.apache.spark.sql.SparkSession, dir: String,
-      anchors: DataFrame, hops: Seq[Hop]): DataFrame = {
+      anchors: DataFrame, hops: Seq[Hop],
+      asOf: Option[Int] = None): DataFrame = {
     require(hops.nonEmpty, "at least one hop required")
     require(anchors.columns.length == 1,
       s"anchors must be a single key column, got " +
@@ -82,7 +83,11 @@ object Motif {
     hops.zipWithIndex.foreach { case (h, i) =>
       val enterBy = if (h.reverse) "dst" else "src"
       val frontier = acc.select(col(s"n$i").as(enterBy))
-      val t = GraphStore.probe(spark, dir, h.edge, frontier, Seq(enterBy))
+      // asOf threads into EVERY hop's probe: "run this traversal as
+      // release k saw the graph" is one marker pin, the anchored form
+      // of readAt — no hand-chaining of probes required
+      val t = GraphStore.probe(spark, dir, h.edge, frontier,
+        Seq(enterBy), asOf)
       val attrCols = t.columns.filterNot(c => c == "src" || c == "dst")
       val farExpr =
         if (h.reverse) col("src")
@@ -223,11 +228,19 @@ object Motif {
     * the lazy semi-join) — so label-free variable-length expansion
     * spans feature edges against the standing store too. Node keys
     * are compared as strings, matching [[varPath]]'s cast; the
-    * encoding shares varPath's caveat (values must not contain ':'). */
+    * encoding shares varPath's caveat (values must not contain ':').
+    *
+    * `asOf = Some(marker)` pins EVERY step's read (probe and
+    * semi-join fallback alike) to one retained release marker —
+    * time-traveled expansion, equal by construction to running the
+    * same expansion over [[GraphStore.readAt]]'s tables. Layout facts
+    * (bucket keys, twins, schema) are version-independent: they are
+    * fixed at init/rebucket, and a rebucket resets the marker axis. */
   def varPathAnchored(spark: org.apache.spark.sql.SparkSession,
       dir: String, anchors: DataFrame, labels: Seq[String],
       minLen: Int, maxLen: Int, either: Boolean = false,
-      edgeDistinct: Boolean = false): DataFrame = {
+      edgeDistinct: Boolean = false,
+      asOf: Option[Int] = None): DataFrame = {
     require(minLen >= 1 && maxLen >= minLen, "need 1 <= minLen <= maxLen")
     require(anchors.columns.length == 1,
       s"anchors must be a single key column, got " +
@@ -294,17 +307,21 @@ object Motif {
                 get(split(col("k"), ":"), lit(i)).try_cast(dt).as(c)
             }: _*)
           val t = o.twinKeys match {
-            case Some(tk) => GraphStore.probe(spark, dir, o.lbl, parts, tk)
+            case Some(tk) =>
+              GraphStore.probe(spark, dir, o.lbl, parts, tk, asOf)
             case None =>
-              GraphStore.probeJoin(spark, dir, o.lbl, parts, o.farCols)
+              GraphStore.probeJoin(spark, dir, o.lbl, parts, o.farCols,
+                asOf)
           }
           t.select(farExpr.as("a"), col("src").cast("string").as("b"))
             .join(frontKeys.select(col("k").as("a")), Seq("a"), "left_semi")
         } else {
           val f = frontKeys.select(col("k").as(o.en))
           val t =
-            if (o.probed) GraphStore.probe(spark, dir, o.lbl, f, Seq(o.en))
-            else GraphStore.probeJoin(spark, dir, o.lbl, f, Seq(o.en))
+            if (o.probed)
+              GraphStore.probe(spark, dir, o.lbl, f, Seq(o.en), asOf)
+            else
+              GraphStore.probeJoin(spark, dir, o.lbl, f, Seq(o.en), asOf)
           val ex =
             if (o.en == "src") {
               if (o.hasDst) col("dst").cast("string") else farExpr

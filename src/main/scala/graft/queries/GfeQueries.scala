@@ -44,7 +44,11 @@ object GfeQueries {
     val tables =
       g.vertexTables.map { case (k, v) => s"v_$k" -> v } ++
         g.edgeTables.map { case (k, v) => s"e_$k" -> v } ++
-        Map("r1_e_HAS_IPD_ALLELE" -> g1.hasIpdAllele) ++
+        Map("r1_e_HAS_IPD_ALLELE" -> g1.hasIpdAllele,
+          // the as-of traversal oracle (gfe_incremental_khop_asof)
+          // replays a 3-hop join over the FIRST release's graph
+          "r1_e_HAS_FEATURE" -> g1.hasFeature,
+          "r1_v_Feature" -> g1.feature) ++
         Map(
           "b_gfe_sequences" -> r.gfeSequences,
           "b_all_features" -> r.allFeatures,
@@ -591,6 +595,54 @@ object GfeQueries {
         .distinct()
         .orderBy("allele", "term", "rank", "accession", "feature_len")
     }),
+    // TIME-TRAVELED anchored traversal (round 15): the same generic
+    // k-hop API pinned to the store's FIRST release marker — every
+    // hop's probe (and the Feature vertex probe) reads the r1
+    // manifests, so the traversal answers "what did this allele's
+    // feature fan-out look like AS OF release 3560" AFTER 3570 merged
+    // on top. Oracled against the dedicated r1 refold aux snapshots —
+    // hash equality pins that asOf threads through every hop (the
+    // result genuinely differs from gfe_incremental_khop's: 3570 adds
+    // features), at the same bucket-probe I/O as a serving read.
+    QueryDef("gfe_incremental_khop_asof",
+      s"""SELECT DISTINCT e.dst AS allele, hf.term, hf.rank, hf.accession,
+         |       CAST(length(f.sequence) AS BIGINT) AS feature_len
+         |FROM ${aux("r1_e_HAS_IPD_ALLELE")} e
+         |JOIN ${aux("r1_e_HAS_FEATURE")} hf ON hf.src = e.src
+         |JOIN ${aux("r1_v_Feature")} f
+         |  ON f.locus = hf.locus AND f.rank = hf.rank
+         | AND f.term = hf.term AND f.accession = hf.accession
+         |WHERE e.dst IN
+         |  ('HLA-A*01:01:01:01', 'HLA-A*02:01', 'HLA-A*01:03')
+         |ORDER BY allele, hf.term, hf.rank, hf.accession, feature_len"""
+        .stripMargin)(
+      (s, _) => {
+      import org.apache.spark.sql.functions._
+      import s.implicits._
+      import graft.graph.{GraphStore, Motif}
+      val (dir, _) = incrementalStore(s)
+      val m0 = GraphStore.markers(s, dir).head
+      val anchors = Seq("HLA-A*01:01:01:01", "HLA-A*02:01",
+        "HLA-A*01:03").toDF("allele")
+      val paths = Motif.pathAnchored(s, dir, anchors, Seq(
+        Motif.Hop("HAS_IPD_ALLELE", reverse = true),
+        Motif.Hop("HAS_FEATURE")), asOf = Some(m0))
+      val featKeys = paths.select(col("e1_locus").as("locus"),
+        col("e1_rank").as("rank"), col("e1_term").as("term"),
+        col("e1_accession").as("accession"))
+      val feats = GraphStore.probe(s, dir, "Feature", featKeys,
+        Seq("locus", "rank", "term", "accession"), asOf = Some(m0))
+      paths.join(feats,
+          col("e1_locus") === col("locus") &&
+          col("e1_rank") === col("rank") &&
+          col("e1_term") === col("term") &&
+          col("e1_accession") === col("accession"))
+        .select(col("n0").as("allele"), col("term"), col("rank"),
+          col("accession"),
+          length(col("sequence")).cast("long").as("feature_len"))
+        .distinct()
+        .orderBy("allele", "term", "rank", "accession", "feature_len")
+    }),
     // Anchored VARIABLE-LENGTH traversal over the standing store
     // (Motif.varPathAnchored): Cypher's `MATCH (a)-[*1..3]-(b) WHERE
     // a.name IN …` against the incremental store, each expansion step
@@ -896,6 +948,42 @@ object GfeQueries {
         .select(col("name"), col("gene"), col("G").as("g_group"),
           col("lg").as("lg_group"))
         .orderBy("name")
+    }),
+    // The JOIN-shaped declarative probe (round 15): the anchor values
+    // live in a RUNTIME frame — a temp view the optimizer cannot see
+    // literals through — so the FileIndex's literal pruning cannot
+    // fire; graft.plans.StoreBucketPruning instead rewrites the join
+    // into a DynamicPruningSubquery on the store's _graft_bucket
+    // partition column, and the scan opens only the buckets the
+    // anchors hash to AT EXECUTION (plan shape pinned in
+    // GraftStoreSourceSpec; this entry hash-pins the VALUES through
+    // that path — the BI-tool shape: no graft API, no literals).
+    QueryDef("gfe_store_sql_join",
+      s"""SELECT a.name, a.gene, a.G AS g_group, a.lg AS lg_group
+         |FROM ${aux("v_IPD_Allele")} a
+         |JOIN (VALUES ('HLA-A*01:01:01:01'), ('HLA-A*02:01'),
+         |             ('HLA-A*01:03')) t(name)
+         |  ON a.name = t.name
+         |ORDER BY a.name""".stripMargin)((s, _) => {
+      import org.apache.spark.sql.functions.col
+      import s.implicits._
+      val (dir, _) = incrementalStore(s)
+      // force the size gate open: the fixture store is broadcast-sized
+      // and this entry must exercise the runtime-pruning path itself
+      s.conf.set("spark.graft.store.dynamicPrune.minBytes", "0")
+      try {
+        graft.graph.GraphStore.createViews(s, dir, prefix = "gstorej_")
+        Seq("HLA-A*01:01:01:01", "HLA-A*02:01", "HLA-A*01:03")
+          .toDF("name").createOrReplaceTempView("gstorej_anchors")
+        // materialize INSIDE the gate window: the QueryDef's frame is
+        // executed lazily by Verify/Bench, after the finally below
+        s.sql(
+          """SELECT a.name, a.gene, a.G AS g_group, a.lg AS lg_group
+            |FROM gstorej_IPD_Allele a
+            |JOIN gstorej_anchors t ON a.name = t.name
+            |ORDER BY name""".stripMargin)
+          .localCheckpoint(eager = true)
+      } finally s.conf.unset("spark.graft.store.dynamicPrune.minBytes")
     }),
     // ...and every table's cardinality: cheap full-surface check that
     // the incremental store created/merged exactly the refold's rows.

@@ -213,17 +213,40 @@ object TextQueries {
     }.length
   }
 
+  /** `adaptive = true` lets the per-round width FOLLOW the corpus
+    * instead of staying pinned at `maxPerRound`: measured at 256
+    * merges the fixed-16 run averaged ~4.5 merges/round (a real 32k
+    * vocab would still be ~7k rounds of driver latency), because a
+    * rich corpus's top ranking is LESS interacting as training
+    * proceeds — so when a round's non-interacting prefix saturates the
+    * requested width, the next request doubles (up to `adaptiveCap`),
+    * and when interaction truncates the prefix below a quarter of the
+    * request, it halves back (floor `maxPerRound`, so adaptive never
+    * under-asks the caller's floor). The request width only sizes a
+    * top-N collect (N small ints + strings), so over-asking is cheap
+    * and under-asking costs a whole extra round — the asymmetry the
+    * doubling rule encodes. Per-round semantics are unchanged (the
+    * longest non-interacting prefix of the CURRENT ranking applies,
+    * in rank order); note a wider fetch can legitimately batch pairs
+    * a narrower schedule would have split across rounds, so adaptive
+    * and fixed runs coincide exactly where batching itself coincides
+    * with greedy (the created-pair caveat above) — spec-pinned on a
+    * batch-safe corpus. */
   private[graft] def bpeTrainBatched(docs: org.apache.spark.sql.DataFrame,
-      k: Int, maxPerRound: Int): org.apache.spark.sql.DataFrame = {
+      k: Int, maxPerRound: Int, adaptive: Boolean = false,
+      adaptiveCap: Int = 1024): org.apache.spark.sql.DataFrame = {
     require(maxPerRound >= 1, "maxPerRound must be >= 1")
+    require(!adaptive || adaptiveCap >= maxPerRound,
+      "adaptiveCap must be >= maxPerRound")
     val s = docs.sparkSession
     var words = bpeWords(docs)
     val merges = Seq.newBuilder[(Int, String, Long, Int)]
     var rank = 0
     var round = 0
+    var widthNow = maxPerRound
     var exhausted = false
     while (rank < k && !exhausted) {
-      val want = math.min(maxPerRound, k - rank)
+      val want = math.min(widthNow, k - rank)
       val top = bpePairCounts(words)
         .orderBy(col("cnt").desc, col("pair")).limit(want).collect()
       if (top.isEmpty) exhausted = true
@@ -238,6 +261,12 @@ object TextQueries {
         batch.foreach { r =>
           rank += 1
           merges += ((rank, r.getString(0), r.getLong(1), round))
+        }
+        if (adaptive) {
+          if (batch.length == want)
+            widthNow = math.min(adaptiveCap, widthNow * 2)
+          else if (batch.length < want / 4)
+            widthNow = math.max(maxPerRound, widthNow / 2)
         }
       }
     }

@@ -376,6 +376,54 @@ class GraphStoreSpec extends AnyFunSuite {
     assert(e.getMessage.contains("bucketed by"), e.getMessage)
   }
 
+  test("asOf threads through the traversal API: pathAnchored / " +
+      "varPathAnchored pinned to marker m0 equal the same expansion " +
+      "over readAt(m0)'s tables, AFTER a later release merged on top") {
+    import spark.implicits._
+    import graft.graph.Motif
+    val Seq(r1, r2, _) = LoadFixtures.policyMatrix(spark)
+    val dir = tmp("graphstore_asof_motif")
+    GraphStore.init(spark, dir, GraphLoad.loadAll(spark, Seq(r1)),
+      buckets = 16)
+    GraphStore.applyRelease(spark, dir, r2)
+    val m0 = GraphStore.markers(spark, dir).head
+    val hops = Seq(Motif.Hop("HAS_IPD_ALLELE", reverse = true),
+      Motif.Hop("HAS_FEATURE"))
+    val anchors = Seq("HLA-A*01:01").toDF("allele")
+    def rows(df: org.apache.spark.sql.DataFrame) = {
+      val cs = df.columns.sorted.toIndexedSeq
+      df.select(cs.map(col): _*).collect().map(_.toString).sorted.toSeq
+    }
+    // k-hop: the time-traveled probe chain == the whole-table path
+    // over the historical graph snapshot
+    val asOfOut = Motif.pathAnchored(spark, dir, anchors, hops,
+      asOf = Some(m0))
+    val g0 = GraphStore.readAt(spark, dir, m0)
+    val expected = Motif.path(g0, hops)
+      .where(col("n0") === "HLA-A*01:01")
+    assert(rows(asOfOut).nonEmpty && rows(asOfOut) == rows(expected))
+    // ...and genuinely differs from the SERVING traversal (r2 merged
+    // edges on top of m0) — the pin is doing something
+    val serving = Motif.pathAnchored(spark, dir, anchors, hops)
+    assert(rows(serving) != rows(asOfOut),
+      "serving and as-of traversals should differ after r2")
+    // variable-length: asOf pins every step (probe and semi-join
+    // fallback alike) — equals varPath over readAt(m0)
+    val labels = Seq("HAS_IPD_ALLELE", "HAS_IPD_ACCESSION")
+    val vOut = Motif.varPathAnchored(spark, dir, anchors, labels,
+      1, 3, either = true, asOf = Some(m0))
+    val vExpected = Motif.varPath(g0, labels, 1, 3, either = true,
+        edgeDistinct = false)
+      .where(col("n_start") === "HLA-A*01:01")
+    assert(rows(vOut).nonEmpty && rows(vOut) == rows(vExpected))
+    // a vacuumed / never-published marker fails loudly on the pin
+    val e = intercept[IllegalArgumentException] {
+      Motif.pathAnchored(spark, dir, anchors, hops,
+        asOf = Some(99)).collect()
+    }
+    assert(e.getMessage.contains("marker"), e.getMessage)
+  }
+
   test("probeJoin: join-shaped read equals probe on the same keys, " +
       "stays fully lazy (zero driver jobs), takes a 1e6-row key frame") {
     import spark.implicits._

@@ -145,6 +145,46 @@ class TextQueriesSpec extends AnyFunSuite {
     assert(e.getMessage.contains("corpus exhausted"), e.getMessage)
   }
 
+  test("adaptive width: on a batch-safe corpus (disjoint pairs, " +
+      "distinct counts) adaptive == fixed == greedy merge-for-merge, " +
+      "and the doubling collapses the round count") {
+    import spark.implicits._
+    // 24 two-char words over 48 DISTINCT symbols with strictly
+    // decreasing frequencies: every candidate pair is symbol-disjoint
+    // from every other, a merged word is a single symbol (no created
+    // pairs), and no counts tie — so ANY width schedule must learn
+    // the identical merge list, and the only degree of freedom left
+    // is the round count. This isolates exactly what adaptation is
+    // allowed to change.
+    val syms = (('a' to 'z') ++ ('A' to 'V')).map(_.toString)
+    val words = syms.grouped(2).map(p => p(0) + p(1)).toSeq // 24 words
+    val docs = words.zipWithIndex
+      .flatMap { case (w, i) => Seq.fill(100 - i)(w) }
+      .toDF("text")
+    def run(adaptive: Boolean) = graft.queries.TextQueries
+      .bpeTrainBatched(docs, 24, maxPerRound = 2,
+        adaptive = adaptive, adaptiveCap = 64)
+      .orderBy("merge_rank").collect()
+    val fixed = run(adaptive = false)
+    val adapt = run(adaptive = true)
+    assert(adapt.map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+      .toSeq ==
+      fixed.map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq)
+    // ...and equals exact greedy on the same corpus
+    val greedy = graft.queries.TextQueries.bpeTrain(docs, 24)
+      .orderBy("merge_rank").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
+    assert(adapt.map(r =>
+      (r.getInt(0), r.getString(1), r.getLong(2))).toSeq == greedy)
+    // fixed-2 needs 24/2 = 12 rounds; adaptive doubles 2→4→8→16 and
+    // must land well under half that
+    val (rFixed, rAdapt) =
+      (fixed.map(_.getInt(3)).max, adapt.map(_.getInt(3)).max)
+    assert(rFixed == 12, s"fixed-2 should pace 12 rounds, got $rFixed")
+    assert(rAdapt <= 5,
+      s"adaptive used $rAdapt rounds vs fixed $rFixed — never widened")
+  }
+
   test("batched BPE prefix: a pair consuming an earlier member's " +
       "FUSED output stops the batch (not just shared inputs)") {
     import graft.queries.TextQueries.nonInteractingPrefixLen
