@@ -534,6 +534,57 @@ object Bench {
           dualDir = dir
           n
         }
+        // Key-bloom A/B (round 15): the same fold with `_bloom`
+        // sidecars maintained (every bucket write also publishes a
+        // key bloom). The measured delta over xinc_apply IS the write
+        // cost of the LSM read-path trade; xinc_probemiss below
+        // measures what it buys.
+        var bloomDir: String = null
+        val applyBloom = tTier(s"xinc_apply_bloom_$incReleases",
+            "key blooms maintained") {
+          val dir = java.nio.file.Files
+            .createTempDirectory("graft_inc_store_bloom").toString
+          graft.graph.GraphStore.init(spark, dir,
+            graft.graph.GraphLoad.loadAll(spark, Seq(rels.head)),
+            keyBlooms = true)
+          rels.tail.foreach(graft.graph.GraphStore
+            .applyRelease(spark, dir, _))
+          val n = graft.graph.GraphStore.read(spark, dir)
+            .hasIpdAllele.count()
+          require(storeEdges < 0 || n == storeEdges,
+            s"bloom fold ($n edges) != plain ($storeEdges)")
+          bloomDir = dir
+          n
+        }
+        // The bloom gate's read win: a 2000-key all-absent probe (the
+        // ingest-screen miss shape) — every anchor is rejected by its
+        // bucket's sidecar, so the probe opens (almost) no bucket
+        // files; the same probe on the bloom-less store reads every
+        // hit bucket (stderr contrast datapoint). Cost ≈ sidecar
+        // round-trips, independent of bucket SIZE — the number that
+        // matters when buckets are GBs at 100 TB.
+        val absentKeys = {
+          import org.apache.spark.sql.functions.{col, concat, lit}
+          spark.range(2000)
+            .select(concat(lit("ZZ-absent-"), col("id")).as("name"))
+            .localCheckpoint()
+        }
+        val probeMiss = tTier(s"xinc_probemiss_$incReleases",
+            "2000 absent-key bloom-gated probe") {
+          val n = graft.graph.GraphStore
+            .probe(spark, bloomDir, "Sequence", absentKeys, Seq("name"))
+            .count()
+          require(n == 0, s"absent-key probe served $n rows")
+          n
+        }
+        locally { // bloom-less contrast (stderr datapoint, untimed entry)
+          val t0 = System.nanoTime()
+          val m = graft.graph.GraphStore
+            .probe(spark, dualDir, "Sequence", absentKeys, Seq("name"))
+            .count()
+          System.err.println(f"[bench] probemiss bloom-less contrast: " +
+            f"${(System.nanoTime() - t0) / 1e9}%.2f s ($m rows)")
+        }
         // The dual layout's READ payoff, timed on the store the A/B
         // just built: anchored either-direction variable-length
         // expansion (200 alleles, 1..2 hops over both allele edge
@@ -664,6 +715,50 @@ object Bench {
               n
             })
           }
+        // The SINK fold on the same store (round 15): the last
+        // release's change batch folded into a standing REPLICA store
+        // through writeStream.format("graftstore") (policy=cdc) — the
+        // continuous store-to-store pipeline (mirror / derived table)
+        // as the engine runs it. An untimed bootstrap pass pins the
+        // replica at marker N-1; the timed pass is feed read + sink
+        // apply (dirty-bucket rewrite + manifest commit) + an in-run
+        // row-count cross-check against the source fold. runsFor = 1
+        // for the same consumed-checkpoint reason as xinc_feed.
+        val replT: Option[(String, Double)] =
+          if (incReleases < 2) None
+          else {
+            val replDir = java.nio.file.Files
+              .createTempDirectory("graft_inc_repl_store").toString
+            val replChk = java.nio.file.Files
+              .createTempDirectory("graft_inc_repl_chk").toString
+            def sinkPass(starting: Option[Int]): Unit = {
+              val rd = spark.readStream.format("graftstore")
+                .option("dir", dualDir).option("table", "HAS_IPD_ALLELE")
+              val q = starting.fold(rd)(m =>
+                  rd.option("startingMarker", m.toString)).load()
+                .writeStream.format("graftstore")
+                .option("path", replDir).option("keys", "src,dst")
+                .option("policy", "cdc")
+                .option("checkpointLocation", replChk)
+                .trigger(
+                  org.apache.spark.sql.streaming.Trigger.AvailableNow())
+                .start()
+              q.awaitTermination()
+            }
+            locally { // untimed bootstrap: replica at marker N-1
+              val ms = graft.graph.GraphStore.markers(spark, dualDir)
+              sinkPass(Some(ms(ms.size - 2)))
+            }
+            Some(tTier(s"xinc_replicate_$incReleases",
+                "last-release sink fold into replica", runsFor = 1) {
+              sinkPass(None)
+              val n = graft.streaming.EventStreams
+                .cdcState(spark, replDir).count()
+              require(storeEdges < 0 || n == storeEdges,
+                s"replica ($n rows) != source fold ($storeEdges)")
+              n
+            })
+          }
         // Half-history datapoint OUTSIDE the timed entry (folding it
         // into the entry would overstate the full refold ~1.5×): the
         // growth evidence — a reader sees refold(K/2) < refold(K)
@@ -706,8 +801,9 @@ object Bench {
             "rebucket changed the served row count")
           n
         }
-        Map(apply, applyDual, varpathDual, sqlProbe, sqlJoin, refold,
-          rebucketT) ++ diffRead ++ feedT
+        Map(apply, applyDual, applyBloom, probeMiss, varpathDual,
+          sqlProbe, sqlJoin, refold, rebucketT) ++
+          diffRead ++ feedT ++ replT
       } catch { case scala.util.control.NonFatal(ex) =>
         System.err.println(s"[bench] inc-graph workload failed: $ex")
         Map.empty

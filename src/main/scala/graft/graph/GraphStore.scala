@@ -62,21 +62,27 @@ object GraphStore {
   private def metaPath(tdir: String) = s"$tdir/_graft_store_meta"
 
   private def initTable(spark: SparkSession, tdir: String,
-      snapshot: DataFrame, bucketKeys: Seq[String], buckets: Int): Unit = {
+      snapshot: DataFrame, bucketKeys: Seq[String], buckets: Int,
+      bloomBits: Option[Int] = None): Unit = {
     snapshot.limit(0).coalesce(1)
       .write.mode("overwrite").parquet(s"$tdir/_empty")
     EventStreams.writeSmallFile(spark, metaPath(tdir),
-      s"$buckets\n${bucketKeys.mkString(",")}\n")
+      s"$buckets\n${bucketKeys.mkString(",")}\n" +
+        bloomBits.fold("")(b => s"bloom=$b\n"))
     val present = EventStreams.writeBuckets(
       snapshot, bucketKeys, buckets, s"$tdir/v0")
+    bloomBits.filter(_ => present.nonEmpty).foreach(bits =>
+      EventStreams.writeBucketBlooms(spark, s"$tdir/v0", bucketKeys, bits))
     EventStreams.writeManifestFull(spark, s"$tdir/manifest/v0",
       (0 until buckets).map(k =>
         k -> present.get(k).fold(EventStreams.BucketFiles(-1, None))(fs =>
           EventStreams.BucketFiles(0, Some(fs)))).toMap)
   }
 
+  /** (bucket count, bucket keys, bloom sidecar bits when the table
+    * maintains key blooms — the optional third meta line). */
   private def tableMeta(spark: SparkSession,
-      tdir: String): (Int, Seq[String]) = {
+      tdir: String): (Int, Seq[String], Option[Int]) = {
     val lines = EventStreams.readSmallFile(spark, metaPath(tdir))
       .linesIterator.filter(_.nonEmpty).toSeq
     // pre-round-13 stores wrote a ONE-line meta (bucket count only;
@@ -86,7 +92,9 @@ object GraphStore {
       s"$tdir: legacy one-line store meta (no bucket-key line) — this " +
         "store predates traversal-anchored bucketing; rebuild it with " +
         "GraphStore.init from a refold (GraphLoad.loadAll)")
-    (lines.head.trim.toInt, lines(1).split(',').toSeq)
+    (lines.head.trim.toInt, lines(1).split(',').toSeq,
+      lines.drop(2).find(_.startsWith("bloom="))
+        .map(_.stripPrefix("bloom=").trim.toInt))
   }
 
   private def tableBuckets(spark: SparkSession, tdir: String): Int =
@@ -130,11 +138,11 @@ object GraphStore {
   private def stateForKeys(spark: SparkSession, tdir: String,
       keyRows: DataFrame, keys: Seq[String],
       manifest: Option[Map[Int, Int]] = None,
-      meta: Option[(Int, Seq[String])] = None): DataFrame = {
+      meta: Option[(Int, Seq[String], Option[Int])] = None): DataFrame = {
     // callers that already read the table meta pass it down — probe
     // sits on the traversal hot path, where every avoided small-file
     // round-trip matters on a remote store
-    val (_, bucketKeys) = meta.getOrElse(tableMeta(spark, tdir))
+    val (_, bucketKeys, bloomBits) = meta.getOrElse(tableMeta(spark, tdir))
     // hashing anchors with the WRONG key would probe the wrong
     // buckets and silently MISS rows — fail loudly instead
     require(keys == bucketKeys,
@@ -146,9 +154,34 @@ object GraphStore {
     // to it hashes with the exact width it was written under —
     // readers stay consistent THROUGH a rebucket (and across a
     // crashed one); the meta width only seeds new layouts
-    val hit = keyRows
-      .select(EventStreams.bucketCol(keys, m.size).as("_b"))
-      .distinct().collect().map(_.getInt(0)).toSet
+    val hit: Set[Int] = bloomBits match {
+      case None =>
+        keyRows
+          .select(EventStreams.bucketCol(keys, m.size).as("_b"))
+          .distinct().collect().map(_.getInt(0)).toSet
+      case Some(_) =>
+        // BLOOM-GATED probe (the miss-skipping read): the same
+        // driver-bounded collect also carries each anchor's key-tuple
+        // xxhash64, and a hit bucket whose `_bloom` sidecar rejects
+        // every anchor aimed at it is definitely-miss — skipped with
+        // zero data I/O (one small sidecar read instead of the bucket
+        // file). A false positive just reads the bucket; the
+        // left-semi join keeps the answer exact, so the gate can only
+        // save I/O, never change a result. Sidecars resolve at the
+        // bucket's MANIFEST-pinned version (immutable, vacuumed with
+        // it); a missing one (pre-bloom version) degrades to a read.
+        val pairs = keyRows
+          .select(EventStreams.bucketCol(keys, m.size).as("_b"),
+            org.apache.spark.sql.functions
+              .xxhash64(keys.map(col): _*).as("_h"))
+          .distinct().collect().map(r => (r.getInt(0), r.getLong(1)))
+        val live = pairs.groupBy(_._1)
+          .filter { case (b, _) => m.get(b).exists(_ >= 0) }
+        EventStreams.parEach(live.toSeq) { case (b, hs) =>
+          b -> EventStreams.bloomMightContain(spark,
+            EventStreams.bucketPath(tdir, m(b), b), hs.map(_._2).toSeq)
+        }.collect { case (b, true) => b }.toSet
+    }
     EventStreams.stateAt(spark, tdir,
       m.filter { case (k, _) => hit(k) },
       Some(tableSchema(spark, tdir)))
@@ -167,7 +200,7 @@ object GraphStore {
   private def applyTable(spark: SparkSession, tdir: String,
       delta: DataFrame,
       merge: (DataFrame, DataFrame) => DataFrame): (Int, Int) = {
-    val (_, bucketKeys) = tableMeta(spark, tdir)
+    val (_, bucketKeys, bloomBits) = tableMeta(spark, tdir)
     // SCHEMA GUARD, before the claim (a mismatched apply must not
     // burn a version claim): the table's READ schema is fixed at init
     // (`_empty` is what every stateAt read pins to), so an apply whose
@@ -260,6 +293,12 @@ object GraphStore {
           Some(tableSchema(spark, tdir)))
         val written = EventStreams.writeBuckets(
           merge(dirtyState, d), bucketKeys, buckets, s"$tdir/v${v + 1}")
+        // bloom-maintaining stores sidecar every REWRITTEN bucket
+        // (full key set of the rewrite — the bucket is copy-on-write);
+        // inherited buckets keep the sidecars their versions carry
+        bloomBits.filter(_ => written.nonEmpty).foreach(bits =>
+          EventStreams.writeBucketBlooms(spark, s"$tdir/v${v + 1}",
+            bucketKeys, bits))
         // unchanged buckets inherit version + file stats by reference
         base ++ dirty.map(k =>
           k -> written.get(k).fold(EventStreams.BucketFiles(-1, None))(
@@ -373,28 +412,39 @@ object GraphStore {
     * `sequence` column). Every choice is a function of the table's
     * merge key, so bucket-local merges stay exact. */
   def init(spark: SparkSession, dir: String, g: GraphLoad.Graph,
-      buckets: Int = numBuckets, dualAnchor: Boolean = false): Unit = {
-    initTable(spark, s"$dir/GFE", g.gfe, Seq("name"), buckets)
-    initTable(spark, s"$dir/Sequence", g.sequence, Seq("name"), buckets)
+      buckets: Int = numBuckets, dualAnchor: Boolean = false,
+      keyBlooms: Boolean = false, bloomBits: Int = 1 << 17): Unit = {
+    // keyBlooms (opt-in): every bucket write also publishes a
+    // `_bloom` key sidecar, and probes skip definitely-miss buckets
+    // with zero data I/O — the LSM read-path trade (a per-apply bloom
+    // build job bought back by every miss-heavy probe; see
+    // EventStreams.writeBucketBlooms). bloomBits sizes each sidecar
+    // (default 2^17 bits = 16 KiB, ~1% fp at ~13k keys/bucket).
+    val bb = if (keyBlooms) Some(bloomBits) else None
+    initTable(spark, s"$dir/GFE", g.gfe, Seq("name"), buckets, bb)
+    initTable(spark, s"$dir/Sequence", g.sequence, Seq("name"), buckets, bb)
     initTable(spark, s"$dir/Feature", g.feature,
-      Seq("locus", "rank", "term", "accession"), buckets)
-    initTable(spark, s"$dir/IPD_Allele", g.ipdAllele, Seq("name"), buckets)
+      Seq("locus", "rank", "term", "accession"), buckets, bb)
+    initTable(spark, s"$dir/IPD_Allele", g.ipdAllele, Seq("name"),
+      buckets, bb)
     initTable(spark, s"$dir/IPD_Accession", g.ipdAccession,
-      Seq("name"), buckets)
-    initTable(spark, s"$dir/Submitter", g.submitter, Seq("name"), buckets)
+      Seq("name"), buckets, bb)
+    initTable(spark, s"$dir/Submitter", g.submitter, Seq("name"),
+      buckets, bb)
     initTable(spark, s"$dir/HAS_IPD_ALLELE", g.hasIpdAllele,
-      Seq("dst"), buckets)
+      Seq("dst"), buckets, bb)
     initTable(spark, s"$dir/HAS_IPD_ACCESSION", g.hasIpdAccession,
-      Seq("dst"), buckets)
+      Seq("dst"), buckets, bb)
     initTable(spark, s"$dir/SUBMITTED", g.submitted,
-      Seq("dst"), buckets)
+      Seq("dst"), buckets, bb)
     initTable(spark, s"$dir/HAS_SEQUENCE", g.hasSequence,
-      Seq("src"), buckets)
+      Seq("src"), buckets, bb)
     initTable(spark, s"$dir/HAS_FEATURE", g.hasFeature,
-      Seq("src"), buckets)
+      Seq("src"), buckets, bb)
     // the seq_id-keyed Sequence-node index HAS_SEQUENCE probes
     initTable(spark, s"$dir/SEQ_INDEX",
-      g.sequence.select(col("seq_id"), col("name")), Seq("seq_id"), buckets)
+      g.sequence.select(col("seq_id"), col("name")), Seq("seq_id"),
+      buckets, bb)
     // DUAL-ANCHOR layout (opt-in): each traversal edge table gets a
     // `__rev` twin holding the SAME rows bucketed by the OPPOSITE
     // anchor, so EITHER traversal direction is a bucket-pruned probe
@@ -414,7 +464,7 @@ object GraphStore {
         "HAS_SEQUENCE" -> g.hasSequence,
         "HAS_FEATURE" -> g.hasFeature)
       revAnchors.foreach { case (t, keys) =>
-        initTable(spark, s"$dir/${t}__rev", src(t), keys, buckets)
+        initTable(spark, s"$dir/${t}__rev", src(t), keys, buckets, bb)
       }
     }
     writeMarker(spark, dir, tablesOf(spark, dir).map(_ -> 0).toMap)
@@ -800,14 +850,17 @@ object GraphStore {
   private[graft] def relationSpec(spark: SparkSession, dir: String,
       table: String, asOf: Option[Int] = None)
       : (String, Map[Int, EventStreams.BucketFiles], Seq[String],
-         org.apache.spark.sql.types.StructType) = {
+         org.apache.spark.sql.types.StructType, Option[Int]) = {
     val tdir = s"$dir/$table"
+    val (_, bucketKeys, bloomBits) = tableMeta(spark, tdir)
     // FULL manifest (version + persisted file stats): the FileIndex
     // answers sizeInBytes and file enumeration from the stats with
-    // zero listStatus round-trips on a stats-carrying store
+    // zero listStatus round-trips on a stats-carrying store; the
+    // bloom bits let its literal pruning also consult the `_bloom`
+    // sidecars (declarative miss-gating)
     (tdir, manifestAtFull(spark, tdir,
         servingVersion(spark, dir, table, asOf)),
-      tableBucketKeys(spark, tdir), tableSchema(spark, tdir))
+      bucketKeys, tableSchema(spark, tdir), bloomBits)
   }
 
   /** One store table as a plain DataFrame through the registered data
@@ -948,18 +1001,25 @@ object GraphStore {
     // layout (their width comes from the pinned manifest itself)
     val versions = claimed.map { case (t, v) =>
       val tdir = s"$dir/$t"
-      val (_, keys) = tableMeta(spark, tdir)
+      val (_, keys, bloomBits) = tableMeta(spark, tdir)
       val state = EventStreams.stateAt(spark, tdir,
         servingManifest(spark, dir, t), Some(tableSchema(spark, tdir)))
       val written = EventStreams.writeBuckets(
         state, keys, newBuckets, s"$tdir/v${v + 1}")
+      // bloom sidecars rebuild with the layout (every bucket is
+      // rewritten — this is also what restores a bloom's fp ratio
+      // after the per-bucket key count outgrew its bit width)
+      bloomBits.filter(_ => written.nonEmpty).foreach(bits =>
+        EventStreams.writeBucketBlooms(spark, s"$tdir/v${v + 1}",
+          keys, bits))
       EventStreams.writeManifestExclusiveFull(spark,
         s"$tdir/manifest/v${v + 1}",
         (0 until newBuckets).map(k =>
           k -> written.get(k).fold(EventStreams.BucketFiles(-1, None))(
             fs => EventStreams.BucketFiles(v + 1, Some(fs)))).toMap)
       EventStreams.writeSmallFile(spark, metaPath(tdir),
-        s"$newBuckets\n${keys.mkString(",")}\n")
+        s"$newBuckets\n${keys.mkString(",")}\n" +
+          bloomBits.fold("")(b => s"bloom=$b\n"))
       t -> (v + 1)
     }.toMap
     // PHASE 3 — one marker: the store-level atomic cutover

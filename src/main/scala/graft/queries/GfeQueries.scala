@@ -175,10 +175,13 @@ object GfeQueries {
         // dual-anchor: the driver oracle then exercises twin
         // maintenance end-to-end (init + applyRelease through both
         // layouts), and gfe_incremental_varlen's reverse orientations
-        // are bucket-pruned probes instead of semi-join fallbacks
+        // are bucket-pruned probes instead of semi-join fallbacks;
+        // keyBlooms: every probe under the gfe_incremental_* tier now
+        // runs through the bloom miss-gate (round 15) — the hash
+        // oracles verify the gated reads serve exactly the refold
         graft.graph.GraphStore.init(s, dir, GraphLoad.loadAll(s,
           Seq(("3560", r1.gfeSequences, r1.allFeatures, r1.allGroups))),
-          dualAnchor = true)
+          dualAnchor = true, keyBlooms = true)
         graft.graph.GraphStore.applyRelease(s, dir,
           ("3570", r2.gfeSequences, r2.allFeatures, r2.allGroups))
         val entry = (dir, graft.graph.GraphStore.read(s, dir))
@@ -235,6 +238,54 @@ object GfeQueries {
       df
     }
   }
+
+  // The SINK closing the loop declaratively (GraftStoreSink,
+  // df.writeStream.format("graftstore")): the change feed of the
+  // store's HAS_IPD_ALLELE table folded — policy=cdc — into a REPLICA
+  // store through the real engine, one AvailableNow pass per release
+  // (bootstrap snapshot batch, then the m0→m1 diff batch), exactly the
+  // continuous store-to-store pipeline a 100 TB deployment runs
+  // (mirror a table, maintain a derived store) with no graft API
+  // beyond the format name. The replica's served state must equal the
+  // two-release refold's table bit-for-bit.
+  private val replicaCache = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, DataFrame]())
+
+  private def replicaRows(s: SparkSession): DataFrame =
+    replicaCache.synchronized {
+      val hit = replicaCache.get(s)
+      if (hit != null) hit
+      else {
+        val r1 = build(s, "3560")
+        val r2 = build(s, "3570", Some(r1.registry))
+        def tmp(tag: String) =
+          java.nio.file.Files.createTempDirectory(tag).toString
+        val dir = tmp("graft_fixture_repl_store")
+        val replica = tmp("graft_fixture_repl_dst")
+        val chk = tmp("graft_fixture_repl_chk")
+        graft.graph.GraphStore.init(s, dir, GraphLoad.loadAll(s,
+          Seq(("3560", r1.gfeSequences, r1.allFeatures, r1.allGroups))))
+        def pass(): Unit = {
+          val q = s.readStream.format("graftstore")
+            .option("dir", dir).option("table", "HAS_IPD_ALLELE").load()
+            .writeStream.format("graftstore")
+            .option("path", replica).option("keys", "src,dst")
+            .option("policy", "cdc")
+            .option("checkpointLocation", chk)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
+        pass()
+        graft.graph.GraphStore.applyRelease(s, dir,
+          ("3570", r2.gfeSequences, r2.allFeatures, r2.allGroups))
+        pass()
+        val df = s.read.format("graftstore").option("path", replica)
+          .load().drop("_graft_bucket")
+        replicaCache.put(s, df)
+        df
+      }
+    }
 
   private def buildGraph(s: SparkSession): GraphLoad.Graph = {
       val r1 = build(s, "3560")
@@ -520,6 +571,27 @@ object GfeQueries {
       import org.apache.spark.sql.functions.col
       val (dir, g) = incrementalStore(s)
       val anchors = g.gfe.where(col("locus") === "HLA-A").select("name")
+      graft.graph.GraphStore.probe(s, dir, "Sequence", anchors, Seq("name"))
+        .select(col("name"), col("locus"), col("length"), col("seq_id"))
+        .orderBy("name")
+    }),
+    // The MISS-HEAVY probe shape (an ingest screen: "which of these
+    // keys already exist?") through the bloom gate: anchors mix every
+    // HLA-A name with absent keys; the `_bloom` sidecars reject the
+    // absent anchors' buckets without opening them (zero-I/O skips,
+    // plan shape pinned in GraphStoreSpec) and the served rows must
+    // STILL be exactly the refold's present keys — hash equality
+    // proves the gate can only skip reads, never change an answer.
+    QueryDef("gfe_incremental_probe_miss",
+      s"""SELECT name, locus, CAST(length AS BIGINT) AS length, seq_id
+         |FROM ${aux("v_Sequence")}
+         |WHERE locus = 'HLA-A'
+         |ORDER BY name""".stripMargin)((s, _) => {
+      import org.apache.spark.sql.functions.{col, concat, lit}
+      val (dir, g) = incrementalStore(s)
+      val anchors = g.gfe.where(col("locus") === "HLA-A").select("name")
+        .unionByName(s.range(50).select(
+          concat(lit("ZZ-screen-"), col("id")).as("name")))
       graft.graph.GraphStore.probe(s, dir, "Sequence", anchors, Seq("name"))
         .select(col("name"), col("locus"), col("length"), col("seq_id"))
         .orderBy("name")
@@ -891,6 +963,24 @@ object GfeQueries {
       feedRows(s)
         .select(col("change"), col("src"), col("dst"), col("releases"))
         .orderBy("change", "src", "dst", "releases")
+    }),
+    // The streaming SINK (df.writeStream.format("graftstore"),
+    // graft.sources.GraftStoreSink) closing the loop: the table's
+    // change feed folded under policy=cdc into a REPLICA store through
+    // the real engine — bootstrap snapshot batch, release 3570 MERGEs,
+    // then the m0→m1 diff batch — and the replica read back through
+    // the batch data source. Hash equality against the refold aux
+    // proves feed → sink → serve reproduces the source table exactly
+    // (store-to-store replication as two lines of plain Spark).
+    QueryDef("gfe_store_replicate",
+      s"""SELECT src, dst, array_to_string(releases, ',') AS releases
+         |FROM ${aux("e_HAS_IPD_ALLELE")}
+         |ORDER BY src, dst""".stripMargin)((s, _) => {
+      import org.apache.spark.sql.functions._
+      replicaRows(s)
+        .select(col("src"), col("dst"),
+          concat_ws(",", col("releases")).as("releases"))
+        .orderBy("src", "dst")
     }),
     // ...and the per-column-policy vertex (gene create-only, G/lg
     // conditional overwrite) built incrementally vs the refold aux.

@@ -1,0 +1,291 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.execution.streaming.Sink
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.streaming.OutputMode
+import org.apache.spark.sql.types.{StringType, StructType}
+
+import graft.streaming.EventStreams
+
+/** The versioned bucket store as a Structured Streaming SINK —
+  * `df.writeStream.format("graftstore").option("path", dir)` — the
+  * write-side dual of [[GraftStoreChangeSource]]: every micro-batch
+  * commits ONE new store version through the same claim-arbitrated
+  * manifest protocol the batch appliers use, rewriting only the
+  * buckets the batch's keys hash to (O(dirty), never O(state)).
+  *
+  * This closes the store loop declaratively: `readStream` a store's
+  * change feed → transform → `writeStream` into another store is a
+  * complete incremental pipeline in plain Spark code — the
+  * replication / derived-table shape a 100 TB deployment runs
+  * continuously (re-embed what changed, maintain a downstream index,
+  * mirror a table across regions), with no graft API beyond the
+  * format name. The batch relation stays read-only (a bare INSERT has
+  * no batch identity and no merge policy — the refusal documented on
+  * [[GraftStoreSource]]); the SINK is the sanctioned write path
+  * precisely because it has both: the engine's micro-batch id keys
+  * idempotent replay, and `policy` declares the merge.
+  *
+  * Options:
+  *  - `path` (required): the target store directory — a raw
+  *    [[EventStreams.cdcApply]]-layout store, created on first batch
+  *    if absent. Graph-layout stores (`dir`+`table`) are REFUSED:
+  *    their writes carry release identity and a per-table policy
+  *    matrix that only [[graft.graph.GraphStore.applyRelease]] knows.
+  *  - `keys`: comma-separated merge/bucket key columns, in
+  *    declaration order (the bucket hash is order-sensitive).
+  *    Required when the sink CREATES the store; persisted in the
+  *    store meta (the two-line GraphStore form, so every later
+  *    reader/writer cross-checks instead of trusting callers) and
+  *    thereafter optional — a mismatching option fails loudly.
+  *  - `policy`: how a batch merges into standing state —
+  *    '''upsert''' (default; batch rows replace state rows with equal
+  *    keys — compact multi-row keys upstream, the survivor among
+  *    in-batch duplicates is otherwise arbitrary), '''createOnly'''
+  *    (existing keys win, new keys append), '''cdc''' (rows carry the
+  *    change feed's `change` column: '-' rows leave the state, '+'
+  *    rows enter it, set semantics — folding a graftstore change feed
+  *    under this policy reproduces the source table exactly,
+  *    spec-pinned in GraftStoreSinkSpec).
+  *  - `buckets`: bucket count when creating (default
+  *    [[EventStreams.defaultNumBuckets]]); an existing store's
+  *    persisted count always wins.
+  *  - `keyBlooms` (+ optional `bloomBits`, default 2^17): when
+  *    creating, persist a bloom declaration so every batch's bucket
+  *    writes also publish `_bloom` key sidecars — miss-heavy reads
+  *    against the maintained store (the probe gate, the SQL source's
+  *    literal pruning) then skip definitely-miss buckets with zero
+  *    data I/O. An existing store's persisted declaration always
+  *    wins (the sink maintains whatever the store was created with).
+  *
+  * Exactly-once: a committed batch writes a `_sink_commits/b{id}`
+  * record AFTER its manifest commit, so an engine replay of that
+  * batch is a no-op. A crash INSIDE the commit window re-applies the
+  * batch on restart — convergent, because every policy is idempotent
+  * per batch (upsert/createOnly by key, cdc by row set), so the state
+  * is exactly-once even when the version history carries the retry.
+  * Concurrent writers are excluded by the same create-exclusive
+  * version claim the batch appliers use (single-writer per store,
+  * like the reference's MaxConcurrency-1 pipeline); the sink
+  * recognizes its OWN crashed claim by the batch id it records and
+  * resumes through it instead of deadlocking on itself.
+  *
+  * Output mode: Append and Update both treat the batch as a delta
+  * (the policy decides the semantics). Complete is refused — a
+  * whole-state replace every trigger forfeits the O(dirty) layout;
+  * re-init the store instead.
+  */
+class GraftStoreSink(
+    spark: SparkSession,
+    parameters: Map[String, String],
+    outputMode: OutputMode) extends Sink {
+
+  require(!parameters.contains("table"),
+    "graftstore sink: graph-layout stores (dir+table) are written by " +
+      "GraphStore.applyRelease (release identity + per-table policy " +
+      "matrix), not the sink; pass path=<raw store dir> to maintain a " +
+      "cdcApply-layout store")
+  private val dir: String = parameters.getOrElse("path",
+    sys.error("graftstore sink: option 'path' (target store dir) is " +
+      "required"))
+  private val policy: String =
+    parameters.getOrElse("policy", "upsert") match {
+      case p @ ("upsert" | "createOnly" | "cdc") => p
+      case other => sys.error(s"graftstore sink: unknown policy " +
+        s"'$other' — pass upsert, createOnly, or cdc")
+    }
+  require(outputMode != OutputMode.Complete(),
+    "graftstore sink: Complete mode re-emits the WHOLE result every " +
+      "trigger — writing it would rewrite the entire store each batch, " +
+      "forfeiting the versioned layout's O(dirty-bucket) contract; use " +
+      "Append/Update (the batch is a delta under the declared policy)")
+
+  private def metaPath = s"$dir/_graft_store_meta"
+  private def commitRecord(id: Long) = s"$dir/_sink_commits/b$id"
+
+  // nullability is not drift (parquet round-trips read nullable) —
+  // the same shape-only comparison GraphStore.applyTable uses
+  private def norm(dt: org.apache.spark.sql.types.DataType)
+      : org.apache.spark.sql.types.DataType = dt match {
+    case s: StructType => StructType(s.fields.map(f =>
+      org.apache.spark.sql.types.StructField(
+        f.name, norm(f.dataType), nullable = true)))
+    case a: org.apache.spark.sql.types.ArrayType =>
+      org.apache.spark.sql.types.ArrayType(norm(a.elementType), true)
+    case m: org.apache.spark.sql.types.MapType =>
+      org.apache.spark.sql.types.MapType(
+        norm(m.keyType), norm(m.valueType), true)
+    case other => other
+  }
+
+  override def addBatch(batchId: Long, data: Dataset[Row]): Unit = {
+    // re-wrap the IncrementalExecution-planned frame as a plain batch
+    // frame (the ForeachBatchSink technique) — everything below joins
+    // it against standing state, which a streaming-flagged plan
+    // cannot do
+    val batch = org.apache.spark.sql.graft.StreamShim.batchFrame(
+      spark, data.queryExecution.toRdd, data.schema)
+
+    val hasChange = batch.schema.fieldNames.contains("change")
+    if (policy == "cdc") require(hasChange &&
+        batch.schema("change").dataType == StringType,
+      "graftstore sink: policy=cdc needs the change feed's string " +
+        "'change' column ('+'/'-') on every row")
+    else require(!hasChange,
+      s"graftstore sink: the batch carries a 'change' column but " +
+        s"policy=$policy would upsert the tags as payload — pass " +
+        "policy=cdc to apply them (or rename the column)")
+    val dataSchema = StructType(batch.schema.fields
+      .filterNot(f => policy == "cdc" && f.name == "change"))
+
+    // ---- resolve or create the store ----
+    val (mfs, mdir) = EventStreams.hadoopFs(spark, s"$dir/manifest")
+    val exists = mfs.exists(mdir) && mfs.listStatus(mdir).nonEmpty
+    val optKeys = parameters.get("keys").toSeq
+      .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
+    val keys: Seq[String] =
+      if (!exists) {
+        require(optKeys.nonEmpty,
+          "graftstore sink: creating a store needs option 'keys' " +
+            "(comma-separated merge/bucket columns, declaration order)")
+        optKeys
+      } else GraftStoreSource.persistedKeys(spark, dir) match {
+        case Some(pk) =>
+          require(optKeys.isEmpty || optKeys == pk,
+            s"graftstore sink: $dir is keyed (${pk.mkString(",")}) per " +
+              s"its persisted meta; keys option " +
+              s"(${optKeys.mkString(",")}) would bucket and merge " +
+              "wrong — pass the persisted keys in that order, or omit")
+          pk
+        case None =>
+          require(optKeys.nonEmpty,
+            s"graftstore sink: $dir predates key persistence (one-line " +
+              "meta) — pass option 'keys' (the store's cdcApply " +
+              "stateKeys, declaration order)")
+          optKeys
+      }
+    keys.foreach(k => require(dataSchema.fieldNames.contains(k),
+      s"graftstore sink: key '$k' is not a column of the stream " +
+        s"(columns: ${dataSchema.fieldNames.mkString(",")})"))
+
+    if (!exists) {
+      val buckets = parameters.get("buckets").map(_.trim.toInt)
+        .getOrElse(EventStreams.defaultNumBuckets)
+      require(buckets > 0, "graftstore sink: buckets must be positive")
+      batch.select(dataSchema.fieldNames.map(col).toIndexedSeq: _*)
+        .limit(0).coalesce(1)
+        .write.mode("overwrite").parquet(s"$dir/_empty")
+      // the two-line (GraphStore-form) meta: count + keys — every
+      // later reader/writer cross-checks keys instead of trusting its
+      // caller, the validation hole the raw one-line layout has.
+      // keyBlooms adds the bloom declaration (third line), making
+      // every batch's bucket writes publish `_bloom` key sidecars.
+      val bloomLine =
+        if (!parameters.get("keyBlooms").exists(_.trim.toBoolean)) ""
+        else s"bloom=${parameters.get("bloomBits").map(_.trim.toInt)
+          .getOrElse(1 << 17)}\n"
+      EventStreams.writeSmallFile(spark, metaPath,
+        s"$buckets\n${keys.mkString(",")}\n$bloomLine")
+      // v0 = the empty state; the first batch commits v1. Manifest
+      // LAST: its existence certifies _empty + meta are complete.
+      EventStreams.writeManifestFull(spark, s"$dir/manifest/v0",
+        (0 until buckets).map(_ -> EventStreams.BucketFiles(-1, None))
+          .toMap)
+    }
+    // the persisted declaration (creation-time, this store's or an
+    // earlier writer's) decides sidecar maintenance — never the
+    // per-query option
+    val bloomBits: Option[Int] = GraftStoreSource.persistedBloom(spark, dir)
+    val storeSchema = spark.read.parquet(s"$dir/_empty").schema
+    require(
+      storeSchema.fields.map(f => f.name -> norm(f.dataType)).toMap ==
+        dataSchema.fields.map(f => f.name -> norm(f.dataType)).toMap,
+      s"graftstore sink: the stream's schema " +
+        s"(${dataSchema.simpleString}) does not match $dir's persisted " +
+        s"schema (${storeSchema.simpleString}), fixed at creation — an " +
+        "evolved column set would be silently truncated on read; " +
+        "rebuild the store under the new schema")
+
+    // ---- exactly-once: a committed batch replays as a no-op ----
+    locally {
+      val (fs, p) = EventStreams.hadoopFs(spark, commitRecord(batchId))
+      if (fs.exists(p)) return
+    }
+
+    // ---- claim the next version (single-writer, crash-reentrant) ----
+    val v = EventStreams.manifestVersions(spark, dir).max
+    val claim = s"$dir/manifest/.claim_v${v + 1}"
+    val claimBody = s"sink b$batchId\n"
+    try EventStreams.writeSmallFileExclusive(spark, claim, claimBody)
+    catch {
+      case e: java.util.ConcurrentModificationException =>
+        // our own crashed attempt at THIS batch may hold the claim —
+        // the engine serializes a checkpoint's batches, so a claim
+        // recording this batch id can only be ours: resume through it
+        // (the rewrite below overwrites our own partial bucket files)
+        val own =
+          try EventStreams.readSmallFile(spark, claim) == claimBody
+          catch { case _: java.io.IOException => false }
+        if (!own) throw new java.util.ConcurrentModificationException(
+          s"graftstore sink: version ${v + 1} of $dir is already " +
+            "claimed by another writer — the store is single-writer " +
+            "(one sink query, or one batch applier, at a time); if no " +
+            s"writer is alive, delete $claim and retry", e)
+    }
+
+    val base = EventStreams.readManifestFull(spark, s"$dir/manifest/v$v")
+    val width = base.size
+    val delta = batch.localCheckpoint()
+    // every state-facing frame binds the PERSISTED schema's column
+    // order — except() and the parquet write align by position, and a
+    // later query's select order must not be able to skew them
+    val rows = delta.select(storeSchema.fieldNames.map(col).toIndexedSeq: _*)
+    val dirty = rows
+      .select(EventStreams.bucketCol(keys, width).as("_b"))
+      .distinct().collect().map(_.getInt(0)).toSet
+    val next =
+      if (dirty.isEmpty) base
+      else {
+        val state = EventStreams.stateAt(spark, dir,
+          EventStreams.versionsOf(
+            base.filter { case (k, _) => dirty(k) }),
+          Some(storeSchema))
+        val merged = policy match {
+          case "upsert" =>
+            val d = rows.dropDuplicates(keys)
+            d.unionByName(
+              state.join(d.select(keys.map(col): _*), keys, "left_anti"))
+          case "createOnly" =>
+            state.unionByName(
+              rows.dropDuplicates(keys).join(
+                state.select(keys.map(col): _*), keys, "left_anti"))
+          case "cdc" =>
+            // row-SET semantics, the change feed's own: '-' rows leave,
+            // '+' rows enter; except/distinct make the fold idempotent
+            // (a crash-window re-apply of the same diff is a no-op),
+            // matching cdcDiff's set-based emission
+            val minus = delta.where(col("change") === "-")
+              .select(storeSchema.fieldNames.map(col).toIndexedSeq: _*)
+            val plus = delta.where(col("change") === "+")
+              .select(storeSchema.fieldNames.map(col).toIndexedSeq: _*)
+            state.except(minus).unionByName(plus).distinct()
+        }
+        val written = EventStreams.writeBuckets(
+          merged, keys, width, s"$dir/v${v + 1}")
+        bloomBits.filter(_ => written.nonEmpty).foreach(bits =>
+          EventStreams.writeBucketBlooms(spark, s"$dir/v${v + 1}",
+            keys, bits))
+        base ++ dirty.map(k =>
+          k -> written.get(k).fold(EventStreams.BucketFiles(-1, None))(
+            fs => EventStreams.BucketFiles(v + 1, Some(fs))))
+      }
+    // manifest commits exclusively like every store writer; a loss
+    // here (claim raced a writer that somehow bypassed claims) stays
+    // loud rather than silently splicing history
+    EventStreams.writeManifestExclusiveFull(
+      spark, s"$dir/manifest/v${v + 1}", next)
+    // record LAST — its existence certifies the manifest committed
+    EventStreams.writeSmallFile(spark, commitRecord(batchId), "")
+  }
+}

@@ -6,8 +6,9 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Attribute, EqualNullSafe, EqualTo, Expression, In, InSet, Literal, Murmur3Hash}
 import org.apache.spark.sql.execution.datasources.{FileIndex, HadoopFsRelation, PartitionDirectory}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
-import org.apache.spark.sql.execution.streaming.Source
-import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister, RelationProvider, StreamSourceProvider}
+import org.apache.spark.sql.execution.streaming.{Sink, Source}
+import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister, RelationProvider, StreamSinkProvider, StreamSourceProvider}
+import org.apache.spark.sql.streaming.OutputMode
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.SQLContext
 
@@ -61,14 +62,16 @@ import graft.streaming.EventStreams
   *    prune wrong (the GraphStore layout exists precisely to close
   *    that hole; prefer it when serving ad-hoc readers).
   *
-  * Read-only by design: writes go through the claim-arbitrated
-  * [[graft.graph.GraphStore.applyRelease]] / [[EventStreams.cdcApply]]
-  * commit protocol — a bare INSERT has no release identity and no
-  * merge policy, so the source refuses to be a write path rather than
-  * offer one that corrupts the version history.
+  * BATCH-read-only by design: a bare INSERT has no batch identity and
+  * no merge policy, so the batch relation refuses to be a write path
+  * rather than offer one that corrupts the version history. The
+  * STREAMING sink ([[GraftStoreSink]], `df.writeStream
+  * .format("graftstore")`) is the sanctioned declarative write path —
+  * it has both (the engine's micro-batch id and a declared `policy`),
+  * and commits through the same claim-arbitrated manifest protocol.
   */
 class GraftStoreSource extends RelationProvider with StreamSourceProvider
-    with DataSourceRegister {
+    with StreamSinkProvider with DataSourceRegister {
 
   override def shortName(): String = "graftstore"
 
@@ -87,10 +90,22 @@ class GraftStoreSource extends RelationProvider with StreamSourceProvider
       schema.getOrElse(GraftStoreChangeSource
         .changeSchema(sqlContext.sparkSession, parameters)))
 
+  // ---- streaming sink: the store as a write path (GraftStoreSink) ----
+
+  override def createSink(sqlContext: SQLContext,
+      parameters: Map[String, String], partitionColumns: Seq[String],
+      outputMode: OutputMode): Sink = {
+    require(partitionColumns.isEmpty,
+      "graftstore sink: partitionBy is not supported — the store's " +
+        "layout is its bucket hash (option 'keys'), not a directory " +
+        "partitioning")
+    new GraftStoreSink(sqlContext.sparkSession, parameters, outputMode)
+  }
+
   override def createRelation(sqlContext: SQLContext,
       parameters: Map[String, String]): BaseRelation = {
     val spark = sqlContext.sparkSession
-    val (tdir, manifest, bucketKeys, schema) =
+    val (tdir, manifest, bucketKeys, schema, bloomBits) =
       GraftStoreSource.resolveLayout(parameters) match {
         case GraftStoreSource.GraphLayout(dir, t) =>
           graft.graph.GraphStore.relationSpec(spark, dir, t,
@@ -126,10 +141,16 @@ class GraftStoreSource extends RelationProvider with StreamSourceProvider
                   "buckets and silently miss rows — pass the persisted " +
                   "key(s) in that exact order, or omit keys")
             }
-          (sd, m, keys, schema)
+          // raw layout: the bloom declaration (when the store was
+          // created with one — GraphStore tables read raw, or
+          // sink-created stores with the keyBlooms option) gates the
+          // literal pruning on the same sidecars
+          (sd, m, keys, schema,
+            if (keys.isEmpty) None
+            else GraftStoreSource.persistedBloom(spark, sd))
       }
     val index = new GraftStoreFileIndex(spark, tdir, manifest, bucketKeys,
-      schema)
+      schema, bloomBits)
     // every graftstore read arms the runtime bucket-pruning rule on
     // its session (idempotent): a BI tool's plain `spark.read.format`
     // gets join-driven pruning without ever importing a graft API
@@ -202,6 +223,21 @@ object GraftStoreSource {
     }
   }
 
+  /** The persisted bloom sidecar width (the optional `bloom=` third
+    * meta line — written by GraphStore.init(keyBlooms) and the sink's
+    * keyBlooms option), when the store at `sd` maintains key blooms —
+    * lets the raw-layout SQL read gate its literal pruning on the
+    * same sidecars. */
+  private[sources] def persistedBloom(spark: SparkSession,
+      sd: String): Option[Int] = {
+    val (fs, p) = EventStreams.hadoopFs(spark, s"$sd/_graft_store_meta")
+    if (!fs.exists(p)) None
+    else EventStreams.readSmallFile(spark, s"$sd/_graft_store_meta")
+      .linesIterator.filter(_.nonEmpty).toSeq.drop(2)
+      .find(_.startsWith("bloom="))
+      .map(_.stripPrefix("bloom=").trim.toInt)
+  }
+
   /** Raw-layout manifest + schema resolution with the loud failures
     * the rest of the store uses: a non-store path or a vacuumed /
     * never-committed version names the problem and the remedy instead
@@ -261,7 +297,8 @@ class GraftStoreFileIndex(
     tdir: String,
     manifest: Map[Int, EventStreams.BucketFiles],
     bucketKeys: Seq[String],
-    schema: StructType) extends FileIndex {
+    schema: StructType,
+    bloomBits: Option[Int] = None) extends FileIndex {
 
   // manifest width, not meta width: a manifest always carries every
   // bucket id of its layout (see GraphStore.stateForKeys)
@@ -410,7 +447,27 @@ class GraftStoreFileIndex(
       .foldLeft(Seq(Seq.empty[Any])) { (acc, vs) =>
         for (a <- acc; v <- vs) yield a :+ v
       }
-    Some(combos.map(bucketOf).toSet)
+    bloomBits match {
+      case None => Some(combos.map(bucketOf).toSet)
+      case Some(_) =>
+        // BLOOM-GATED literal pruning (declarative miss-skipping): on
+        // a keyBlooms store, a hit bucket whose `_bloom` sidecar
+        // rejects every literal combo aimed at it is definitely-miss
+        // and its files never reach the scan — `WHERE name IN (10k
+        // new keys)` against a 100 TB table opens ZERO files for the
+        // absent ones, the SQL twin of probe's miss gate. Sidecars
+        // resolve at the bucket's manifest-pinned version; a missing
+        // one degrades to a read; a false positive just scans the
+        // bucket — the engine's own filter keeps the answer exact.
+        val pairs = combos.map(c => (bucketOf(c), comboHash(c)))
+        val live = pairs.groupBy(_._1).filter { case (b, _) =>
+          manifest.get(b).exists(_.version >= 0) }
+        Some(EventStreams.parEach(live.toSeq) { case (b, cs) =>
+          b -> EventStreams.bloomMightContain(spark,
+            EventStreams.bucketPath(tdir, manifest(b).version, b),
+            cs.map(_._2))
+        }.collect { case (b, true) => b }.toSet)
+    }
   }
 
   /** Per-column literal equality sets from the scan's conjunctive
@@ -440,20 +497,30 @@ class GraftStoreFileIndex(
     filters.flatMap(one)
   }
 
+  private def keyLiterals(values: Seq[Any]): Seq[Literal] =
+    bucketKeys.zip(values).map { case (k, v) =>
+      val f = schema(schema.fieldIndex(
+        schema.fieldNames.find(resolver(_, k)).getOrElse(k)))
+      Literal(v, f.dataType)
+    }
+
   /** The bucket one key tuple hashes to — driver-side evaluation of
     * the exact writer expression, `pmod(murmur3(keys), width)`. The
     * values are already in Catalyst internal form (they came out of
     * analyzed literals), so they feed [[Murmur3Hash]] unconverted. */
   private def bucketOf(values: Seq[Any]): Int = {
-    val lits = bucketKeys.zip(values).map { case (k, v) =>
-      val f = schema(schema.fieldIndex(
-        schema.fieldNames.find(resolver(_, k)).getOrElse(k)))
-      Literal(v, f.dataType)
-    }
-    val h = Murmur3Hash(lits, 42).eval(InternalRow.empty)
+    val h = Murmur3Hash(keyLiterals(values), 42).eval(InternalRow.empty)
       .asInstanceOf[Int]
     ((h % width) + width) % width
   }
+
+  /** The sidecar-test hash of one key tuple — the same xxhash64(seed
+    * 42) the bloom builder aggregates on the write path
+    * ([[EventStreams.writeBucketBlooms]]), evaluated driver-side. */
+  private def comboHash(values: Seq[Any]): Long =
+    org.apache.spark.sql.catalyst.expressions
+      .XxHash64(keyLiterals(values), 42L)
+      .eval(InternalRow.empty).asInstanceOf[Long]
 }
 
 object GraftStoreFileIndex {

@@ -579,6 +579,95 @@ object EventStreams {
   private[graft] def bucketPath(stateDir: String, version: Int, bucket: Int) =
     s"$stateDir/v$version/_graft_bucket=$bucket"
 
+  // ----- per-bucket key Bloom sidecars (probe miss-skipping) -----
+  //
+  // The LSM read-path optimization for miss-heavy point probes (an
+  // ingest screen asking "which of these 10k keys already exist?"
+  // hits mostly-absent keys): each bucket file gets an immutable
+  // `_bloom` sidecar over its key set, and a probe tests its anchors
+  // against the sidecars of the buckets they hash to — a bucket whose
+  // bloom rejects every anchor aimed at it is DEFINITELY miss and is
+  // never opened (a false positive just reads the bucket; the
+  // left-semi join keeps the answer exact either way, so the bloom
+  // can only skip I/O, never change a result). Sidecars live INSIDE
+  // the version's bucket directory — immutable with it, pinned by the
+  // same manifest, vacuumed with it, and invisible to every data
+  // reader (the `_` prefix is Spark's own hidden-file convention).
+  // Missing sidecar → no skip (legacy buckets degrade gracefully).
+
+  /** Bloom hash count (k). With the default 2^17 bits per bucket this
+    * gives ~1% false positives at ~13k keys/bucket and degrades
+    * gracefully (weaker skipping, never wrong) when a bucket outgrows
+    * it; a rebucket restores the ratio. */
+  private[graft] val BloomHashes = 6
+
+  /** Double-hashing positions from one xxhash64 of the key tuple:
+    * g_i = (low32 + i · (high32|1)) mod bits — the standard
+    * Kirsch-Mitzenmacher scheme; |1 keeps the stride odd. The SQL
+    * builder below and this driver-side prober MUST stay the same
+    * arithmetic (both operate on Spark's xxhash64(seed 42) value). */
+  private def bloomPositions(h: Long, k: Int, bits: Long): Seq[Long] = {
+    val h1 = h & 0xFFFFFFFFL
+    val h2 = (h >>> 32) | 1L
+    (0 until k).map(i => (h1 + i * h2) % bits)
+  }
+
+  /** Build and publish the `_bloom` sidecar of every bucket under the
+    * just-written version dir `vdir` — ONE codegen'd job over the
+    * written buckets (column-pruned read of the key columns, explode
+    * to k positions, hash-agg collect_set per bucket), then one small
+    * sidecar write per bucket. Driver transfer is ≤ `bits` set
+    * positions per dirty bucket (16 KiB of bitset at the default
+    * width), dirty-bucket-bounded like the write itself. */
+  private[graft] def writeBucketBlooms(spark: SparkSession,
+      vdir: String, keys: Seq[String], bits: Int): Unit = {
+    val perBucket = spark.read.parquet(vdir)
+      .select(col("_graft_bucket").cast("int").as("_b"),
+        xxhash64(keys.map(col): _*).as("_h"))
+      .select(col("_b"),
+        col("_h").bitwiseAND(lit(0xFFFFFFFFL)).as("_h1"),
+        shiftrightunsigned(col("_h"), 32).bitwiseOR(lit(1L)).as("_h2"))
+      .select(col("_b"), col("_h1"), col("_h2"),
+        explode(array((0 until BloomHashes).map(i => lit(i.toLong)): _*))
+          .as("_i"))
+      .select(col("_b"),
+        pmod(col("_h1") + col("_i") * col("_h2"), lit(bits.toLong))
+          .cast("int").as("_p"))
+      .groupBy("_b").agg(collect_set(col("_p")).as("_ps"))
+      .collect()
+    parEach(perBucket.toSeq) { row =>
+      val b = row.getInt(0)
+      val bs = new java.util.BitSet(bits)
+      row.getSeq[Int](1).foreach(bs.set)
+      writeSmallFile(spark, s"$vdir/_graft_bucket=$b/_bloom",
+        s"$bits $BloomHashes\n" +
+          java.util.Base64.getEncoder.encodeToString(bs.toByteArray) +
+          "\n")
+    }
+    ()
+  }
+
+  /** Probe-side sidecar test: can `bucketDir` possibly contain a row
+    * whose key tuple xxhash64's to any of `hashes`? Missing sidecar →
+    * true (no skip — pre-bloom buckets stay readable); an unparseable
+    * one fails loudly (a half-written sidecar should never silently
+    * disable skipping forever). */
+  private[graft] def bloomMightContain(spark: SparkSession,
+      bucketDir: String, hashes: Seq[Long]): Boolean = {
+    val (fs, p) = hadoopFs(spark, s"$bucketDir/_bloom")
+    if (!fs.exists(p)) return true
+    val lines = readSmallFile(spark, s"$bucketDir/_bloom")
+      .linesIterator.toSeq
+    require(lines.length >= 2 && lines.head.split(' ').length == 2,
+      s"$bucketDir/_bloom: malformed bloom sidecar — delete it to " +
+        "disable skipping for this bucket, or rewrite the version")
+    val Array(bits, k) = lines.head.split(' ').map(_.toInt)
+    val bs = java.util.BitSet.valueOf(
+      java.util.Base64.getDecoder.decode(lines(1)))
+    hashes.exists(h =>
+      bloomPositions(h, k, bits.toLong).forall(pos => bs.get(pos.toInt)))
+  }
+
   /** Store-width default for [[cdcApply]]: 16 at fixture scale
     * (thousands on a 100 TB store — `numBuckets` trades per-batch
     * write amplification against small-file count). Env-tunable

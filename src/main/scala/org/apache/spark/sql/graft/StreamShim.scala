@@ -25,4 +25,16 @@ object StreamShim {
       schema: StructType): DataFrame =
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .internalCreateDataFrame(rows, schema, isStreaming = true)
+
+  /** The SINK-side dual: a V1 [[org.apache.spark.sql.execution
+    * .streaming.Sink]]'s `addBatch` receives a DataFrame planned by
+    * IncrementalExecution, which must not be re-planned with joins /
+    * re-run by a second action — the engine's own ForeachBatchSink
+    * re-wraps it as a plain batch frame over the already-planned RDD,
+    * and that re-wrap needs the same `private[sql]` constructor (with
+    * `isStreaming = false`). Planning stays lazy exactly as above. */
+  def batchFrame(spark: SparkSession, rows: RDD[InternalRow],
+      schema: StructType): DataFrame =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .internalCreateDataFrame(rows, schema, isStreaming = false)
 }

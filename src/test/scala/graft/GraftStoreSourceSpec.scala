@@ -117,6 +117,41 @@ class GraftStoreSourceSpec extends AnyFunSuite {
       s"partial key must not prune: read $nPart of $total")
   }
 
+  test("bloom-gated literal pruning: on a keyBlooms store, an all-" +
+      "absent IN-list opens ZERO files; mixed literals equal the " +
+      "bloom-less store") {
+    val Seq(r1, r2, _) = LoadFixtures.policyMatrix(spark)
+    val bdir = tmp("graftstore_source_bloom")
+    GraphStore.init(spark, bdir, GraphLoad.loadAll(spark, Seq(r1)),
+      buckets = 8, keyBlooms = true)
+    GraphStore.applyRelease(spark, bdir, r2)
+    // all-absent IN-list: every combo's bucket sidecar rejects it —
+    // the scan plans over zero files (the declarative ingest-screen
+    // miss; on the bloom-less suite store the same query reads its
+    // hash buckets)
+    val absent = (1 to 20).map(i => s"ZZ-miss-$i")
+    val miss = GraphStore.sqlTable(spark, bdir, "Sequence")
+      .where(col("name").isin(absent: _*))
+    val (nMiss, _) = scanStats(miss)
+    assert(nMiss == 0L, s"absent-literal scan opened $nMiss files")
+    assert(miss.count() == 0)
+    val missPlain = GraphStore.sqlTable(spark, dir, "Sequence")
+      .where(col("name").isin(absent: _*))
+    val (nPlain, _) = scanStats(missPlain)
+    assert(nPlain > 0L,
+      "premise: the bloom-less store reads hit buckets for the miss")
+    // mixed present+absent: same served rows as the bloom-less twin
+    // (the gate only skips reads), fewer-or-equal files than the
+    // hit-bucket union
+    val present = GraphStore.read(spark, bdir).sequence
+      .select("name").orderBy("name").collect().map(_.getString(0))
+    val mixed = GraphStore.sqlTable(spark, bdir, "Sequence")
+      .where(col("name").isin(present(0), "ZZ-miss-1", "ZZ-miss-2"))
+    assert(mixed.count() == 1)
+    val (nMixed, _) = scanStats(mixed)
+    assert(nMixed >= 1, "present literal must still read its bucket")
+  }
+
   test("non-anchor predicate reads all live buckets but pushes to " +
       "parquet; results correct") {
     val df = GraphStore.sqlTable(spark, dir, "Sequence")

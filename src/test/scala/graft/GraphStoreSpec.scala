@@ -891,4 +891,54 @@ class GraphStoreSpec extends AnyFunSuite {
       GraphLoad.loadAll(spark, Seq(r1, r2, r3)),
       GraphStore.read(spark, dir), "re-apply after claim-aware vacuum")
   }
+
+  test("key blooms: a definitely-miss probe opens ZERO bucket files; " +
+      "equality with a bloom-less twin; maintained through apply and " +
+      "rebucket") {
+    import spark.implicits._
+    val Seq(r1, r2, r3) = LoadFixtures.policyMatrix(spark)
+    val dir = tmp("graphstore_bloom"); val plain = tmp("graphstore_nb")
+    GraphStore.init(spark, dir, GraphLoad.loadAll(spark, Seq(r1)),
+      buckets = 8, keyBlooms = true)
+    GraphStore.init(spark, plain, GraphLoad.loadAll(spark, Seq(r1)),
+      buckets = 8)
+    GraphStore.applyRelease(spark, dir, r2)
+    GraphStore.applyRelease(spark, plain, r2)
+
+    val absent = Seq("NOPE*1", "NOPE*2", "NOPE*3").toDF("name")
+    def missFiles(d: String): Seq[String] = {
+      val out = GraphStore.probe(spark, d, "Sequence", absent, Seq("name"))
+      assert(out.count() == 0)
+      out.inputFiles.filter(_.contains("_graft_bucket=")).toSeq
+    }
+    // bloom store: the sidecars reject every anchor — no bucket read;
+    // the bloom-less twin pays the hit-bucket reads for the same miss
+    assert(missFiles(dir).isEmpty,
+      s"miss probe read bucket files: ${missFiles(dir)}")
+    assert(missFiles(plain).nonEmpty,
+      "premise: without blooms the miss probe reads its hash buckets")
+
+    // mixed probe: served values equal the bloom-less twin's (the
+    // gate only skips I/O), incl. a key release 2 added — the apply
+    // path maintained the rewritten bucket's sidecar
+    val mixed = Seq("A", "C", "NOPE*9").toDF("name")
+    def served(d: String) = LoadFixtures.rowsOf(
+      GraphStore.probe(spark, d, "Sequence", mixed, Seq("name")))
+    assert(served(dir) == served(plain))
+    assert(served(dir).size == 2)
+
+    // rebucket rebuilds sidecars under the new width; a further
+    // apply keeps maintaining them
+    GraphStore.rebucket(spark, dir, 32)
+    assert(missFiles(dir).isEmpty, "miss probe after rebucket")
+    assert(served(dir) == served(plain))
+    GraphStore.applyRelease(spark, dir, r3)
+    GraphStore.applyRelease(spark, plain, r3)
+    assert(missFiles(dir).isEmpty, "miss probe after post-rebucket apply")
+    val withD = Seq("D", "NOPE*9").toDF("name")
+    assert(LoadFixtures.rowsOf(
+        GraphStore.probe(spark, dir, "Sequence", withD, Seq("name"))) ==
+      LoadFixtures.rowsOf(
+        GraphStore.probe(spark, plain, "Sequence", withD, Seq("name"))))
+  }
 }
