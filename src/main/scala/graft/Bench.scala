@@ -562,7 +562,12 @@ object Bench {
         // files; the same probe on the bloom-less store reads every
         // hit bucket (stderr contrast datapoint). Cost ≈ sidecar
         // round-trips, independent of bucket SIZE — the number that
-        // matters when buckets are GBs at 100 TB.
+        // matters when buckets are GBs at 100 TB. Honest caveat: at
+        // fixture scale the contrast is flat (~0.5 s both — these
+        // buckets are KBs, so the skipped read costs nothing); the
+        // SAVED quantity is bucket bytes, and the scale evidence is
+        // the spec-pinned zero-file plan shape, not this fixture
+        // delta. The entry floors the gate's own overhead.
         val absentKeys = {
           import org.apache.spark.sql.functions.{col, concat, lit}
           spark.range(2000)

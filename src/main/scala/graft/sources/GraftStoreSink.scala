@@ -76,6 +76,62 @@ import graft.streaming.EventStreams
   * whole-state replace every trigger forfeits the O(dirty) layout;
   * re-init the store instead.
   */
+object GraftStoreSink {
+  /** GC for a sink-maintained store — the standing-stream dual of
+    * [[graft.graph.GraphStore.vacuum]]: [[EventStreams.cdcVacuum]]
+    * prunes superseded versions and manifests, then the sink's own
+    * control files are swept — a standing stream otherwise
+    * accumulates one claim and one commit record per batch FOREVER
+    * (millions of tiny files on a long-lived pipeline).
+    *
+    *  - '''version claims''' (`manifest/.claim_v*`) are permanent
+    *    commit records while their version can still be re-claimed:
+    *    GC only claims BELOW the surviving-manifest floor AND
+    *    referenced by no surviving manifest — bucket INHERITANCE
+    *    means a below-floor version's bucket dir can still be live,
+    *    and deleting that claim would let a stalled writer re-claim
+    *    the version and overwrite referenced files (the same rule
+    *    GraphStore.vacuum applies).
+    *  - '''commit records''' (`_sink_commits/b{id}`) exist to make an
+    *    engine REPLAY a no-op, and the engine only ever replays the
+    *    last write-ahead-logged batch on restart — records older than
+    *    the newest `keepRecords` are dead weight.
+    *
+    * Returns (claims deleted, records deleted); run it from the same
+    * maintenance cadence as cdcVacuum (never concurrently with the
+    * sink's own query — single-writer, like every store writer). */
+  def vacuum(spark: SparkSession, dir: String, keepVersions: Int = 2,
+      keepRecords: Int = 2): (Int, Int) = {
+    EventStreams.cdcVacuum(spark, dir, keepVersions)
+    val survived = EventStreams.manifestVersions(spark, dir)
+    val floor = survived.min
+    val liveVers: Set[Int] = survived.toSet[Int].flatMap(v =>
+      EventStreams.readManifest(spark, s"$dir/manifest/v$v")
+        .values.filter(_ >= 0))
+    val (mfs, mdir) = EventStreams.hadoopFs(spark, s"$dir/manifest")
+    var claims = 0
+    mfs.listStatus(mdir).toSeq.foreach { st =>
+      val n = st.getPath.getName
+      if (n.startsWith(".claim_v")) {
+        val v = n.stripPrefix(".claim_v").toInt
+        if (v < floor && !liveVers(v) && mfs.delete(st.getPath, false))
+          claims += 1
+      }
+    }
+    var records = 0
+    val (rfs, rdir) = EventStreams.hadoopFs(spark, s"$dir/_sink_commits")
+    if (rfs.exists(rdir)) {
+      val ids = rfs.listStatus(rdir).toSeq.map(_.getPath.getName)
+        .filter(_.startsWith("b")).map(_.stripPrefix("b").toLong).sorted
+      ids.dropRight(math.max(1, keepRecords)).foreach { id =>
+        if (rfs.delete(new org.apache.hadoop.fs.Path(s"$rdir/b$id"),
+            false)) records += 1
+      }
+    }
+    (claims, records)
+  }
+}
+
 class GraftStoreSink(
     spark: SparkSession,
     parameters: Map[String, String],

@@ -240,6 +240,52 @@ class GraftStoreSinkSpec extends AnyFunSuite {
     assert(stateRows(hit.drop("_graft_bucket")) == Set(Seq(3, "c")))
   }
 
+  test("sink vacuum: claims below the surviving window GC'd unless " +
+      "live-referenced, commit records trimmed to the newest, the " +
+      "store keeps serving and replay stays a no-op") {
+    import spark.implicits._
+    val store = tmp("sinkvac_store")
+    val sink = new GraftStoreSink(spark,
+      Map("path" -> store, "keys" -> "id", "policy" -> "upsert",
+        "buckets" -> "4"),
+      OutputMode.Append())
+    (0 to 3).foreach(i =>
+      sink.addBatch(i.toLong, Seq((i, s"v$i")).toDF("id", "v")))
+    val expect = (0 to 3).map(i => Seq(i, s"v$i"): Seq[Any]).toSet
+    assert(stateRows(EventStreams.cdcState(spark, store)) == expect)
+
+    val (claims, records) = GraftStoreSink.vacuum(spark, store,
+      keepVersions = 1, keepRecords = 2)
+    assert(records == 2, s"trimmed $records records")
+    // records b2/b3 survive, b0/b1 gone
+    val (rfs, rdir) = EventStreams.hadoopFs(spark, s"$store/_sink_commits")
+    val kept = rfs.listStatus(rdir).map(_.getPath.getName).toSet
+    assert(kept == Set("b2", "b3"), kept.toString)
+    // every surviving claim is either >= the floor or referenced by a
+    // surviving manifest (bucket inheritance keeps those)
+    val survived = EventStreams.manifestVersions(spark, store)
+    val live = survived.toSet[Int].flatMap(v =>
+      EventStreams.readManifest(spark, s"$store/manifest/v$v")
+        .values.filter(_ >= 0))
+    val (mfs, mdir) = EventStreams.hadoopFs(spark, s"$store/manifest")
+    val keptClaims = mfs.listStatus(mdir).map(_.getPath.getName)
+      .filter(_.startsWith(".claim_v"))
+      .map(_.stripPrefix(".claim_v").toInt).toSeq
+    assert(keptClaims.forall(v => v >= survived.min || live(v)),
+      s"claims kept: $keptClaims, floor ${survived.min}, live $live")
+    assert(claims + keptClaims.size == 4, "every batch claimed once")
+
+    // the store still serves, the kept record still no-ops a replay,
+    // and the sink continues past the vacuum
+    assert(stateRows(EventStreams.cdcState(spark, store)) == expect)
+    val v = EventStreams.manifestVersions(spark, store).max
+    sink.addBatch(3, Seq((3, "v3")).toDF("id", "v")) // replay → no-op
+    assert(EventStreams.manifestVersions(spark, store).max == v)
+    sink.addBatch(4, Seq((4, "v4")).toDF("id", "v"))
+    assert(stateRows(EventStreams.cdcState(spark, store))
+      .contains(Seq(4, "v4")))
+  }
+
   test("loud failures: option and schema misuse fail naming the remedy") {
     import spark.implicits._
     val df = Seq((1, "a")).toDF("id", "v")
