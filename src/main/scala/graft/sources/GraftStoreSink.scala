@@ -116,6 +116,14 @@ object GraftStoreSink {
         val v = n.stripPrefix(".claim_v").toInt
         if (v < floor && !liveVers(v) && mfs.delete(st.getPath, false))
           claims += 1
+      } else if (n.startsWith(".") && n.contains(".tmp-") &&
+          st.getModificationTime < System.currentTimeMillis() -
+            3600 * 1000L) {
+        // crash-orphaned AtomicCommit temp (write→link window is ms;
+        // the hour gate keeps a live commit's temp safe) — inert but
+        // one accumulates per crash, same sweep as GraphStore.vacuum
+        mfs.delete(st.getPath, false)
+        ()
       }
     }
     var records = 0
@@ -272,7 +280,14 @@ class GraftStoreSink(
     // ---- claim the next version (single-writer, crash-reentrant) ----
     val v = EventStreams.manifestVersions(spark, dir).max
     val claim = s"$dir/manifest/.claim_v${v + 1}"
-    val claimBody = s"sink b$batchId\n"
+    // the claim body identifies THIS query's attempt at THIS batch:
+    // scoped by the checkpoint location (stable across restarts of
+    // the same query, distinct across queries), so a second sink
+    // query that happens to be at the same batch id can never be
+    // mistaken for our own crashed attempt — it stays a loud
+    // single-writer exclusion like any foreign claim
+    val claimBody = s"sink b$batchId " +
+      parameters.getOrElse("checkpointLocation", "-") + "\n"
     try EventStreams.writeSmallFileExclusive(spark, claim, claimBody)
     catch {
       case e: java.util.ConcurrentModificationException =>

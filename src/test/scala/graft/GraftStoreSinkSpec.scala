@@ -176,10 +176,11 @@ class GraftStoreSinkSpec extends AnyFunSuite {
     assert(latestVersion(store) == v1 + 1)
     assert(stateRows(EventStreams.cdcState(spark, store)) == expect)
     // crash window: our own claim placed, nothing committed → the
-    // retry recognizes the claim body and resumes through it
+    // retry recognizes the claim body (batch id + checkpoint scope)
+    // and resumes through it
     val v = latestVersion(store)
     EventStreams.writeSmallFile(spark,
-      s"$store/manifest/.claim_v${v + 1}", "sink b1\n")
+      s"$store/manifest/.claim_v${v + 1}", "sink b1 -\n")
     sink.addBatch(1, Seq((3, "c")).toDF("id", "v"))
     assert(stateRows(EventStreams.cdcState(spark, store))
       .contains(Seq(3, "c")))
@@ -191,6 +192,19 @@ class GraftStoreSinkSpec extends AnyFunSuite {
       sink.addBatch(2, Seq((4, "d")).toDF("id", "v"))
     }
     assert(e.getMessage.contains("single-writer"))
+    EventStreams.hadoopFs(spark,
+      s"$store/manifest/.claim_v${v2 + 1}") match {
+      case (fs, p) => fs.delete(p, false)
+    }
+    // ...and so does ANOTHER QUERY's claim at the SAME batch id (a
+    // different checkpoint scope is not "our own crashed attempt")
+    val v3 = latestVersion(store)
+    EventStreams.writeSmallFile(spark,
+      s"$store/manifest/.claim_v${v3 + 1}", "sink b2 /elsewhere/chk\n")
+    val e2 = intercept[java.util.ConcurrentModificationException] {
+      sink.addBatch(2, Seq((4, "d")).toDF("id", "v"))
+    }
+    assert(e2.getMessage.contains("single-writer"))
   }
 
   test("cdc re-apply is idempotent (set semantics)") {
