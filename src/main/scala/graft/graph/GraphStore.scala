@@ -1030,6 +1030,66 @@ object GraphStore {
     ()
   }
 
+  /** One table's layout health, from manifest metadata alone. */
+  final case class LayoutStat(table: String, buckets: Int,
+      liveBytes: Long, maxBucketBytes: Long, p95BucketBytes: Long,
+      recommendedBuckets: Int) {
+    def needsRebucket: Boolean = recommendedBuckets > buckets
+  }
+
+  /** The [[rebucket]] ADVISOR: per-table live size and bucket-size
+    * distribution, read from the serving manifests' PERSISTED file
+    * stats — zero data I/O, zero listStatus on a stats-carrying store
+    * (legacy entries fall back to one listing per bucket). The bucket
+    * count is fixed at [[init]], so a store that grew 100× carries
+    * 100× bigger buckets — probe latency, dirty-bucket apply I/O, and
+    * bloom fp-rates all degrade with bucket size, and this report says
+    * WHEN to pull the growth lever: `recommendedBuckets` is the
+    * power-of-two width that brings the p95 bucket under
+    * `targetBucketBytes` (pass your deployment's probe-latency
+    * budget; default 1 GiB). Advisory only — [[rebucket]] is the
+    * operator-invoked migration, with its documented history reset. */
+  def layoutReport(spark: SparkSession, dir: String,
+      targetBucketBytes: Long = 1L << 30): Seq[LayoutStat] = {
+    require(targetBucketBytes > 0, "targetBucketBytes must be positive")
+    tablesOf(spark, dir).map { t =>
+      val tdir = s"$dir/$t"
+      val m = manifestAtFull(spark, tdir,
+        servingVersion(spark, dir, t, None))
+      val sizes: Seq[Long] = m.toSeq.sortBy(_._1).map {
+        case (_, bf) if bf.version < 0 => 0L
+        case (k, bf) => bf.files match {
+          case Some(fs) => fs.map(_._2).sum
+          case None => // legacy (pre-stats) entry: one listing
+            val (fs, p) = EventStreams.hadoopFs(spark,
+              EventStreams.bucketPath(tdir, bf.version, k))
+            fs.listStatus(p).collect {
+              case st if st.isFile &&
+                  !st.getPath.getName.startsWith("_") &&
+                  !st.getPath.getName.startsWith(".") => st.getLen
+            }.sum
+        }
+      }
+      val live = sizes.sum
+      val sorted = sizes.sorted
+      val p95 = if (sorted.isEmpty) 0L
+        else sorted(math.min(sorted.size - 1,
+          (sorted.size * 0.95).toInt))
+      // the width that brings the AVERAGE bucket under target, rounded
+      // up to a power of two (hash layouts rebalance cleanly at any
+      // width, but powers of two keep growth steps predictable);
+      // skew within the hash is what p95/max surface — a max far above
+      // p95 means one hot key, which no width fixes (that is salting
+      // territory, not rebucketing)
+      val needed = math.max(1L,
+        (live + targetBucketBytes - 1) / targetBucketBytes)
+      var rec = 1
+      while (rec < needed && rec < (1 << 30)) rec <<= 1
+      LayoutStat(t, m.size, live, sorted.lastOption.getOrElse(0L), p95,
+        math.max(rec, m.size))
+    }
+  }
+
   /** A crash-orphaned AtomicCommit temp (`.<name>.tmp-<uuid>`), old
     * enough that no in-flight commit can still be holding it (the
     * write→link window is milliseconds; the hour gate keeps a

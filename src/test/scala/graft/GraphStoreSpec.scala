@@ -892,6 +892,42 @@ class GraphStoreSpec extends AnyFunSuite {
       GraphStore.read(spark, dir), "re-apply after claim-aware vacuum")
   }
 
+  test("layoutReport: the rebucket advisor reads manifest stats only " +
+      "— live bytes match the filesystem, tight targets recommend " +
+      "growth, roomy targets do not") {
+    val Seq(r1, r2, _) = LoadFixtures.policyMatrix(spark)
+    val dir = tmp("graphstore_layout")
+    GraphStore.init(spark, dir, GraphLoad.loadAll(spark, Seq(r1)),
+      buckets = 4)
+    GraphStore.applyRelease(spark, dir, r2)
+    val roomy = GraphStore.layoutReport(spark, dir) // 1 GiB target
+    assert(roomy.nonEmpty)
+    assert(roomy.forall(!_.needsRebucket),
+      roomy.filter(_.needsRebucket).toString)
+    assert(roomy.forall(s => s.buckets == 4 || s.buckets == 0))
+    // live bytes equal the filesystem truth (one table cross-checked)
+    val seq = roomy.find(_.table == "Sequence").get
+    assert(seq.liveBytes > 0 && seq.maxBucketBytes > 0 &&
+      seq.maxBucketBytes >= seq.p95BucketBytes)
+    val manifest = graft.streaming.EventStreams.readManifest(spark,
+      s"$dir/Sequence/manifest/v" + graft.streaming.EventStreams
+        .manifestVersions(spark, s"$dir/Sequence").max)
+    val fsBytes = manifest.toSeq.collect { case (k, v) if v >= 0 =>
+      val (fs, p) = graft.streaming.EventStreams.hadoopFs(spark,
+        s"$dir/Sequence/v$v/_graft_bucket=$k")
+      fs.listStatus(p).collect {
+        case st if st.isFile && !st.getPath.getName.startsWith("_") &&
+            !st.getPath.getName.startsWith(".") => st.getLen
+      }.sum
+    }.sum
+    assert(seq.liveBytes == fsBytes,
+      s"stats ${seq.liveBytes} != filesystem $fsBytes")
+    // a 1-byte target demands growth on every non-empty table
+    val tight = GraphStore.layoutReport(spark, dir, targetBucketBytes = 1L)
+    assert(tight.filter(_.liveBytes > 0).forall(s =>
+      s.needsRebucket && s.recommendedBuckets > s.buckets))
+  }
+
   test("key blooms: a definitely-miss probe opens ZERO bucket files; " +
       "equality with a bloom-less twin; maintained through apply and " +
       "rebucket") {
