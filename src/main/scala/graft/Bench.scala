@@ -590,6 +590,52 @@ object Bench {
           System.err.println(f"[bench] probemiss bloom-less contrast: " +
             f"${(System.nanoTime() - t0) / 1e9}%.2f s ($m rows)")
         }
+        // Zone-map A/B (round 15b): the same fold with per-bucket
+        // min/max column stats recorded into every manifest
+        // (zoneMaps = true). The measured delta over xinc_apply IS
+        // the stats write cost (one agg pass per rewritten bucket);
+        // xinc_sqlrange below floors what a SQL consumer pays to use
+        // them. Honest caveat (probemiss's twin): the synthetic
+        // fixture's columns are hash-spread across buckets, so
+        // per-bucket ranges span the data and an IN-range predicate
+        // prunes nothing here — the clustered-case pruning evidence
+        // is spec-pinned (ZoneMapsSpec); this A/B floors the write
+        // cost and the range entry floors the all-pruned planning
+        // path.
+        var zonesDir: String = null
+        val applyZones = tTier(s"xinc_apply_zones_$incReleases",
+            "zone maps maintained") {
+          val dir = java.nio.file.Files
+            .createTempDirectory("graft_inc_store_zones").toString
+          graft.graph.GraphStore.init(spark, dir,
+            graft.graph.GraphLoad.loadAll(spark, Seq(rels.head)),
+            zoneMaps = true)
+          rels.tail.foreach(graft.graph.GraphStore
+            .applyRelease(spark, dir, _))
+          val n = graft.graph.GraphStore.read(spark, dir)
+            .hasIpdAllele.count()
+          require(storeEdges < 0 || n == storeEdges,
+            s"zones fold ($n edges) != plain ($storeEdges)")
+          zonesDir = dir
+          n
+        }
+        // The declarative range MISS through the stats-carrying
+        // manifests: a predicate above the table's max plans ZERO
+        // files — the timed quantity is the stats decode + planning
+        // pass at full width, the per-query price of the skip (the
+        // saved quantity is bucket bytes, spec-pinned as plan shape).
+        val sqlRange = tTier(s"xinc_sqlrange_$incReleases",
+            "out-of-range SQL predicate, zero files") {
+          import org.apache.spark.sql.functions.{col, max}
+          val top = graft.graph.GraphStore
+            .sqlTable(spark, zonesDir, "IPD_Allele")
+            .agg(max("name")).head().getString(0)
+          val n = graft.graph.GraphStore
+            .sqlTable(spark, zonesDir, "IPD_Allele")
+            .where(col("name") > top).count()
+          require(n == 0, s"out-of-range read served $n rows")
+          n
+        }
         // The dual layout's READ payoff, timed on the store the A/B
         // just built: anchored either-direction variable-length
         // expansion (200 alleles, 1..2 hops over both allele edge
@@ -806,8 +852,9 @@ object Bench {
             "rebucket changed the served row count")
           n
         }
-        Map(apply, applyDual, applyBloom, probeMiss, varpathDual,
-          sqlProbe, sqlJoin, refold, rebucketT) ++
+        Map(apply, applyDual, applyBloom, probeMiss, applyZones,
+          sqlRange, varpathDual, sqlProbe, sqlJoin, refold,
+          rebucketT) ++
           diffRead ++ feedT ++ replT
       } catch { case scala.util.control.NonFatal(ex) =>
         System.err.println(s"[bench] inc-graph workload failed: $ex")

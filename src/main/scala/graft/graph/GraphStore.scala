@@ -63,21 +63,44 @@ object GraphStore {
 
   private def initTable(spark: SparkSession, tdir: String,
       snapshot: DataFrame, bucketKeys: Seq[String], buckets: Int,
-      bloomBits: Option[Int] = None): Unit = {
+      bloomBits: Option[Int] = None, zones: Boolean = false): Unit = {
     snapshot.limit(0).coalesce(1)
       .write.mode("overwrite").parquet(s"$tdir/_empty")
     EventStreams.writeSmallFile(spark, metaPath(tdir),
       s"$buckets\n${bucketKeys.mkString(",")}\n" +
-        bloomBits.fold("")(b => s"bloom=$b\n"))
+        bloomBits.fold("")(b => s"bloom=$b\n") +
+        (if (zones) "zones=*\n" else ""))
     val present = EventStreams.writeBuckets(
       snapshot, bucketKeys, buckets, s"$tdir/v0")
     bloomBits.filter(_ => present.nonEmpty).foreach(bits =>
       EventStreams.writeBucketBlooms(spark, s"$tdir/v0", bucketKeys, bits))
+    val zs = collectZones(spark, tdir, s"$tdir/v0",
+      zones && present.nonEmpty)
     EventStreams.writeManifestFull(spark, s"$tdir/manifest/v0",
       (0 until buckets).map(k =>
         k -> present.get(k).fold(EventStreams.BucketFiles(-1, None))(fs =>
-          EventStreams.BucketFiles(0, Some(fs)))).toMap)
+          EventStreams.BucketFiles(0, Some(fs), zs.get(k)))).toMap)
   }
+
+  /** Whether the table declared zone-map maintenance at creation (the
+    * `zones=` meta line) — consulted by WRITE paths only (one extra
+    * small-file read per apply; serving reads are declaration-free:
+    * stats presence in the manifest is self-describing). */
+  private def tableZones(spark: SparkSession, tdir: String): Boolean =
+    EventStreams.readSmallFile(spark, metaPath(tdir))
+      .linesIterator.exists(_.startsWith("zones="))
+
+  /** Zone-map stats of the buckets just written under `vdir` (empty
+    * when the table does not maintain them) — the per-commit
+    * collection step of [[graft.streaming.ZoneMaps]], keyed for the
+    * manifest's dirty entries; unchanged buckets inherit their stats
+    * with their version pointer. */
+  private def collectZones(spark: SparkSession, tdir: String,
+      vdir: String, enabled: Boolean)
+      : Map[Int, graft.streaming.ZoneMaps.BucketStats] =
+    if (!enabled) Map.empty
+    else graft.streaming.ZoneMaps.collect(spark, vdir,
+      tableSchema(spark, tdir))
 
   /** (bucket count, bucket keys, bloom sidecar bits when the table
     * maintains key blooms — the optional third meta line). */
@@ -160,27 +183,33 @@ object GraphStore {
           .select(EventStreams.bucketCol(keys, m.size).as("_b"))
           .distinct().collect().map(_.getInt(0)).toSet
       case Some(_) =>
-        // BLOOM-GATED probe (the miss-skipping read): the same
-        // driver-bounded collect also carries each anchor's key-tuple
-        // xxhash64, and a hit bucket whose `_bloom` sidecar rejects
-        // every anchor aimed at it is definitely-miss — skipped with
-        // zero data I/O (one small sidecar read instead of the bucket
+        // BLOOM-GATED probe (the miss-skipping read): the collect
+        // also carries each anchor's key-tuple xxhash64 — aggregated
+        // per bucket and CAPPED at bloomProbeCap hashes (driver
+        // transfer stays ≤ width × cap longs; a bucket aimed at by
+        // more anchors than the cap is read untested, since a
+        // frontier that dense hits it with near-certainty anyway) —
+        // and a hit bucket whose `_bloom` sidecar rejects every
+        // anchor aimed at it is definitely-miss: skipped with zero
+        // data I/O (one small sidecar read instead of the bucket
         // file). A false positive just reads the bucket; the
         // left-semi join keeps the answer exact, so the gate can only
         // save I/O, never change a result. Sidecars resolve at the
         // bucket's MANIFEST-pinned version (immutable, vacuumed with
         // it); a missing one (pre-bloom version) degrades to a read.
-        val pairs = keyRows
+        import org.apache.spark.sql.functions.{collect_set, slice, sort_array, xxhash64}
+        val cap = EventStreams.bloomProbeCap
+        val perBucket = keyRows
           .select(EventStreams.bucketCol(keys, m.size).as("_b"),
-            org.apache.spark.sql.functions
-              .xxhash64(keys.map(col): _*).as("_h"))
-          .distinct().collect().map(r => (r.getInt(0), r.getLong(1)))
-        val live = pairs.groupBy(_._1)
-          .filter { case (b, _) => m.get(b).exists(_ >= 0) }
-        EventStreams.parEach(live.toSeq) { case (b, hs) =>
-          b -> EventStreams.bloomMightContain(spark,
-            EventStreams.bucketPath(tdir, m(b), b), hs.map(_._2).toSeq)
-        }.collect { case (b, true) => b }.toSet
+            xxhash64(keys.map(col): _*).as("_h"))
+          .groupBy(col("_b"))
+          .agg(slice(sort_array(collect_set(col("_h"))), 1, cap + 1)
+            .as("_hs"))
+          .collect()
+          .map(r => (r.getInt(0), r.getSeq[Long](1)))
+        val (testable, overCap) = perBucket.partition(_._2.size <= cap)
+        EventStreams.bloomGate(spark, tdir, m, testable.toSeq) ++
+          overCap.map(_._1)
     }
     EventStreams.stateAt(spark, tdir,
       m.filter { case (k, _) => hit(k) },
@@ -233,18 +262,10 @@ object GraphStore {
             s"the delta (${delta.schema.simpleString}) no longer " +
               s"composes with the stored state (${e.getMessage});", e)
         }
-      // nullability is NOT schema drift: the parquet round-trip behind
-      // `_empty` reads everything nullable while in-memory plans carry
-      // non-null arrays (collect_set) — compare shape only
-      def norm(dt: DataType): DataType = dt match {
-        case s: StructType => StructType(s.fields.map(f =>
-          StructField(f.name, norm(f.dataType), nullable = true)))
-        case a: ArrayType => ArrayType(norm(a.elementType), true)
-        case m: MapType => MapType(norm(m.keyType), norm(m.valueType), true)
-        case other => other
-      }
-      if (expectT.fields.map(f => f.name -> norm(f.dataType)).toMap !=
-          merged.fields.map(f => f.name -> norm(f.dataType)).toMap)
+      // nullability is NOT schema drift — the shared shape-only
+      // comparison (EventStreams.normShape, one definition with the
+      // streaming sink's)
+      if (EventStreams.shapeMap(expectT) != EventStreams.shapeMap(merged))
         remedy(s"the merged output schema (${merged.simpleString}) " +
           "does not match;")
     }
@@ -299,10 +320,15 @@ object GraphStore {
         bloomBits.filter(_ => written.nonEmpty).foreach(bits =>
           EventStreams.writeBucketBlooms(spark, s"$tdir/v${v + 1}",
             bucketKeys, bits))
-        // unchanged buckets inherit version + file stats by reference
+        // zone-map stores re-stat every rewritten bucket (the rewrite
+        // IS the full bucket state — copy-on-write)
+        val zs = collectZones(spark, tdir, s"$tdir/v${v + 1}",
+          written.nonEmpty && tableZones(spark, tdir))
+        // unchanged buckets inherit version + file/zone stats by
+        // reference
         base ++ dirty.map(k =>
           k -> written.get(k).fold(EventStreams.BucketFiles(-1, None))(
-            fs => EventStreams.BucketFiles(v + 1, Some(fs))))
+            fs => EventStreams.BucketFiles(v + 1, Some(fs), zs.get(k))))
       }
     EventStreams.writeManifestExclusiveFull(
       spark, s"$tdir/manifest/v${v + 1}", next)
@@ -413,38 +439,47 @@ object GraphStore {
     * merge key, so bucket-local merges stay exact. */
   def init(spark: SparkSession, dir: String, g: GraphLoad.Graph,
       buckets: Int = numBuckets, dualAnchor: Boolean = false,
-      keyBlooms: Boolean = false, bloomBits: Int = 1 << 17): Unit = {
+      keyBlooms: Boolean = false, bloomBits: Int = 1 << 17,
+      zoneMaps: Boolean = false): Unit = {
     // keyBlooms (opt-in): every bucket write also publishes a
     // `_bloom` key sidecar, and probes skip definitely-miss buckets
     // with zero data I/O — the LSM read-path trade (a per-apply bloom
     // build job bought back by every miss-heavy probe; see
     // EventStreams.writeBucketBlooms). bloomBits sizes each sidecar
     // (default 2^17 bits = 16 KiB, ~1% fp at ~13k keys/bucket).
+    // zoneMaps (opt-in): every commit also records per-bucket min/max
+    // column stats IN THE MANIFEST, and the SQL serving surface skips
+    // buckets a range predicate cannot hit with zero filesystem
+    // round-trips — one extra agg pass per rewritten bucket, bought
+    // back by every selective range scan (see graft.streaming
+    // .ZoneMaps).
     val bb = if (keyBlooms) Some(bloomBits) else None
-    initTable(spark, s"$dir/GFE", g.gfe, Seq("name"), buckets, bb)
-    initTable(spark, s"$dir/Sequence", g.sequence, Seq("name"), buckets, bb)
+    val zm = zoneMaps
+    initTable(spark, s"$dir/GFE", g.gfe, Seq("name"), buckets, bb, zm)
+    initTable(spark, s"$dir/Sequence", g.sequence, Seq("name"), buckets,
+      bb, zm)
     initTable(spark, s"$dir/Feature", g.feature,
-      Seq("locus", "rank", "term", "accession"), buckets, bb)
+      Seq("locus", "rank", "term", "accession"), buckets, bb, zm)
     initTable(spark, s"$dir/IPD_Allele", g.ipdAllele, Seq("name"),
-      buckets, bb)
+      buckets, bb, zm)
     initTable(spark, s"$dir/IPD_Accession", g.ipdAccession,
-      Seq("name"), buckets, bb)
+      Seq("name"), buckets, bb, zm)
     initTable(spark, s"$dir/Submitter", g.submitter, Seq("name"),
-      buckets, bb)
+      buckets, bb, zm)
     initTable(spark, s"$dir/HAS_IPD_ALLELE", g.hasIpdAllele,
-      Seq("dst"), buckets, bb)
+      Seq("dst"), buckets, bb, zm)
     initTable(spark, s"$dir/HAS_IPD_ACCESSION", g.hasIpdAccession,
-      Seq("dst"), buckets, bb)
+      Seq("dst"), buckets, bb, zm)
     initTable(spark, s"$dir/SUBMITTED", g.submitted,
-      Seq("dst"), buckets, bb)
+      Seq("dst"), buckets, bb, zm)
     initTable(spark, s"$dir/HAS_SEQUENCE", g.hasSequence,
-      Seq("src"), buckets, bb)
+      Seq("src"), buckets, bb, zm)
     initTable(spark, s"$dir/HAS_FEATURE", g.hasFeature,
-      Seq("src"), buckets, bb)
+      Seq("src"), buckets, bb, zm)
     // the seq_id-keyed Sequence-node index HAS_SEQUENCE probes
     initTable(spark, s"$dir/SEQ_INDEX",
       g.sequence.select(col("seq_id"), col("name")), Seq("seq_id"),
-      buckets, bb)
+      buckets, bb, zm)
     // DUAL-ANCHOR layout (opt-in): each traversal edge table gets a
     // `__rev` twin holding the SAME rows bucketed by the OPPOSITE
     // anchor, so EITHER traversal direction is a bucket-pruned probe
@@ -464,7 +499,8 @@ object GraphStore {
         "HAS_SEQUENCE" -> g.hasSequence,
         "HAS_FEATURE" -> g.hasFeature)
       revAnchors.foreach { case (t, keys) =>
-        initTable(spark, s"$dir/${t}__rev", src(t), keys, buckets, bb)
+        initTable(spark, s"$dir/${t}__rev", src(t), keys, buckets, bb,
+          zm)
       }
     }
     writeMarker(spark, dir, tablesOf(spark, dir).map(_ -> 0).toMap)
@@ -1012,14 +1048,20 @@ object GraphStore {
       bloomBits.filter(_ => written.nonEmpty).foreach(bits =>
         EventStreams.writeBucketBlooms(spark, s"$tdir/v${v + 1}",
           keys, bits))
+      // zone stats rebuild with the layout, like the blooms
+      val zones = tableZones(spark, tdir)
+      val zs = collectZones(spark, tdir, s"$tdir/v${v + 1}",
+        written.nonEmpty && zones)
       EventStreams.writeManifestExclusiveFull(spark,
         s"$tdir/manifest/v${v + 1}",
         (0 until newBuckets).map(k =>
           k -> written.get(k).fold(EventStreams.BucketFiles(-1, None))(
-            fs => EventStreams.BucketFiles(v + 1, Some(fs)))).toMap)
+            fs => EventStreams.BucketFiles(v + 1, Some(fs), zs.get(k))))
+          .toMap)
       EventStreams.writeSmallFile(spark, metaPath(tdir),
         s"$newBuckets\n${keys.mkString(",")}\n" +
-          bloomBits.fold("")(b => s"bloom=$b\n"))
+          bloomBits.fold("")(b => s"bloom=$b\n") +
+          (if (zones) "zones=*\n" else ""))
       t -> (v + 1)
     }.toMap
     // PHASE 3 — one marker: the store-level atomic cutover
@@ -1045,9 +1087,13 @@ object GraphStore {
     * 100× bigger buckets — probe latency, dirty-bucket apply I/O, and
     * bloom fp-rates all degrade with bucket size, and this report says
     * WHEN to pull the growth lever: `recommendedBuckets` is the
-    * power-of-two width that brings the p95 bucket under
+    * power-of-two width that brings the AVERAGE bucket under
     * `targetBucketBytes` (pass your deployment's probe-latency
-    * budget; default 1 GiB). Advisory only — [[rebucket]] is the
+    * budget; default 1 GiB). Hash skew is what p95/max are FOR:
+    * p95 ≫ average after a rebucket means key-mass imbalance a width
+    * change cannot fix (salting/anchor-choice territory) — size the
+    * target with your observed p95/mean ratio if the p95 is the
+    * budget you must meet. Advisory only — [[rebucket]] is the
     * operator-invoked migration, with its documented history reset. */
   def layoutReport(spark: SparkSession, dir: String,
       targetBucketBytes: Long = 1L << 30): Seq[LayoutStat] = {
@@ -1090,18 +1136,6 @@ object GraphStore {
     }
   }
 
-  /** A crash-orphaned AtomicCommit temp (`.<name>.tmp-<uuid>`), old
-    * enough that no in-flight commit can still be holding it (the
-    * write→link window is milliseconds; the hour gate keeps a
-    * concurrent applier's live temp safe from this sweep). Inert if
-    * left — every reader's name filter excludes them — but they would
-    * accumulate one per crash. */
-  private def staleTmp(st: org.apache.hadoop.fs.FileStatus): Boolean = {
-    val n = st.getPath.getName
-    n.startsWith(".") && n.contains(".tmp-") &&
-      st.getModificationTime < System.currentTimeMillis() - 3600 * 1000L
-  }
-
   def vacuum(spark: SparkSession, dir: String,
       keepVersions: Int = 2): (Int, Int) = {
     val (fs, root) = EventStreams.hadoopFs(spark, dir)
@@ -1131,39 +1165,18 @@ object GraphStore {
       st.getPath.getName ->
         EventStreams.manifestVersions(spark, st.getPath.toString).toSet
     }.toMap
-    // claims are permanent commit records (see applyTable); GC only
-    // those whose version is BOTH below the surviving-manifest window
-    // AND referenced by no surviving manifest — bucket INHERITANCE
-    // means a below-floor version's bucket dir can still be live (a
-    // bucket last rewritten at v1 is inherited by manifests v4/v5
-    // after its manifest is GC'd), and deleting that claim would let
-    // a stalled pre-claim applier re-claim v1 and overwrite bucket
-    // files current manifests point to. Orphan commit temp files
-    // (`.<name>.tmp-<uuid>`, a crash between AtomicCommit's write and
-    // its link-into-place) are swept here too — they are inert (never
-    // read: the name filters exclude them) but would accumulate.
-    tdirs.foreach { st =>
-      val tdir = st.getPath.toString
-      val floor = survived(st.getPath.getName).min
-      val liveVers: Set[Int] = survived(st.getPath.getName)
-        .flatMap(v =>
-          EventStreams.readManifest(spark, s"$tdir/manifest/v$v")
-            .values.filter(_ >= 0))
-      val (mfs, mdir) = EventStreams.hadoopFs(spark, s"$tdir/manifest")
-      mfs.listStatus(mdir).toSeq
-        .filter { st0 =>
-          val n = st0.getPath.getName
-          (n.startsWith(".claim_v") && {
-            val v = n.stripPrefix(".claim_v").toInt
-            v < floor && !liveVers(v)
-          }) || staleTmp(st0)
-        }
-        .foreach(st0 => mfs.delete(st0.getPath, false))
-    }
+    // claims are permanent commit records (see applyTable) — GC'd per
+    // table under the shared keep rule (EventStreams.sweepClaims: ONE
+    // definition with the streaming sink's vacuum — below the
+    // surviving floor AND referenced by no surviving manifest; bucket
+    // inheritance keeps the rest), which also sweeps crash-orphaned
+    // AtomicCommit temps.
+    tdirs.foreach(st =>
+      EventStreams.sweepClaims(spark, st.getPath.toString))
     locally { // orphan marker-commit temps
       val (mfs, md) = EventStreams.hadoopFs(spark, markerDir(dir))
       if (mfs.exists(md))
-        mfs.listStatus(md).toSeq.filter(staleTmp)
+        mfs.listStatus(md).toSeq.filter(EventStreams.staleTmp)
           .foreach(st0 => mfs.delete(st0.getPath, false))
     }
     markerSnapshot.dropRight(1).foreach { k =>

@@ -179,9 +179,14 @@ object GfeQueries {
         // keyBlooms: every probe under the gfe_incremental_* tier now
         // runs through the bloom miss-gate (round 15) — the hash
         // oracles verify the gated reads serve exactly the refold
+        // zoneMaps: every manifest under the tier also carries
+        // per-bucket min/max column stats (round 15b) — the hash
+        // oracles verify stats maintenance through init + applyRelease
+        // never perturbs served data, and gfe_store_sql_range reads
+        // through the range-pruning path
         graft.graph.GraphStore.init(s, dir, GraphLoad.loadAll(s,
           Seq(("3560", r1.gfeSequences, r1.allFeatures, r1.allGroups))),
-          dualAnchor = true, keyBlooms = true)
+          dualAnchor = true, keyBlooms = true, zoneMaps = true)
         graft.graph.GraphStore.applyRelease(s, dir,
           ("3570", r2.gfeSequences, r2.allFeatures, r2.allGroups))
         val entry = (dir, graft.graph.GraphStore.read(s, dir))
@@ -1074,6 +1079,24 @@ object GfeQueries {
             |ORDER BY name""".stripMargin)
           .localCheckpoint(eager = true)
       } finally s.conf.unset("spark.graft.store.dynamicPrune.minBytes")
+    }),
+    // The RANGE read through the SQL surface (round 15b): a
+    // non-anchor range predicate served by ZONE-MAP pruning — the
+    // manifest's per-bucket min/max stats drop buckets the range
+    // cannot hit at planning, with zero filesystem I/O (pruning
+    // evidence pinned in ZoneMapsSpec; this entry hash-pins the
+    // VALUES end-to-end through the stats-carrying store).
+    QueryDef("gfe_store_sql_range",
+      s"""SELECT locus, rank, term, accession
+         |FROM ${aux("v_Feature")}
+         |WHERE rank >= 2 AND rank <= 4
+         |ORDER BY locus, rank, term, accession""".stripMargin)((s, _) => {
+      import org.apache.spark.sql.functions.col
+      val (dir, _) = incrementalStore(s)
+      graft.graph.GraphStore.sqlTable(s, dir, "Feature")
+        .where(col("rank") >= 2 && col("rank") <= 4)
+        .select(col("locus"), col("rank"), col("term"), col("accession"))
+        .orderBy("locus", "rank", "term", "accession")
     }),
     // ...and every table's cardinality: cheap full-surface check that
     // the incremental store created/merged exactly the refold's rows.

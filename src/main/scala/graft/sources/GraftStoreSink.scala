@@ -58,6 +58,11 @@ import graft.streaming.EventStreams
   *    literal pruning) then skip definitely-miss buckets with zero
   *    data I/O. An existing store's persisted declaration always
   *    wins (the sink maintains whatever the store was created with).
+  *  - `zoneMaps`: when creating, persist the zone-map declaration so
+  *    every batch's manifest carries per-bucket min/max column stats
+  *    ([[graft.streaming.ZoneMaps]]) — range predicates through the
+  *    SQL surface then skip buckets at planning with zero filesystem
+  *    I/O. Same persisted-declaration-wins rule as keyBlooms.
   *
   * Exactly-once: a committed batch writes a `_sink_commits/b{id}`
   * record AFTER its manifest commit, so an engine replay of that
@@ -103,29 +108,9 @@ object GraftStoreSink {
   def vacuum(spark: SparkSession, dir: String, keepVersions: Int = 2,
       keepRecords: Int = 2): (Int, Int) = {
     EventStreams.cdcVacuum(spark, dir, keepVersions)
-    val survived = EventStreams.manifestVersions(spark, dir)
-    val floor = survived.min
-    val liveVers: Set[Int] = survived.toSet[Int].flatMap(v =>
-      EventStreams.readManifest(spark, s"$dir/manifest/v$v")
-        .values.filter(_ >= 0))
-    val (mfs, mdir) = EventStreams.hadoopFs(spark, s"$dir/manifest")
-    var claims = 0
-    mfs.listStatus(mdir).toSeq.foreach { st =>
-      val n = st.getPath.getName
-      if (n.startsWith(".claim_v")) {
-        val v = n.stripPrefix(".claim_v").toInt
-        if (v < floor && !liveVers(v) && mfs.delete(st.getPath, false))
-          claims += 1
-      } else if (n.startsWith(".") && n.contains(".tmp-") &&
-          st.getModificationTime < System.currentTimeMillis() -
-            3600 * 1000L) {
-        // crash-orphaned AtomicCommit temp (write→link window is ms;
-        // the hour gate keeps a live commit's temp safe) — inert but
-        // one accumulates per crash, same sweep as GraphStore.vacuum
-        mfs.delete(st.getPath, false)
-        ()
-      }
-    }
+    // claims + orphaned commit temps: the shared keep rule
+    // (EventStreams.sweepClaims — one definition with GraphStore.vacuum)
+    val claims = EventStreams.sweepClaims(spark, dir)
     var records = 0
     val (rfs, rdir) = EventStreams.hadoopFs(spark, s"$dir/_sink_commits")
     if (rfs.exists(rdir)) {
@@ -168,20 +153,15 @@ class GraftStoreSink(
   private def metaPath = s"$dir/_graft_store_meta"
   private def commitRecord(id: Long) = s"$dir/_sink_commits/b$id"
 
-  // nullability is not drift (parquet round-trips read nullable) —
-  // the same shape-only comparison GraphStore.applyTable uses
-  private def norm(dt: org.apache.spark.sql.types.DataType)
-      : org.apache.spark.sql.types.DataType = dt match {
-    case s: StructType => StructType(s.fields.map(f =>
-      org.apache.spark.sql.types.StructField(
-        f.name, norm(f.dataType), nullable = true)))
-    case a: org.apache.spark.sql.types.ArrayType =>
-      org.apache.spark.sql.types.ArrayType(norm(a.elementType), true)
-    case m: org.apache.spark.sql.types.MapType =>
-      org.apache.spark.sql.types.MapType(
-        norm(m.keyType), norm(m.valueType), true)
-    case other => other
-  }
+  /** Creation-fixed store facts — (keys, persisted schema, bloom
+    * declaration, zone-map declaration) — resolved ONCE per query: the
+    * Sink instance lives for the query's lifetime and the store is
+    * single-writer, so re-reading the meta file, `_empty` schema, and
+    * declaration lines every micro-batch would pay 4-5 small-file
+    * round trips per trigger for immutable data (pure added latency on
+    * a remote store). */
+  @volatile private var resolved
+      : Option[(Seq[String], StructType, Option[Int], Boolean)] = None
 
   override def addBatch(batchId: Long, data: Dataset[Row]): Unit = {
     // re-wrap the IncrementalExecution-planned frame as a plain batch
@@ -203,68 +183,80 @@ class GraftStoreSink(
     val dataSchema = StructType(batch.schema.fields
       .filterNot(f => policy == "cdc" && f.name == "change"))
 
-    // ---- resolve or create the store ----
-    val (mfs, mdir) = EventStreams.hadoopFs(spark, s"$dir/manifest")
-    val exists = mfs.exists(mdir) && mfs.listStatus(mdir).nonEmpty
-    val optKeys = parameters.get("keys").toSeq
-      .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
-    val keys: Seq[String] =
-      if (!exists) {
-        require(optKeys.nonEmpty,
-          "graftstore sink: creating a store needs option 'keys' " +
-            "(comma-separated merge/bucket columns, declaration order)")
-        optKeys
-      } else GraftStoreSource.persistedKeys(spark, dir) match {
-        case Some(pk) =>
-          require(optKeys.isEmpty || optKeys == pk,
-            s"graftstore sink: $dir is keyed (${pk.mkString(",")}) per " +
-              s"its persisted meta; keys option " +
-              s"(${optKeys.mkString(",")}) would bucket and merge " +
-              "wrong — pass the persisted keys in that order, or omit")
-          pk
-        case None =>
+    // ---- resolve or create the store (once per query) ----
+    val (keys, storeSchema, bloomBits, zones) = resolved.getOrElse {
+      val (mfs, mdir) = EventStreams.hadoopFs(spark, s"$dir/manifest")
+      val exists = mfs.exists(mdir) && mfs.listStatus(mdir).nonEmpty
+      val optKeys = parameters.get("keys").toSeq
+        .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
+      val ks: Seq[String] =
+        if (!exists) {
           require(optKeys.nonEmpty,
-            s"graftstore sink: $dir predates key persistence (one-line " +
-              "meta) — pass option 'keys' (the store's cdcApply " +
-              "stateKeys, declaration order)")
+            "graftstore sink: creating a store needs option 'keys' " +
+              "(comma-separated merge/bucket columns, declaration order)")
           optKeys
-      }
-    keys.foreach(k => require(dataSchema.fieldNames.contains(k),
-      s"graftstore sink: key '$k' is not a column of the stream " +
-        s"(columns: ${dataSchema.fieldNames.mkString(",")})"))
+        } else GraftStoreSource.persistedKeys(spark, dir) match {
+          case Some(pk) =>
+            require(optKeys.isEmpty || optKeys == pk,
+              s"graftstore sink: $dir is keyed (${pk.mkString(",")}) per " +
+                s"its persisted meta; keys option " +
+                s"(${optKeys.mkString(",")}) would bucket and merge " +
+                "wrong — pass the persisted keys in that order, or omit")
+            pk
+          case None =>
+            require(optKeys.nonEmpty,
+              s"graftstore sink: $dir predates key persistence (one-line " +
+                "meta) — pass option 'keys' (the store's cdcApply " +
+                "stateKeys, declaration order)")
+            optKeys
+        }
+      ks.foreach(k => require(dataSchema.fieldNames.contains(k),
+        s"graftstore sink: key '$k' is not a column of the stream " +
+          s"(columns: ${dataSchema.fieldNames.mkString(",")})"))
 
-    if (!exists) {
-      val buckets = parameters.get("buckets").map(_.trim.toInt)
-        .getOrElse(EventStreams.defaultNumBuckets)
-      require(buckets > 0, "graftstore sink: buckets must be positive")
-      batch.select(dataSchema.fieldNames.map(col).toIndexedSeq: _*)
-        .limit(0).coalesce(1)
-        .write.mode("overwrite").parquet(s"$dir/_empty")
-      // the two-line (GraphStore-form) meta: count + keys — every
-      // later reader/writer cross-checks keys instead of trusting its
-      // caller, the validation hole the raw one-line layout has.
-      // keyBlooms adds the bloom declaration (third line), making
-      // every batch's bucket writes publish `_bloom` key sidecars.
-      val bloomLine =
-        if (!parameters.get("keyBlooms").exists(_.trim.toBoolean)) ""
-        else s"bloom=${parameters.get("bloomBits").map(_.trim.toInt)
-          .getOrElse(1 << 17)}\n"
-      EventStreams.writeSmallFile(spark, metaPath,
-        s"$buckets\n${keys.mkString(",")}\n$bloomLine")
-      // v0 = the empty state; the first batch commits v1. Manifest
-      // LAST: its existence certifies _empty + meta are complete.
-      EventStreams.writeManifestFull(spark, s"$dir/manifest/v0",
-        (0 until buckets).map(_ -> EventStreams.BucketFiles(-1, None))
-          .toMap)
+      if (!exists) {
+        val buckets = parameters.get("buckets").map(_.trim.toInt)
+          .getOrElse(EventStreams.defaultNumBuckets)
+        require(buckets > 0, "graftstore sink: buckets must be positive")
+        batch.select(dataSchema.fieldNames.map(col).toIndexedSeq: _*)
+          .limit(0).coalesce(1)
+          .write.mode("overwrite").parquet(s"$dir/_empty")
+        // the two-line (GraphStore-form) meta: count + keys — every
+        // later reader/writer cross-checks keys instead of trusting
+        // its caller, the validation hole the raw one-line layout
+        // has. keyBlooms adds the bloom declaration (third line),
+        // making every batch's bucket writes publish `_bloom` key
+        // sidecars.
+        val bloomLine =
+          if (!parameters.get("keyBlooms").exists(_.trim.toBoolean)) ""
+          else s"bloom=${parameters.get("bloomBits").map(_.trim.toInt)
+            .getOrElse(1 << 17)}\n"
+        // zoneMaps adds the zone-map declaration: every batch's
+        // manifest then carries per-bucket min/max stats and the SQL
+        // surface range-prunes the maintained store (ZoneMaps)
+        val zoneLine =
+          if (!parameters.get("zoneMaps").exists(_.trim.toBoolean)) ""
+          else "zones=*\n"
+        EventStreams.writeSmallFile(spark, metaPath,
+          s"$buckets\n${ks.mkString(",")}\n$bloomLine$zoneLine")
+        // v0 = the empty state; the first batch commits v1. Manifest
+        // LAST: its existence certifies _empty + meta are complete.
+        EventStreams.writeManifestFull(spark, s"$dir/manifest/v0",
+          (0 until buckets).map(_ -> EventStreams.BucketFiles(-1, None))
+            .toMap)
+      }
+      // the persisted declaration (creation-time, this store's or an
+      // earlier writer's) decides sidecar/stats maintenance — never
+      // the per-query option
+      val r = (ks, spark.read.parquet(s"$dir/_empty").schema,
+        GraftStoreSource.persistedBloom(spark, dir),
+        EventStreams.readSmallFile(spark, metaPath)
+          .linesIterator.exists(_.startsWith("zones=")))
+      resolved = Some(r)
+      r
     }
-    // the persisted declaration (creation-time, this store's or an
-    // earlier writer's) decides sidecar maintenance — never the
-    // per-query option
-    val bloomBits: Option[Int] = GraftStoreSource.persistedBloom(spark, dir)
-    val storeSchema = spark.read.parquet(s"$dir/_empty").schema
     require(
-      storeSchema.fields.map(f => f.name -> norm(f.dataType)).toMap ==
-        dataSchema.fields.map(f => f.name -> norm(f.dataType)).toMap,
+      EventStreams.shapeMap(storeSchema) == EventStreams.shapeMap(dataSchema),
       s"graftstore sink: the stream's schema " +
         s"(${dataSchema.simpleString}) does not match $dir's persisted " +
         s"schema (${storeSchema.simpleString}), fixed at creation — an " +
@@ -272,9 +264,20 @@ class GraftStoreSink(
         "rebuild the store under the new schema")
 
     // ---- exactly-once: a committed batch replays as a no-op ----
+    // The record is scoped by the query's checkpoint (its body), like
+    // the claim below: a NEW query (fresh checkpoint) writing to an
+    // existing store restarts its batch ids at 0, and an unscoped
+    // exists-check would mistake the old query's records for its own
+    // commits and silently DROP its first batches — id collision must
+    // only ever no-op a replay of the same query's batch.
+    val recordBody = "sink " +
+      parameters.getOrElse("checkpointLocation", "-") + "\n"
     locally {
       val (fs, p) = EventStreams.hadoopFs(spark, commitRecord(batchId))
-      if (fs.exists(p)) return
+      if (fs.exists(p) &&
+          EventStreams.readSmallFile(spark, commitRecord(batchId)) ==
+            recordBody)
+        return
     }
 
     // ---- claim the next version (single-writer, crash-reentrant) ----
@@ -347,16 +350,25 @@ class GraftStoreSink(
         bloomBits.filter(_ => written.nonEmpty).foreach(bits =>
           EventStreams.writeBucketBlooms(spark, s"$dir/v${v + 1}",
             keys, bits))
+        // zone-declared stores re-stat every rewritten bucket
+        val zs =
+          if (!zones || written.isEmpty)
+            Map.empty[Int, graft.streaming.ZoneMaps.BucketStats]
+          else graft.streaming.ZoneMaps.collect(spark,
+            s"$dir/v${v + 1}", storeSchema)
         base ++ dirty.map(k =>
           k -> written.get(k).fold(EventStreams.BucketFiles(-1, None))(
-            fs => EventStreams.BucketFiles(v + 1, Some(fs))))
+            fs => EventStreams.BucketFiles(v + 1, Some(fs), zs.get(k))))
       }
     // manifest commits exclusively like every store writer; a loss
     // here (claim raced a writer that somehow bypassed claims) stays
     // loud rather than silently splicing history
     EventStreams.writeManifestExclusiveFull(
       spark, s"$dir/manifest/v${v + 1}", next)
-    // record LAST — its existence certifies the manifest committed
-    EventStreams.writeSmallFile(spark, commitRecord(batchId), "")
+    // record LAST — its existence (under THIS query's scope)
+    // certifies the manifest committed; overwriting a predecessor
+    // query's same-id record is correct (serial handoff — concurrent
+    // queries are excluded by the claim above)
+    EventStreams.writeSmallFile(spark, commitRecord(batchId), recordBody)
   }
 }

@@ -375,12 +375,32 @@ class GraftStoreFileIndex(
 
   override def refresh(): Unit = ()
 
+  /** Manifest-carried zone maps (per-bucket min/max column stats) —
+    * present only for commits written by a zones-declared store;
+    * decoded once per relation. */
+  private val zoneStats
+      : Map[Int, graft.streaming.ZoneMaps.BucketStats] =
+    manifest.collect { case (k, bf) if bf.stats.isDefined =>
+      k -> bf.stats.get }
+
   override def listFiles(partitionFilters: Seq[Expression],
       dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
     // literal anchor-key pruning (planning-time, driver-hashed)
     val byAnchor = prunedBuckets(dataFilters)
+    // ZONE pruning (independent of the anchor hash — any supported
+    // column, range shapes included): a bucket whose manifest-carried
+    // min/max provably cannot satisfy a pushed conjunct is dropped at
+    // planning with zero filesystem I/O; buckets without stats are
+    // kept (legacy entries / undeclared stores), so pruning can skip
+    // work, never change an answer (graft.streaming.ZoneMaps)
+    val zoneCs =
+      if (zoneStats.isEmpty) Nil
+      else graft.streaming.ZoneMaps.harvest(dataFilters, schema, resolver)
+    def zoneKeep(k: Int): Boolean =
+      zoneCs.isEmpty || zoneStats.get(k).forall(bs =>
+        graft.streaming.ZoneMaps.keep(bs, zoneCs, schema))
     val dirs = filesByBucket.toSeq.sortBy(_._1).collect {
-      case (k, fs) if byAnchor.forall(_(k)) => (k, fs) }
+      case (k, fs) if byAnchor.forall(_(k)) && zoneKeep(k) => (k, fs) }
     // static predicates on the partition column itself (runtime
     // DynamicPruning ones are evaluated by the scan node, not here —
     // exclude anything carrying a plan expression)
@@ -460,13 +480,13 @@ class GraftStoreFileIndex(
         // one degrades to a read; a false positive just scans the
         // bucket — the engine's own filter keeps the answer exact.
         val pairs = combos.map(c => (bucketOf(c), comboHash(c)))
-        val live = pairs.groupBy(_._1).filter { case (b, _) =>
-          manifest.get(b).exists(_.version >= 0) }
-        Some(EventStreams.parEach(live.toSeq) { case (b, cs) =>
-          b -> EventStreams.bloomMightContain(spark,
-            EventStreams.bucketPath(tdir, manifest(b).version, b),
-            cs.map(_._2))
-        }.collect { case (b, true) => b }.toSet)
+          .groupBy(_._1).view.mapValues(_.map(_._2)).toSeq
+        // combos are MaxKeyCombos-bounded, so no per-bucket cap is
+        // needed here; the gate core is shared with probe's
+        // (EventStreams.bloomGate — one definition, the two read
+        // paths cannot skip differently on the same store)
+        Some(EventStreams.bloomGate(spark, tdir,
+          EventStreams.versionsOf(manifest), pairs))
     }
   }
 

@@ -451,14 +451,18 @@ object EventStreams {
     * extension is backwards-compatible in both directions (old
     * readers parse the first two fields and ignore the rest). */
   private[graft] final case class BucketFiles(version: Int,
-      files: Option[Seq[(String, Long)]])
+      files: Option[Seq[(String, Long)]],
+      stats: Option[ZoneMaps.BucketStats] = None)
 
   private[graft] def versionsOf(m: Map[Int, BucketFiles]): Map[Int, Int] =
     m.map { case (k, bf) => k -> bf.version }
 
-  // line format: `bucket version[ files]` — files is `-` (present
-  // bucket, zero files: unreachable today but representable) or
-  // comma-joined `name:bytes` (part-file names carry no ':'/','/' ')
+  // line format: `bucket version[ files[ stats]]` — files is `-`
+  // (present bucket, zero files: unreachable today but representable)
+  // or comma-joined `name:bytes` (part-file names carry no
+  // ':'/','/' '); stats is the optional zone-map field
+  // (ZoneMaps.encodeField — space-free by construction), written only
+  // next to a files field so field positions stay fixed
   private def manifestBody(m: Map[Int, BucketFiles]): String =
     m.toSeq.sortBy(_._1).map { case (k, bf) =>
       bf.files match {
@@ -466,7 +470,9 @@ object EventStreams {
           val enc = if (fs.isEmpty) "-"
             else fs.sortBy(_._1).map { case (n, b) => s"$n:$b" }
               .mkString(",")
-          s"$k ${bf.version} $enc"
+          val zs = bf.stats.flatMap(ZoneMaps.encodeField)
+            .fold("")(" " + _)
+          s"$k ${bf.version} $enc$zs"
         case _ => s"$k ${bf.version}"
       }
     }.mkString("", "\n", "\n")
@@ -507,9 +513,10 @@ object EventStreams {
         "in-flight commit (content follows the name within ms on the " +
         "HDFS/nolink paths) or the file was truncated; retry the read")
     lines.map { l =>
-      // fields: `bucket version[ files]` — the optional third field is
-      // the per-bucket file-stats extension (see manifestBody); a
-      // two-field (legacy) line yields files = None, served by listing
+      // fields: `bucket version[ files[ stats]]` — the optional third
+      // field is the per-bucket file-stats extension, the optional
+      // fourth the zone-map stats (see manifestBody); a short (legacy)
+      // line yields None for the absent extensions
       val f = l.split(' ')
       val files =
         if (f.length < 3) None
@@ -518,7 +525,9 @@ object EventStreams {
           val i = e.lastIndexOf(':')
           (e.substring(0, i), e.substring(i + 1).toLong)
         })
-      f(0).toInt -> BucketFiles(f(1).toInt, files)
+      val stats =
+        if (f.length < 4) None else Some(ZoneMaps.decodeField(f(3)))
+      f(0).toInt -> BucketFiles(f(1).toInt, files, stats)
     }.toMap
   }
 
@@ -646,6 +655,102 @@ object EventStreams {
     }
     ()
   }
+
+  /** A crash-orphaned AtomicCommit temp (`.<name>.tmp-<uuid>`), old
+    * enough that no in-flight commit can still hold it (the
+    * write→link window is milliseconds; the hour gate keeps a live
+    * writer's temp safe). Inert if left — every reader's name filter
+    * excludes them — but one accumulates per crash. */
+  private[graft] def staleTmp(
+      st: org.apache.hadoop.fs.FileStatus): Boolean = {
+    val n = st.getPath.getName
+    n.startsWith(".") && n.contains(".tmp-") &&
+      st.getModificationTime < System.currentTimeMillis() - 3600 * 1000L
+  }
+
+  /** GC one versioned store dir's exclusive-commit control files —
+    * ONE definition of the subtle keep rule, shared by
+    * [[graft.graph.GraphStore.vacuum]] and the streaming sink's
+    * vacuum (divergence here is a lost-update hazard): a claim is GC'd
+    * only when its version is BOTH below the surviving-manifest floor
+    * AND referenced by no surviving manifest — bucket INHERITANCE
+    * means a below-floor version's bucket dir can still be live, and
+    * deleting that claim would let a stalled pre-claim writer
+    * re-claim the version and overwrite files current manifests point
+    * to. Crash-orphaned commit temps ([[staleTmp]]) are swept too.
+    * Call AFTER cdcVacuum (the rule is judged against what survived).
+    * Returns claims deleted. */
+  private[graft] def sweepClaims(spark: SparkSession,
+      tdir: String): Int = {
+    val survived = manifestVersions(spark, tdir)
+    val floor = survived.min
+    val liveVers: Set[Int] = survived.toSet[Int].flatMap(v =>
+      readManifest(spark, s"$tdir/manifest/v$v").values.filter(_ >= 0))
+    val (mfs, mdir) = hadoopFs(spark, s"$tdir/manifest")
+    var claims = 0
+    mfs.listStatus(mdir).toSeq.foreach { st =>
+      val n = st.getPath.getName
+      if (n.startsWith(".claim_v")) {
+        val v = n.stripPrefix(".claim_v").toInt
+        if (v < floor && !liveVers(v) && mfs.delete(st.getPath, false))
+          claims += 1
+      } else if (staleTmp(st)) {
+        mfs.delete(st.getPath, false)
+        ()
+      }
+    }
+    claims
+  }
+
+  /** Nullability-erased type shape for schema-drift comparison — ONE
+    * definition shared by the batch applier (GraphStore.applyTable)
+    * and the streaming sink: nullability is NOT drift (the parquet
+    * round-trip behind `_empty` reads everything nullable while
+    * in-memory plans carry non-null arrays), so stores compare shape
+    * only. */
+  private[graft] def normShape(dt: org.apache.spark.sql.types.DataType)
+      : org.apache.spark.sql.types.DataType = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case s: StructType => StructType(s.fields.map(f =>
+        StructField(f.name, normShape(f.dataType), nullable = true)))
+      case a: ArrayType => ArrayType(normShape(a.elementType), true)
+      case m: MapType =>
+        MapType(normShape(m.keyType), normShape(m.valueType), true)
+      case other => other
+    }
+  }
+
+  /** [[normShape]] over a whole schema, keyed by column name — the
+    * comparison form both writers use. */
+  private[graft] def shapeMap(s: org.apache.spark.sql.types.StructType)
+      : Map[String, org.apache.spark.sql.types.DataType] =
+    s.fields.map(f => f.name -> normShape(f.dataType)).toMap
+
+  /** Per-bucket anchor-hash cap for the probe-side gate: a bucket
+    * aimed at by more distinct anchors than this is read UNTESTED
+    * (the gate exists for miss-heavy point reads; a frontier that
+    * large hits the bucket anyway with near-certainty, and the cap
+    * bounds the driver transfer to width × cap longs — the previous
+    * unbounded per-anchor collect could OOM the driver on a grown
+    * traversal frontier). Tunable for tests via -Dgraft.bloom.probeCap. */
+  private[graft] def bloomProbeCap: Int =
+    sys.props.get("graft.bloom.probeCap").map(_.toInt).getOrElse(1024)
+
+  /** The shared miss-gate core (one definition for [[graft.graph
+    * .GraphStore]]'s probe and the SQL FileIndex's literal pruning —
+    * divergence here would make the two read paths skip differently
+    * on the same store): of the (bucket → anchor key hashes) aimed at
+    * `versions`-pinned buckets, return the buckets a read must OPEN —
+    * those whose `_bloom` sidecar accepts any of their hashes
+    * (missing sidecar → open). Buckets with version < 0 (empty) are
+    * dropped; callers' state reads skip them regardless. */
+  private[graft] def bloomGate(spark: SparkSession, tdir: String,
+      versions: Map[Int, Int], pairs: Seq[(Int, Seq[Long])]): Set[Int] =
+    parEach(pairs.filter { case (b, _) =>
+        versions.get(b).exists(_ >= 0) }) { case (b, hs) =>
+      b -> bloomMightContain(spark, bucketPath(tdir, versions(b), b), hs)
+    }.collect { case (b, true) => b }.toSet
 
   /** Probe-side sidecar test: can `bucketDir` possibly contain a row
     * whose key tuple xxhash64's to any of `hashes`? Missing sidecar →

@@ -207,6 +207,31 @@ class GraftStoreSinkSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("single-writer"))
   }
 
+  test("serial query handoff: a new query's batch ids colliding with " +
+      "a predecessor's commit records are APPLIED, not skipped") {
+    import spark.implicits._
+    val store = tmp("sinkho_store")
+    val sinkA = new GraftStoreSink(spark,
+      Map("path" -> store, "keys" -> "id", "policy" -> "upsert",
+        "checkpointLocation" -> "/chk/A"),
+      OutputMode.Append())
+    sinkA.addBatch(0, Seq((1, "a")).toDF("id", "v"))
+    // a NEW query (fresh checkpoint) takes over the store; its batch
+    // ids restart at 0 — its first batch must land, not silently
+    // no-op against A's record
+    val sinkB = new GraftStoreSink(spark,
+      Map("path" -> store, "keys" -> "id", "policy" -> "upsert",
+        "checkpointLocation" -> "/chk/B"),
+      OutputMode.Append())
+    sinkB.addBatch(0, Seq((2, "b")).toDF("id", "v"))
+    assert(stateRows(EventStreams.cdcState(spark, store)) ==
+      Set[Seq[Any]](Seq(1, "a"), Seq(2, "b")))
+    // ...while B's OWN replay of the batch stays a no-op
+    val v = latestVersion(store)
+    sinkB.addBatch(0, Seq((2, "b")).toDF("id", "v"))
+    assert(latestVersion(store) == v)
+  }
+
   test("cdc re-apply is idempotent (set semantics)") {
     import spark.implicits._
     val store = tmp("sinkcdc_store")

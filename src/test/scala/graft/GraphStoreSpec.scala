@@ -976,5 +976,18 @@ class GraphStoreSpec extends AnyFunSuite {
         GraphStore.probe(spark, dir, "Sequence", withD, Seq("name"))) ==
       LoadFixtures.rowsOf(
         GraphStore.probe(spark, plain, "Sequence", withD, Seq("name"))))
+
+    // per-bucket anchor cap: with the cap forced below the anchor
+    // count, over-cap buckets are read UNTESTED — the gate degrades
+    // to the plain probe (bounded driver transfer), answers identical
+    sys.props("graft.bloom.probeCap") = "1"
+    try {
+      val out = GraphStore.probe(spark, dir, "Sequence",
+        Seq("A", "C", "D", "NOPE*1", "NOPE*2").toDF("name"), Seq("name"))
+      assert(LoadFixtures.rowsOf(out) == LoadFixtures.rowsOf(
+        GraphStore.probe(spark, plain, "Sequence",
+          Seq("A", "C", "D", "NOPE*1", "NOPE*2").toDF("name"),
+          Seq("name"))))
+    } finally sys.props.remove("graft.bloom.probeCap")
   }
 }
