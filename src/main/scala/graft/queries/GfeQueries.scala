@@ -1098,6 +1098,52 @@ object GfeQueries {
         .select(col("locus"), col("rank"), col("term"), col("accession"))
         .orderBy("locus", "rank", "term", "accession")
     }),
+    // ADDITIVE schema evolution end-to-end (round 15c): pipeline v1
+    // sinks release-1 edges (src,dst); pipeline v2 restarts with a
+    // derived src_len column and mergeSchema — the store EVOLVES
+    // (atomic footer publish) instead of demanding a rebuild, and the
+    // read-back serves pre-evolution rows with src_len NULL and the
+    // new rows with values. The DuckDB replay derives the same final
+    // state from the r1 aux vs the two-release aux (EXCEPT = the
+    // v2-only keys).
+    QueryDef("gfe_store_evolve",
+      s"""WITH r1 AS (SELECT DISTINCT src, dst
+         |            FROM ${aux("r1_e_HAS_IPD_ALLELE")}),
+         |     f AS (SELECT DISTINCT src, dst
+         |           FROM ${aux("e_HAS_IPD_ALLELE")}),
+         |     nw AS (SELECT src, dst FROM f
+         |            EXCEPT SELECT src, dst FROM r1)
+         |SELECT src, dst, CAST(NULL AS BIGINT) AS src_len FROM r1
+         |UNION ALL
+         |SELECT src, dst, CAST(length(src) AS BIGINT) AS src_len FROM nw
+         |ORDER BY src, dst""".stripMargin)((s, _) => {
+      import org.apache.spark.sql.functions.{col, length}
+      val r1 = build(s, "3560")
+      val r2 = build(s, "3570", Some(r1.registry))
+      val g1 = GraphLoad.loadAll(s,
+        Seq(("3560", r1.gfeSequences, r1.allFeatures, r1.allGroups)))
+        .hasIpdAllele.select("src", "dst").dropDuplicates("src", "dst")
+      val gf = GraphLoad.loadAll(s, Seq(
+          ("3560", r1.gfeSequences, r1.allFeatures, r1.allGroups),
+          ("3570", r2.gfeSequences, r2.allFeatures, r2.allGroups)))
+        .hasIpdAllele.select("src", "dst").dropDuplicates("src", "dst")
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_fixture_evolve").toString
+      import org.apache.spark.sql.streaming.OutputMode
+      new graft.sources.GraftStoreSink(s,
+        Map("path" -> dir, "keys" -> "src,dst",
+          "checkpointLocation" -> s"$dir/_chkA"), OutputMode.Append())
+        .addBatch(0, g1)
+      new graft.sources.GraftStoreSink(s,
+        Map("path" -> dir, "keys" -> "src,dst",
+          "mergeSchema" -> "true",
+          "checkpointLocation" -> s"$dir/_chkB"), OutputMode.Append())
+        .addBatch(0, gf.except(g1)
+          .withColumn("src_len", length(col("src")).cast("long")))
+      s.read.format("graftstore").option("path", dir).load()
+        .select(col("src"), col("dst"), col("src_len"))
+        .orderBy("src", "dst")
+    }),
     // ...and every table's cardinality: cheap full-surface check that
     // the incremental store created/merged exactly the refold's rows.
     QueryDef("gfe_incremental_counts",

@@ -157,10 +157,22 @@ class GraftStoreChangeSource(
     case other => other.json.trim.toLong
   }
 
+  // raw-layout reads pin the QUERY's declared schema (the feed schema
+  // minus the trailing change column) — a streaming source's schema
+  // is fixed at start, so an upstream schema EVOLUTION mid-query must
+  // not change what batches carry: evolved bucket files read under
+  // the pinned schema simply ignore appended columns (explicit-schema
+  // parquet), and a restarted query picks the evolved set up through
+  // changeSchema. Footer inference would instead make the batch
+  // column set depend on which file got sampled.
+  private lazy val pinnedState = org.apache.spark.sql.types.StructType(
+    schema.fields.filterNot(_.name == "change"))
+
   private def snapshotAt(id: Long): DataFrame = graphTable match {
     case Some((dir, t)) => GraphStore.tableAt(spark, dir, t, id.toInt)
     case None => EventStreams.stateAt(spark, rawDir,
-      EventStreams.readManifest(spark, s"$rawDir/manifest/v$id"))
+      EventStreams.readManifest(spark, s"$rawDir/manifest/v$id"),
+      Some(pinnedState))
   }
 
   private def diffBetween(from: Long, to: Long): DataFrame =
@@ -168,7 +180,7 @@ class GraftStoreChangeSource(
       case Some((dir, t)) => GraphStore.diff(spark, dir, t,
         from.toInt, to.toInt)
       case None => EventStreams.cdcDiffVersions(spark, rawDir,
-        from.toInt, to.toInt)
+        from.toInt, to.toInt, Some(pinnedState))
     }
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {

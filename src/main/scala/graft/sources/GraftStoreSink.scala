@@ -63,6 +63,17 @@ import graft.streaming.EventStreams
   *    ([[graft.streaming.ZoneMaps]]) — range predicates through the
   *    SQL surface then skip buckets at planning with zero filesystem
   *    I/O. Same persisted-declaration-wins rule as keyBlooms.
+  *  - `mergeSchema`: opt into ADDITIVE schema evolution — a batch
+  *    carrying columns beyond the persisted schema appends them
+  *    (nullable) by publishing a new schema footer atomically
+  *    ([[EventStreams.evolveStoreSchema]]); every read thereafter
+  *    serves the appended columns, NULL from pre-evolution bucket
+  *    files, so a standing pipeline gains a column with NO store
+  *    rebuild. Append-only by construction: dropping or retyping a
+  *    persisted column stays the loud rebuild remedy (standing files
+  *    cannot serve it), and keys/bucket-hashing/bloom sidecars/
+  *    zone-map ordinals are all unaffected. Without the option, new
+  *    columns fail loudly naming it.
   *
   * Exactly-once: a committed batch writes a `_sink_commits/b{id}`
   * record AFTER its manifest commit, so an engine replay of that
@@ -111,6 +122,17 @@ object GraftStoreSink {
     // claims + orphaned commit temps: the shared keep rule
     // (EventStreams.sweepClaims — one definition with GraphStore.vacuum)
     val claims = EventStreams.sweepClaims(spark, dir)
+    locally { // crash-orphaned schema-evolution temp dirs (inert —
+      // the footer resolver's name filter excludes them — but one
+      // accumulates per crashed evolution; hour-gated like every
+      // temp sweep so an in-flight writer's temp is never raced)
+      val (fs, root) = EventStreams.hadoopFs(spark, dir)
+      fs.listStatus(root).toSeq
+        .filter(st => st.getPath.getName.matches("_empty_e\\d+__tmp-.*") &&
+          st.getModificationTime <
+            System.currentTimeMillis() - 3600 * 1000L)
+        .foreach(st => fs.delete(st.getPath, true))
+    }
     var records = 0
     val (rfs, rdir) = EventStreams.hadoopFs(spark, s"$dir/_sink_commits")
     if (rfs.exists(rdir)) {
@@ -248,20 +270,58 @@ class GraftStoreSink(
       // the persisted declaration (creation-time, this store's or an
       // earlier writer's) decides sidecar/stats maintenance — never
       // the per-query option
-      val r = (ks, spark.read.parquet(s"$dir/_empty").schema,
+      val r = (ks, EventStreams.storeSchema(spark, dir),
         GraftStoreSource.persistedBloom(spark, dir),
         EventStreams.readSmallFile(spark, metaPath)
           .linesIterator.exists(_.startsWith("zones=")))
       resolved = Some(r)
       r
     }
-    require(
-      EventStreams.shapeMap(storeSchema) == EventStreams.shapeMap(dataSchema),
-      s"graftstore sink: the stream's schema " +
-        s"(${dataSchema.simpleString}) does not match $dir's persisted " +
-        s"schema (${storeSchema.simpleString}), fixed at creation — an " +
-        "evolved column set would be silently truncated on read; " +
-        "rebuild the store under the new schema")
+    // ---- schema check, with opt-in ADDITIVE evolution ----
+    // Every persisted column must arrive with a matching shape (a
+    // missing or retyped column is still the loud rebuild remedy —
+    // dropping/retyping cannot be served by the standing files). A
+    // batch carrying EXTRA columns evolves the store when
+    // `mergeSchema` is set: the evolved footer publishes atomically
+    // (EventStreams.evolveStoreSchema) and every read thereafter
+    // serves the appended columns — NULL from pre-evolution bucket
+    // files — so a standing pipeline gains a column with no rebuild.
+    // Append-only keeps keys, bucket hashing, bloom sidecars, and
+    // zone-map ordinals all stable.
+    locally {
+      val common = dataSchema.fields
+        .filter(f => storeSchema.fieldNames.contains(f.name))
+      val missingOrRetyped =
+        EventStreams.shapeMap(storeSchema) !=
+          EventStreams.shapeMap(StructType(common))
+      require(!missingOrRetyped,
+        s"graftstore sink: the stream's schema " +
+          s"(${dataSchema.simpleString}) drops or retypes columns of " +
+          s"$dir's persisted schema (${storeSchema.simpleString}) — " +
+          "only ADDITIVE evolution is servable from standing files; " +
+          "rebuild the store for any other change")
+    }
+    val extras = dataSchema.fields
+      .filterNot(f => storeSchema.fieldNames.contains(f.name))
+    val effSchema: StructType =
+      if (extras.isEmpty) storeSchema
+      else {
+        require(parameters.get("mergeSchema").exists(_.trim.toBoolean),
+          s"graftstore sink: the stream carries new column(s) " +
+            s"${extras.map(_.name).mkString(",")} beyond $dir's " +
+            s"persisted schema (${storeSchema.simpleString}); pass " +
+            "option mergeSchema=true to EVOLVE the store additively " +
+            "(appended columns read as NULL from pre-evolution rows), " +
+            "or drop the columns")
+        val evolved = StructType(storeSchema.fields ++ extras.map(f =>
+          org.apache.spark.sql.types.StructField(
+            f.name, f.dataType, nullable = true)))
+        EventStreams.evolveStoreSchema(spark, dir, evolved)
+        // later batches of THIS query must see the evolved schema, or
+        // each would re-detect extras and publish a duplicate footer
+        resolved = Some((keys, evolved, bloomBits, zones))
+        evolved
+      }
 
     // ---- exactly-once: a committed batch replays as a no-op ----
     // The record is scoped by the query's checkpoint (its body), like
@@ -314,7 +374,7 @@ class GraftStoreSink(
     // every state-facing frame binds the PERSISTED schema's column
     // order — except() and the parquet write align by position, and a
     // later query's select order must not be able to skew them
-    val rows = delta.select(storeSchema.fieldNames.map(col).toIndexedSeq: _*)
+    val rows = delta.select(effSchema.fieldNames.map(col).toIndexedSeq: _*)
     val dirty = rows
       .select(EventStreams.bucketCol(keys, width).as("_b"))
       .distinct().collect().map(_.getInt(0)).toSet
@@ -324,7 +384,7 @@ class GraftStoreSink(
         val state = EventStreams.stateAt(spark, dir,
           EventStreams.versionsOf(
             base.filter { case (k, _) => dirty(k) }),
-          Some(storeSchema))
+          Some(effSchema))
         val merged = policy match {
           case "upsert" =>
             val d = rows.dropDuplicates(keys)
@@ -340,9 +400,9 @@ class GraftStoreSink(
             // (a crash-window re-apply of the same diff is a no-op),
             // matching cdcDiff's set-based emission
             val minus = delta.where(col("change") === "-")
-              .select(storeSchema.fieldNames.map(col).toIndexedSeq: _*)
+              .select(effSchema.fieldNames.map(col).toIndexedSeq: _*)
             val plus = delta.where(col("change") === "+")
-              .select(storeSchema.fieldNames.map(col).toIndexedSeq: _*)
+              .select(effSchema.fieldNames.map(col).toIndexedSeq: _*)
             state.except(minus).unionByName(plus).distinct()
         }
         val written = EventStreams.writeBuckets(
@@ -355,7 +415,7 @@ class GraftStoreSink(
           if (!zones || written.isEmpty)
             Map.empty[Int, graft.streaming.ZoneMaps.BucketStats]
           else graft.streaming.ZoneMaps.collect(spark,
-            s"$dir/v${v + 1}", storeSchema)
+            s"$dir/v${v + 1}", effSchema)
         base ++ dirty.map(k =>
           k -> written.get(k).fold(EventStreams.BucketFiles(-1, None))(
             fs => EventStreams.BucketFiles(v + 1, Some(fs), zs.get(k))))

@@ -261,7 +261,11 @@ object GraftStoreSource {
         s"${vsAll.mkString(",")}) — vacuumed or never committed; omit " +
         "'version' to read the newest")
     (EventStreams.readManifestFull(spark, s"$sd/manifest/v$v"),
-      spark.read.parquet(s"$sd/_empty").schema)
+      // the CURRENT schema (newest evolution footer, else `_empty`):
+      // a version-pinned or historical read still serves the evolved
+      // column set — pre-evolution bucket files yield NULL for
+      // appended columns, the append-only contract
+      EventStreams.storeSchema(spark, sd))
   }
 }
 

@@ -908,6 +908,68 @@ object EventStreams {
       .map(_.stripPrefix("v").toInt).sorted
   }
 
+  // ----- additive schema evolution (raw/sink-maintained stores) -----
+  //
+  // The store's read schema is fixed at creation (`_empty`) — the
+  // right contract for the GRAPH layout, whose merge policies are
+  // column-typed, but a standing SINK pipeline that gains a column
+  // must not need a 100 TB rebuild. Evolution is APPEND-ONLY: each
+  // step writes the full evolved schema as a new `_empty_e{k}` footer
+  // (published by atomic directory RENAME — readers either see the
+  // complete dir or none), and every read resolves the NEWEST footer;
+  // old bucket files served under the evolved schema yield NULL for
+  // the appended columns (explicit-schema parquet reads — exactly why
+  // stateAt's schema parameter exists). Append-only keeps zone-map
+  // ordinals, bloom keys, and bucket hashing all stable.
+
+  /** The store's CURRENT read schema: the newest `_empty_e{k}`
+    * evolution footer, or the creation `_empty`. */
+  private[graft] def storeSchema(spark: SparkSession,
+      dir: String): org.apache.spark.sql.types.StructType = {
+    val (fs, root) = hadoopFs(spark, dir)
+    val es = fs.listStatus(root).toSeq.map(_.getPath.getName)
+      .filter(_.matches("_empty_e\\d+"))
+      .map(_.stripPrefix("_empty_e").toInt)
+    val src = if (es.isEmpty) s"$dir/_empty" else s"$dir/_empty_e${es.max}"
+    spark.read.parquet(src).schema
+  }
+
+  /** Publish `evolved` as the store's next schema footer — write to a
+    * `__tmp` sibling, then RENAME into `_empty_e{k+1}` (atomic on
+    * HDFS and local FS: a reader never lists a half-written footer).
+    * Single-writer like every store mutation; a rename loss (a
+    * concurrent writer won the same k) re-resolves and accepts an
+    * identical winner, else fails loudly. Crash-orphaned `__tmp` dirs
+    * are inert (the resolver's name filter excludes them) and swept
+    * by the sink's vacuum. */
+  private[graft] def evolveStoreSchema(spark: SparkSession, dir: String,
+      evolved: org.apache.spark.sql.types.StructType): Unit = {
+    val (fs, root) = hadoopFs(spark, dir)
+    val k = fs.listStatus(root).toSeq.map(_.getPath.getName)
+      .filter(_.matches("_empty_e\\d+"))
+      .map(_.stripPrefix("_empty_e").toInt)
+      .foldLeft(0)(math.max) + 1
+    val tmp = s"$dir/_empty_e${k}__tmp-${java.util.UUID.randomUUID}"
+    spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], evolved)
+      .coalesce(1).write.mode("overwrite").parquet(tmp)
+    val ok = fs.rename(new org.apache.hadoop.fs.Path(tmp),
+      new org.apache.hadoop.fs.Path(s"$dir/_empty_e$k"))
+    if (!ok) fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    // verify REGARDLESS of the rename result: local-FS rename onto an
+    // existing directory can report success while moving the tmp
+    // INSIDE the racing winner's footer (POSIX mv semantics; the
+    // `_`-prefixed name keeps it invisible to readers) — re-resolving
+    // makes either race outcome loud unless the winner's schema is
+    // identical (then this writer's intent is already served)
+    val now = storeSchema(spark, dir)
+    require(now == evolved,
+      s"$dir: schema evolution raced a concurrent writer and the " +
+        s"surviving footer differs (${now.simpleString} vs " +
+        s"${evolved.simpleString}) — the store is single-writer; " +
+        "quiesce writers and retry")
+  }
+
   private[graft] def stateAt(spark: SparkSession, stateDir: String,
       manifest: Map[Int, Int],
       schema: Option[org.apache.spark.sql.types.StructType] = None)
@@ -929,7 +991,13 @@ object EventStreams {
     * bucket files it references. */
   def cdcState(spark: SparkSession, stateDir: String): DataFrame = {
     val last = manifestVersions(spark, stateDir).max
-    stateAt(spark, stateDir, readManifest(spark, s"$stateDir/manifest/v$last"))
+    // read at the store's CURRENT schema (evolution-aware): on an
+    // evolved store the bucket files are mixed-footer and inference
+    // would serve whichever file it sampled; pre-evolution buckets
+    // yield NULL for appended columns under the explicit schema
+    stateAt(spark, stateDir,
+      readManifest(spark, s"$stateDir/manifest/v$last"),
+      Some(storeSchema(spark, stateDir)))
   }
 
   /** Symmetric row delta between two RETAINED versions of a versioned
@@ -969,10 +1037,16 @@ object EventStreams {
     * index maintain) — vacuumed versions fail loudly on the manifest
     * read. */
   def cdcDiffVersions(spark: SparkSession, stateDir: String,
-      fromV: Int, toV: Int): DataFrame =
+      fromV: Int, toV: Int,
+      schema: Option[org.apache.spark.sql.types.StructType] = None)
+      : DataFrame =
     cdcDiff(spark, stateDir,
       readManifest(spark, s"$stateDir/manifest/v$fromV"),
-      readManifest(spark, s"$stateDir/manifest/v$toV"))
+      readManifest(spark, s"$stateDir/manifest/v$toV"),
+      // both sides of the diff MUST read one schema — on an evolved
+      // store, footer inference could give the two sides different
+      // column sets and except() would throw (or worse, misalign)
+      Some(schema.getOrElse(storeSchema(spark, stateDir))))
 
   /** Vacuum superseded state versions: keep the newest `keepVersions`
     * manifests plus every bucket file they reference; delete

@@ -191,6 +191,11 @@ private[graft] object ZoneMaps {
   final case class Le(v: Any) extends Cmp
   final case class Eq(v: Any) extends Cmp
   final case class Prefix(p: Array[Byte]) extends Cmp
+  /** `IS NOT NULL` — satisfied by any bucket with a non-null value,
+    * so its whole effect is pruning all-null buckets (Spark pushes
+    * one beside every equality/range conjunct, so this fires on
+    * ordinary point reads too). */
+  case object NotNull extends Cmp
 
   /** The (schema ordinal, comparison) conjuncts a scan's pushed
     * filters pin on supported columns. Anything not of a harvested
@@ -231,23 +236,28 @@ private[graft] object ZoneMaps {
       case EqualNullSafe(Literal(v, _), a: Attribute) if lit(v) =>
         ord(a).map(_ -> Eq(v))
       case In(a: Attribute, list)
-          if list.nonEmpty && list.forall {
-            case Literal(v, _) => v != null; case _ => false } =>
+          if list.nonEmpty && list.forall(_.isInstanceOf[Literal]) =>
         // a bounds check (any element inside [min,max]) is exactly a
-        // range intersection on the set's own min/max
-        val vs = list.collect { case Literal(v, _) => v }
-        ord(a).toSeq.flatMap { i =>
+        // range intersection on the set's own min/max; null elements
+        // drop out soundly (`a IN (1, NULL)` keeps only a = 1 rows —
+        // the filter's null result is not kept by a WHERE)
+        val vs = list.collect { case Literal(v, _) if v != null => v }
+        if (vs.isEmpty) None
+        else ord(a).toSeq.flatMap { i =>
           val o = internalOrd(schema.fields(i).dataType)
           Seq(i -> Ge(vs.min(o)), i -> Le(vs.max(o)))
         }
-      case InSet(a: Attribute, hset) if hset.nonEmpty && !hset.contains(null) =>
+      case InSet(a: Attribute, hset) if hset.exists(_ != null) =>
         ord(a).toSeq.flatMap { i =>
           val o = internalOrd(schema.fields(i).dataType)
-          val vs = hset.toSeq
+          val vs = hset.toSeq.filter(_ != null)
           Seq(i -> Ge(vs.min(o)), i -> Le(vs.max(o)))
         }
       case StartsWith(a: Attribute, Literal(v, _)) if lit(v) =>
         ord(a).map(_ -> Prefix(v.asInstanceOf[UTF8String].getBytes))
+      case org.apache.spark.sql.catalyst.expressions
+          .IsNotNull(a: Attribute) =>
+        ord(a).map(_ -> NotNull)
       case _ => None
     }
   }
@@ -307,6 +317,7 @@ private[graft] object ZoneMaps {
         case Le(v) => cmp(mn, bytes(v)) <= 0
         case Eq(v) =>
           cmp(mn, bytes(v)) <= 0 && cmp(mx, bytes(v)) >= 0
+        case NotNull => true
         case Prefix(p) =>
           cmp(mx, p) >= 0 && (truncMaxOf(p) match {
             case None => true // all-0xFF prefix: no finite successor
@@ -329,7 +340,7 @@ private[graft] object ZoneMaps {
         case Lt(v) => cm(mn, d(v)) < 0
         case Le(v) => cm(mn, d(v)) <= 0
         case Eq(v) => cm(mn, d(v)) <= 0 && cm(mx, d(v)) >= 0
-        case Prefix(_) => true
+        case NotNull | Prefix(_) => true
       }
     case _ =>
       val (mn, mx) = (mnEnc.toLong, mxEnc.toLong)
@@ -339,7 +350,7 @@ private[graft] object ZoneMaps {
         case Lt(v) => mn < numL(v)
         case Le(v) => mn <= numL(v)
         case Eq(v) => mn <= numL(v) && mx >= numL(v)
-        case Prefix(_) => true
+        case NotNull | Prefix(_) => true
       }
   }
 

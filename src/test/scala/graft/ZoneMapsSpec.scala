@@ -127,8 +127,12 @@ class ZoneMapsSpec extends AnyFunSuite {
     assert(scanFiles(eq) == 1L)
     assert(eq.select("id").as[Int].collect().toSeq == Seq(42))
     // the always-null column: every bucket all-null, any equality
-    // prunes everything
+    // prunes everything — and so does a bare IS NOT NULL (Spark
+    // pushes one beside every equality, so this shape is on the hot
+    // path of ordinary point reads too)
     assert(scanFiles(zread.where(col("n") === 7)) == 0L)
+    assert(scanFiles(zread.where(col("n").isNotNull)) == 0L)
+    assert(zread.where(col("n").isNotNull).count() == 0)
   }
 
   test("string bounds: equality, IN and prefix prune; absent prefix " +
