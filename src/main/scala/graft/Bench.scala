@@ -1165,7 +1165,11 @@ object Bench {
       "GRAFT_REGISTRY_FOLD", "GRAFT_REGISTRY_FOLD_STEP",
       "GRAFT_SCALE_RUNS", "GRAFT_CDC_BUCKETS", "GRAFT_SCALE_DEDUP_COPIES",
       "GRAFT_DIST_GRAPH_10M", "GRAFT_INC_GRAPH", "GRAFT_INC_GRAPH_STEP",
-      "GRAFT_SCALE_CONTAIN_COPIES", "GRAFT_SCALE_BPE")
+      "GRAFT_SCALE_CONTAIN_COPIES", "GRAFT_SCALE_BPE",
+      // r15 opt: the adaptive-BPE knob is sizing too — it was missing
+      // from this guard, so a local GRAFT_SCALE_BPE_ADAPTIVE=64 run
+      // would have min-merged its toy floor under the full-size name
+      "GRAFT_SCALE_BPE_ADAPTIVE")
       .exists(sys.env.contains) ||
       sfDir != "/root/testdata/sf0.1" // the sf knob is sizing too
     val bestFile = sys.env.getOrElse("GRAFT_BENCH_BEST", "bench_best.json")

@@ -178,9 +178,16 @@ object GraphAlgorithms {
       return spark.createDataset(rows).toDF("id", "component")
     }
     withGraphShuffle(spark, edgesSmall.count()) {
+      // The undirected edge frame is joined on `b` EVERY round of the
+      // fixpoint; hash-partition it on the join key once and
+      // checkpoint (LogicalRDD preserves outputPartitioning), so each
+      // round's join exchanges only the round's label frame, never
+      // the 2|E|-row edge list (guide §2.4: operations keyed the same
+      // way share one exchange).
       val und = edgesSmall.toDF("a", "b")
         .unionByName(edgesSmall.toDF("b", "a").select(col("a"), col("b")))
-        .cache()
+        .repartition(col("b"))
+        .localCheckpoint(eager = true)
       var labels = und.select(col("a").as("id")).distinct()
         .withColumn("component", col("id")).cache()
       var converged = false
@@ -293,7 +300,11 @@ object GraphAlgorithms {
       col(dst).cast("string").as("b"))
       .where(col("a") =!= col("b"))
     val und = e.unionByName(e.select(col("b").as("a"), col("a").as("b")))
-      .distinct().localCheckpoint(eager = true)
+      .distinct()
+      // joined on `b` every power-method round — partition on the join
+      // key once, checkpoint preserves it (guide §2.4)
+      .repartition(col("b"))
+      .localCheckpoint(eager = true)
     val verts = und.select(col("a").as("id")).distinct()
     // Unlike the fixpoint algorithms (CC/SCC/k-core), the power
     // method reads NOTHING on the driver between rounds, so no round
@@ -423,11 +434,17 @@ object GraphAlgorithms {
         .toDF("id", "rank_ppm")
     }
     withGraphShuffle(edges.sparkSession, eDeg.count()) {
+      // the edge frame is joined on `a` every iteration — partition it
+      // on the join key once (checkpoint preserves the partitioning)
+      // so the 10 rounds exchange only the rank frames (guide §2.4);
+      // done inside the distributed branch only: the local fast path
+      // collects eDeg and must not pay an extra shuffle
+      val eP = eDeg.repartition(col("a")).localCheckpoint(eager = true)
       val vm = mask.localCheckpoint(eager = true)
       var rank = vm.select(col("id"), (col("_seed") * scale).as("r"))
       var i = 0
       while (i < iterations) {
-        val contrib = eDeg
+        val contrib = eP
           .join(rank.select(col("id").as("a"), col("r")), "a")
           .groupBy(col("b").as("id"))
           .agg(sum(expr(if (hasW) "(r * 85 * w) div (100 * deg)"
@@ -1709,8 +1726,15 @@ object GraphAlgorithms {
     val e = edges.select(col(src).cast("string").as("a"),
       col(dst).cast("string").as("b"))
       .where(col("a") =!= col("b"))
+    // the adjacency is joined on `a` at EVERY step — partition it on
+    // the join key once and checkpoint (guide §2.4: the steps then
+    // exchange only the walk frontier, never the edge list), which
+    // also keeps the plan flat instead of embedding the und subplan
+    // `steps` times
     val und = e.unionByName(e.select(col("b").as("a"), col("a").as("b")))
       .distinct()
+      .repartition(col("a"))
+      .localCheckpoint(eager = true)
     var cur = sources
       .select(col(sources.columns.head).cast("string").as("walk"))
       .distinct()
@@ -1722,6 +1746,12 @@ object GraphAlgorithms {
       // exactly the row a (h, b)-ordered rank-1 window would — minus
       // the per-walk sort and with partial aggregation before the
       // shuffle (a walk's candidates combine within each map task).
+      // Lazily checkpointed per step (eigenvectorDF's trick): each
+      // step is consumed by the next join AND the final union, and an
+      // un-truncated plan would embed every prior step's subplan
+      // twice over — quadratic plan growth the optimizer then chews
+      // on; the lazy form truncates the logical plan with no extra
+      // job.
       cur = cur.join(und, cur("node") === und("a"))
         .select(col("walk"), struct(
           md5(concat_ws("|", col("walk"), lit(k), col("node"), col("b")))
@@ -1729,6 +1759,7 @@ object GraphAlgorithms {
           col("b")).as("hb"))
         .groupBy("walk").agg(min("hb").as("hb"))
         .select(col("walk"), col("hb.b").as("node"), lit(k).as("step"))
+        .localCheckpoint(eager = false)
       acc = acc.unionByName(cur)
     }
     acc.select(col("walk"), col("step"), col("node"))
@@ -1894,12 +1925,17 @@ object GraphAlgorithms {
     // lbl(v) = min over {v} ∪ {u : u →* v in e}. One edge hop + one
     // label hop per round → O(log diameter) rounds.
     def minProp(e: DataFrame, verts: DataFrame): DataFrame = {
+      // e is joined on `a` every round — pre-partition it on the join
+      // key once per fixpoint (checkpoint preserves the partitioning),
+      // so rounds exchange only the label frames, never the edge list
+      // (guide §2.4; the same trade connectedComponentsDF makes)
+      val eP = e.repartition(col("a")).localCheckpoint(eager = true)
       var lbl = verts.withColumn("lbl", col("id"))
         .localCheckpoint(eager = true)
       var converged = false
       var i = 0
       while (!converged && i < maxIter) {
-        val nbrMin = e
+        val nbrMin = eP
           .join(lbl.select(col("id").as("a"), col("lbl").as("albl")), "a")
           .groupBy(col("b").as("id")).agg(min("albl").as("nbr"))
         val hop = lbl.withColumnRenamed("lbl", "old")

@@ -72,23 +72,39 @@ object GraphStore {
         (if (zones) "zones=*\n" else ""))
     val present = EventStreams.writeBuckets(
       snapshot, bucketKeys, buckets, s"$tdir/v0")
-    bloomBits.filter(_ => present.nonEmpty).foreach(bits =>
-      EventStreams.writeBucketBlooms(spark, s"$tdir/v0", bucketKeys, bits))
+    // bloom sidecars and zone stats both read the buckets just
+    // written and are independent jobs — overlap them (r15 opt: the
+    // serial chain paid both job latencies per table; the sidecar is
+    // awaited before the manifest publishes so post-conditions are
+    // unchanged)
+    val schema = snapshot.schema
+    val bloomF = bloomSidecarsAsync(spark, s"$tdir/v0", bucketKeys,
+      bloomBits.filter(_ => present.nonEmpty), schema)
     val zs = collectZones(spark, tdir, s"$tdir/v0",
-      zones && present.nonEmpty)
+      zones && present.nonEmpty, Some(schema))
+    scala.concurrent.Await.result(
+      bloomF, scala.concurrent.duration.Duration.Inf)
     EventStreams.writeManifestFull(spark, s"$tdir/manifest/v0",
       (0 until buckets).map(k =>
         k -> present.get(k).fold(EventStreams.BucketFiles(-1, None))(fs =>
           EventStreams.BucketFiles(0, Some(fs), zs.get(k)))).toMap)
   }
 
-  /** Whether the table declared zone-map maintenance at creation (the
-    * `zones=` meta line) — consulted by WRITE paths only (one extra
-    * small-file read per apply; serving reads are declaration-free:
-    * stats presence in the manifest is self-describing). */
-  private def tableZones(spark: SparkSession, tdir: String): Boolean =
-    EventStreams.readSmallFile(spark, metaPath(tdir))
-      .linesIterator.exists(_.startsWith("zones="))
+  /** Publish the `_bloom` sidecars of a just-written version dir as a
+    * concurrent job stream (None bits → completed no-op). The write
+    * path overlaps it with the zone-stats pass — both read the same
+    * fresh bucket files; callers await before committing the manifest
+    * so a completed apply always has its sidecars on disk. */
+  private def bloomSidecarsAsync(spark: SparkSession, vdir: String,
+      bucketKeys: Seq[String], bits: Option[Int],
+      schema: org.apache.spark.sql.types.StructType)
+      : scala.concurrent.Future[Unit] = bits match {
+    case None => scala.concurrent.Future.successful(())
+    case Some(b) =>
+      import scala.concurrent.ExecutionContext.Implicits.global
+      scala.concurrent.Future(EventStreams.writeBucketBlooms(
+        spark, vdir, bucketKeys, b, Some(schema)))
+  }
 
   /** Zone-map stats of the buckets just written under `vdir` (empty
     * when the table does not maintain them) — the per-commit
@@ -96,16 +112,26 @@ object GraphStore {
     * manifest's dirty entries; unchanged buckets inherit their stats
     * with their version pointer. */
   private def collectZones(spark: SparkSession, tdir: String,
-      vdir: String, enabled: Boolean)
+      vdir: String, enabled: Boolean,
+      schema: Option[org.apache.spark.sql.types.StructType] = None)
       : Map[Int, graft.streaming.ZoneMaps.BucketStats] =
     if (!enabled) Map.empty
     else graft.streaming.ZoneMaps.collect(spark, vdir,
-      tableSchema(spark, tdir))
+      schema.getOrElse(tableSchema(spark, tdir)))
 
   /** (bucket count, bucket keys, bloom sidecar bits when the table
     * maintains key blooms — the optional third meta line). */
   private def tableMeta(spark: SparkSession,
       tdir: String): (Int, Seq[String], Option[Int]) = {
+    val (b, k, bits, _) = tableMetaFull(spark, tdir)
+    (b, k, bits)
+  }
+
+  /** [[tableMeta]] plus the zone-map declaration — the write paths
+    * need all four and must not pay two small-file round-trips per
+    * apply for one file's content. */
+  private def tableMetaFull(spark: SparkSession,
+      tdir: String): (Int, Seq[String], Option[Int], Boolean) = {
     val lines = EventStreams.readSmallFile(spark, metaPath(tdir))
       .linesIterator.filter(_.nonEmpty).toSeq
     // pre-round-13 stores wrote a ONE-line meta (bucket count only;
@@ -117,7 +143,8 @@ object GraphStore {
         "GraphStore.init from a refold (GraphLoad.loadAll)")
     (lines.head.trim.toInt, lines(1).split(',').toSeq,
       lines.drop(2).find(_.startsWith("bloom="))
-        .map(_.stripPrefix("bloom=").trim.toInt))
+        .map(_.stripPrefix("bloom=").trim.toInt),
+      lines.drop(2).exists(_.startsWith("zones=")))
   }
 
   private def tableBuckets(spark: SparkSession, tdir: String): Int =
@@ -229,7 +256,12 @@ object GraphStore {
   private def applyTable(spark: SparkSession, tdir: String,
       delta: DataFrame,
       merge: (DataFrame, DataFrame) => DataFrame): (Int, Int) = {
-    val (_, bucketKeys, bloomBits) = tableMeta(spark, tdir)
+    // one meta + one `_empty` footer read per apply (r15 opt: the
+    // schema guard, the dirty-state read, and the zone/bloom passes
+    // each re-read them before — 3-4 small round-trips per table per
+    // release on the store's hottest write path)
+    val (_, bucketKeys, bloomBits, zones) = tableMetaFull(spark, tdir)
+    val expectT = tableSchema(spark, tdir)
     // SCHEMA GUARD, before the claim (a mismatched apply must not
     // burn a version claim): the table's READ schema is fixed at init
     // (`_empty` is what every stateAt read pins to), so an apply whose
@@ -245,8 +277,6 @@ object GraphStore {
     // loudly naming the remedy, whether the drift surfaces as a
     // mismatched output schema or as a merge that no longer analyzes.
     locally {
-      import org.apache.spark.sql.types._
-      val expectT = tableSchema(spark, tdir)
       def remedy(detail: String, cause: Throwable = null): Nothing =
         throw new IllegalArgumentException(
           s"requirement failed: $tdir: $detail the table's persisted " +
@@ -311,19 +341,24 @@ object GraphStore {
       else {
         val dirtyState = EventStreams.stateAt(spark, tdir,
           EventStreams.versionsOf(base.filter { case (k, _) => dirty(k) }),
-          Some(tableSchema(spark, tdir)))
+          Some(expectT))
         val written = EventStreams.writeBuckets(
           merge(dirtyState, d), bucketKeys, buckets, s"$tdir/v${v + 1}")
         // bloom-maintaining stores sidecar every REWRITTEN bucket
         // (full key set of the rewrite — the bucket is copy-on-write);
-        // inherited buckets keep the sidecars their versions carry
-        bloomBits.filter(_ => written.nonEmpty).foreach(bits =>
-          EventStreams.writeBucketBlooms(spark, s"$tdir/v${v + 1}",
-            bucketKeys, bits))
+        // inherited buckets keep the sidecars their versions carry.
+        // The sidecar job and the zone-stat job both read the buckets
+        // just written and are independent — run them as concurrent
+        // job streams (r15 opt), awaiting the sidecars before the
+        // manifest publishes so a returned apply always has them.
+        val bloomF = bloomSidecarsAsync(spark, s"$tdir/v${v + 1}",
+          bucketKeys, bloomBits.filter(_ => written.nonEmpty), expectT)
         // zone-map stores re-stat every rewritten bucket (the rewrite
         // IS the full bucket state — copy-on-write)
         val zs = collectZones(spark, tdir, s"$tdir/v${v + 1}",
-          written.nonEmpty && tableZones(spark, tdir))
+          written.nonEmpty && zones, Some(expectT))
+        scala.concurrent.Await.result(
+          bloomF, scala.concurrent.duration.Duration.Inf)
         // unchanged buckets inherit version + file/zone stats by
         // reference
         base ++ dirty.map(k =>
@@ -455,31 +490,44 @@ object GraphStore {
     // .ZoneMaps).
     val bb = if (keyBlooms) Some(bloomBits) else None
     val zm = zoneMaps
-    initTable(spark, s"$dir/GFE", g.gfe, Seq("name"), buckets, bb, zm)
-    initTable(spark, s"$dir/Sequence", g.sequence, Seq("name"), buckets,
-      bb, zm)
-    initTable(spark, s"$dir/Feature", g.feature,
-      Seq("locus", "rank", "term", "accession"), buckets, bb, zm)
-    initTable(spark, s"$dir/IPD_Allele", g.ipdAllele, Seq("name"),
-      buckets, bb, zm)
-    initTable(spark, s"$dir/IPD_Accession", g.ipdAccession,
-      Seq("name"), buckets, bb, zm)
-    initTable(spark, s"$dir/Submitter", g.submitter, Seq("name"),
-      buckets, bb, zm)
-    initTable(spark, s"$dir/HAS_IPD_ALLELE", g.hasIpdAllele,
-      Seq("dst"), buckets, bb, zm)
-    initTable(spark, s"$dir/HAS_IPD_ACCESSION", g.hasIpdAccession,
-      Seq("dst"), buckets, bb, zm)
-    initTable(spark, s"$dir/SUBMITTED", g.submitted,
-      Seq("dst"), buckets, bb, zm)
-    initTable(spark, s"$dir/HAS_SEQUENCE", g.hasSequence,
-      Seq("src"), buckets, bb, zm)
-    initTable(spark, s"$dir/HAS_FEATURE", g.hasFeature,
-      Seq("src"), buckets, bb, zm)
-    // the seq_id-keyed Sequence-node index HAS_SEQUENCE probes
-    initTable(spark, s"$dir/SEQ_INDEX",
-      g.sequence.select(col("seq_id"), col("name")), Seq("seq_id"),
-      buckets, bb, zm)
+    // The per-table inits are independent stores (disjoint
+    // directories) — run them as concurrent job streams, exactly like
+    // applyRelease's per-table MERGEs (r15 opt: serialized, a 12-17
+    // table init paid every table's write+bloom+zones job latency
+    // back-to-back; the input graph's caches are populated by
+    // loadAll before this fan-out, so the concurrent jobs read hot
+    // cache). writeMarker still publishes LAST, after every table's
+    // manifest committed.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val inits = scala.collection.mutable.ArrayBuffer[Future[Unit]](
+      Future(initTable(spark, s"$dir/GFE", g.gfe, Seq("name"), buckets,
+        bb, zm)),
+      Future(initTable(spark, s"$dir/Sequence", g.sequence, Seq("name"),
+        buckets, bb, zm)),
+      Future(initTable(spark, s"$dir/Feature", g.feature,
+        Seq("locus", "rank", "term", "accession"), buckets, bb, zm)),
+      Future(initTable(spark, s"$dir/IPD_Allele", g.ipdAllele,
+        Seq("name"), buckets, bb, zm)),
+      Future(initTable(spark, s"$dir/IPD_Accession", g.ipdAccession,
+        Seq("name"), buckets, bb, zm)),
+      Future(initTable(spark, s"$dir/Submitter", g.submitter,
+        Seq("name"), buckets, bb, zm)),
+      Future(initTable(spark, s"$dir/HAS_IPD_ALLELE", g.hasIpdAllele,
+        Seq("dst"), buckets, bb, zm)),
+      Future(initTable(spark, s"$dir/HAS_IPD_ACCESSION",
+        g.hasIpdAccession, Seq("dst"), buckets, bb, zm)),
+      Future(initTable(spark, s"$dir/SUBMITTED", g.submitted,
+        Seq("dst"), buckets, bb, zm)),
+      Future(initTable(spark, s"$dir/HAS_SEQUENCE", g.hasSequence,
+        Seq("src"), buckets, bb, zm)),
+      Future(initTable(spark, s"$dir/HAS_FEATURE", g.hasFeature,
+        Seq("src"), buckets, bb, zm)),
+      // the seq_id-keyed Sequence-node index HAS_SEQUENCE probes
+      Future(initTable(spark, s"$dir/SEQ_INDEX",
+        g.sequence.select(col("seq_id"), col("name")), Seq("seq_id"),
+        buckets, bb, zm)))
     // DUAL-ANCHOR layout (opt-in): each traversal edge table gets a
     // `__rev` twin holding the SAME rows bucketed by the OPPOSITE
     // anchor, so EITHER traversal direction is a bucket-pruned probe
@@ -499,10 +547,15 @@ object GraphStore {
         "HAS_SEQUENCE" -> g.hasSequence,
         "HAS_FEATURE" -> g.hasFeature)
       revAnchors.foreach { case (t, keys) =>
-        initTable(spark, s"$dir/${t}__rev", src(t), keys, buckets, bb,
-          zm)
+        inits += Future(initTable(spark, s"$dir/${t}__rev", src(t),
+          keys, buckets, bb, zm))
       }
     }
+    // completion barrier BEFORE failure propagation (applyRelease's
+    // discipline): a caller's cleanup/retry must never race a
+    // still-running sibling initTable on the same store dir
+    inits.foreach(f => Await.ready(f, Duration.Inf))
+    inits.foreach(Await.result(_, Duration.Inf))
     writeMarker(spark, dir, tablesOf(spark, dir).map(_ -> 0).toMap)
   }
 
@@ -611,23 +664,31 @@ object GraphStore {
     // accumulated edges). Both checks are O(dirty-bucket) index
     // reads, the same I/O class as the apply itself.
     locally {
-      val crossName = stateForKeys(spark, s"$dir/SEQ_INDEX",
-        seqDelta.select("seq_id"), Seq("seq_id"))
-        .withColumnRenamed("name", "_oname")
-        .join(broadcast(seqDelta.select(col("seq_id"), col("name"))),
-          Seq("seq_id"))
-        .where(col("name") =!= col("_oname")).limit(1).count()
-      require(crossName == 0,
+      // the two directions are independent index probes over disjoint
+      // tables (SEQ_INDEX, Sequence) — concurrent job streams (r15
+      // opt); both still complete BEFORE any apply commits (probing
+      // Sequence while its own overwrite apply runs would race)
+      val crossNameF = Future {
+        stateForKeys(spark, s"$dir/SEQ_INDEX",
+          seqDelta.select("seq_id"), Seq("seq_id"))
+          .withColumnRenamed("name", "_oname")
+          .join(broadcast(seqDelta.select(col("seq_id"), col("name"))),
+            Seq("seq_id"))
+          .where(col("name") =!= col("_oname")).limit(1).count()
+      }
+      val reIdF = Future {
+        stateForKeys(spark, s"$dir/Sequence",
+          seqDelta.select("name"), Seq("name"))
+          .select(col("name"), col("seq_id").as("_oid"))
+          .join(broadcast(seqDelta.select(col("name"), col("seq_id"))),
+            Seq("name"))
+          .where(col("seq_id") =!= col("_oid")).limit(1).count()
+      }
+      require(Await.result(crossNameF, Duration.Inf) == 0,
         "GraphStore.applyRelease: a sequence (seq_id) reappeared " +
           "under a new GFE name — the incremental HAS_SEQUENCE probe " +
           "cannot see old pairs; rebuild the store from a refold")
-      val reId = stateForKeys(spark, s"$dir/Sequence",
-        seqDelta.select("name"), Seq("name"))
-        .select(col("name"), col("seq_id").as("_oid"))
-        .join(broadcast(seqDelta.select(col("name"), col("seq_id"))),
-          Seq("name"))
-        .where(col("seq_id") =!= col("_oid")).limit(1).count()
-      require(reId == 0,
+      require(Await.result(reIdF, Duration.Inf) == 0,
         "GraphStore.applyRelease: a GFE name changed its sequence " +
           "(seq_id) — accumulated HAS_SEQUENCE edges would go stale; " +
           "rebuild the store from a refold")
@@ -1034,36 +1095,50 @@ object GraphStore {
     }
     // PHASE 2 — rewrite every table under the new width and commit
     // its manifest; readers keep serving the marker-pinned old
-    // layout (their width comes from the pinned manifest itself)
-    val versions = claimed.map { case (t, v) =>
-      val tdir = s"$dir/$t"
-      val (_, keys, bloomBits) = tableMeta(spark, tdir)
-      val state = EventStreams.stateAt(spark, tdir,
-        servingManifest(spark, dir, t), Some(tableSchema(spark, tdir)))
-      val written = EventStreams.writeBuckets(
-        state, keys, newBuckets, s"$tdir/v${v + 1}")
-      // bloom sidecars rebuild with the layout (every bucket is
-      // rewritten — this is also what restores a bloom's fp ratio
-      // after the per-bucket key count outgrew its bit width)
-      bloomBits.filter(_ => written.nonEmpty).foreach(bits =>
-        EventStreams.writeBucketBlooms(spark, s"$tdir/v${v + 1}",
-          keys, bits))
-      // zone stats rebuild with the layout, like the blooms
-      val zones = tableZones(spark, tdir)
-      val zs = collectZones(spark, tdir, s"$tdir/v${v + 1}",
-        written.nonEmpty && zones)
-      EventStreams.writeManifestExclusiveFull(spark,
-        s"$tdir/manifest/v${v + 1}",
-        (0 until newBuckets).map(k =>
-          k -> written.get(k).fold(EventStreams.BucketFiles(-1, None))(
-            fs => EventStreams.BucketFiles(v + 1, Some(fs), zs.get(k))))
-          .toMap)
-      EventStreams.writeSmallFile(spark, metaPath(tdir),
-        s"$newBuckets\n${keys.mkString(",")}\n" +
-          bloomBits.fold("")(b => s"bloom=$b\n") +
-          (if (zones) "zones=*\n" else ""))
-      t -> (v + 1)
-    }.toMap
+    // layout (their width comes from the pinned manifest itself).
+    // Per-table rewrites are independent (disjoint dirs, claims all
+    // held from PHASE 1) — concurrent job streams, applyRelease's
+    // discipline (r15 opt: serialized, the migration paid 12-17
+    // full-table rewrite latencies back-to-back).
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val rewrites = claimed.map { case (t, v) =>
+      Future {
+        val tdir = s"$dir/$t"
+        val (_, keys, bloomBits, zones) = tableMetaFull(spark, tdir)
+        val schema = tableSchema(spark, tdir)
+        val state = EventStreams.stateAt(spark, tdir,
+          servingManifest(spark, dir, t), Some(schema))
+        val written = EventStreams.writeBuckets(
+          state, keys, newBuckets, s"$tdir/v${v + 1}")
+        // bloom sidecars rebuild with the layout (every bucket is
+        // rewritten — this is also what restores a bloom's fp ratio
+        // after the per-bucket key count outgrew its bit width);
+        // zone stats rebuild with the layout — the two passes overlap
+        // like applyTable's
+        val bloomF = bloomSidecarsAsync(spark, s"$tdir/v${v + 1}",
+          keys, bloomBits.filter(_ => written.nonEmpty), schema)
+        val zs = collectZones(spark, tdir, s"$tdir/v${v + 1}",
+          written.nonEmpty && zones, Some(schema))
+        Await.result(bloomF, Duration.Inf)
+        EventStreams.writeManifestExclusiveFull(spark,
+          s"$tdir/manifest/v${v + 1}",
+          (0 until newBuckets).map(k =>
+            k -> written.get(k).fold(EventStreams.BucketFiles(-1, None))(
+              fs => EventStreams.BucketFiles(v + 1, Some(fs), zs.get(k))))
+            .toMap)
+        EventStreams.writeSmallFile(spark, metaPath(tdir),
+          s"$newBuckets\n${keys.mkString(",")}\n" +
+            bloomBits.fold("")(b => s"bloom=$b\n") +
+            (if (zones) "zones=*\n" else ""))
+        t -> (v + 1)
+      }
+    }
+    // completion barrier before failure propagation (applyRelease's
+    // rule: a retry must never race a still-running sibling rewrite)
+    rewrites.foreach(f => Await.ready(f, Duration.Inf))
+    val versions = rewrites.map(Await.result(_, Duration.Inf)).toMap
     // PHASE 3 — one marker: the store-level atomic cutover
     writeMarker(spark, dir, versions)
     // old-layout history is superseded — prune it (vacuum keeps the

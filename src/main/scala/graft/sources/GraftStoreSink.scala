@@ -409,7 +409,7 @@ class GraftStoreSink(
           merged, keys, width, s"$dir/v${v + 1}")
         bloomBits.filter(_ => written.nonEmpty).foreach(bits =>
           EventStreams.writeBucketBlooms(spark, s"$dir/v${v + 1}",
-            keys, bits))
+            keys, bits, Some(effSchema)))
         // zone-declared stores re-stat every rewritten bucket
         val zs =
           if (!zones || written.isEmpty)

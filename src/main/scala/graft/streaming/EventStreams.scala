@@ -629,8 +629,16 @@ object EventStreams {
     * positions per dirty bucket (16 KiB of bitset at the default
     * width), dirty-bucket-bounded like the write itself. */
   private[graft] def writeBucketBlooms(spark: SparkSession,
-      vdir: String, keys: Seq[String], bits: Int): Unit = {
-    val perBucket = spark.read.parquet(vdir)
+      vdir: String, keys: Seq[String], bits: Int,
+      schema: Option[org.apache.spark.sql.types.StructType] = None)
+      : Unit = {
+    // the write path knows the bucket files' schema — an explicit
+    // schema (plus the partition column) skips per-call parquet
+    // footer inference over every bucket dir (r15 opt; stateAt makes
+    // the same trade)
+    val rd = schema.fold(spark.read)(s => spark.read.schema(
+      s.add("_graft_bucket", org.apache.spark.sql.types.IntegerType)))
+    val perBucket = rd.parquet(vdir)
       .select(col("_graft_bucket").cast("int").as("_b"),
         xxhash64(keys.map(col): _*).as("_h"))
       .select(col("_b"),

@@ -101,7 +101,14 @@ private[graft] object ZoneMaps {
     val aggs = cols.flatMap { case (f, i) =>
       Seq(min(statCol(f)).as(s"mn$i"), max(statCol(f)).as(s"mx$i"))
     }
-    val rows = spark.read.parquet(vdir)
+    // schema is the bucket files' own (the caller's pinned table
+    // schema) — declaring it, plus the partition column, skips
+    // per-call parquet footer inference over the bucket dirs (r15
+    // opt; the bloom sidecar build makes the same trade)
+    val rows = spark.read
+      .schema(schema.add("_graft_bucket",
+        org.apache.spark.sql.types.IntegerType))
+      .parquet(vdir)
       .groupBy(col("_graft_bucket").cast("int").as("_b"))
       .agg(aggs.head, aggs.tail.toIndexedSeq: _*)
       .collect()
