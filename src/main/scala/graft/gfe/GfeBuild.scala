@@ -92,8 +92,19 @@ object GfeBuild {
         coalesce(col("base_acc"), lit(0L)) + dense_rank().over(w))
       .select(col("locus"), col("term"), col("rank"), col("sequence"),
         col("accession").cast("long").as("accession"))
+    // Cap the union's partition count (narrow coalesce, no shuffle):
+    // a registry FOLD feeds each step's output back in as the next
+    // step's input, and a union's partitioning is the concatenation
+    // of its children's — uncapped, the carried registry gains the
+    // window output's partitions EVERY release and a 57-release fold
+    // ends up scanning hundreds of splinter partitions per step (two
+    // registry scans per step — the anti-join and the base-accession
+    // agg — each paying a task launch per splinter). r15 opt; the cap
+    // is the session's own parallelism, so a genuinely large registry
+    // still scans wide.
     registry.select("locus", "term", "rank", "sequence", "accession")
       .unionByName(assigned)
+      .coalesce(registry.sparkSession.sparkContext.defaultParallelism)
   }
 
   /** Empty registry with the canonical schema. */

@@ -91,6 +91,28 @@ object GraphAlgorithms {
     * bench, Verify, and every spec do); a caller that shares one
     * session across query threads should hand the algorithm a
     * `spark.newSession()` clone, which scopes the conf for free. */
+  /** Materialize `df` hash-partitioned on `key` with the partitioning
+    * RECORDED on the checkpointed plan, so every subsequent join on
+    * `key` satisfies its distribution from the checkpoint and only
+    * the OTHER side exchanges (guide §2.4 — an iterative fixpoint's
+    * static edge frame must not re-shuffle every round). Under AQE
+    * the checkpoint's LogicalRDD captures UnknownPartitioning (the
+    * adaptive plan's partitioning is not final at capture time —
+    * verified in-plan: `Scan ExistingRDD ... UnknownPartitioning`
+    * with AQE on, `hashpartitioning(key, p)` with it off), so AQE is
+    * disabled for just this one materialization. Same session-conf
+    * scoping contract as [[withGraphShuffle]]: the engine's callers
+    * run fixpoints single-threaded per session. */
+  private def partitionedCheckpoint(df: DataFrame,
+      key: String): DataFrame = {
+    val spark = df.sparkSession
+    val k = "spark.sql.adaptive.enabled"
+    val prev = spark.conf.get(k)
+    spark.conf.set(k, "false")
+    try df.repartition(col(key)).localCheckpoint(eager = true)
+    finally spark.conf.set(k, prev)
+  }
+
   private def withGraphShuffle[T](spark: SparkSession, edgeCount: Long,
       perPartition: Long = 1000000L)(body: => T): T = {
     val key = "spark.sql.shuffle.partitions"
@@ -184,10 +206,10 @@ object GraphAlgorithms {
       // round's join exchanges only the round's label frame, never
       // the 2|E|-row edge list (guide §2.4: operations keyed the same
       // way share one exchange).
-      val und = edgesSmall.toDF("a", "b")
-        .unionByName(edgesSmall.toDF("b", "a").select(col("a"), col("b")))
-        .repartition(col("b"))
-        .localCheckpoint(eager = true)
+      val und = partitionedCheckpoint(
+        edgesSmall.toDF("a", "b")
+          .unionByName(edgesSmall.toDF("b", "a").select(col("a"), col("b"))),
+        "b")
       var labels = und.select(col("a").as("id")).distinct()
         .withColumn("component", col("id")).cache()
       var converged = false
@@ -299,12 +321,11 @@ object GraphAlgorithms {
     val e = edges.select(col(src).cast("string").as("a"),
       col(dst).cast("string").as("b"))
       .where(col("a") =!= col("b"))
-    val und = e.unionByName(e.select(col("b").as("a"), col("a").as("b")))
-      .distinct()
-      // joined on `b` every power-method round — partition on the join
-      // key once, checkpoint preserves it (guide §2.4)
-      .repartition(col("b"))
-      .localCheckpoint(eager = true)
+    // joined on `b` every power-method round — partition on the join
+    // key once with the partitioning recorded (guide §2.4)
+    val und = partitionedCheckpoint(
+      e.unionByName(e.select(col("b").as("a"), col("a").as("b")))
+        .distinct(), "b")
     val verts = und.select(col("a").as("id")).distinct()
     // Unlike the fixpoint algorithms (CC/SCC/k-core), the power
     // method reads NOTHING on the driver between rounds, so no round
@@ -439,7 +460,7 @@ object GraphAlgorithms {
       // so the 10 rounds exchange only the rank frames (guide §2.4);
       // done inside the distributed branch only: the local fast path
       // collects eDeg and must not pay an extra shuffle
-      val eP = eDeg.repartition(col("a")).localCheckpoint(eager = true)
+      val eP = partitionedCheckpoint(eDeg, "a")
       val vm = mask.localCheckpoint(eager = true)
       var rank = vm.select(col("id"), (col("_seed") * scale).as("r"))
       var i = 0
@@ -1731,10 +1752,9 @@ object GraphAlgorithms {
     // exchange only the walk frontier, never the edge list), which
     // also keeps the plan flat instead of embedding the und subplan
     // `steps` times
-    val und = e.unionByName(e.select(col("b").as("a"), col("a").as("b")))
-      .distinct()
-      .repartition(col("a"))
-      .localCheckpoint(eager = true)
+    val und = partitionedCheckpoint(
+      e.unionByName(e.select(col("b").as("a"), col("a").as("b")))
+        .distinct(), "a")
     var cur = sources
       .select(col(sources.columns.head).cast("string").as("walk"))
       .distinct()
@@ -1924,12 +1944,10 @@ object GraphAlgorithms {
     // Min-label propagation fixpoint with the doubling shortcut:
     // lbl(v) = min over {v} ∪ {u : u →* v in e}. One edge hop + one
     // label hop per round → O(log diameter) rounds.
-    def minProp(e: DataFrame, verts: DataFrame): DataFrame = {
-      // e is joined on `a` every round — pre-partition it on the join
-      // key once per fixpoint (checkpoint preserves the partitioning),
-      // so rounds exchange only the label frames, never the edge list
-      // (guide §2.4; the same trade connectedComponentsDF makes)
-      val eP = e.repartition(col("a")).localCheckpoint(eager = true)
+    // e must arrive pre-partitioned on `a` (partitionedCheckpoint —
+    // done SERIALLY by the caller: the helper toggles a session conf,
+    // and the fwd/bwd fixpoints run as concurrent futures)
+    def minProp(eP: DataFrame, verts: DataFrame): DataFrame = {
       var lbl = verts.withColumn("lbl", col("id"))
         .localCheckpoint(eager = true)
       var converged = false
@@ -1988,15 +2006,36 @@ object GraphAlgorithms {
           .localCheckpoint(eager = true)
         val trimmed = alive.join(keep, Seq("id"), "left_anti")
           .localCheckpoint(eager = true)
-        if (trimmed.limit(1).count() == 0) trimming = false
+        // both frames are materialized checkpoints — the counts are
+        // partition scans, not recomputes
+        val trimmedCnt = trimmed.count()
+        if (trimmedCnt == 0) trimming = false
         else {
           comps += trimmed.withColumn("component", col("id"))
+          val aliveCnt = alive.count()
           alive = keep
-          e = e
-            .join(keep.select(col("id").as("a")), Seq("a"), "left_semi")
-            .join(keep.select(col("id").as("b")), Seq("b"), "left_semi")
-            .select("a", "b")
-            .localCheckpoint(eager = true)
+          // The e-rewrite exists ONLY to shrink the frames the
+          // propagation scans — the fixpoints are restricted to
+          // `alive` regardless (unlabeled endpoints contribute
+          // nothing, and within-SCC witness paths never pass through
+          // a trimmed vertex: every vertex on a u→v→u loop is on a
+          // cycle). When a trim round removed a negligible slice
+          // (< ~1.5% of alive — e.g. the ends of one long chain next
+          // to millions of cycle vertices), rewriting the whole edge
+          // list costs two edge-sized semi-joins + a materialization
+          // to save almost nothing downstream, so skip it; further
+          // trim layers can't expose without the rewrite, so stop
+          // trimming and let the pair-class edge drop absorb the
+          // stalled layers (a dropped-pair chain trims whole next
+          // round). r15 opt, measured on the 10M-edge tier where trim
+          // peeled 6 chain vertices for three full-edge rewrites.
+          if (trimmedCnt * 64 >= aliveCnt) {
+            e = e
+              .join(keep.select(col("id").as("a")), Seq("a"), "left_semi")
+              .join(keep.select(col("id").as("b")), Seq("b"), "left_semi")
+              .select("a", "b")
+              .localCheckpoint(eager = true)
+          } else trimming = false
         }
         trimRounds += 1
       }
@@ -2010,9 +2049,15 @@ object GraphAlgorithms {
           import scala.concurrent.{Await, Future}
           import scala.concurrent.duration.Duration
           import scala.concurrent.ExecutionContext.Implicits.global
-          val f = Future(minProp(e, alive))
-          val g = Future(minProp(
-            e.select(col("b").as("a"), col("a").as("b")), alive))
+          // pre-partition both orientations SERIALLY (the helper
+          // scopes a session conf — see minProp's contract), then run
+          // the two fixpoints as concurrent job streams: each round
+          // exchanges only its label frame (guide §2.4)
+          val eF = partitionedCheckpoint(e, "a")
+          val eB = partitionedCheckpoint(
+            e.select(col("b").as("a"), col("a").as("b")), "a")
+          val f = Future(minProp(eF, alive))
+          val g = Future(minProp(eB, alive))
           (Await.result(f, Duration.Inf), Await.result(g, Duration.Inf))
         }
         val both = fwd.join(bwd.withColumnRenamed("lbl", "blbl"), "id")
