@@ -1003,15 +1003,17 @@ object Bench {
           learned
         })
       }
-    // ...and the ADAPTIVE-width trainer at a 4× deeper vocab (round
-    // 15): fixed-16 measured ~4.5 merges/round at 256 merges — a real
-    // 32k vocab would still be ~7k driver round-trips. Adaptive
-    // doubling (bpeTrainBatched(adaptive = true): saturate → double,
-    // interaction-truncate → halve back) must collapse the round
-    // count well past the fixed-width rate; the assert pins ≥ 8
-    // merges/round so a timing run can never silently time a
-    // degenerated adaptation. GRAFT_SCALE_BPE_ADAPTIVE sizes it
-    // (0 disables).
+    // ...and the ADAPTIVE trainer at a 4× deeper vocab (round 15):
+    // fixed-16 measured ~4.5 merges/round at 256 merges — a real 32k
+    // vocab would still be ~7k driver round-trips. Adaptive mode
+    // batches the rank-ordered non-interacting SUBSET of the fetched
+    // ranking and doubles the fetch while the subset half-fills it
+    // (the r15 first cut adapted only the WIDTH of the prefix rule,
+    // which the first interacting pair truncates at the same place
+    // at any width — measured stuck at 4.5 merges/round and failing
+    // this very gate); the assert pins ≥ 8 merges/round so a timing
+    // run can never silently time a degenerated adaptation.
+    // GRAFT_SCALE_BPE_ADAPTIVE sizes it (0 disables).
     val bpeAdaptiveMerges =
       sys.env.getOrElse("GRAFT_SCALE_BPE_ADAPTIVE", "1024").toInt
     val bpeAdaptive: Map[String, Double] =

@@ -109,7 +109,14 @@ object GraphAlgorithms {
     val k = "spark.sql.adaptive.enabled"
     val prev = spark.conf.get(k)
     spark.conf.set(k, "false")
-    try df.repartition(col(key)).localCheckpoint(eager = true)
+    // sortWithinPartitions too (r15 opt): the checkpoint's LogicalRDD
+    // records the physical plan's outputPartitioning AND its
+    // outputOrdering, so every per-round sort-merge join on `key`
+    // skips not just the Exchange but the SORT of this side — an
+    // iterative fixpoint otherwise re-sorts the static 10M-row edge
+    // frame every round (the sort is paid once here instead)
+    try df.repartition(col(key)).sortWithinPartitions(key)
+      .localCheckpoint(eager = true)
     finally spark.conf.set(k, prev)
   }
 
@@ -210,26 +217,39 @@ object GraphAlgorithms {
         edgesSmall.toDF("a", "b")
           .unionByName(edgesSmall.toDF("b", "a").select(col("a"), col("b"))),
         "b")
-      var labels = und.select(col("a").as("id")).distinct()
+      val labels0 = und.select(col("a").as("id")).distinct()
         .withColumn("component", col("id")).cache()
+      var labels = labels0
+      // delta-sourced hop (SCC minProp's r15 trick): labels only ever
+      // decrease, so an unchanged neighbor's contribution is already
+      // folded in — the round join only needs edges out of last
+      // round's changed set (a lazy filtered scan of the checkpoint,
+      // no extra job; round 1 seeds it with everything)
+      var chgRows = labels
       var converged = false
       var i = 0
       while (!converged && i < maxIter) {
-        val nbrMin = und.join(labels.withColumnRenamed("id", "b"), "b")
+        val nbrMin = und.join(chgRows.withColumnRenamed("id", "b"), "b")
           .groupBy(col("a").as("id")).agg(min("component").as("nbr"))
-        val next = labels.join(nbrMin, Seq("id"), "left")
-          .select(col("id"),
-            least(col("component"), coalesce(col("nbr"), col("component")))
-              .as("component"))
+        // The chg flag rides the round's checkpoint (SCC minProp's
+        // trick): the convergence test is a scan of materialized
+        // partitions, not a THIRD V-sized join re-shuffling `next`
+        // against the previous labels (r15 opt, guide §2.4 — the old
+        // shape paid join+exchange per round purely to ask "anything
+        // changed?"; the answer is already in the row being built).
+        val newLbl = least(col("old"), coalesce(col("nbr"), col("old")))
+        val next = labels.withColumnRenamed("component", "old")
+          .join(nbrMin, Seq("id"), "left")
+          .select(col("id"), newLbl.as("component"),
+            (newLbl =!= col("old")).as("chg"))
           .localCheckpoint(eager = true) // truncate the iterative lineage
-        val changed = next
-          .join(labels.withColumnRenamed("component", "old"), "id")
-          .where(col("component") =!= col("old")).limit(1).count()
-        labels.unpersist()
-        labels = next
+        val changed = next.where(col("chg")).limit(1).count()
+        labels = next.select("id", "component")
+        chgRows = next.where(col("chg")).select("id", "component")
         converged = changed == 0
         i += 1
       }
+      labels0.unpersist()
       und.unpersist()
       edgesSmall.unpersist()
       // A partially-converged result would silently split components —
@@ -1950,11 +1970,25 @@ object GraphAlgorithms {
     def minProp(eP: DataFrame, verts: DataFrame): DataFrame = {
       var lbl = verts.withColumn("lbl", col("id"))
         .localCheckpoint(eager = true)
+      // DELTA-SOURCED edge hop (r15 opt, guide §2.3): labels only ever
+      // DECREASE, so an unchanged source's contribution is already
+      // folded into its neighbors' labels — the hop only needs edges
+      // OUT OF last round's changed set. `chg` is a lazy filtered
+      // scan of the round checkpoint (no extra job, no extra frame);
+      // on a long-diameter tail (the 10M tier's condensation chain
+      // beside millions of already-converged cycles) the late rounds'
+      // join+aggregate shrink from V-sized to frontier-sized. A
+      // heavier variant (broadcast frontier + delta pointer-doubling
+      // with trigger-set bookkeeping) was built and MEASURED WORSE
+      // same-window (xdist_scc 22.4 → 31.4 s at 1.2M edges: ~5 extra
+      // driver jobs per round outweigh the avoided exchanges at
+      // in-memory frame sizes), so the doubling below stays full.
+      var chg = lbl // rows whose label changed last round (all, at start)
       var converged = false
       var i = 0
       while (!converged && i < maxIter) {
         val nbrMin = eP
-          .join(lbl.select(col("id").as("a"), col("lbl").as("albl")), "a")
+          .join(chg.select(col("id").as("a"), col("lbl").as("albl")), "a")
           .groupBy(col("b").as("id")).agg(min("albl").as("nbr"))
         val hop = lbl.withColumnRenamed("lbl", "old")
           .join(nbrMin, Seq("id"), "left")
@@ -1977,6 +2011,7 @@ object GraphAlgorithms {
           .localCheckpoint(eager = true)
         val changed = next.where(col("chg")).limit(1).count()
         lbl = next.select("id", "lbl")
+        chg = next.where(col("chg")).select(col("id"), col("lbl"))
         converged = changed == 0
         i += 1
       }

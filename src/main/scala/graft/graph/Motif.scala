@@ -284,9 +284,20 @@ object Motif {
           else GraphStore.twinAnchorKeys(spark, dir, lbl)))
     }
     // distinct (a, b) edge pairs incident to a frontier key set —
-    // varPath's `e` restricted to rows entered by the frontier
-    def edgesFor(frontKeys: DataFrame): DataFrame =
-      orientations.map { o =>
+    // varPath's `e` restricted to rows entered by the frontier.
+    // The per-orientation probes run as CONCURRENT job streams (r15
+    // opt, guide §2.6): building each probe leg is eager driver work
+    // (the anchor checkpoint + the bounded bucket-id/bloom-hash
+    // collect inside GraphStore.probe), and with 2 labels × either
+    // that was 4 serial collect latencies PER STEP for jobs that are
+    // independent by construction — the union below consumes the legs
+    // lazily either way. probe mutates no session conf (unlike the
+    // fixpoints' partitionedCheckpoint), so the overlap is safe.
+    def edgesFor(frontKeys: DataFrame): DataFrame = {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val legs = orientations.map { o => Future {
         val farExpr = concat_ws(":", o.farCols.map(col): _*)
         if (o.en == "far") {
           // typed-part probe for PRUNING, string equality for
@@ -328,8 +339,10 @@ object Motif {
             } else col("src").cast("string")
           t.select(col(o.en).cast("string").as("a"), ex.as("b"))
         }
-      }.reduce(_ unionByName _)
+      } }
+      legs.map(Await.result(_, Duration.Inf)).reduce(_ unionByName _)
         .where(col("a") =!= col("b")).distinct()
+    }
     val a0 = anchors
       .select(col(anchors.columns.head).cast("string").as("k"))
       .dropDuplicates("k").localCheckpoint()

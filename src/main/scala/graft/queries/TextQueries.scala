@@ -213,25 +213,56 @@ object TextQueries {
     }.length
   }
 
-  /** `adaptive = true` lets the per-round width FOLLOW the corpus
+  /** Rank-ordered non-interacting SUBSET of `pairs` (indices into the
+    * input) — the adaptive trainer's batch rule. Where the prefix rule
+    * stops at the FIRST interacting pair (so a wider fetch cannot
+    * lengthen the batch at all — the r15 bench measured the adaptive
+    * tier stuck at the fixed-width 4.5 merges/round for exactly this
+    * reason), this SKIPS an interacting pair and keeps scanning: the
+    * selected set is a greedy maximal independent set in rank order,
+    * the standard way distributed BPE trainers batch. Every selected
+    * pair is symbol-disjoint from every other selected pair (inputs
+    * AND fused outputs), so their simultaneous application is
+    * order-independent and each recorded count is exact at
+    * application time; a skipped pair keeps its symbols and simply
+    * re-ranks next round under fresh counts — deferred, never
+    * miscounted. On a corpus whose top pairs are pairwise disjoint
+    * the subset IS the prefix, so the batch-safe equivalence spec
+    * (adaptive == fixed == greedy) is unchanged. */
+  private[graft] def nonInteractingSubsetIdx(pairs: Seq[String]): Seq[Int] = {
+    val used = scala.collection.mutable.Set[String]()
+    pairs.zipWithIndex.flatMap { case (p, i) =>
+      val Array(l, rr) = p.split(" ", 2)
+      if (!used(l) && !used(rr) && !used(l + rr)) {
+        used += l; used += rr; used += (l + rr)
+        Some(i)
+      } else None
+    }
+  }
+
+  /** `adaptive = true` lets the per-round BATCH follow the corpus
     * instead of staying pinned at `maxPerRound`: measured at 256
     * merges the fixed-16 run averaged ~4.5 merges/round (a real 32k
-    * vocab would still be ~7k rounds of driver latency), because a
-    * rich corpus's top ranking is LESS interacting as training
-    * proceeds — so when a round's non-interacting prefix saturates the
-    * requested width, the next request doubles (up to `adaptiveCap`),
-    * and when interaction truncates the prefix below a quarter of the
-    * request, it halves back (floor `maxPerRound`, so adaptive never
-    * under-asks the caller's floor). The request width only sizes a
-    * top-N collect (N small ints + strings), so over-asking is cheap
-    * and under-asking costs a whole extra round — the asymmetry the
-    * doubling rule encodes. Per-round semantics are unchanged (the
-    * longest non-interacting prefix of the CURRENT ranking applies,
-    * in rank order); note a wider fetch can legitimately batch pairs
-    * a narrower schedule would have split across rounds, so adaptive
-    * and fixed runs coincide exactly where batching itself coincides
-    * with greedy (the created-pair caveat above) — spec-pinned on a
-    * batch-safe corpus. */
+    * vocab would still be ~7k rounds of driver latency). Two changes
+    * against fixed mode, both r15-remeasured: the batch is the
+    * rank-ordered non-interacting SUBSET of the fetched ranking
+    * ([[nonInteractingSubsetIdx]]) — the prefix rule stops at the
+    * first interacting pair, so no fetch width could ever lengthen
+    * it (the original width-only adaptation measured 4.5
+    * merges/round at ANY width and failed its own ≥8/round gate) —
+    * and the fetch width doubles (up to `adaptiveCap`) when the
+    * subset fills half the request, halving back (floor
+    * `maxPerRound`) when it falls under a quarter. The request width
+    * only sizes a top-N collect (N small ints + strings), so
+    * over-asking is cheap and under-asking costs a whole extra round
+    * — the asymmetry the doubling rule encodes. Every batched pair's
+    * recorded count is exact at application time (selected pairs are
+    * pairwise symbol-disjoint, fused outputs included); a skipped
+    * pair re-ranks next round under fresh counts — deferred, never
+    * miscounted. On a corpus whose top pairs are pairwise disjoint
+    * the subset IS the prefix, so adaptive == fixed == greedy exactly
+    * where batching itself coincides with greedy (the created-pair
+    * caveat above) — spec-pinned on a batch-safe corpus. */
   private[graft] def bpeTrainBatched(docs: org.apache.spark.sql.DataFrame,
       k: Int, maxPerRound: Int, adaptive: Boolean = false,
       adaptiveCap: Int = 1024): org.apache.spark.sql.DataFrame = {
@@ -252,8 +283,16 @@ object TextQueries {
       if (top.isEmpty) exhausted = true
       else {
         round += 1
-        val batch = top.take(
-          nonInteractingPrefixLen(top.map(_.getString(0)).toSeq))
+        // fixed mode keeps the PREFIX rule (exact-greedy fallback per
+        // round, the original contract); adaptive mode selects the
+        // rank-ordered non-interacting SUBSET — a prefix cannot grow
+        // with the fetch width (the first interacting pair stops it
+        // at the same place however many pairs were fetched), which
+        // left the r15 adaptive tier pinned at the fixed-width rate
+        val names = top.map(_.getString(0)).toSeq
+        val batch =
+          if (adaptive) nonInteractingSubsetIdx(names).map(top(_))
+          else top.take(nonInteractingPrefixLen(names)).toSeq
         words = words.select(col("n"),
           batch.foldLeft(col("sym"))((c, r) => bpeApply(c, r.getString(0)))
             .as("sym"))
@@ -263,9 +302,13 @@ object TextQueries {
           merges += ((rank, r.getString(0), r.getLong(1), round))
         }
         if (adaptive) {
-          if (batch.length == want)
+          // the subset can rarely fill the whole fetch, so the
+          // doubling trigger is half-fill, the halving trigger
+          // quarter-fill — the asymmetry (over-asking costs a few
+          // collected rows, under-asking a whole extra round) stands
+          if (2 * batch.length >= want)
             widthNow = math.min(adaptiveCap, widthNow * 2)
-          else if (batch.length < want / 4)
+          else if (4 * batch.length < want)
             widthNow = math.max(maxPerRound, widthNow / 2)
         }
       }

@@ -785,6 +785,33 @@ class GraphAlgorithmsSpec extends AnyFunSuite {
     assert(byComp(pad(100)) == Set((pad(100), pad(100))))
   }
 
+  test("scc: delta-frontier rounds == full rounds (mass + deep chain)") {
+    // r15 opt guard: minProp switches to delta-frontier rounds once
+    // the changed set drops under |V|/8. This fixture forces MANY
+    // delta rounds — 600 disjoint 2-cycles converge in round 1 (the
+    // mass that makes the chain's frontier "small"), while a 150-link
+    // chain keeps a tiny frontier moving for ~log rounds through the
+    // delta path (hop + pointer-doubling + trigger bookkeeping). The
+    // local Kosaraju replay is delta-free ground truth; divergence
+    // here means a trigger-set soundness bug (a stale pointer
+    // composition that never re-fired).
+    def pad(i: Int) = f"d$i%04d"
+    val mass = (0 until 600).flatMap(c =>
+      Seq((s"m${c}_x", s"m${c}_y"), (s"m${c}_y", s"m${c}_x")))
+    val chain = (0 until 150).map(i => (pad(i), pad(i + 1)))
+    val edges = (mass ++ chain).toDF("s", "t")
+    val local = GraphAlgorithms
+      .stronglyConnectedComponentsDF(edges, "s", "t")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val dist = GraphAlgorithms
+      .stronglyConnectedComponentsDF(edges, "s", "t", localThreshold = 0)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(local == dist)
+    val byComp = local.groupBy(_._2)
+    assert(byComp(s"m7_x").size == 2)
+    assert(byComp(pad(77)) == Set((pad(77), pad(77))))
+  }
+
   test("scc: a chain OF cycles — non-trivial SCCs in a deep condensation") {
     // The harder composition: the condensation chain's nodes are
     // themselves cycles (40 six-cycles linked head-to-tail), so trim

@@ -205,4 +205,27 @@ class TextQueriesSpec extends AnyFunSuite {
     // never zero
     assert(nonInteractingPrefixLen(Seq("a a")) == 1)
   }
+
+  test("adaptive BPE subset: skips an interacting pair and keeps " +
+      "scanning; fused outputs still claim slots; == prefix when " +
+      "pairs are disjoint") {
+    import graft.queries.TextQueries.nonInteractingSubsetIdx
+    // disjoint ranking: subset IS the prefix (the batch-safe
+    // equivalence spec's precondition)
+    assert(nonInteractingSubsetIdx(Seq("a b", "c d")) == Seq(0, 1))
+    // the case the prefix rule cannot batch — an interacting pair in
+    // the middle is SKIPPED, not a stop (it re-ranks next round):
+    // this is what lets a wider fetch actually widen the batch
+    assert(nonInteractingSubsetIdx(Seq("a b", "b c", "d e")) == Seq(0, 2))
+    // fused-output hazard, both sides (the prefix rule's regression
+    // case): 'ab c' fuses 'abc' — a later pair touching 'abc' must
+    // not batch with it
+    assert(nonInteractingSubsetIdx(Seq("ab c", "abc d", "x y")) == Seq(0, 2))
+    assert(nonInteractingSubsetIdx(Seq("ab c", "d abc", "x y")) == Seq(0, 2))
+    // a skipped pair's symbols claim nothing: later pairs sharing
+    // ONLY the skipped pair's symbols still batch
+    assert(nonInteractingSubsetIdx(Seq("a b", "b c", "c d")) == Seq(0, 2))
+    // never empty
+    assert(nonInteractingSubsetIdx(Seq("a a")) == Seq(0))
+  }
 }
