@@ -72,6 +72,55 @@ object FixpointPlanProbe {
       .select(col("id"), newLbl.as("component"),
         (newLbl =!= col("old")).as("chg"))
     dump("xdist_cc_round_after", nextNew.where(col("chg")))
+
+    // --- triangles: wedge self-join over cache vs partition+sort ---
+    val degT = e.select(col("a").as("id"))
+      .unionByName(e.select(col("b").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+    val orientedRaw = e
+      .join(degT.select(col("id").as("a"), col("deg").as("dx")), "a")
+      .join(degT.select(col("id").as("b"), col("deg").as("dy")), "b")
+      .select(
+        when(struct(col("dx"), col("a")) < struct(col("dy"), col("b")),
+          struct(col("a").as("s"), col("b").as("t"),
+            struct(col("dy").as("d"), col("b").as("v")).as("tk")))
+          .otherwise(struct(col("b").as("s"), col("a").as("t"),
+            struct(col("dx").as("d"), col("a").as("v")).as("tk"))).as("w"))
+      .select(col("w.s").as("s"), col("w.t").as("t"), col("w.tk").as("tk"))
+    def wedges(o: DataFrame): DataFrame =
+      o.as("p").join(o.as("q"),
+        col("p.s") === col("q.s") && col("p.tk") < col("q.tk"))
+        .select(col("p.s").as("u"), col("p.t").as("v"), col("q.t").as("w"))
+    val oCached = orientedRaw.cache()
+    oCached.count()
+    dump("xdist_triangles_wedge_before", wedges(oCached))
+    oCached.unpersist()
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val oSorted = orientedRaw.repartition(col("s"))
+      .sortWithinPartitions("s").localCheckpoint(true)
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    dump("xdist_triangles_wedge_after", wedges(oSorted))
+
+    // --- pagerank: per-round merge join, vm cached vs partitioned ---
+    val maskRaw = e.select(col("a").as("id"))
+      .unionByName(e.select(col("b").as("id"))).distinct()
+      .withColumn("_seed", lit(1L))
+    val contrib = spark.range(100)
+      .select(concat(lit("v"), col("id")).as("id"),
+        (col("id") * 7L).as("in_mass"))
+      .groupBy("id").agg(sum("in_mass").as("in_mass"))
+    def prRound(vm: DataFrame): DataFrame =
+      vm.join(contrib, Seq("id"), "left")
+        .select(col("id"),
+          (col("_seed") * 150000L +
+            coalesce(col("in_mass"), lit(0L))).as("r"))
+    val vmPlain = maskRaw.localCheckpoint(true)
+    dump("xdist_pagerank_merge_before", prRound(vmPlain))
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val vmSorted = maskRaw.repartition(col("id"))
+      .sortWithinPartitions("id").localCheckpoint(true)
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    dump("xdist_pagerank_merge_after", prRound(vmSorted))
     spark.stop()
   }
 }

@@ -481,7 +481,11 @@ object GraphAlgorithms {
       // done inside the distributed branch only: the local fast path
       // collects eDeg and must not pay an extra shuffle
       val eP = partitionedCheckpoint(eDeg, "a")
-      val vm = mask.localCheckpoint(eager = true)
+      // the static seed-mask frame is joined on `id` every iteration —
+      // same treatment as the edge frame (r15 opt): partition+sort it
+      // once so each round's merge join exchanges and sorts only the
+      // round's contrib aggregate, never this side
+      val vm = partitionedCheckpoint(mask, "id")
       var rank = vm.select(col("id"), (col("_seed") * scale).as("r"))
       var i = 0
       while (i < iterations) {
@@ -541,7 +545,9 @@ object GraphAlgorithms {
     val und = e.unionByName(e.select(col("b").as("a"), col("a").as("b")))
       .distinct()
     val deg = und.groupBy("a").agg(count(lit(1)).as("deg"))
-    val undDeg = und.join(deg, "a").localCheckpoint(eager = true)
+    // joined on `b` every propagation round — partition+sort on the
+    // join key once (r15 opt, the partitionedCheckpoint discipline)
+    val undDeg = partitionedCheckpoint(und.join(deg, "a"), "b")
     val verts = und.select(col("a").as("id")).distinct()
     val dimsDf = spark.range(dims).toDF("dim")
     val h = pmod(call_udf("graft_hex60",
@@ -820,7 +826,12 @@ object GraphAlgorithms {
     val withDeg = e0
       .join(deg.select(col("id").as("x"), col("deg").as("dx")), "x")
       .join(deg.select(col("id").as("y"), col("deg").as("dy")), "y")
-    val oriented = withDeg.select(
+    // partition+sort on the wedge key instead of a bare cache (r15
+    // opt): the wedge self-join below reads this frame on BOTH sides
+    // keyed `s` — with the layout recorded on the checkpoint the SMJ
+    // needs no Exchange and no Sort on either side (two V-sized
+    // exchanges + two sorts removed from the dominant join)
+    val oriented = partitionedCheckpoint(withDeg.select(
       when(struct(col("dx"), col("x")) < struct(col("dy"), col("y")),
         struct(col("x").as("s"), col("y").as("t"),
           struct(col("dy").as("d"), col("y").as("v")).as("tk")))
@@ -828,8 +839,8 @@ object GraphAlgorithms {
           struct(col("y").as("s"), col("x").as("t"),
             struct(col("dx").as("d"), col("x").as("v")).as("tk")))
         .as("e"))
-      .select(col("e.s").as("s"), col("e.t").as("t"), col("e.tk").as("tk"))
-      .cache()
+      .select(col("e.s").as("s"), col("e.t").as("t"), col("e.tk").as("tk")),
+      "s")
     // Wedges from each triangle's minimum vertex; the closing edge
     // (v, w) with tk_v < tk_w is oriented v→w by construction, so one
     // equi-join closes it.
@@ -1968,6 +1979,7 @@ object GraphAlgorithms {
     // done SERIALLY by the caller: the helper toggles a session conf,
     // and the fwd/bwd fixpoints run as concurrent futures)
     def minProp(eP: DataFrame, verts: DataFrame): DataFrame = {
+      val tProp = System.nanoTime()
       var lbl = verts.withColumn("lbl", col("id"))
         .localCheckpoint(eager = true)
       // DELTA-SOURCED edge hop (r15 opt, guide §2.3): labels only ever
@@ -2017,6 +2029,8 @@ object GraphAlgorithms {
       }
       if (!converged) throw new IllegalStateException(
         s"scc min-label propagation did not converge in $maxIter rounds")
+      System.err.println(f"[scc] minProp: $i rounds in " +
+        f"${(System.nanoTime() - tProp) / 1e9}%.1f s")
       lbl
     }
     var alive = verts0
@@ -2029,6 +2043,7 @@ object GraphAlgorithms {
       // sources/sinks; anything deeper is the propagation's job.
       var trimming = true
       var trimRounds = 0
+      val tTrim = System.nanoTime()
       while (trimming && trimRounds < 3) {
         // single-shuffle degree test: present as source AND as sink
         val keep = e
@@ -2074,6 +2089,8 @@ object GraphAlgorithms {
         }
         trimRounds += 1
       }
+      System.err.println(f"[scc] round $round trim: $trimRounds passes " +
+        f"in ${(System.nanoTime() - tTrim) / 1e9}%.1f s")
       if (alive.limit(1).count() > 0) {
         // fwd and bwd are independent fixpoints over the same edges —
         // run them as concurrent job streams: the rounds are
@@ -2088,13 +2105,17 @@ object GraphAlgorithms {
           // scopes a session conf — see minProp's contract), then run
           // the two fixpoints as concurrent job streams: each round
           // exchanges only its label frame (guide §2.4)
+          val tPart = System.nanoTime()
           val eF = partitionedCheckpoint(e, "a")
           val eB = partitionedCheckpoint(
             e.select(col("b").as("a"), col("a").as("b")), "a")
+          System.err.println(f"[scc] round $round edge partition: " +
+            f"${(System.nanoTime() - tPart) / 1e9}%.1f s")
           val f = Future(minProp(eF, alive))
           val g = Future(minProp(eB, alive))
           (Await.result(f, Duration.Inf), Await.result(g, Duration.Inf))
         }
+        val tPeel = System.nanoTime()
         val both = fwd.join(bwd.withColumnRenamed("lbl", "blbl"), "id")
           .localCheckpoint(eager = true)
         val scc = both.where(col("lbl") === col("blbl"))
@@ -2115,6 +2136,8 @@ object GraphAlgorithms {
           .select("a", "b")
           .join(alive.select(col("id").as("a")), Seq("a"), "left_semi")
           .localCheckpoint(eager = true)
+        System.err.println(f"[scc] round $round peel+drop: " +
+          f"${(System.nanoTime() - tPeel) / 1e9}%.1f s")
       }
       round += 1
     }
