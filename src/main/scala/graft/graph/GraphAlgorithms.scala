@@ -206,7 +206,12 @@ object GraphAlgorithms {
       edgesSmall.unpersist()
       return spark.createDataset(rows).toDF("id", "component")
     }
-    withGraphShuffle(spark, edgesSmall.count()) {
+    // perPartition 500k (r15 opt): the 1M-edges/partition sizing was
+    // tuned at the 1.2M tier, where the 4-partition floor dominates
+    // either way; at 10M edges it left 2/3 of the host idle during
+    // the compute-heavy full-width rounds. 500k only changes graphs
+    // past ~2M edges (the small tier keeps its measured optimum).
+    withGraphShuffle(spark, edgesSmall.count(), perPartition = 500000L) {
       // The undirected edge frame is joined on `b` EVERY round of the
       // fixpoint; hash-partition it on the join key once and
       // checkpoint (LogicalRDD preserves outputPartitioning), so each
@@ -1963,7 +1968,11 @@ object GraphAlgorithms {
     // are V-sized label frames — scheduling-bound, not compute-bound
     // — so the session shuffle width pays partitions × stages of task
     // latency per round for kilobyte tasks.
-    withGraphShuffle(spark, nE) {
+    // perPartition 500k, same rationale as connectedComponentsDF's
+    // (r15 opt) — and the fwd/bwd fixpoints run CONCURRENTLY here, so
+    // the width is per-stream; the small tier keeps its 4-partition
+    // floor either way
+    withGraphShuffle(spark, nE, perPartition = 500000L) {
     val e0 = es.where(col("a") =!= col("b")).distinct()
       .localCheckpoint(eager = true)
     // Vertex set from the RAW edge list (a vertex with only
@@ -1999,6 +2008,7 @@ object GraphAlgorithms {
       var converged = false
       var i = 0
       while (!converged && i < maxIter) {
+        val tRound = System.nanoTime()
         val nbrMin = eP
           .join(chg.select(col("id").as("a"), col("lbl").as("albl")), "a")
           .groupBy(col("b").as("id")).agg(min("albl").as("nbr"))
@@ -2026,6 +2036,8 @@ object GraphAlgorithms {
         chg = next.where(col("chg")).select(col("id"), col("lbl"))
         converged = changed == 0
         i += 1
+        System.err.println(f"[scc] minProp round $i: " +
+          f"${(System.nanoTime() - tRound) / 1e9}%.1f s")
       }
       if (!converged) throw new IllegalStateException(
         s"scc min-label propagation did not converge in $maxIter rounds")
