@@ -120,6 +120,31 @@ object GraphAlgorithms {
     finally spark.conf.set(k, prev)
   }
 
+  /** SIZE-GATED layout-carrying checkpoint (r16 opt, r15 VERDICT item
+    * 4): the repartition + sort + AQE-scoped eager materialization of
+    * [[partitionedCheckpoint]] pays off only when the frame is
+    * re-joined across many rounds AND big enough that the per-round
+    * exchanges it removes dominate its own one-time cost. At fixture
+    * scale it is a pure regression — the r15 driver measured
+    * d_dup_eigenvector 0.98 → 2.47 s after eigenvector's static frame
+    * went from a plain checkpoint to the partitioned one.
+    *
+    * Shape: materialize a PLAIN eager checkpoint first (also what
+    * truncates the lineage), size it with a count over the
+    * materialized partitions (cheap — no recompute; an up-front
+    * `count()` on the raw lineage was A/B-measured WORSE than no gate
+    * at all: 1.90 → 2.13 s on d_dup_eigenvector, the input lineage is
+    * the whole LSH candidate pipeline), and re-layout into the
+    * partitioned form only past the gate — where the one extra pass
+    * over an in-memory frame is noise against the per-round exchanges
+    * it removes. */
+  private def sizedCheckpoint(df: DataFrame, key: String,
+      gate: Long = 2000000L): DataFrame = {
+    val plain = df.localCheckpoint(eager = true)
+    if (plain.count() > gate) partitionedCheckpoint(plain, key)
+    else plain
+  }
+
   private def withGraphShuffle[T](spark: SparkSession, edgeCount: Long,
       perPartition: Long = 1000000L)(body: => T): T = {
     val key = "spark.sql.shuffle.partitions"
@@ -347,8 +372,10 @@ object GraphAlgorithms {
       col(dst).cast("string").as("b"))
       .where(col("a") =!= col("b"))
     // joined on `b` every power-method round — partition on the join
-    // key once with the partitioning recorded (guide §2.4)
-    val und = partitionedCheckpoint(
+    // key once with the partitioning recorded (guide §2.4), but only
+    // past the size gate (r16: at fixture scale the plain checkpoint
+    // is cheaper — see sizedCheckpoint)
+    val und = sizedCheckpoint(
       e.unionByName(e.select(col("b").as("a"), col("a").as("b")))
         .distinct(), "b")
     val verts = und.select(col("a").as("id")).distinct()
@@ -551,9 +578,13 @@ object GraphAlgorithms {
       .distinct()
     val deg = und.groupBy("a").agg(count(lit(1)).as("deg"))
     // joined on `b` every propagation round — partition+sort on the
-    // join key once (r15 opt, the partitionedCheckpoint discipline)
-    val undDeg = partitionedCheckpoint(und.join(deg, "a"), "b")
-    val verts = und.select(col("a").as("id")).distinct()
+    // join key once (r15 opt, the partitionedCheckpoint discipline),
+    // size-gated (r16: plain checkpoint below the boundary)
+    val undDeg = sizedCheckpoint(und.join(deg, "a"), "b")
+    // every und row joins a deg row (inner on `a`, deg covers all
+    // sources), so the vertex set off the CHECKPOINTED frame equals
+    // und's — derived here so it never recomputes e's lineage
+    val verts = undDeg.select(col("a").as("id")).distinct()
     val dimsDf = spark.range(dims).toDF("dim")
     val h = pmod(call_udf("graft_hex60",
       concat(col("id"), lit(":"), col("dim").cast("string"))), lit(4))
@@ -1169,6 +1200,18 @@ object GraphAlgorithms {
     var movedInPass = true
     while (pass < maxPasses && movedInPass) {
       pass += 1
+      // r16 re-audit (r15 VERDICT item 7): a layout-carrying
+      // checkpoint of this frame on `n` (so deg's groupBy(n) and the
+      // gain scan's kvc groupBy(n, com) could skip their Exchanges —
+      // HashPartitioning(n) satisfies ClusteredDistribution(n, com))
+      // was A/B-measured WORSE same-window: xdist_louvain 25.4 →
+      // 34.9/37.0 s over two runs. The rounds are broadcast-dominated
+      // (maybeB hints every V-frame below broadcastVertsMax), so the
+      // eager per-pass repartition+sort of the 2|E|-row frame buys
+      // almost nothing downstream — the r11 "graph-sized shuffle
+      // widths lose here" conclusion extends to recorded-layout
+      // checkpoints. REVERTED to the bare cache; plan dump of one
+      // gain-scan round committed as plans/r16/xdist_louvain_round.txt.
       val und = edges.select(col("x").as("n"), col("y").as("m"), col("w"))
         .unionByName(edges.select(col("y").as("n"), col("x").as("m"), col("w")))
         .cache()
@@ -1787,8 +1830,10 @@ object GraphAlgorithms {
     // the join key once and checkpoint (guide §2.4: the steps then
     // exchange only the walk frontier, never the edge list), which
     // also keeps the plan flat instead of embedding the und subplan
-    // `steps` times
-    val und = partitionedCheckpoint(
+    // `steps` times. Size-gated (r16): below the boundary the plain
+    // eager checkpoint keeps the flat plan without the
+    // repartition+sort cost.
+    val und = sizedCheckpoint(
       e.unionByName(e.select(col("b").as("a"), col("a").as("b")))
         .distinct(), "a")
     var cur = sources

@@ -35,6 +35,35 @@ import graft.streaming.EventStreams
   */
 object GraphStore {
 
+  /** Per-phase wall-time attribution for the store write path (r16,
+    * r15 VERDICT item 5) — `GRAFT_APPLY_TIMING=1` turns it on; one
+    * line per [[applyRelease]] to stderr. Phases accumulate across
+    * the release's CONCURRENT per-table applies, so the sums are
+    * thread-seconds (they rank phases; they do not add up to wall
+    * time). Off by default: zero cost on the serving path. */
+  private[graft] object ApplyTiming {
+    val on: Boolean = sys.env.get("GRAFT_APPLY_TIMING").contains("1")
+    private val acc = new java.util.concurrent.ConcurrentHashMap[
+      String, java.util.concurrent.atomic.LongAdder]()
+    def time[T](phase: String)(body: => T): T =
+      if (!on) body
+      else {
+        val t0 = System.nanoTime()
+        try body finally acc.computeIfAbsent(phase,
+          _ => new java.util.concurrent.atomic.LongAdder)
+          .add(System.nanoTime() - t0)
+      }
+    def dump(label: String): Unit = if (on) {
+      import scala.jdk.CollectionConverters._
+      val parts = acc.asScala.toSeq
+        .sortBy { case (_, v) => -v.sum }
+        .map { case (k, v) => f"$k=${v.sum / 1e9}%.2f" }
+      System.err.println(
+        s"[apply-timing] $label thread-s: ${parts.mkString(" ")}")
+      acc.clear()
+    }
+  }
+
   /** (bucket/merge keys, createOnly?) per public table; IPD_Allele and
     * HAS_IPD_ALLELE carry bespoke merges below. */
   private val featKeys = ReleaseDeltas.featureKeys
@@ -255,13 +284,21 @@ object GraphStore {
     * asserts — , committed version). */
   private def applyTable(spark: SparkSession, tdir: String,
       delta: DataFrame,
+      merge: (DataFrame, DataFrame) => DataFrame): (Int, Int) =
+    ApplyTiming.time("total") {
+      applyTableBody(spark, tdir, delta, merge)
+    }
+
+  private def applyTableBody(spark: SparkSession, tdir: String,
+      delta: DataFrame,
       merge: (DataFrame, DataFrame) => DataFrame): (Int, Int) = {
     // one meta + one `_empty` footer read per apply (r15 opt: the
     // schema guard, the dirty-state read, and the zone/bloom passes
     // each re-read them before — 3-4 small round-trips per table per
     // release on the store's hottest write path)
-    val (_, bucketKeys, bloomBits, zones) = tableMetaFull(spark, tdir)
-    val expectT = tableSchema(spark, tdir)
+    val (_, bucketKeys, bloomBits, zones) =
+      ApplyTiming.time("meta")(tableMetaFull(spark, tdir))
+    val expectT = ApplyTiming.time("schema")(tableSchema(spark, tdir))
     // SCHEMA GUARD, before the claim (a mismatched apply must not
     // burn a version claim): the table's READ schema is fixed at init
     // (`_empty` is what every stateAt read pins to), so an apply whose
@@ -276,7 +313,7 @@ object GraphStore {
     // empty state frame — pure analysis, no job runs — and fails
     // loudly naming the remedy, whether the drift surfaces as a
     // mismatched output schema or as a merge that no longer analyzes.
-    locally {
+    ApplyTiming.time("guard") {
       def remedy(detail: String, cause: Throwable = null): Nothing =
         throw new IllegalArgumentException(
           s"requirement failed: $tdir: $detail the table's persisted " +
@@ -299,7 +336,7 @@ object GraphStore {
         remedy(s"the merged output schema (${merged.simpleString}) " +
           "does not match;")
     }
-    val v = latestVersion(spark, tdir)
+    val v = ApplyTiming.time("version")(latestVersion(spark, tdir))
     // CLAIM version v+1 create-exclusively BEFORE touching its bucket
     // directory: the loser of a concurrent-applier race must fail
     // HERE, before its writeBuckets can overwrite the winner's files
@@ -314,7 +351,8 @@ object GraphStore {
     // update, and only an operator can know no writer is alive).
     // vacuum() clears claims below the kept-version window.
     val claim = s"$tdir/manifest/.claim_v${v + 1}"
-    try EventStreams.writeSmallFileExclusive(spark, claim, "")
+    try ApplyTiming.time("claim")(
+      EventStreams.writeSmallFileExclusive(spark, claim, ""))
     catch {
       case e: java.util.ConcurrentModificationException =>
         throw new java.util.ConcurrentModificationException(
@@ -324,7 +362,8 @@ object GraphStore {
             s"crashed one left a stale claim; if no writer is alive, " +
             s"delete $claim and retry", e)
     }
-    val base = latestManifestFull(spark, tdir)
+    val base =
+      ApplyTiming.time("manifest_read")(latestManifestFull(spark, tdir))
     // merge hashing at the BASE manifest's width (manifest.size):
     // the delta must land in the same buckets the base's rows were
     // hashed into, whatever the current meta says — keeps a merge
@@ -332,18 +371,19 @@ object GraphStore {
     // flipped the meta but the latest manifest is still the old
     // layout (or vice versa)
     val buckets = base.size
-    val d = delta.localCheckpoint()
-    val dirty = d
+    val d = ApplyTiming.time("delta_ckpt")(delta.localCheckpoint())
+    val dirty = ApplyTiming.time("dirty_collect")(d
       .select(EventStreams.bucketCol(bucketKeys, buckets).as("_b"))
-      .distinct().collect().map(_.getInt(0)).toSet
+      .distinct().collect().map(_.getInt(0)).toSet)
     val next =
       if (dirty.isEmpty) base
       else {
         val dirtyState = EventStreams.stateAt(spark, tdir,
           EventStreams.versionsOf(base.filter { case (k, _) => dirty(k) }),
           Some(expectT))
-        val written = EventStreams.writeBuckets(
-          merge(dirtyState, d), bucketKeys, buckets, s"$tdir/v${v + 1}")
+        val written = ApplyTiming.time("merge_write")(
+          EventStreams.writeBuckets(
+            merge(dirtyState, d), bucketKeys, buckets, s"$tdir/v${v + 1}"))
         // bloom-maintaining stores sidecar every REWRITTEN bucket
         // (full key set of the rewrite — the bucket is copy-on-write);
         // inherited buckets keep the sidecars their versions carry.
@@ -355,18 +395,20 @@ object GraphStore {
           bucketKeys, bloomBits.filter(_ => written.nonEmpty), expectT)
         // zone-map stores re-stat every rewritten bucket (the rewrite
         // IS the full bucket state — copy-on-write)
-        val zs = collectZones(spark, tdir, s"$tdir/v${v + 1}",
-          written.nonEmpty && zones, Some(expectT))
-        scala.concurrent.Await.result(
-          bloomF, scala.concurrent.duration.Duration.Inf)
+        val zs = ApplyTiming.time("zones")(
+          collectZones(spark, tdir, s"$tdir/v${v + 1}",
+            written.nonEmpty && zones, Some(expectT)))
+        ApplyTiming.time("bloom_await")(scala.concurrent.Await.result(
+          bloomF, scala.concurrent.duration.Duration.Inf))
         // unchanged buckets inherit version + file/zone stats by
         // reference
         base ++ dirty.map(k =>
           k -> written.get(k).fold(EventStreams.BucketFiles(-1, None))(
             fs => EventStreams.BucketFiles(v + 1, Some(fs), zs.get(k))))
       }
-    EventStreams.writeManifestExclusiveFull(
-      spark, s"$tdir/manifest/v${v + 1}", next)
+    ApplyTiming.time("manifest_commit")(
+      EventStreams.writeManifestExclusiveFull(
+        spark, s"$tdir/manifest/v${v + 1}", next))
     (dirty.size, v + 1)
   }
 
@@ -759,6 +801,7 @@ object GraphStore {
         .getOrElse(latestVersion(spark, s"$dir/$t"))
     }.toMap
     writeMarker(spark, dir, versions)
+    ApplyTiming.dump(s"applyRelease $dir")
     ApplyStats(applied.map { case (t, (n, _)) => t -> n }, versions)
   }
 

@@ -271,6 +271,33 @@ object TextQueries {
       "adaptiveCap must be >= maxPerRound")
     val s = docs.sparkSession
     var words = bpeWords(docs)
+    // Bound the TRAINER LOOP's shuffle width to the vocab size (r16
+    // opt, guide §2 — r15 VERDICT item 3): every round is two
+    // vocab-sized jobs (pair-count top-N collect + the rewrite
+    // checkpoint) over a word table that is VOCAB rows (thousands),
+    // not corpus rows — at the session width (32 on the bench host,
+    // 200 on a stock cluster) each of the ~50-200 rounds pays
+    // partitions × stages of task latency for kilobyte tasks, which
+    // is why the r15 driver measured the adaptive tier 4.8× FASTER at
+    // 8 cores than 32 (scaling ratio 0.21). The corpus-sized
+    // bpeWords aggregation above keeps the session width; only the
+    // loop below is bounded. Same session-conf scoping contract as
+    // the graph fixpoints' withGraphShuffle: the engine's callers run
+    // trainers single-threaded per session.
+    val vocabRows = words.count()
+    val widthKey = "spark.sql.shuffle.partitions"
+    val prevWidth = s.conf.get(widthKey)
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val prevAqe = s.conf.get(aqeKey)
+    val loopP = math.max(1, math.min(s.sparkContext.defaultParallelism,
+      (vocabRows / 500000L).toInt + 1))
+    s.conf.set(widthKey, loopP.toString)
+    // AQE re-plans every shuffle stage of every round's job — pure
+    // driver latency at these vocab-row sizes (the loop's jobs are
+    // already right-sized by the width bound above)
+    s.conf.set(aqeKey, "false")
+    words = words.coalesce(loopP).localCheckpoint(eager = true)
+    try {
     val merges = Seq.newBuilder[(Int, String, Long, Int)]
     var rank = 0
     var round = 0
@@ -293,10 +320,16 @@ object TextQueries {
         val batch =
           if (adaptive) nonInteractingSubsetIdx(names).map(top(_))
           else top.take(nonInteractingPrefixLen(names)).toSeq
+        // LAZY checkpoint (r16): the next round's top-N job is the
+        // first consumer and materializes the rewrite as part of its
+        // own scan — one job per round instead of two (the rewrite
+        // job existed only to cut lineage, which the lazy checkpoint
+        // does for free); the final merges frame needs no extra
+        // materialization either (the builder is driver-side).
         words = words.select(col("n"),
           batch.foldLeft(col("sym"))((c, r) => bpeApply(c, r.getString(0)))
             .as("sym"))
-          .localCheckpoint(eager = true)
+          .localCheckpoint(eager = false)
         batch.foreach { r =>
           rank += 1
           merges += ((rank, r.getString(0), r.getLong(1), round))
@@ -315,6 +348,10 @@ object TextQueries {
     }
     import s.implicits._
     merges.result().toDF("merge_rank", "pair", "cnt", "round")
+    } finally {
+      s.conf.set(widthKey, prevWidth)
+      s.conf.set(aqeKey, prevAqe)
+    }
   }
 
   /** Unrolled [[bpeTrain]] replay: w0 = the char-split word table,

@@ -862,7 +862,7 @@ object EventStreams {
           stored
         }
       }
-    if (!resumed) {
+    if (!resumed) graft.graph.GraphStore.ApplyTiming.time("cdc_init") {
       // Schema-carrying empty state: the read side for buckets that
       // have never held rows (an empty partitionBy write creates no
       // leaf directory to point at).
@@ -879,19 +879,21 @@ object EventStreams {
     val q = changes.writeStream
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
         val ss = batch.sparkSession
+        val timing = graft.graph.GraphStore.ApplyTiming
         val base = readManifestFull(ss, manifestPath(id.toInt))
-        val delta = toDelta(batch.toDF()).localCheckpoint()
-        val dirty = delta
+        val delta = timing.time("cdc_delta")(
+          toDelta(batch.toDF()).localCheckpoint())
+        val dirty = timing.time("cdc_dirty")(delta
           .select(bucketCol(stateKeys, storeBuckets).as("_b"))
-          .distinct().collect().map(_.getInt(0)).toSet
+          .distinct().collect().map(_.getInt(0)).toSet)
         val next =
           if (dirty.isEmpty) base
           else {
             val dirtyState = stateAt(ss, stateDir, versionsOf(base.filter {
               case (k, _) => dirty(k) }), Some(stateSchema))
-            val written = writeBuckets(
+            val written = timing.time("cdc_write")(writeBuckets(
               merge(dirtyState, delta), stateKeys, storeBuckets,
-              s"$stateDir/v${id + 1}")
+              s"$stateDir/v${id + 1}"))
             // unchanged buckets INHERIT their entry (version AND file
             // stats) from the base manifest; dirty ones get the stats
             // the write just recorded
@@ -904,8 +906,10 @@ object EventStreams {
       }
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", s"$stateDir/_chk")
-      .start()
-    q.awaitTermination()
+    graft.graph.GraphStore.ApplyTiming.time("cdc_stream") {
+      q.start().awaitTermination()
+    }
+    graft.graph.GraphStore.ApplyTiming.dump(s"cdcApply $stateDir")
     cdcState(spark, stateDir)
   }
 
