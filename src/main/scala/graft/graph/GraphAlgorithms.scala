@@ -145,6 +145,45 @@ object GraphAlgorithms {
     else plain
   }
 
+  /** Order-preserving dense-long vertex dictionary (r16 opt, guide
+    * §2.2 "shuffle fewer bytes" / §4): the distributed fixpoints (CC,
+    * the SCC peel) iterate on labels that start as vertex ids, so
+    * every round's exchanges, sorts, and min-aggregates compare and
+    * ship VARIABLE-WIDTH STRINGS. vid = rank of `id` under Spark's
+    * sort order (UTF8String binary comparison = UTF-8 byte order), an
+    * order-ISOMORPHISM onto dense longs: every `min`/`least`/`===`
+    * the fixpoints evaluate commutes with the encoding, so round
+    * structure, trim/peel decisions, and convergence counts are
+    * IDENTICAL — only the row width (24-byte UTF8String fields → 8-
+    * byte longs) and comparator (byte loops → long compares + radix
+    * sort) change. Decoding the final labels through the dictionary
+    * restores the exact (id, component = min member id) output,
+    * because min-vid decodes to min-id under an order-preserving map.
+    *
+    * The sorted frame is materialized BEFORE zipWithIndex (which runs
+    * its own partition-size count job) so the sort is paid once; the
+    * result is checkpointed because zipWithIndex ids must be minted
+    * exactly once. Sorted range partitions stay globally ordered
+    * through AQE coalescing (adjacent ranges merge), so the
+    * per-partition offset ranks are the global sort ranks. */
+  private def orderedVertexDict(verts: DataFrame): DataFrame = {
+    val spark = verts.sparkSession
+    import spark.implicits._
+    val sorted = verts.toDF("sid").sort("sid")
+      .localCheckpoint(eager = true)
+    sorted.rdd.map(_.getString(0)).zipWithIndex()
+      .toDF("sid", "vid")
+      .localCheckpoint(eager = true)
+  }
+
+  /** Encode an (a, b) string edge frame through [[orderedVertexDict]];
+    * null endpoints are out of contract (the fixpoints' own joins
+    * already drop them from propagation). */
+  private def encodeEdges(e: DataFrame, dict: DataFrame): DataFrame =
+    e.join(dict.select(col("sid").as("a"), col("vid").as("_a")), "a")
+      .join(dict.select(col("sid").as("b"), col("vid").as("_b")), "b")
+      .select(col("_a").as("a"), col("_b").as("b"))
+
   private def withGraphShuffle[T](spark: SparkSession, edgeCount: Long,
       perPartition: Long = 1000000L)(body: => T): T = {
     val key = "spark.sql.shuffle.partitions"
@@ -237,6 +276,14 @@ object GraphAlgorithms {
     // the compute-heavy full-width rounds. 500k only changes graphs
     // past ~2M edges (the small tier keeps its measured optimum).
     withGraphShuffle(spark, edgesSmall.count(), perPartition = 500000L) {
+      // NOT dense-long encoded (r16): CC's min-label fixpoint
+      // converges in O(component diameter) rounds — 2-4 on the
+      // near-clique inputs this operator sees — so the one-time
+      // dictionary sort + encode/decode joins cost more than the few
+      // string rounds they would cheapen (A/B same-window: xdist_cc
+      // 4.5 → 9.5 s, xdist_cc_10m 15.3 → 24.5 s encoded). The SCC
+      // peel, whose two doubling fixpoints run 14+ rounds, is where
+      // the encoding pays (see stronglyConnectedComponentsDF).
       // The undirected edge frame is joined on `b` EVERY round of the
       // fixpoint; hash-partition it on the join key once and
       // checkpoint (LogicalRDD preserves outputPartitioning), so each
@@ -2018,13 +2065,26 @@ object GraphAlgorithms {
     // the width is per-stream; the small tier keeps its 4-partition
     // floor either way
     withGraphShuffle(spark, nE, perPartition = 500000L) {
-    val e0 = es.where(col("a") =!= col("b")).distinct()
-      .localCheckpoint(eager = true)
+    // Dense-long iteration space (r16 opt): the peel's trim passes,
+    // both minProp fixpoints, and the pair-class edge drops all
+    // exchange/sort/aggregate V- and E-sized frames every round —
+    // encode ids through the order-preserving dictionary once, run
+    // the whole peel on longs, decode the final labels (see
+    // orderedVertexDict for the equivalence argument; round
+    // structure and peel decisions are identical by construction).
     // Vertex set from the RAW edge list (a vertex with only
     // self-loops is still its own SCC).
-    val verts0 = es.select(col("a").as("id"))
-      .unionByName(es.select(col("b").as("id"))).distinct()
+    val dict = orderedVertexDict(
+      es.select(col("a").as("id"))
+        .unionByName(es.select(col("b").as("id"))).distinct())
+    // self-loop drop + dedup AFTER encoding: distinct on 8-byte longs,
+    // not strings
+    val e0 = encodeEdges(es, dict)
+      .where(col("a") =!= col("b")).distinct()
       .localCheckpoint(eager = true)
+    // lazy projection of the checkpointed dictionary — NOT
+    // re-materialized (every consumer scan is a cheap column prune)
+    val verts0 = dict.select(col("vid").as("id"))
     es.unpersist()
     // Min-label propagation fixpoint with the doubling shortcut:
     // lbl(v) = min over {v} ∪ {u : u →* v in e}. One edge hop + one
@@ -2034,8 +2094,11 @@ object GraphAlgorithms {
     // and the fwd/bwd fixpoints run as concurrent futures)
     def minProp(eP: DataFrame, verts: DataFrame): DataFrame = {
       val tProp = System.nanoTime()
+      // label init stays LAZY (r16): `verts` is already a checkpoint
+      // (or a cheap projection of one), and round 1 scans this frame
+      // exactly once per orientation — an eager copy here paid two
+      // V-sized materializations per outer round for nothing
       var lbl = verts.withColumn("lbl", col("id"))
-        .localCheckpoint(eager = true)
       // DELTA-SOURCED edge hop (r15 opt, guide §2.3): labels only ever
       // DECREASE, so an unchanged source's contribution is already
       // folded into its neighbors' labels — the hop only needs edges
@@ -2208,8 +2271,17 @@ object GraphAlgorithms {
         "rounds; raise maxIter (trim + pair-class dropping compress " +
         "most condensations to a few rounds — hitting this means an " +
         "adversarially deep alternation of cycles and branching)")
-    if (comps.isEmpty) verts0.withColumn("component", col("id")).limit(0)
-    else comps.reduceLeft(_ unionByName _)
+    if (comps.isEmpty)
+      dict.select(col("sid").as("id"))
+        .withColumn("component", col("id")).limit(0)
+    else
+      // decode: vid → id for both columns; min-vid decodes to the min
+      // member id the string peel produced (order-preserving dict)
+      comps.reduceLeft(_ unionByName _)
+        .join(dict.select(col("vid").as("id"), col("sid")), "id")
+        .join(dict.select(col("vid").as("component"),
+          col("sid").as("_c")), "component")
+        .select(col("sid").as("id"), col("_c").as("component"))
     }
   }
 
