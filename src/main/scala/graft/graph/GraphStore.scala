@@ -93,6 +93,7 @@ object GraphStore {
   private def initTable(spark: SparkSession, tdir: String,
       snapshot: DataFrame, bucketKeys: Seq[String], buckets: Int,
       bloomBits: Option[Int] = None, zones: Boolean = false): Unit = {
+    schemaCache.remove(tdir) // re-init may change the fixed schema
     snapshot.limit(0).coalesce(1)
       .write.mode("overwrite").parquet(s"$tdir/_empty")
     EventStreams.writeSmallFile(spark, metaPath(tdir),
@@ -186,8 +187,20 @@ object GraphStore {
   private def latestVersion(spark: SparkSession, tdir: String): Int =
     EventStreams.manifestVersions(spark, tdir).max
 
+  /** A graph-store table's read schema is FIXED at init (`_empty` is
+    * what every read pins to; the apply path's schema guard exists
+    * precisely to reject drift) — so the parquet footer read resolves
+    * once per table directory per JVM instead of once per apply
+    * (r16, §6 small-file round-trips: ~100 ms of driver I/O × tables
+    * × releases on the store's hottest write path). [[initTable]]
+    * invalidates the entry when it (re)creates the table, the only
+    * writer of a graph table's `_empty`. */
+  private val schemaCache = new java.util.concurrent.ConcurrentHashMap[
+    String, org.apache.spark.sql.types.StructType]()
+
   private def tableSchema(spark: SparkSession, tdir: String) =
-    spark.read.parquet(s"$tdir/_empty").schema
+    schemaCache.computeIfAbsent(tdir,
+      _ => spark.read.parquet(s"$tdir/_empty").schema)
 
   private def latestManifest(spark: SparkSession, tdir: String) =
     EventStreams.readManifest(spark,
@@ -284,14 +297,16 @@ object GraphStore {
     * asserts — , committed version). */
   private def applyTable(spark: SparkSession, tdir: String,
       delta: DataFrame,
-      merge: (DataFrame, DataFrame) => DataFrame): (Int, Int) =
+      merge: (DataFrame, DataFrame) => DataFrame,
+      deltaMaterialized: Boolean = false): (Int, Int) =
     ApplyTiming.time("total") {
-      applyTableBody(spark, tdir, delta, merge)
+      applyTableBody(spark, tdir, delta, merge, deltaMaterialized)
     }
 
   private def applyTableBody(spark: SparkSession, tdir: String,
       delta: DataFrame,
-      merge: (DataFrame, DataFrame) => DataFrame): (Int, Int) = {
+      merge: (DataFrame, DataFrame) => DataFrame,
+      deltaMaterialized: Boolean): (Int, Int) = {
     // one meta + one `_empty` footer read per apply (r15 opt: the
     // schema guard, the dirty-state read, and the zone/bloom passes
     // each re-read them before — 3-4 small round-trips per table per
@@ -371,7 +386,18 @@ object GraphStore {
     // flipped the meta but the latest manifest is still the old
     // layout (or vice versa)
     val buckets = base.size
-    val d = ApplyTiming.time("delta_ckpt")(delta.localCheckpoint())
+    // LAZY checkpoint (r16, the BPE-loop trick): the dirty-bucket
+    // collect right below is the delta's first action and materializes
+    // the checkpoint blocks as it runs — an eager copy here paid one
+    // extra job latency per table per release (~10 concurrent
+    // release-sized jobs per apply, half the fold's thread-seconds at
+    // fixture scale). Callers that hand in an ALREADY-materialized
+    // delta (the dual-anchor twin fan-out shares one checkpoint across
+    // two tables) skip the re-copy outright.
+    val d =
+      if (deltaMaterialized) delta
+      else ApplyTiming.time("delta_ckpt")(
+        delta.localCheckpoint(eager = false))
     val dirty = ApplyTiming.time("dirty_collect")(d
       .select(EventStreams.bucketCol(bucketKeys, buckets).as("_b"))
       .distinct().collect().map(_.getInt(0)).toSet)
@@ -674,10 +700,12 @@ object GraphStore {
     val stats =
       new java.util.concurrent.ConcurrentHashMap[String, (Int, Int)]()
     def apply1(table: String, delta: DataFrame,
-        merge: (DataFrame, DataFrame) => DataFrame): Future[Unit] =
+        merge: (DataFrame, DataFrame) => DataFrame,
+        deltaMaterialized: Boolean = false): Future[Unit] =
       Future {
         stats.put(table,
-          applyTable(spark, s"$dir/$table", delta, merge))
+          applyTable(spark, s"$dir/$table", delta, merge,
+            deltaMaterialized))
         ()
       }
     // Dual-anchor twins receive the SAME delta under the SAME merge —
@@ -692,8 +720,8 @@ object GraphStore {
       if (!twins(table)) Seq(apply1(table, delta, merge))
       else {
         val d = delta.localCheckpoint()
-        Seq(apply1(table, d, merge),
-          apply1(s"${table}__rev", d, merge))
+        Seq(apply1(table, d, merge, deltaMaterialized = true),
+          apply1(s"${table}__rev", d, merge, deltaMaterialized = true))
       }
 
     // Bijection guard BEFORE any apply commits (serial — probing the
@@ -753,18 +781,21 @@ object GraphStore {
           .select("src", "dst")
         if (twins("HAS_SEQUENCE")) hsDelta.localCheckpoint() else hsDelta
       }
+    val hsTwin = twins("HAS_SEQUENCE")
     val hsApplies =
       Seq(hsDeltaF.map { hs =>
         stats.put("HAS_SEQUENCE",
           applyTable(spark, s"$dir/HAS_SEQUENCE",
-            hs, createOnly(Seq("src", "dst"))))
+            hs, createOnly(Seq("src", "dst")),
+            deltaMaterialized = hsTwin))
         ()
       }) ++
-        (if (!twins("HAS_SEQUENCE")) Nil
+        (if (!hsTwin) Nil
          else Seq(hsDeltaF.map { hs =>
            stats.put("HAS_SEQUENCE__rev",
              applyTable(spark, s"$dir/HAS_SEQUENCE__rev",
-               hs, createOnly(Seq("src", "dst"))))
+               hs, createOnly(Seq("src", "dst")),
+               deltaMaterialized = true))
            ()
          }))
 

@@ -881,8 +881,12 @@ object EventStreams {
         val ss = batch.sparkSession
         val timing = graft.graph.GraphStore.ApplyTiming
         val base = readManifestFull(ss, manifestPath(id.toInt))
+        // lazy checkpoint (r16, same trick as GraphStore.applyTable):
+        // the dirty-bucket collect is the delta's first action and
+        // materializes the blocks — an eager copy paid one extra job
+        // latency per micro-batch
         val delta = timing.time("cdc_delta")(
-          toDelta(batch.toDF()).localCheckpoint())
+          toDelta(batch.toDF()).localCheckpoint(eager = false))
         val dirty = timing.time("cdc_dirty")(delta
           .select(bucketCol(stateKeys, storeBuckets).as("_b"))
           .distinct().collect().map(_.getInt(0)).toSet)
